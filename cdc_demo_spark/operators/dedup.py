@@ -1,0 +1,244 @@
+"""Deduplication operators (SURVEY.md §2 B51): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+- Exact dedup is a hash-shuffle on a digest of the dedup key — the
+  shuffle carries (digest, doc_id), never the document text.
+- Near-dup avoids the O(n²) pair space via LSH banding: docs only meet
+  if they share a band bucket, so the shuffle key is (band_id, band
+  hash) and the quadratic blowup is confined to same-bucket candidates.
+  Band/row parameters tune the S-curve: P(candidate) = 1-(1-s^r)^b.
+- Verification (exact Jaccard on candidates) touches only candidate
+  pairs — at sane thresholds that's ~linear in corpus size.
+- Skew guard: a degenerate bucket (e.g. empty-text docs) would explode;
+  ``max_bucket`` caps bucket membership before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.text import tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct value of `cols` (deterministic
+    survivor). groupBy on md5 digest of the key columns: the shuffle
+    moves 16-byte digests + ids, not payloads."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    keep = df.withColumn("_digest", digest).groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups with >1 identical rows over `cols` → (digest, n_dups)."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    return (
+        df.select(digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + exact Jaccard (also the verifier for LSH candidates)
+# --------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|-|A∩B|. Only pairs
+    that co-occur in some shingle posting list are materialized — docs
+    with no overlap never pair up. At 100 TB you'd first drop ultra-
+    frequent shingles (posting-list caps) to bound the join fan-out.
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, signature array<long>) — num_hashes seeded xxhash64 minima.
+
+    One explode + one groupBy: the shuffle carries (id, shingle-hash)
+    pairs; the num_hashes minima are computed as a single aggregation
+    pass (no per-permutation job)."""
+    sh = shingles(df, id_col, text_col, k)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """Band the signatures and pair up docs sharing any band bucket.
+
+    Bucket key = (band index, md5 of the band slice). ``max_bucket``
+    drops degenerate buckets (skew guard) before the quadratic pairing.
+    """
+    band_entries = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(F.concat_ws(",", F.transform(
+                    F.slice(F.col("signature"), b * rows + 1, rows), lambda x: x.cast("string")
+                ))).alias("bucket"),
+            ),
+        )
+    )
+    buckets = signatures.select("id", band_entries.alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+    w = Window.partitionBy("band", "bucket")
+    buckets = buckets.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= max_bucket
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
+    → exact-Jaccard verification at `threshold` (no false positives; the
+    miss rate follows the LSH S-curve, asserted in tests)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+
+    One aggregate over the token array (per-row, no shuffle): for each
+    bit, sum ±1 votes across tokens, then pack the sign vector into a
+    long. Near-dup = small Hamming distance. Shift amounts must be
+    Python literals in Spark, so the per-bit expressions are unrolled at
+    plan-build time (64 codegen'd exprs, still zero Python at runtime)."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def bit_votes(w):
+        h = F.xxhash64(w)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, w: F.zip_with(acc, bit_votes(w), lambda a, v: a + v),
+    )
+    df = df.select(F.col(id_col).alias("id"), votes.alias("_votes"))
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.element_at("_votes", i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select("id", packed.alias("simhash"))
+
+
+def hamming_distance(a, b) -> F.Column:
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_distance: int = 3) -> DataFrame:
+    """Pair docs with Hamming(simhash) <= max_distance. Blocked by the
+    top-16-bit prefix to avoid the full cross join (at scale: multi-
+    probe over 4 rotated prefixes catches distance<=3 across blocks)."""
+    sig = simhash(df, id_col, text_col)
+    sig = sig.withColumn("block", F.shiftright("simhash", 48))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", hamming_distance(F.col("a.simhash"), F.col("b.simhash")))
+        .filter(F.col("hamming") <= max_distance)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

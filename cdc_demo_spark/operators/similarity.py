@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B52).
+
+Two tiers, per the blueprint:
+- ``brute_force_topk`` — exact cosine top-k. The query set is broadcast
+  (it is small by definition); the corpus is scanned once, partition-
+  local top-k heaps via window row_number ≤ k. Correct and oracle-
+  checkable; O(|corpus|·|queries|) compute but ZERO shuffle of the
+  corpus — only (query_id, corpus_id, score) survivors move.
+- ``ivf_topk`` — IVF-style approximate path for scale: k-means-ish
+  centroids chosen deterministically, corpus bucketed by nearest
+  centroid once (a write-time layout at 100 TB), queries probe only the
+  ``nprobe`` nearest buckets. Recall asserted vs brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.functions.vector import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Deterministic ranking: (cosine DESC, corpus id ASC) — ties cannot
+    reorder the selected set."""
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk"))
+    )
+
+
+def choose_centroids(corpus: DataFrame, n_centroids: int, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic centroid seed: the n lowest-id vectors (a stand-in
+    for k-means|| at this corpus size; the bucketing math is identical)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Tag each corpus vector with its nearest centroid (max cosine).
+    At 100 TB this runs once at ingest and becomes the table's physical
+    partitioning — queries then prune whole partitions."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: probe only the `nprobe` nearest buckets.
+
+    Compute drops from |corpus|·|queries| to ~(nprobe/n_centroids) of
+    that; recall vs brute force is the tested trade-off."""
+    centroids = choose_centroids(corpus, n_centroids, corpus_vec, corpus_id)
+    bucketed = assign_buckets(corpus, centroids, corpus_vec, corpus_id)
+
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        query_id, query_vec, "centroid_id",
+        cosine(F.col(query_vec), F.col("centroid_vec")).alias("c_sim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "centroid_id")
+    )
+
+    cand = bucketed.join(F.broadcast(probes), "centroid_id").select(
+        query_id,
+        corpus_id,
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk"))
+    )
+
+
+def pairwise_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (B51's vector variant): bucket by
+    nearest centroid, pair only within buckets (cosine>=threshold pairs
+    almost always share the nearest centroid; recall tested)."""
+    centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
+    bucketed = assign_buckets(corpus, centroids, vec_col, id_col)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators (SURVEY.md §2 B53): tokenization, quality
+scoring, language ID, fingerprinting — all JVM-side expressions.
+
+Design for 100 TB: these are embarrassingly-parallel per-row projections
+(no shuffle at all); throughput is bounded by scan speed, which is why
+every one is a codegen-able builtin expression rather than a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID.  Public knowledge (most-frequent function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ist", "den", "im", "ein"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces of <=4 chars. A word of
+    length L contributes ceil(L/4) pieces — a public rule-of-thumb proxy
+    for subword tokenizers, computed without any Python."""
+    t = tokens(text)
+    return F.aggregate(
+        F.transform(t, lambda w: F.ceil(F.length(w) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """How many tokens are in `lang`'s stopword list."""
+    t = tokens(text)
+    words = STOPWORDS[lang]
+    return F.size(F.filter(t, lambda w: F.lower(w).isin(*words)))
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Stopword-frequency language ID: argmax over per-language hit
+    counts, 'und' (undetermined) when no list matches."""
+    hit_cols = [
+        F.struct(stopword_hits(text, lg).alias("hits"), F.lit(lg).alias("lg"))
+        for lg in sorted(STOPWORDS)
+    ]
+    best = F.array_max(F.array(*hit_cols))
+    return F.when(best["hits"] > 0, best["lg"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, mean token length, alpha ratio."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    t = tokens(c)
+    n_tokens = F.size(t)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    en_stop = stopword_hits(c, "en")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": n_punct / F.nullif(n_chars, F.lit(0)),
+        "alpha_ratio": n_alpha / F.nullif(n_chars, F.lit(0)),
+        "stopword_ratio": en_stop / F.nullif(n_tokens, F.lit(0)),
+        "mean_token_len": (n_chars - n_tokens + 1) / F.nullif(n_tokens, F.lit(0)),
+    }
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set. Documents that differ only by token order/duplication get
+    the same fingerprint — a cheap bag-of-words canonical form."""
+    t = tokens(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8, mod: int = 1 << 31) -> Column:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style):
+    min over all `window`-grams of a base-31 hash — a deterministic,
+    engine-portable locality-sensitive fingerprint (pure integer
+    arithmetic, reproducible in ANSI SQL)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(i, i + window - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * 31 + F.ascii(F.substring(c, j, 1))) % mod,
+    )
+    return F.array_min(F.transform(idx, gram_hash))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set as columns (single projection pass)."""
+    feats = quality_features(text_col)
+    out = df
+    for name, col in feats.items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("pred_lang", predict_lang(text_col))
+        .withColumn("fingerprint", content_fingerprint(text_col))
+        .withColumn("bpe_tokens", bpe_ish_token_count(text_col))
+    )

@@ -1,0 +1,104 @@
+"""Dedup query surface over the documents table (B51)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import dedup as D
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+
+@register(
+    "q_dedup_stats",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+""",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup census. The distinct runs on 16-byte md5 digests, not
+    document bodies — at 100 TB the shuffle is ~32 GB, not 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.md5("text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(d).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(d)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "q_dedup_exact_keep",
+    oracle="""
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set after exact dedup (min-id survivor per text digest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.12
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.12 (the
+    synthetic corpus shares a small vocabulary, so overlap is diffuse;
+    the threshold is set to produce a non-trivial pair set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+        .withColumnRenamed("id_a", "id_a")
+    )
+
+
+@register("q_minhash_near_dups")  # no oracle: engine-specific hash functions
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands × 4 rows) near-dups verified at Jaccard
+    >= 0.12. Candidate generation is subquadratic (bucket joins);
+    correctness vs exact Jaccard asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+    )
+
+
+@register("q_simhash_signatures")  # no oracle: xxhash64 is Spark-specific
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (near-dup = low Hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )

@@ -1,0 +1,67 @@
+"""Similarity-search query surface over the embeddings table (B52)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import similarity as S
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+QUERY_IDS = (0, 1, 2)
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(q.query_vec, e.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / nullif(
+             sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           0.0) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 3 query vectors. The corpus
+    never shuffles — queries broadcast, per-partition heaps via window.
+    Both engines fold the arrays left-to-right in double, so scores are
+    bit-identical (rounding is belt-and-braces)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _queries_df(emb), k=10)
+
+
+@register("q_ann_ivf_topk")  # no oracle: approximate by design (recall tested vs brute force)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (16 centroids, nprobe=4) — the
+    scale path: probes ~1/4 of the corpus per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _queries_df(emb), k=10, n_centroids=16, nprobe=4)
+
+
+@register("q_embedding_near_dups")  # no oracle: bucketed-approximate pair set
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at cosine >= 0.5 (~4σ for
+    random 64-dim vectors, so the pair set is small but non-empty;
+    bucketed — recall vs exact pairing asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_near_duplicates(emb, threshold=0.5)

@@ -1,0 +1,119 @@
+"""Text-analysis query surface over the documents table (B53)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import text as T
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(len(string_split(text, ' '))) AS min_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token census per language — one scan, tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(n).alias("min_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9_ \t\n]', '', 'g')) AS DOUBLE)
+             / nullif(length(text), 0), 6) AS punct_ratio,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it','that','was'], lower(w))))
+             AS DOUBLE) / nullif(len(string_split(text, ' ')), 0), 6) AS stopword_ratio,
+       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / nullif(len(string_split(text, ' ')), 0), 6) AS mean_token_len
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (pure projections; no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9_ \t\n]", ""))
+    stop = F.size(
+        F.filter(
+            toks, lambda w: F.lower(w).isin(*T.STOPWORDS["en"])
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct.cast("double") / F.nullif(F.length(text), F.lit(0)), 6).alias("punct_ratio"),
+        F.round(stop.cast("double") / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+        F.round(
+            (F.length(text) - n_tokens + 1).cast("double") / F.nullif(n_tokens, F.lit(0)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "q_bpe_token_count",
+    oracle="""
+SELECT source,
+       CAST(sum(list_sum(list_transform(string_split(text, ' '),
+                                   w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token budget per source (ceil(len/4) per word — a
+    public rule-of-thumb proxy for BPE tokenizers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(T.bpe_ish_token_count("text")).alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words content fingerprint (order-insensitive md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.content_fingerprint("text").alias("fingerprint"))
+
+
+@register("q_lang_id")  # no oracle: heuristic argmax is awkward in portable SQL
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-frequency language ID vs the labeled lang column;
+    determinism + accuracy bounds asserted in tests/test_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predict_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
