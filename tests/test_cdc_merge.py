@@ -1,0 +1,123 @@
+"""CDC merge convergence tests (SURVEY.md §5): the distributed merge
+must equal a single-threaded replay of the log, under out-of-order
+delivery, redelivery, and late deletes."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from cdc_demo_spark.schemas import envelope_schema
+from cdc_demo_spark.streaming.generator import generate_events, scramble
+from cdc_demo_spark.streaming.merge import (
+    merge_into_silver,
+    read_silver,
+    replay_oracle,
+)
+
+PAYLOAD = StructType(
+    [
+        StructField(c, StringType(), True)
+        for c in ("name", "owner", "species", "sex", "birth", "death")
+    ]
+)
+
+
+def envelope_df(spark, events):
+    def conv(e):
+        return {**e, "ts": datetime.fromisoformat(e["ts"])}
+
+    return spark.createDataFrame([conv(e) for e in events], envelope_schema(PAYLOAD))
+
+
+def assert_matches_oracle(spark, silver_path, events):
+    expected = replay_oracle(events)
+    got = {r["name"]: r.asDict() for r in read_silver(spark, silver_path).collect()}
+    assert set(got) == set(expected)
+    for k, row in expected.items():
+        assert got[k] == row, f"mismatch for {k}"
+
+
+def test_merge_converges_in_order(spark, tmp_path):
+    events = generate_events(n_keys=10, n_events=120, seed=1)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events), silver, "pet")
+    assert_matches_oracle(spark, silver, events)
+
+
+def test_merge_converges_scrambled_multibatch(spark, tmp_path):
+    """At-least-once, out-of-order, duplicated delivery split across 4
+    micro-batches must converge to the same replay state."""
+    events = generate_events(n_keys=15, n_events=200, seed=2)
+    feed = scramble(events, seed=3, p_duplicate=0.15, late_fraction=0.15)
+    silver = str(tmp_path / "silver")
+    n = len(feed) // 4
+    for i in range(0, len(feed), n):
+        merge_into_silver(spark, envelope_df(spark, feed[i : i + n]), silver, "pet")
+    assert_matches_oracle(spark, silver, events)
+
+
+def test_late_old_event_cannot_overwrite(spark, tmp_path):
+    """B46: an older (ts,seq) arriving after a newer image must lose."""
+    row_v1 = {"name": "a", "owner": "x", "species": "cat", "sex": "f", "birth": None, "death": None}
+    row_v2 = {**row_v1, "owner": "y"}
+    new = {"op": "u", "ts": "2024-01-02T00:00:00", "seq": 5, "table": "pet", "key": "a",
+           "before": row_v1, "after": row_v2}
+    old = {"op": "c", "ts": "2024-01-01T00:00:00", "seq": 1, "table": "pet", "key": "a",
+           "before": None, "after": row_v1}
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, [new]), silver, "pet")
+    merge_into_silver(spark, envelope_df(spark, [old]), silver, "pet")  # late arrival
+    rows = read_silver(spark, silver).collect()
+    assert len(rows) == 1 and rows[0]["owner"] == "y"
+
+
+def test_late_insert_cannot_resurrect_deleted_key(spark, tmp_path):
+    """Tombstone semantics: delete at seq 9, then an older insert (seq 1)
+    arrives in a LATER batch — the key must stay deleted."""
+    row = {"name": "z", "owner": "x", "species": "dog", "sex": "m", "birth": None, "death": None}
+    delete = {"op": "d", "ts": "2024-01-03T00:00:00", "seq": 9, "table": "pet", "key": "z",
+              "before": row, "after": None}
+    stale = {"op": "c", "ts": "2024-01-01T00:00:00", "seq": 1, "table": "pet", "key": "z",
+             "before": None, "after": row}
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, [delete]), silver, "pet")
+    merge_into_silver(spark, envelope_df(spark, [stale]), silver, "pet")
+    assert read_silver(spark, silver).count() == 0
+
+
+def test_reinsert_after_delete_with_higher_seq(spark, tmp_path):
+    row = {"name": "r", "owner": "x", "species": "cat", "sex": "f", "birth": None, "death": None}
+    events = [
+        {"op": "c", "ts": "2024-01-01T00:00:00", "seq": 1, "table": "pet", "key": "r",
+         "before": None, "after": row},
+        {"op": "d", "ts": "2024-01-02T00:00:00", "seq": 2, "table": "pet", "key": "r",
+         "before": row, "after": None},
+        {"op": "c", "ts": "2024-01-03T00:00:00", "seq": 3, "table": "pet", "key": "r",
+         "before": None, "after": {**row, "owner": "w"}},
+    ]
+    silver = str(tmp_path / "silver")
+    for e in events:  # one batch each — worst case
+        merge_into_silver(spark, envelope_df(spark, [e]), silver, "pet")
+    rows = read_silver(spark, silver).collect()
+    assert len(rows) == 1 and rows[0]["owner"] == "w"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_merge_property_random_logs(spark, tmp_path, seed):
+    """Property-style: random logs + random batching converge (the
+    hypothesis-style oracle check from SURVEY.md §5)."""
+    import random
+
+    rng = random.Random(seed)
+    events = generate_events(n_keys=8, n_events=80, seed=seed, p_delete=0.3)
+    feed = scramble(events, seed=seed + 1, p_duplicate=0.2, late_fraction=0.2)
+    silver = str(tmp_path / "silver")
+    i = 0
+    while i < len(feed):
+        n = rng.randrange(1, 40)
+        merge_into_silver(spark, envelope_df(spark, feed[i : i + n]), silver, "pet")
+        i += n
+    assert_matches_oracle(spark, silver, events)

@@ -1,0 +1,94 @@
+"""Dedup operator tests (B51): exact survivor choice, MinHash-LSH vs
+exact Jaccard, SimHash invariances, fingerprint canonicalization."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import dedup as D
+from cdc_demo_spark.operators.text import content_fingerprint
+
+# wide vocabulary: random docs must differ in token SET, not just order
+# (with a tiny vocab every doc covers the whole set and simhash collapses)
+VOCAB = [f"word{i:03d}" for i in range(150)]
+
+
+def corpus(spark, n=60, seed=4, with_dups=True):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(rng.randrange(30, 60))]
+        rows.append((i, " ".join(toks)))
+    if with_dups:
+        # plant exact dup + near dup (one token changed) + reordered dup
+        base = rows[0][1]
+        toks = base.split()
+        near = toks[:]
+        near[len(near) // 2] = "CHANGED"
+        rows.append((1000, base))                      # exact
+        rows.append((1001, " ".join(near)))            # near (1 token)
+        rng2 = random.Random(99)
+        shuffled = toks[:]
+        rng2.shuffle(shuffled)
+        rows.append((1002, " ".join(shuffled)))        # bag-equal
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = corpus(spark)
+    kept = D.exact_dedup(df, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1000 not in ids  # min-id survivor of the exact pair
+    assert kept.count() == df.count() - 1
+
+
+def test_duplicate_groups(spark):
+    groups = D.duplicate_groups(corpus(spark), ["text"])
+    assert groups.count() == 1
+    assert groups.collect()[0]["n_dups"] == 2
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    """LSH candidates, verified at threshold, must equal the exact
+    jaccard pair set at the same threshold (no false positives by
+    construction; recall via banding)."""
+    df = corpus(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           D.minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).collect()}
+    assert lsh <= exact            # verification kills false positives
+    assert (0, 1000) in lsh        # exact dup found
+    assert (0, 1001) in lsh        # 1-token near dup found
+    # banding at 64/16 has >99.9% recall at jaccard>=0.8; spot-check high-sim pairs
+    high = {(r["id_a"], r["id_b"]) for r in
+            D.jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()}
+    assert high <= lsh
+
+
+def test_simhash_exact_dup_same_hash_and_hamming(spark):
+    df = corpus(spark)
+    sig = {r["id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    assert sig[0] == sig[1000]  # identical text -> identical simhash
+    assert sig[0] == sig[1002]  # token-set equal -> identical (distinct tokens)
+    # one changed token flips only low-margin bits: near vs a random doc
+    ham_near = bin(sig[0] ^ sig[1001]).count("1")
+    ham_far = bin(sig[0] ^ sig[5]).count("1")
+    assert ham_near < ham_far
+    # multi-probe blocking: hamming=0 pairs guaranteed; the near pair is
+    # found whenever any 16-bit chunk survived the token swap
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.simhash_near_duplicates(df, "doc_id", "text", max_distance=ham_near).collect()}
+    assert (0, 1000) in pairs
+    assert (0, 1002) in pairs
+    assert (1000, 1002) in pairs
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    df = corpus(spark)
+    fp = {r["doc_id"]: r["fp"] for r in
+          df.select("doc_id", content_fingerprint("text").alias("fp")).collect()}
+    assert fp[0] == fp[1002]   # reordered tokens, same bag -> same fingerprint
+    assert fp[0] != fp[1001]   # changed token -> different

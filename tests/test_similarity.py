@@ -1,0 +1,78 @@
+"""Similarity-search tests (B52): brute-force correctness, IVF recall,
+vector function sanity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.functions.vector import cosine, dot, l2_norm, normalize
+from cdc_demo_spark.operators import similarity as S
+from cdc_demo_spark.sources.tables import load_table
+
+
+def queries_df(emb, ids=(0, 1, 2)):
+    return emb.filter(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_vector_functions_against_python(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    rows = emb.select("vec_id", "embedding",
+                      dot("embedding", "embedding").alias("d"),
+                      l2_norm("embedding").alias("n")).collect()
+    for r in rows:
+        v = r["embedding"]
+        expected = sum(float(x) * float(x) for x in v)
+        assert math.isclose(r["d"], expected, rel_tol=1e-9)
+        assert math.isclose(r["n"], math.sqrt(expected), rel_tol=1e-9)
+
+
+def test_self_similarity_is_one(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(emb, queries_df(emb), k=1)
+    for r in topk.collect():
+        assert r["vec_id"] == r["query_id"]
+        assert abs(r["cos_sim"] - 1.0) < 1e-6
+
+
+def test_normalize_unit_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    norms = emb.select(l2_norm(normalize("embedding")).alias("n")).collect()
+    for r in norms:
+        assert abs(r["n"] - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4/16 buckets must keep decent top-10 recall on
+    random data (bucketing is signal-free there, so the bound is loose;
+    on clustered real embeddings recall would be far higher)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_df(emb)
+    exact = S.brute_force_topk(emb, q, k=10).collect()
+    approx = S.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # every query returns k results and self is always found
+    for qid, got in by_q_approx.items():
+        assert len(got) == 10
+        assert qid in got
+    recalls = [len(by_q_exact[q] & by_q_approx[q]) / 10 for q in by_q_exact]
+    assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_pairwise_near_duplicates_finds_planted_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    with_dup = emb.unionByName(clone)
+    pairs = S.pairwise_near_duplicates(with_dup, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (7, 100007) in got
