@@ -1,0 +1,111 @@
+"""Event-time windowing over the events table (B42/B43), batch form.
+
+The same ``F.window``/``F.session_window`` expressions run unchanged
+under ``readStream`` with a watermark (B41) — that streaming path is
+exercised in tests/test_streaming_windows.py against these batch
+results (streams and batch must agree on closed windows).  The oracles
+give DuckDB equivalents: ``time_bucket`` for tumbling/sliding,
+gaps-and-islands for sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+DEC = "decimal(38,6)"
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 — tumbling 1h counts per event type. Partial aggregation
+    collapses each scan partition to (bucket, type) rows before the
+    shuffle; in streaming the same plan incrementalizes under a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+SELECT window_start, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+         value
+  FROM events, (VALUES (0), (1)) offsets(k)
+) t
+GROUP BY window_start
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 — 1h windows sliding every 30min: each event lands in exactly
+    size/slide = 2 windows (the oracle materializes the same two
+    buckets explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       epoch_us(max(ts) - min(ts)) AS span_us
+FROM islands GROUP BY user_id, sid
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 — 30-minute-gap sessions per user. Spark's session_window is
+    a first-class aggregation (merging windows stateful under
+    streaming); the oracle derives identical islands with lag+cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        )
+        .select("user_id", "session_start", "n_events", "span_us")
+    )

@@ -40,7 +40,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) scanned as raw int64 (spark.sql.legacy.parquet.
         # nanosAsLong) → truncate to micros, matching DuckDB's ns→us cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # `div` = exact integer division; a float `/` would round (the
+        # 1.7e18 nanos exceed double's 53-bit mantissa → off-by-1µs).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
