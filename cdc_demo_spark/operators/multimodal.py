@@ -1,0 +1,163 @@
+"""Multimodal columns (B54 + driver mandate): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages.
+
+The real decode libraries (PIL/torchaudio/ffmpeg) are not in this
+container, so the codec layer is split:
+
+- ``FakeImageCodec`` — a deterministic toy format (header + dims +
+  uint8 pixels) that makes every pipeline stage REAL and testable:
+  encode, decode, feature-extract, resize, frame-sample all do actual
+  byte work with verifiable roundtrips.
+- ``decode_real_image`` — the PIL-backed path, import-gated; raises
+  NotImplementedError with a clear message when PIL is absent.
+
+What matters at 100 TB is the Spark-side shape, which is identical for
+either codec: binary column + metadata struct scanned columnar,
+``mapInPandas`` receives Arrow record batches (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``), output schema is
+declared up front, and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"FIMG"
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, n_frames int"
+)
+
+
+class FakeImageCodec:
+    """Deterministic toy image/video codec: MAGIC | H | W | F | pixels,
+    pixels = F frames of H*W uint8."""
+
+    @staticmethod
+    def encode(media_id: int, width: int, height: int, n_frames: int = 1) -> bytes:
+        rng = np.random.default_rng(media_id)  # content derived from id
+        pixels = rng.integers(0, 256, size=height * width * n_frames, dtype=np.uint8)
+        return MAGIC + struct.pack("<III", height, width, n_frames) + pixels.tobytes()
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        if payload[:4] != MAGIC:
+            raise ValueError("not a FIMG payload")
+        h, w, f = struct.unpack("<III", payload[4:16])
+        return np.frombuffer(payload[16:], dtype=np.uint8).reshape(f, h, w)
+
+
+def decode_real_image(payload: bytes):
+    """The production decode path — gated on the codec library."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - PIL absent in this env
+        raise NotImplementedError(
+            "real image decode requires PIL; this environment ships none — "
+            "use FakeImageCodec for pipeline testing"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def fake_media_table(spark, n: int = 200, frames_for_video: int = 8) -> DataFrame:
+    """Deterministic media corpus: ids 0..n-1, alternating image/video,
+    sizes derived from the id. Built distributed (spark.range → encode
+    in mapInPandas): the driver never holds the payload bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].astype(int)
+            rows = []
+            for i in ids:
+                kind = "video" if i % 3 == 0 else "image"
+                h, w = 16 + (i % 5) * 8, 16 + (i % 7) * 8
+                f = frames_for_video if kind == "video" else 1
+                rows.append(
+                    {"media_id": i, "kind": kind,
+                     "payload": FakeImageCodec.encode(i, w, h, f),
+                     "width": w, "height": h, "n_frames": f}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + per-item pixel statistics (the 'embedding extraction'
+    stage shape). Arrow batches in, Arrow batches out."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                px = FakeImageCodec.decode(r["payload"])
+                out.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "mean_px": float(px.mean()), "std_px": float(px.std()),
+                     "n_bytes": int(len(r["payload"]))}
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        feats, schema="media_id long, kind string, mean_px double, std_px double, n_bytes long"
+    )
+
+
+def resize_half(media: DataFrame) -> DataFrame:
+    """2× downsample every frame (stride sampling — real byte work on
+    the fake format; swap the inner two lines for PIL.resize in prod)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                px = FakeImageCodec.decode(r["payload"])
+                small = px[:, ::2, ::2]
+                f, h, w = small.shape
+                rows.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "payload": MAGIC + struct.pack("<III", h, w, f) + small.tobytes(),
+                     "width": w, "height": h, "n_frames": f}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Keep every k-th frame of video payloads (images pass through)."""
+
+    def sf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                px = FakeImageCodec.decode(r["payload"])
+                kept = px[::every] if r["kind"] == "video" else px
+                f, h, w = kept.shape
+                rows.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "payload": MAGIC + struct.pack("<III", h, w, f) + kept.tobytes(),
+                     "width": w, "height": h, "n_frames": f}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(sf, schema=MEDIA_SCHEMA)
+
+
+def media_with_doc_metadata(media: DataFrame, docs: DataFrame) -> DataFrame:
+    """Multimodal join: media ⋈ documents on id (B54) — binary payloads
+    flow through the join untouched (columnar, no decode)."""
+    return media.join(docs, media.media_id == docs.doc_id).select(
+        "media_id", "kind", "width", "height", "n_frames", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,58 @@
+"""Multimodal + Pandas-UDF query surface (B48-B50, B54 plumbing).
+
+These are rows-only checks for the driver (binary payloads are
+generated in-engine, not part of the DuckDB view set), with full
+roundtrip/shape assertions in tests/test_multimodal.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import multimodal as M
+from cdc_demo_spark.operators.pandas_udfs import median_by_group, zscore_per_group
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+
+@register("q_media_features")  # no oracle: binary corpus is engine-generated
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode fake-codec media and extract per-item pixel stats through
+    mapInPandas (the feature-extraction pipeline shape)."""
+    media = M.fake_media_table(spark, n=200)
+    return M.extract_features(media)
+
+
+@register("q_media_pipeline")  # no oracle: binary corpus is engine-generated
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame-sample → resize → feature-extract → join doc metadata:
+    the full multimodal preprocessing chain, nothing on the driver."""
+    media = M.fake_media_table(spark, n=150)
+    processed = M.resize_half(M.sample_frames(media, every=4))
+    feats = M.extract_features(processed)
+    docs = load_table(spark, sf_dir, "documents")
+    return feats.join(docs, feats.media_id == docs.doc_id).select(
+        "media_id", "kind", "mean_px", "n_bytes", "lang", "source"
+    )
+
+
+@register(
+    "q_grouped_median",
+    oracle="""
+SELECT event_type, median(value) AS median
+FROM events GROUP BY event_type
+""",
+)
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 — exact per-group median via grouped-agg pandas UDF. DuckDB's
+    median() on doubles is the exact same statistic, making this the one
+    pandas-UDF operator with a value-exact oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return median_by_group(ev, "event_type", "value")
+
+
+@register("q_zscore_normalize")  # no oracle: sample-stddev tie-up in SQL is fragile
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49 — per-user z-score normalization via applyInPandas."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zscore_per_group(ev, "user_id", "value")

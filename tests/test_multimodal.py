@@ -1,0 +1,102 @@
+"""Multimodal pipeline tests (B54): codec roundtrip, mapInPandas stage
+shapes, pandas-UDF tier (B48-B50)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import multimodal as M
+from cdc_demo_spark.operators.pandas_udfs import vowel_ratio, zscore_per_group
+from cdc_demo_spark.sources.tables import load_table
+
+
+def test_codec_roundtrip():
+    payload = M.FakeImageCodec.encode(42, width=24, height=16, n_frames=3)
+    px = M.FakeImageCodec.decode(payload)
+    assert px.shape == (3, 16, 24)
+    # deterministic: same id -> same bytes
+    assert payload == M.FakeImageCodec.encode(42, 24, 16, 3)
+
+
+def test_real_decode_is_gated():
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_real_image(b"\xff\xd8\xff")  # no PIL in this container
+
+
+def test_fake_media_table_distributed(spark):
+    media = M.fake_media_table(spark, n=60)
+    rows = media.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        px = M.FakeImageCodec.decode(bytes(r["payload"]))
+        assert px.shape == (r["n_frames"], r["height"], r["width"])
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "video"}
+
+
+def test_extract_features_matches_numpy(spark):
+    media = M.fake_media_table(spark, n=30)
+    feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    assert len(feats) == 30
+    for mid in (0, 7, 13):
+        px = M.FakeImageCodec.decode(
+            bytes(media.filter(F.col("media_id") == mid).collect()[0]["payload"])
+        )
+        assert abs(feats[mid]["mean_px"] - float(px.mean())) < 1e-9
+        assert abs(feats[mid]["std_px"] - float(px.std())) < 1e-9
+
+
+def test_resize_halves_dims(spark):
+    media = M.fake_media_table(spark, n=20)
+    orig = {r["media_id"]: r for r in media.collect()}
+    small = {r["media_id"]: r for r in M.resize_half(media).collect()}
+    for mid, r in small.items():
+        assert r["width"] == (orig[mid]["width"] + 1) // 2
+        assert r["height"] == (orig[mid]["height"] + 1) // 2
+        px = M.FakeImageCodec.decode(bytes(r["payload"]))
+        assert px.shape == (r["n_frames"], r["height"], r["width"])
+
+
+def test_sample_frames(spark):
+    media = M.fake_media_table(spark, n=21, frames_for_video=8)
+    sampled = M.sample_frames(media, every=4)
+    for r in sampled.collect():
+        assert r["n_frames"] == (2 if r["kind"] == "video" else 1)
+
+
+def test_multimodal_join_keeps_payload_opaque(spark, sf_dir):
+    media = M.fake_media_table(spark, n=50)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = M.media_with_doc_metadata(media, docs)
+    assert joined.count() == 50
+    assert "payload" not in joined.columns  # metadata-only projection
+
+
+# --- pandas-UDF tier -------------------------------------------------------
+
+
+def test_scalar_pandas_udf_matches_expression(spark, sf_dir):
+    """B48: the Arrow-batched UDF must agree with the pure-JVM expression."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    both = docs.select(
+        vowel_ratio("text").alias("py"),
+        (
+            (F.length("text") - F.length(F.regexp_replace(F.lower("text"), "[aeiou]", "")))
+            / F.length("text")
+        ).alias("jvm"),
+    ).collect()
+    for r in both:
+        assert abs(r["py"] - r["jvm"]) < 1e-12
+
+
+def test_zscore_per_group_properties(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) * 2 + (i % 5)) for i in range(90)], "id long, k int, v double"
+    )
+    out = zscore_per_group(df, "k", "v").toPandas()
+    assert len(out) == 90
+    g = out.groupby("k")["zscore"]
+    assert (g.mean().abs() < 1e-9).all()
+    assert ((g.std(ddof=1) - 1).abs() < 1e-9).all()

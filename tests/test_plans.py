@@ -1,0 +1,70 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+must actually appear in the plan — pushdown, pruning, broadcast, bounded
+shuffles. These tests are the guard rail against silently regressing to
+a 100-TB-hostile plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.plans import (
+    assert_no_cartesian,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from cdc_demo_spark.queries import QUERIES
+from cdc_demo_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    q = QUERIES["q_filter_predicates"](spark, sf_dir)
+    pushed = pushed_filters(q)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("l_returnflag" in f for f in pushed)
+
+
+def test_column_pruning(spark, sf_dir):
+    """Scan must read exactly projection ∪ predicate columns (7 of 11),
+    never the full lineitem schema."""
+    q = QUERIES["q_filter_predicates"](spark, sf_dir)
+    need = {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_discount", "l_linestatus", "l_tax"}
+    for cols in scan_columns(q):
+        assert set(cols) == need
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    q = QUERIES["q_revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union+window as-of join must not materialize pairs: one
+    exchange for the window (plus AQE reads), never a join explosion."""
+    q = QUERIES["q_asof_join"](spark, sf_dir)
+    assert shuffle_count(q) <= 2
+    assert_no_cartesian(q)
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    from cdc_demo_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_pricing_summary"](spark, sf_dir))
+    # two HashAggregates (partial + final) around one exchange: the
+    # shuffle carries per-partition group rows, not lineitems
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert shuffle_count(QUERIES["q_pricing_summary"](spark, sf_dir)) == 1
+
+
+def test_events_ts_filter_prunes_other_columns(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "event_type")
+    pushed = pushed_filters(ev)
+    assert any("event_type" in f for f in pushed)
+    for cols in scan_columns(ev):
+        assert "props" not in cols  # pruned despite the ts rewrite
