@@ -30,8 +30,14 @@ def test_bootstrap_create_insert_truncate_drop(spark, db):
         "('Puffball','Diane','hamster','f',DATE'1999-03-30',NULL)"
     )
     assert spark.sql(f"SELECT count(*) c FROM {db}.pet").collect()[0]["c"] == 1
-    # A5: full-table delete (load_pet_tbl.sql:2 `DELETE FROM pet`)
-    spark.sql(f"TRUNCATE TABLE {db}.pet")
+    # A5: full-table delete (load_pet_tbl.sql:2 `DELETE FROM pet`) —
+    # overwrite from an empty literal select (external tables disallow
+    # TRUNCATE, and overwrite-from-self is circular)
+    spark.sql(
+        f"INSERT OVERWRITE {db}.pet "
+        "SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "CAST(NULL AS STRING), CAST(NULL AS DATE), CAST(NULL AS DATE) WHERE false"
+    )
     assert spark.sql(f"SELECT count(*) c FROM {db}.pet").collect()[0]["c"] == 0
     # A2: idempotent re-bootstrap is a no-op, not an error
     bootstrap(spark, "/tmp/ignored-rebootstrap", db=db)
