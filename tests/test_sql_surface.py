@@ -70,7 +70,10 @@ def test_batch_json_corrupt_capture(spark, tmp_path):
         f.write('{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 2, '
                 '"event_type": "a", "value": 1.5, "props": "{}"}\n')
         f.write("this is not json\n")
-    df = read_json(spark, path, EVENTS)
+    # cache first: Spark disallows queries touching ONLY the corrupt
+    # column against raw JSON (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN) — same reason the streaming pipeline caches batches
+    df = read_json(spark, path, EVENTS).cache()
     assert df.count() == 2
     assert df.filter(F.col("_corrupt").isNotNull()).count() == 1
     assert df.filter(F.col("_corrupt").isNull()).collect()[0]["event_id"] == 1
