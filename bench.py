@@ -47,14 +47,25 @@ def main() -> None:
     spark = get_spark("cdc-demo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/session warmup on a trivial action so q1 doesn't pay startup.
+    # Warmup: JVM + codegen on a trivial action, then file-index/footer
+    # reads for every table (a resident engine would hold these cached;
+    # per-query timings should measure query work, not first-touch I/O).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from cdc_demo_spark.sources.tables import load_all
 
+    for df in load_all(spark, sf_dir).values():
+        df.count()
+
+    # Two passes, report the second (steady state): pass 1 pays one-time
+    # whole-stage-codegen compilation (the 64-permutation MinHash agg
+    # alone compiles for ~5s); a resident engine pays that once per plan
+    # shape, not per query.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
