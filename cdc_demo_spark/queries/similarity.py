@@ -60,8 +60,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_embedding_near_dups")  # no oracle: bucketed-approximate pair set
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at cosine >= 0.5 (~4σ for
-    random 64-dim vectors, so the pair set is small but non-empty;
-    bucketed — recall vs exact pairing asserted in tests)."""
+    """Embedding-cosine near-duplicate pairs at cosine >= 0.4 (~3.2σ for
+    random 64-dim vectors — tens of pairs at sf0.01, so the query output
+    is non-trivial; bucketed — recall vs exact pairing asserted in
+    tests, exact-dup recall is 1.0 by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pairwise_near_duplicates(emb, threshold=0.5)
+    return S.pairwise_near_duplicates(emb, threshold=0.4)

@@ -28,11 +28,11 @@ SCHEMA = StructType(
 )
 
 
-def write_events(dir_path: str, events: list[dict], files: int = 4) -> None:
+def write_events(dir_path: str, events: list[dict], files: int = 4, prefix: str = "ev") -> None:
     os.makedirs(dir_path, exist_ok=True)
     per = max(1, (len(events) + files - 1) // files)
     for i in range(0, len(events), per):
-        with open(os.path.join(dir_path, f"ev-{i:05d}.json"), "w") as f:
+        with open(os.path.join(dir_path, f"{prefix}-{i:05d}.json"), "w") as f:
             for e in events[i : i + per]:
                 f.write(json.dumps(e) + "\n")
 
