@@ -1,0 +1,62 @@
+"""Physical table layout for the 100 TB design point.
+
+The reference picks its layouts declaratively (Avro change files for
+I/O volume, columnar BigQuery replicas — README.md:168, main.tf:188).
+At Spark scale the equivalent decisions are partitioning, bucketing and
+file sizing, made ONCE at write time so every later query prunes or
+co-locates for free:
+
+- ``write_partitioned_by_day``: event/fact tables partition by date —
+  time-range queries prune whole directories (PartitionFilters in the
+  plan), the coarse filter at 100 TB.
+- ``write_bucketed``: join-heavy tables bucket by their join key —
+  two tables bucketed the same way join with ZERO shuffle (verified by
+  plan assertion in tests). This is the batch analog of co-partitioned
+  stream-stream joins.
+- ``compact``: periodic small-file compaction for streaming sinks
+  (micro-batches produce file-per-trigger; scans want ~128 MB files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_day(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    (
+        df.withColumn("_day", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("_day")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 16, mode: str = "overwrite"
+) -> None:
+    """Bucketed + sorted by the join key (bucket pruning AND row-group
+    locality). Requires a catalog table (bucketing metadata lives in the
+    metastore, not the files)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)  # managed: bucketing metadata needs the catalog
+    )
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
+    """Rewrite a parquet dir into `target_files` files (streaming sinks
+    accumulate file-per-micro-batch; scans want fewer, bigger files)."""
+    df = spark.read.parquet(path)
+    tmp = path + ".compact"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    import os
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -1,0 +1,59 @@
+"""Physical layout tests: partition pruning, shuffle-free bucketed
+joins, compaction — the write-time decisions that make 100 TB queries
+cheap, asserted via the physical plan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.layout import compact, write_bucketed, write_partitioned_by_day
+from cdc_demo_spark.plans import physical_plan, shuffle_count
+from cdc_demo_spark.sources.tables import load_table
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(ev, path)
+
+    q = spark.read.parquet(path).filter(F.col("_day") == "2024-01-02").select("event_id")
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan and "_day" in plan
+    # pruned scan reads only the matching partition directory
+    n_days = len([d for d in os.listdir(path) if d.startswith("_day=")])
+    assert n_days > 1
+    assert q.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    the co-located join that makes repeated fact⋈fact joins viable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", "o_custkey", buckets=8)
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", buckets=8
+    )
+    try:
+        j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        agg = j.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        assert shuffle_count(j) == 0
+        # even the follow-up groupBy on the bucket key needs no exchange
+        assert shuffle_count(agg) == 0
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "many_files")
+    spark.range(10_000).repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    compact(spark, path, target_files=4)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before > 32 and n_after <= 4
+    assert spark.read.parquet(path).count() == 10_000

@@ -1,0 +1,81 @@
+"""The reference's complete story on its own data (A6+A7+A12): initial
+snapshot as 'r' events + scripted binlog deltas -> merge -> the replica
+equals the final table state. This is the pipeline the reference
+documents but never got working (/root/reference/README.md:8)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.sources.menagerie import PET_DELTAS, load_menagerie
+from cdc_demo_spark.streaming.envelope import snapshot_as_events
+from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver
+
+
+def _delta_events(spark, rows, start_seq):
+    """Scripted INSERTs (README.md:99-110, :217-222) as 'c' envelopes."""
+    evs = []
+    for i, (name, owner, species, sex, birth, death) in enumerate(rows):
+        evs.append(
+            {
+                "op": "c",
+                "ts": datetime(2021, 8, 1, 12, 0, i),
+                "seq": start_seq + i,
+                "table": "pet",
+                "key": name,
+                "before": None,
+                "after": {"name": name, "owner": owner, "species": species,
+                          "sex": sex, "birth": birth, "death": death},
+            }
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cdc_demo_spark.schemas import envelope_schema
+
+    payload = StructType(
+        [StructField(c, StringType(), True)
+         for c in ("name", "owner", "species", "sex", "birth", "death")]
+    )
+    return spark.createDataFrame(evs, envelope_schema(payload))
+
+
+def test_snapshot_plus_deltas_replicates_source(spark, tmp_path):
+    silver = str(tmp_path / "silver" / "pet")
+
+    # 1. initial snapshot: current table state as op='r' (A6 backfill)
+    pet = load_menagerie(spark)["pet"]
+    pet_str = pet.select(*[F.col(c).cast("string") for c in pet.columns])
+    snap = snapshot_as_events(pet_str, "pet", key_cols=["name"], start_seq=0)
+    merge_into_silver(spark, snap, silver, "pet")
+    assert read_silver(spark, silver).count() == 8
+
+    # 2. binlog tail: the scripted delta inserts (A7/A15)
+    merge_into_silver(spark, _delta_events(spark, PET_DELTAS, start_seq=100), silver, "pet")
+
+    # 3. replica == source-after-all-writes
+    replica = read_silver(spark, silver)
+    assert replica.count() == 8 + len(PET_DELTAS)
+    names = {r["name"] for r in replica.collect()}
+    assert {"Fluffy", "Puffball", "Cyde", "Alfred"} <= names
+    # delete one key via 'd', assert it leaves the replica
+    from tests.test_cdc_merge import envelope_df
+
+    d = {"op": "d", "ts": "2021-09-01T00:00:00", "seq": 999, "table": "pet",
+         "key": "Puffball", "before": None, "after": None}
+    merge_into_silver(spark, envelope_df(spark, [d]), silver, "pet")
+    assert "Puffball" not in {r["name"] for r in read_silver(spark, silver).collect()}
+
+
+def test_snapshot_seq_orders_before_live_changes(spark):
+    pet = load_menagerie(spark)["pet"]
+    pet_str = pet.select(*[F.col(c).cast("string") for c in pet.columns])
+    snap = snapshot_as_events(pet_str, "pet", key_cols=["name"], start_seq=0)
+    rows = snap.collect()
+    assert len(rows) == 8
+    assert all(r["op"] == "r" for r in rows)
+    assert all(r["key"] is not None for r in rows)
+    # seq values distinct (monotonic ids offset by start_seq)
+    seqs = [r["seq"] for r in rows]
+    assert len(set(seqs)) == 8
