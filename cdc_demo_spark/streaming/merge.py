@@ -61,18 +61,29 @@ def merge_into_silver(
     num_buckets: int = 8,
 ) -> None:
     """Merge one micro-batch of envelope rows for `table` into the silver
-    Parquet at `silver_path`.
+    Parquet at `silver_path` — SELECTIVELY: only key-hash buckets that
+    contain batch keys are read, merged, and rewritten.
 
-    Plain-Parquet upsert strategy (no Delta in this environment):
-    read current state, union with the batch's latest images, keep the
-    max-(ts,seq) row per key, drop keys whose winner is a delete,
-    rewrite atomically (write to .tmp, swap). Bucketed by key-hash so a
-    future selective rewrite only touches buckets with batch keys.
+    Plain-Parquet upsert strategy (no Delta in this environment). Merge
+    cost is O(|touched buckets|), not O(|state|): with enough buckets a
+    micro-batch touching k keys rewrites ~k buckets' worth of data while
+    every other partition's files are left physically untouched (tested
+    by inode comparison). This is the same idea as Delta/Iceberg MERGE
+    file-skipping — bucket pruning via the partition column stands in
+    for the manifest. The tmp-write + directory swap stands in for a
+    metadata commit; on an object store you'd commit a manifest instead.
     """
     batch = batch.filter(F.col("table") == table)
-    incoming = _as_state(latest_image(batch))
+    incoming = _as_state(latest_image(batch)).withColumn(
+        "__bucket", _bucket_of("__key", num_buckets)
+    )
+    incoming = incoming.cache()  # two consumers: touched-bucket list + merge
+    touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
+    if not touched:
+        incoming.unpersist()
+        return
 
-    current = read_silver_state(spark, silver_path)
+    current = read_silver_state(spark, silver_path, buckets=touched)
     merged = incoming if current is None else current.unionByName(incoming)
 
     # Deletes stay in state as TOMBSTONES (__op='d', null row): dropping
@@ -84,26 +95,46 @@ def merge_into_silver(
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .withColumn("__bucket", F.pmod(F.xxhash64("__key"), F.lit(num_buckets)))
     )
 
-    # Can't overwrite a path while reading it: stage to .tmp, then swap
-    # directories (rename is O(1); on object stores this would be a
-    # manifest/metadata commit, e.g. Delta/Iceberg snapshot).
+    # Can't overwrite partitions while reading them: stage touched
+    # buckets to .tmp, then swap ONLY those bucket directories.
     tmp = silver_path + ".tmp"
     new_state.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    if os.path.exists(silver_path):
-        shutil.rmtree(silver_path)
-    os.rename(tmp, silver_path)
+    incoming.unpersist()
+    os.makedirs(silver_path, exist_ok=True)
+    for b in touched:
+        dst = os.path.join(silver_path, f"__bucket={b}")
+        src = os.path.join(tmp, f"__bucket={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):  # bucket may have become empty (all GC'd)
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    # partition discovery needs a _SUCCESS-independent marker on first write
+    open(os.path.join(silver_path, "_engine_state"), "a").close()
 
 
-def read_silver_state(spark: SparkSession, silver_path: str) -> DataFrame | None:
+def _bucket_of(col: str, num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+def read_silver_state(
+    spark: SparkSession, silver_path: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Current state; with `buckets`, reads only those partitions
+    (partition pruning — the scan never opens other buckets' files)."""
     if not os.path.exists(silver_path):
         return None
     try:
-        return spark.read.parquet(silver_path).drop("__bucket")
+        df = spark.read.parquet(silver_path)
+        if "__bucket" not in df.columns:  # empty/first-batch dir
+            return None
     except Exception:  # noqa: BLE001  (empty dir on first batch)
         return None
+    if buckets is not None:
+        df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
+    return df
 
 
 def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
@@ -125,12 +156,13 @@ def compact_tombstones(
     if state is None:
         return
     kept = state.filter(~((F.col("__op") == "d") & (F.col("__ts") <= F.lit(watermark_ts)))).withColumn(
-        "__bucket", F.pmod(F.xxhash64("__key"), F.lit(num_buckets))
+        "__bucket", _bucket_of("__key", num_buckets)
     )
     tmp = silver_path + ".tmp"
     kept.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
     shutil.rmtree(silver_path)
     os.rename(tmp, silver_path)
+    open(os.path.join(silver_path, "_engine_state"), "a").close()
 
 
 # --------------------------------------------------------------------------

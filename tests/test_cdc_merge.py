@@ -121,3 +121,40 @@ def test_merge_property_random_logs(spark, tmp_path, seed):
         merge_into_silver(spark, envelope_df(spark, feed[i : i + n]), silver, "pet")
         i += n
     assert_matches_oracle(spark, silver, events)
+
+
+def test_selective_merge_leaves_untouched_buckets_alone(spark, tmp_path):
+    """The scale property: a batch touching one key must not rewrite
+    files in buckets it doesn't hit (checked by inode)."""
+    import os
+
+    events = generate_events(n_keys=40, n_events=150, seed=21)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events), silver, "pet", num_buckets=8)
+
+    def file_ids():
+        out = {}
+        for d in os.listdir(silver):
+            if not d.startswith("__bucket="):
+                continue
+            for f in os.listdir(os.path.join(silver, d)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(silver, d, f))
+                    out[(d, f)] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = file_ids()
+    single = {"op": "u", "ts": "2030-01-01T00:00:00", "seq": 10_000, "table": "pet",
+              "key": "pet0", "before": None,
+              "after": {"name": "pet0", "owner": "late", "species": "cat",
+                        "sex": "f", "birth": None, "death": None}}
+    merge_into_silver(spark, envelope_df(spark, [single]), silver, "pet", num_buckets=8)
+    after = file_ids()
+
+    changed_dirs = {d for (d, f) in set(before) ^ set(after)} | {
+        d for (d, f), v in after.items() if before.get((d, f)) not in (None, v)
+    }
+    assert len(changed_dirs) <= 1  # only pet0's bucket rewritten
+    # and the merge result is still correct
+    row = [r for r in read_silver(spark, silver).collect() if r["name"] == "pet0"]
+    assert row[0]["owner"] == "late"
