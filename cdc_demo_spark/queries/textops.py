@@ -107,10 +107,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.content_fingerprint("text").alias("fingerprint"))
 
 
-@register("q_lang_id")  # no oracle: heuristic argmax is awkward in portable SQL
+def _lang_id_oracle() -> str:
+    """DuckDB replica of predict_lang's argmax: per-language stopword
+    hit counts; ties resolve to the lexicographically-largest language
+    code (mirrors Spark's array_max over (hits, lang) structs)."""
+    hit = (
+        "len(list_filter(string_split(text, ' '), "
+        "w -> list_contains({words}, lower(w))))"
+    )
+    cols = ",\n       ".join(
+        f"{hit.format(words=T.STOPWORDS[lg])} AS h_{lg}" for lg in sorted(T.STOPWORDS)
+    )
+    # tie-break order = descending language code
+    case = (
+        "CASE WHEN m = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN h_{lg} = m THEN '{lg}'"
+            for lg in sorted(T.STOPWORDS, reverse=True)
+        )
+        + " END"
+    )
+    return f"""
+WITH hits AS (
+  SELECT lang,
+       {cols}
+  FROM documents
+), best AS (
+  SELECT lang, greatest(h_de, h_en, h_es, h_fr, h_zh) AS m,
+         h_de, h_en, h_es, h_fr, h_zh
+  FROM hits
+)
+SELECT lang, {case} AS pred_lang, count(*) AS n
+FROM best GROUP BY 1, 2
+"""
+
+
+@register("q_lang_id", oracle=_lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-frequency language ID vs the labeled lang column;
-    determinism + accuracy bounds asserted in tests/test_text.py."""
+    the oracle re-derives the same argmax in SQL (tie-break included);
+    determinism + known-text accuracy asserted in tests/test_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", T.predict_lang("text").alias("pred_lang"))
