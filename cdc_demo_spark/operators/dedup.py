@@ -209,6 +209,9 @@ def minhash_near_duplicates(
     sh = shingles(df, id_col, text_col, k).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
+    # No broadcast hint on cands: forcing it serializes the whole LSH
+    # stage before verification can start (measured slower); AQE converts
+    # to broadcast at runtime when the pair set is actually small.
     inter = (
         cands.join(a, cands.id_a == F.col("a.id"))
         .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
