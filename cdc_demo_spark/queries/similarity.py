@@ -50,6 +50,40 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, _queries_df(emb), k=10)
 
 
+@register(
+    "q_cosine_topk_arrow",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(q.query_vec, e.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / nullif(
+             sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           0.0) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= 10
+""",
+)
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy-GEMM top-k (mapInPandas, one BLAS matmul per Arrow
+    batch) — 6× the expression path at 100 queries, same exact results
+    (same oracle; equality also pinned in tests). This is the 'Python
+    as the FAST path' exception: a dense linear-algebra kernel the JVM
+    expression engine can't match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [(r["query_id"], list(r["query_vec"])) for r in _queries_df(emb).collect()]
+    return S.brute_force_topk_arrow(emb, qrows, k=10)
+
+
 @register("q_ann_ivf_topk")  # no oracle: approximate by design (recall tested vs brute force)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (16 centroids, nprobe=4) — the

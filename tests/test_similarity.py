@@ -76,3 +76,14 @@ def test_pairwise_near_duplicates_finds_planted_dup(spark, sf_dir):
     pairs = S.pairwise_near_duplicates(with_dup, threshold=0.99)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (7, 100007) in got
+
+
+def test_arrow_topk_equals_expression_topk(spark, sf_dir):
+    """The numpy-GEMM path must return the exact same neighbors and
+    (rounded) scores as the JVM-expression path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_df(emb)
+    qrows = [(r["query_id"], list(r["query_vec"])) for r in q.collect()]
+    a = sorted(map(tuple, S.brute_force_topk(emb, q, k=10).collect()))
+    b = sorted(map(tuple, S.brute_force_topk_arrow(emb, qrows, k=10).collect()))
+    assert a == b
