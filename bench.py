@@ -26,6 +26,8 @@ from cdc_demo_spark.session import get_spark  # noqa: E402
 # scalar-heavy projections, dedup, similarity, text, as-of.
 HEADLINE = [
     "q_revenue_by_nation",
+    "q_shipping_priority",
+    "q_returned_items",
     "q_pricing_summary",
     "q_filter_predicates",
     "q_outer_join",

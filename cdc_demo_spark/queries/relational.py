@@ -86,7 +86,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -95,7 +95,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only (flag,status) groups — constant-size at any SF."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity"), "sum_qty"),
