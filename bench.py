@@ -42,6 +42,42 @@ HEADLINE = [
 ]
 
 
+def time_cdc_merge(spark, sf_dir: str) -> float:
+    """The CDC core under load: events table -> envelope stream (3
+    micro-batches, keyed per user so batches genuinely collide on keys)
+    -> selective bucket merge. Times the full staging->replica path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.sources.tables import load_table
+    from cdc_demo_spark.streaming.merge import merge_into_silver
+
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.lit("u").alias("op"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.lit("events").alias("table"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast(
+            "struct<user_id:bigint,event_type:string,value:double>"
+        ).alias("before"),
+        F.struct("user_id", "event_type", "value").alias("after"),
+    )
+    tmp = tempfile.mkdtemp()
+    n = env.count()
+    t0 = time.perf_counter()
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)):
+        merge_into_silver(
+            spark, env.filter((F.col("seq") >= lo) & (F.col("seq") < hi)), tmp + "/s", "events"
+        )
+    dt = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(tmp)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +105,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+    timings["cdc_merge_events"] = time_cdc_merge(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_wall",

@@ -42,7 +42,7 @@ def brute_force_topk(
     return (
         joined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk"))
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -94,7 +94,7 @@ def brute_force_topk_arrow(
     return (
         local.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", corpus_id, F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        .select("query_id", corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -204,7 +204,7 @@ def ivf_topk(
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk"))
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
     )
 
 

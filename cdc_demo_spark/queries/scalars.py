@@ -36,10 +36,10 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
-        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias("days_since_2024"),
         F.date_add(d, 30).cast("timestamp").alias("due_date"),
     )
 
@@ -66,7 +66,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_uc"),
         F.lower("c_mktsegment").alias("seg_lc"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.col("c_name")).alias("name_trim"),
         F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
         F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),

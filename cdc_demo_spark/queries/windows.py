@@ -66,8 +66,8 @@ def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_brand",
         "p_size",
-        F.rank().over(w).alias("size_rank"),
-        F.dense_rank().over(w).alias("size_dense_rank"),
+        F.rank().over(w).cast("long").alias("size_rank"),
+        F.dense_rank().over(w).cast("long").alias("size_dense_rank"),
     )
 
 
@@ -139,6 +139,6 @@ def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
