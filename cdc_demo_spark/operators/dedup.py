@@ -16,7 +16,7 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.text import tokens
@@ -118,23 +118,18 @@ def _permutation_params(num_hashes: int, seed: int = 1234567) -> list[tuple[int,
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """(id, signature array<long>) — per-ROW minhash, zero shuffle.
+    """(id, signature array<long>) via explode + codegen'd min-aggregates.
 
     Each shingle is string-hashed ONCE (xxhash64 mod 2³¹-1); the
     num_hashes permutations are affine mixes (a·h+b mod p) of that base
-    hash — the standard universal-hashing construction. Everything is
-    one whole-stage-codegen projection: at 100 TB signature computation
-    is embarrassingly parallel and only the LSH banding shuffles
-    (signature rows, never documents)."""
+    hash — the standard universal-hashing construction. Map-side partial
+    min means the shuffle carries one num_hashes-wide row per (id,
+    partition) — documents never move. Alternatives measured and
+    rejected: per-permutation xxhash64 inside the agg (num_hashes× the
+    string hashing) and per-row higher-order-function folds (HOFs
+    evaluate interpreted per element, ~2.5× slower). Products stay
+    < 2^62 (h, a < 2^31): no long overflow even under ANSI mode."""
     params = _permutation_params(num_hashes)
-    # Explode shingles, string-hash each ONCE, then num_hashes affine
-    # mixes (a·h+b mod p, universal hashing) as codegen'd min-aggregates.
-    # Alternatives measured and rejected: per-hash xxhash64 in the agg
-    # (num_hashes× the string hashing), and per-row higher-order-function
-    # folds (HOFs evaluate interpreted, ~2.5× slower than this).
-    # Map-side partial min means the shuffle carries one 64-wide row per
-    # (id, partition) — documents never move. Products stay < 2^62
-    # (h, a < 2^31): no long overflow even under ANSI mode.
     sh = shingles(df, id_col, text_col, k)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
     mins = [

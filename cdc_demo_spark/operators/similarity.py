@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_demo_spark.functions.vector import cosine, dot, l2_norm
+from cdc_demo_spark.functions.vector import cosine
 
 
 def brute_force_topk(
