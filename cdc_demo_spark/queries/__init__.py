@@ -20,3 +20,4 @@ from cdc_demo_spark.queries import multimodal  # noqa: F401,E402
 from cdc_demo_spark.queries import setops_extra  # noqa: F401,E402
 from cdc_demo_spark.queries import reshaping  # noqa: F401,E402
 from cdc_demo_spark.queries import tpch_like  # noqa: F401,E402
+from cdc_demo_spark.queries import quality  # noqa: F401,E402
