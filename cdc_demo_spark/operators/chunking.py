@@ -1,0 +1,51 @@
+"""Document chunking (training-data pipeline): split each document into
+overlapping token-window chunks, one output row per chunk.
+
+Pure codegen expressions (sequence → transform → slice → explode): no
+shuffle, no Python; output size is ~n_tokens/stride rows per doc. This
+is the preprocessing shape for context-window-bounded training corpora:
+chunk → dedup (operators/dedup.py) → embed (operators/multimodal.py
+pipeline shape) → pack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) — windows of `chunk_tokens`
+    tokens every `stride` (overlap = chunk_tokens - stride). The final
+    partial window is kept (last chunk may be short but never empty)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -153,3 +153,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_document_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         greatest(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1, 1) AS nc
+  FROM toks
+), idx AS (
+  SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM meta
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+       least(n - i*48, 64) AS n_tokens
+FROM idx
+""",
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, stride 48 (16-token
+    overlap), one row per chunk — the corpus-preparation primitive for
+    training pipelines. Pure codegen, no shuffle (see
+    operators/chunking.py)."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)

@@ -57,3 +57,28 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_before > 32 and n_after <= 4
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_sorted_gives_disjoint_row_group_stats(spark, sf_dir, tmp_path):
+    """Sorted writes must produce tight per-file min/max ranges on the
+    sort key (what row-group skipping keys off)."""
+    import pyarrow.parquet as pq
+
+    from cdc_demo_spark.layout import write_sorted
+
+    orders = load_table(spark, sf_dir, "orders").repartition(4)
+    path = str(tmp_path / "orders_sorted")
+    write_sorted(orders, path, ["o_orderkey"])
+
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, f))
+        col = [c.name for c in pf.schema_arrow].index("o_orderkey")
+        prev_max = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # sorted => disjoint ranges
+            prev_max = st.max
