@@ -155,6 +155,90 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     return media.mapInPandas(sf, schema=MEDIA_SCHEMA)
 
 
+AUDIO_MAGIC = b"FAUD"
+AUDIO_SCHEMA = "media_id long, sample_rate int, n_samples int, payload binary"
+
+
+class FakeAudioCodec:
+    """Deterministic toy audio: MAGIC | rate | n | int16 PCM samples."""
+
+    @staticmethod
+    def encode(media_id: int, sample_rate: int = 16000, seconds: float = 0.25) -> bytes:
+        n = int(sample_rate * seconds)
+        rng = np.random.default_rng(media_id + 7_000_000)
+        t = np.arange(n) / sample_rate
+        freq = 200 + (media_id % 20) * 50
+        wave = (0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n))
+        pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        return AUDIO_MAGIC + struct.pack("<II", sample_rate, n) + pcm.tobytes()
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[int, np.ndarray]:
+        if payload[:4] != AUDIO_MAGIC:
+            raise ValueError("not a FAUD payload")
+        rate, n = struct.unpack("<II", payload[4:12])
+        return rate, np.frombuffer(payload[12:], dtype=np.int16)[:n]
+
+
+def fake_audio_table(spark, n: int = 100) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].astype(int):
+                payload = FakeAudioCodec.encode(i)
+                rate, samples = FakeAudioCodec.decode(payload)
+                rows.append({"media_id": i, "sample_rate": rate,
+                             "n_samples": len(samples), "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Loudness / zero-crossing features per clip (the audio analog of
+    extract_features — swap the decode for torchaudio in prod)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                rate, s = FakeAudioCodec.decode(r["payload"])
+                x = s.astype(np.float64) / 32768.0
+                rows.append({
+                    "media_id": r["media_id"],
+                    "duration_s": len(s) / rate,
+                    "rms": float(np.sqrt((x ** 2).mean())),
+                    "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(
+        feats, schema="media_id long, duration_s double, rms double, zero_crossings long"
+    )
+
+
+def resample_audio(audio: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Integer-stride decimation resample (deterministic stand-in for a
+    real polyphase resampler)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                rate, s = FakeAudioCodec.decode(r["payload"])
+                stride = max(1, rate // target_rate)
+                out = s[::stride]
+                new_rate = rate // stride
+                rows.append({
+                    "media_id": r["media_id"], "sample_rate": new_rate,
+                    "n_samples": len(out),
+                    "payload": AUDIO_MAGIC + struct.pack("<II", new_rate, len(out)) + out.tobytes(),
+                })
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(rs, schema=AUDIO_SCHEMA)
+
+
 def media_with_doc_metadata(media: DataFrame, docs: DataFrame) -> DataFrame:
     """Multimodal join: media ⋈ documents on id (B54) — binary payloads
     flow through the join untouched (columnar, no decode)."""

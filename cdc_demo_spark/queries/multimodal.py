@@ -36,6 +36,15 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_audio_features")  # no oracle: binary corpus is engine-generated
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: resample to 8 kHz then loudness/zero-crossing
+    features — the audio twin of q_media_pipeline (decode verified
+    against numpy in tests)."""
+    audio = M.fake_audio_table(spark, n=100)
+    return M.audio_features(M.resample_audio(audio, 8000))
+
+
 @register(
     "q_grouped_median",
     oracle="""

@@ -100,3 +100,37 @@ def test_zscore_per_group_properties(spark):
     g = out.groupby("k")["zscore"]
     assert (g.mean().abs() < 1e-9).all()
     assert ((g.std(ddof=1) - 1).abs() < 1e-9).all()
+
+
+# --- audio modality --------------------------------------------------------
+
+
+def test_audio_codec_roundtrip():
+    payload = M.FakeAudioCodec.encode(5, sample_rate=16000, seconds=0.25)
+    rate, samples = M.FakeAudioCodec.decode(payload)
+    assert rate == 16000 and len(samples) == 4000
+    assert payload == M.FakeAudioCodec.encode(5, 16000, 0.25)
+
+
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    audio = M.fake_audio_table(spark, n=20)
+    feats = {r["media_id"]: r for r in M.audio_features(audio).collect()}
+    assert len(feats) == 20
+    rate, s = M.FakeAudioCodec.decode(M.FakeAudioCodec.encode(3))
+    x = s.astype(np.float64) / 32768.0
+    assert abs(feats[3]["rms"] - float(np.sqrt((x ** 2).mean()))) < 1e-12
+    assert feats[3]["duration_s"] == len(s) / rate
+    # a ~350 Hz tone over 0.25 s crosses zero ~2*350*0.25 times
+    assert 100 < feats[3]["zero_crossings"] < 300
+
+
+def test_audio_resample_halves_rate(spark):
+    audio = M.fake_audio_table(spark, n=10)
+    small = {r["media_id"]: r for r in M.resample_audio(audio, 8000).collect()}
+    for r in small.values():
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 2000
+        rate, s = M.FakeAudioCodec.decode(bytes(r["payload"]))
+        assert rate == 8000 and len(s) == 2000
