@@ -182,3 +182,18 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@register("q_packed_blocks")  # no oracle: greedy packing is an order-dependent fold
+def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus then greedily pack chunks into 256-token
+    training blocks per source shard (invariants — nothing lost, budget
+    kept, deterministic — asserted in tests/test_text.py)."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    return pack_chunks(chunks, "group", block_tokens=256)

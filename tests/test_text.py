@@ -58,3 +58,49 @@ def test_lang_id_query_runs_deterministically(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["q_lang_id"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["q_lang_id"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_chunking_covers_all_tokens(spark):
+    from cdc_demo_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0,48,96 -> 3 chunks; last has 150-96=54 tokens
+    assert len(by_doc[1]) == 3
+    assert [r["n_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [64, 64, 54]
+    # overlap: chunk k starts with the last 16 tokens of chunk k-1
+    c = {r["chunk_id"]: r["chunk_text"].split() for r in by_doc[1]}
+    assert c[0][48:] == c[1][:16]
+    # short doc: one chunk, whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+
+
+def test_packing_invariants(spark):
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(f"w{j}" for j in range(40 + (i * 13) % 90)))
+         for i in range(30)],
+        "doc_id long, group string, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", "group"), "doc_id"
+    )
+    blocks = pack_chunks(chunks, "group", block_tokens=256).collect()
+    total_chunks = chunks.count()
+    assert sum(r["n_chunks"] for r in blocks) == total_chunks  # nothing lost
+    for r in blocks:
+        assert r["total_tokens"] <= 256 or r["n_chunks"] == 1  # budget kept
+    # deterministic across runs
+    again = pack_chunks(chunks, "group", block_tokens=256).collect()
+    key = lambda r: (r["group"], r["block_id"])  # noqa: E731
+    assert sorted(map(tuple, blocks), key=lambda t: (t[0], t[1])) == \
+           sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
