@@ -109,3 +109,75 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "span_us")
     )
+
+
+@register(
+    "q_events_per_day_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), per_day AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT s.day::TIMESTAMP AS day, coalesce(p.n, 0) AS n, coalesce(p.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN per_day p ON p.day = s.day
+""",
+)
+def q_events_per_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts: generate the full calendar spine
+    with sequence() (distributed explode of one row — no driver loop)
+    and left-join the per-day aggregate, zero-filling silent days. The
+    reporting idiom every monitoring dashboard needs; broadcast-joins
+    the tiny spine against the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        spine.join(per_day, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 200 THEN 11
+            ELSE CAST(floor(value / 20) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bucket_sum
+FROM events GROUP BY 1
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram, width_bucket semantics spelled out as
+    arithmetic (DuckDB 1.0 has no width_bucket builtin): 10 buckets over
+    [0,200), underflow -> 0, overflow -> 11 — the single-pass
+    distribution sketch for dashboards."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 200, 11)
+        .otherwise(F.floor(F.col("value") / 20).cast("long") + 1)
+        .alias("bucket")
+    )
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("bucket_sum"),
+    )
