@@ -197,3 +197,27 @@ def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.col("source").alias("group")), "doc_id"
     )
     return pack_chunks(chunks, "group", block_tokens=256)
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% sample per language stratum via md5-threshold
+    on the id — unlike rand()/TABLESAMPLE, this is reproducible across
+    engines, runs AND cluster sizes (the property a training-data
+    pipeline needs for resumable corpus construction). The hex compare
+    is uniform because md5 is; tune the threshold for other rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "4ccccccc"
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
