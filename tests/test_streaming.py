@@ -77,3 +77,69 @@ def test_malformed_records_go_to_dlq(spark, tmp_path):
     assert dlq.count() == 2
     got = {r["name"]: r.asDict() for r in read_silver(spark, p.silver_dir("pet")).collect()}
     assert got == replay_oracle(events)
+
+
+def test_continuous_trigger_pipeline(spark, tmp_path):
+    """start_continuous: processing-time trigger picks up files dropped
+    WHILE the query runs, then stops cleanly."""
+    import time
+
+    p = make_pipeline(spark, tmp_path)
+    events = generate_events(n_keys=8, n_events=60, seed=44)
+    half = len(events) // 2
+    write_event_files(events[:half], os.path.join(p.landing_dir, "pet"), files=2, prefix="w1")
+
+    q = p.start_continuous("pet", interval="1 seconds")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if read_silver(spark, p.silver_dir("pet")).count() > 0:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+        # drop more files while the stream is live
+        write_event_files(events[half:], os.path.join(p.landing_dir, "pet"), files=2, prefix="w2")
+        expected = replay_oracle(events)
+        while time.time() < deadline:
+            try:
+                got = {r["name"]: r.asDict()
+                       for r in read_silver(spark, p.silver_dir("pet")).collect()}
+                if got == expected:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_pipeline_second_table_shape(spark, tmp_path):
+    """The pipeline is payload-generic: replicate an events-shaped table
+    alongside pet (separate landing/silver/checkpoint per table)."""
+    import json
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    ev_payload = StructType([
+        StructField("event_id", StringType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", StringType(), True),
+    ])
+    p = CdcPipeline(spark, str(tmp_path / "cdc"), {"pet": PAYLOAD, "events": ev_payload})
+    evs = []
+    for i in range(40):
+        row = {"event_id": str(i), "event_type": ["a", "b"][i % 2], "value": str(i * 1.5)}
+        evs.append({"op": "c", "ts": f"2024-01-01T00:{i:02d}:00", "seq": i,
+                    "table": "events", "key": str(i), "before": None, "after": row})
+    d = os.path.join(p.landing_dir, "events")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "x.json"), "w") as f:
+        for e in evs:
+            f.write(json.dumps(e) + "\n")
+    p.run_available_now("events")
+    out = read_silver(spark, p.silver_dir("events"))
+    assert out.count() == 40
+    assert set(out.columns) == {"event_id", "event_type", "value"}
