@@ -74,7 +74,12 @@ def merge_into_silver(
     metadata commit; on an object store you'd commit a manifest instead.
     """
     batch = batch.filter(F.col("table") == table)
-    incoming = _as_state(latest_image(batch)).withColumn(
+    # No separate latest_image pass: the merge window below applies the
+    # same (ts, seq) total order to state ∪ batch, so pre-collapsing the
+    # batch would just be a second window over the same data. (ts, seq)
+    # duplicates are redeliveries of the SAME event — identical rows —
+    # so the row_number tie among them cannot change the result.
+    incoming = _as_state(batch).withColumn(
         "__bucket", _bucket_of("__key", num_buckets)
     )
     incoming = incoming.cache()  # two consumers: touched-bucket list + merge
