@@ -82,3 +82,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
     )
+
+
+@register("q_approx_percentiles")  # no oracle: t-digest/GK sketches are engine-specific
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile sketches are
+    bounded-size and merge associatively, so the shuffle carries
+    sketches, not sorted values (accuracy vs q_percentiles asserted in
+    tests/test_queries.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99"),
+    )

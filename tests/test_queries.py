@@ -39,3 +39,13 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
              for r in QUERIES["q_count_distinct"](spark, sf_dir).collect()}
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(1, 0.05 * v)
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """Sketch percentiles within 2% relative error of exact."""
+    exact = {r["l_returnflag"]: r for r in QUERIES["q_percentiles"](spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in
+              QUERIES["q_approx_percentiles"](spark, sf_dir).collect()}
+    for k, e in exact.items():
+        for p in ("p50", "p90", "p99"):
+            assert abs(approx[k][p] - e[p]) <= 0.02 * abs(e[p]), (k, p)
