@@ -214,24 +214,38 @@ def pairwise_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: int = 16,
+    probes: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (B51's vector variant): bucket by
-    nearest centroid, pair only within buckets (cosine>=threshold pairs
-    almost always share the nearest centroid; recall tested)."""
+    """Embedding-cosine near-dup pairs (B51's vector variant), bucketed
+    with MULTI-PROBE assignment: each vector joins its `probes` nearest
+    centroid buckets, and a pair is compared if the two membership sets
+    intersect. probes=2 roughly doubles recall over single-assignment
+    on unclustered data for 2× membership rows (compute still
+    ~probes²/n_buckets of the full O(n²)); exact pairs (cosine≈1) are
+    always found — identical vectors share all probes. No false
+    positives ever: candidates are re-scored exactly."""
     centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
-    bucketed = assign_buckets(corpus, centroids, vec_col, id_col)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    member = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    a, b = member.alias("a"), member.alias("b")
     return (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("_va"), F.col(f"b.{vec_col}").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

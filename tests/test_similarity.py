@@ -109,3 +109,28 @@ def test_refined_centroids_shapes_and_recall(spark, sf_dir):
     want = np.stack(vecs.loc[members]["embedding"].map(np.asarray)).mean(axis=0)
     got = np.asarray(rows[0]["centroid_vec"])
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_bucketed_near_dup_recall_vs_exact(spark, sf_dir):
+    """Measured recall of the centroid-bucketed pairing against the
+    exact O(n²) pair set at cosine >= 0.4 (random vectors are the worst
+    case for bucketing — clustered real embeddings do far better)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    from cdc_demo_spark.functions.vector import cosine as cos
+
+    exact = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            cos(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    got = {(r["id_a"], r["id_b"])
+           for r in S.pairwise_near_duplicates(emb, threshold=0.4).collect()}
+    assert got <= exact  # no false positives ever
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.3  # loose bound on random data

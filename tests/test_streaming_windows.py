@@ -138,3 +138,51 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("SELECT count(*) c FROM dedup").collect()[0]["c"] == len(events)
+
+
+def test_windowed_aggregate_state_survives_restart(spark, tmp_path):
+    """Append-mode window counts across two drains with one checkpoint:
+    a window spanning both waves must be emitted once, with the TOTAL
+    count (state store persisted the partial)."""
+    land = str(tmp_path / "events")
+    events = make_events(300)
+    events.sort(key=lambda e: e["ts"])
+    half = len(events) // 2
+    write_events(land, events[:half], files=2, prefix="w1")
+
+    def drain(qname):
+        stream = (
+            spark.readStream.schema(SCHEMA).json(land)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(tmp_path / "out"))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("w1")
+    write_events(land, events[half:], files=2, prefix="w2")
+    drain("w2")
+
+    got = {r["ws"]: r["n"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert len(got) == len(set(got))  # each window emitted exactly once
+    batch = (
+        spark.read.schema(SCHEMA).json(land)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    want = {r["ws"]: r["n"] for r in batch.collect()}
+    # every emitted window matches the batch total (incl. boundary
+    # windows whose rows arrived across BOTH waves)
+    for ws, n in got.items():
+        assert want[ws] == n
