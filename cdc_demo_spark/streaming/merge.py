@@ -14,24 +14,33 @@ working (/root/reference/README.md:8 "the dataflow template fails";
 - Keyless tables: key = whole-row image (envelope.key_expr), so
   updates model as delete+insert — MySQL binlog row semantics.
 
-Silver physical layout: payload columns + __op/__ts/__seq metadata,
-Parquet. The merge is expressed as union + window-rank — the same
-latest-per-key primitive as q_latest_order_per_customer (B27), which
-Delta/Iceberg MERGE INTO would also compile to. At 100 TB you'd
-partition silver by key-hash bucket and rewrite only buckets containing
-batch keys (the helper computes touched buckets for that); micro-batch
-cost is then proportional to the delta, not the table.
+Physical layout — a minimal Delta/Iceberg-style versioned table:
+
+    silver/
+      _manifest.json       {"num_buckets": N, "buckets": {"3": "v7", ...}}
+      data/b3/v7/*.parquet  (immutable once written)
+
+A merge stages new versions for ONLY the touched key-hash buckets, then
+commits by atomically replacing the manifest (os.replace — on an object
+store this is the metadata-service commit). Readers resolve the
+manifest first, so they always see a consistent snapshot: a crash
+mid-merge leaves stale staging files (GC'd later), never mixed state.
+Merge cost is O(touched buckets), not O(state) — untouched buckets'
+files are never rewritten (inode-asserted in tests).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 META_COLS = ("__key", "__op", "__ts", "__seq")
+MANIFEST = "_manifest.json"
 
 
 def latest_image(envelopes: DataFrame) -> DataFrame:
@@ -53,6 +62,45 @@ def _as_state(envelopes: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_of(col: str, num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Manifest handling (the table's "metadata layer")
+# --------------------------------------------------------------------------
+
+
+def _load_manifest(silver_path: str) -> dict | None:
+    path = os.path.join(silver_path, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_manifest(silver_path: str, manifest: dict) -> None:
+    """The ONE mutation readers can observe: os.replace is atomic, so a
+    reader sees the old snapshot or the new one, never a mix."""
+    tmp = os.path.join(silver_path, f"{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(silver_path, MANIFEST))
+
+
+def _bucket_paths(silver_path: str, manifest: dict, buckets=None) -> list[str]:
+    out = []
+    for b, ver in manifest["buckets"].items():
+        if buckets is None or int(b) in buckets:
+            out.append(os.path.join(silver_path, "data", f"b{b}", ver))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Merge
+# --------------------------------------------------------------------------
+
+
 def merge_into_silver(
     spark: SparkSession,
     batch: DataFrame,
@@ -60,35 +108,26 @@ def merge_into_silver(
     table: str,
     num_buckets: int = 8,
 ) -> None:
-    """Merge one micro-batch of envelope rows for `table` into the silver
-    Parquet at `silver_path` — SELECTIVELY: only key-hash buckets that
-    contain batch keys are read, merged, and rewritten.
+    """Merge one micro-batch of envelope rows for `table` into the
+    versioned silver table at `silver_path` (see module docstring for
+    the layout and commit protocol)."""
+    manifest = _load_manifest(silver_path)
+    if manifest is not None:
+        num_buckets = manifest["num_buckets"]  # pinned at table creation
 
-    Plain-Parquet upsert strategy (no Delta in this environment). Merge
-    cost is O(|touched buckets|), not O(|state|): with enough buckets a
-    micro-batch touching k keys rewrites ~k buckets' worth of data while
-    every other partition's files are left physically untouched (tested
-    by inode comparison). This is the same idea as Delta/Iceberg MERGE
-    file-skipping — bucket pruning via the partition column stands in
-    for the manifest. The tmp-write + directory swap stands in for a
-    metadata commit; on an object store you'd commit a manifest instead.
-    """
     batch = batch.filter(F.col("table") == table)
     # No separate latest_image pass: the merge window below applies the
-    # same (ts, seq) total order to state ∪ batch, so pre-collapsing the
-    # batch would just be a second window over the same data. (ts, seq)
-    # duplicates are redeliveries of the SAME event — identical rows —
-    # so the row_number tie among them cannot change the result.
-    incoming = _as_state(batch).withColumn(
-        "__bucket", _bucket_of("__key", num_buckets)
-    )
+    # same (ts, seq) total order to state ∪ batch. (ts, seq) duplicates
+    # are redeliveries of the SAME event — identical rows — so the
+    # row_number tie among them cannot change the result.
+    incoming = _as_state(batch).withColumn("__bucket", _bucket_of("__key", num_buckets))
     incoming = incoming.cache()  # two consumers: touched-bucket list + merge
-    touched = [r["__bucket"] for r in incoming.select("__bucket").distinct().collect()]
+    touched = [int(r["__bucket"]) for r in incoming.select("__bucket").distinct().collect()]
     if not touched:
         incoming.unpersist()
         return
 
-    current = read_silver_state(spark, silver_path, buckets=touched)
+    current = _read_state(spark, silver_path, manifest, buckets=touched, num_buckets=num_buckets)
     merged = incoming if current is None else current.unionByName(incoming)
 
     # Deletes stay in state as TOMBSTONES (__op='d', null row): dropping
@@ -97,49 +136,64 @@ def merge_into_silver(
     # filter tombstones; GC: compact ones older than the watermark.
     w = Window.partitionBy("__key").orderBy(F.desc("__ts"), F.desc("__seq"))
     new_state = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
 
-    # Can't overwrite partitions while reading them: stage touched
-    # buckets to .tmp, then swap ONLY those bucket directories.
-    tmp = silver_path + ".tmp"
-    new_state.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    # Stage new bucket versions (immutable dirs), then commit the manifest.
+    stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
+    new_state.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     incoming.unpersist()
-    os.makedirs(silver_path, exist_ok=True)
+
+    if manifest is None:
+        manifest = {"num_buckets": num_buckets, "buckets": {}}
+    old_dirs = []
     for b in touched:
-        dst = os.path.join(silver_path, f"__bucket={b}")
-        src = os.path.join(tmp, f"__bucket={b}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        if os.path.exists(src):  # bucket may have become empty (all GC'd)
+        cur_ver = manifest["buckets"].get(str(b))
+        new_ver = f"v{int(cur_ver[1:]) + 1}" if cur_ver else "v1"
+        src = os.path.join(stage, f"__bucket={b}")
+        dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(src):
             os.rename(src, dst)
-    shutil.rmtree(tmp)
-    # partition discovery needs a _SUCCESS-independent marker on first write
-    open(os.path.join(silver_path, "_engine_state"), "a").close()
+        else:  # bucket emptied entirely (e.g. everything GC'd)
+            os.makedirs(dst, exist_ok=True)
+        if cur_ver:
+            old_dirs.append(os.path.join(silver_path, "data", f"b{b}", cur_ver))
+        manifest["buckets"][str(b)] = new_ver
+    _commit_manifest(silver_path, manifest)  # <- the atomic point
+    # post-commit GC (crash here leaves garbage, never corruption)
+    shutil.rmtree(stage, ignore_errors=True)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
-def _bucket_of(col: str, num_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+def _read_state(
+    spark: SparkSession,
+    silver_path: str,
+    manifest: dict | None,
+    buckets: list[int] | None = None,
+    num_buckets: int = 8,
+) -> DataFrame | None:
+    if manifest is None:
+        return None
+    paths = _bucket_paths(silver_path, manifest, buckets)
+    paths = [p for p in paths if os.path.exists(p) and any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    )]
+    if not paths:
+        return None
+    # __bucket is derivable from __key; recompute instead of storing
+    df = spark.read.parquet(*paths)
+    return df.withColumn("__bucket", _bucket_of("__key", manifest["num_buckets"]))
 
 
 def read_silver_state(
     spark: SparkSession, silver_path: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
-    """Current state; with `buckets`, reads only those partitions
-    (partition pruning — the scan never opens other buckets' files)."""
-    if not os.path.exists(silver_path):
-        return None
-    try:
-        df = spark.read.parquet(silver_path)
-        if "__bucket" not in df.columns:  # empty/first-batch dir
-            return None
-    except Exception:  # noqa: BLE001  (empty dir on first batch)
-        return None
-    if buckets is not None:
-        df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
-    return df
+    """Current committed snapshot (manifest-resolved); with `buckets`,
+    only those buckets' files are opened."""
+    manifest = _load_manifest(silver_path)
+    return _read_state(spark, silver_path, manifest, buckets)
 
 
 def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
@@ -150,24 +204,35 @@ def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
     return state.filter(F.col("__op") != "d").select("__row.*")
 
 
-def compact_tombstones(
-    spark: SparkSession, silver_path: str, watermark_ts, num_buckets: int = 8
-) -> None:
+def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> None:
     """GC tombstones older than the watermark: no event at-or-below the
     watermark can still arrive, so those deletes can be physically
-    dropped (bounds state size, the same role watermarks play for
-    streaming state stores)."""
-    state = read_silver_state(spark, silver_path)
+    dropped (bounds state size). Full rewrite: every bucket gets a new
+    version, committed by one manifest replace."""
+    manifest = _load_manifest(silver_path)
+    state = _read_state(spark, silver_path, manifest)
     if state is None:
         return
-    kept = state.filter(~((F.col("__op") == "d") & (F.col("__ts") <= F.lit(watermark_ts)))).withColumn(
-        "__bucket", _bucket_of("__key", num_buckets)
+    kept = state.filter(
+        ~((F.col("__op") == "d") & (F.col("__ts") <= F.lit(watermark_ts)))
     )
-    tmp = silver_path + ".tmp"
-    kept.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    shutil.rmtree(silver_path)
-    os.rename(tmp, silver_path)
-    open(os.path.join(silver_path, "_engine_state"), "a").close()
+    stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
+    kept.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    old_dirs = []
+    for b, ver in list(manifest["buckets"].items()):
+        new_ver = f"v{int(ver[1:]) + 1}"
+        src = os.path.join(stage, f"__bucket={b}")
+        dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+        old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
+        manifest["buckets"][b] = new_ver
+    _commit_manifest(silver_path, manifest)
+    shutil.rmtree(stage, ignore_errors=True)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
