@@ -187,16 +187,14 @@ def test_uncommitted_staging_is_invisible_to_readers(spark, tmp_path):
     after = {r["name"]: r.asDict() for r in read_silver(spark, silver).collect()}
     assert after == before
 
-    # and the NEXT merge still commits correctly on top
-    more = generate_events(n_keys=10, n_events=30, seed=52)
+    # and the NEXT merge on top of the garbage still commits correctly:
+    # newer (ts, seq) updates win over the committed state
+    more = [
+        {**e, "seq": e["seq"] + 1000, "ts": e["ts"].replace("2024", "2025")}
+        for e in generate_events(n_keys=10, n_events=30, seed=52)
+    ]
     merge_into_silver(spark, envelope_df(spark, more), silver, "pet")
-    # merged result equals replay of both logs with disjoint seq ranges
-    for e in more:
-        e["seq"] += 1000
-        e["ts"] = e["ts"].replace("2024", "2025")
-    # (recompute with adjusted copies fed separately is overkill here —
-    # the key assertion is that the merge neither crashed nor read junk)
-    assert read_silver(spark, silver).count() > 0
+    assert_matches_oracle(spark, silver, events + more)
 
 
 def test_compact_tombstones_gc(spark, tmp_path):
