@@ -121,6 +121,18 @@ def merge_into_silver(
     # are redeliveries of the SAME event — identical rows — so the
     # row_number tie among them cannot change the result.
     incoming = _as_state(batch).withColumn("__bucket", _bucket_of("__key", num_buckets))
+
+    # Schema evolution (additive): a source ALTER TABLE ADD COLUMN shows
+    # up as new fields in the payload struct. The TABLE schema lives in
+    # the manifest (metadata layer, like Delta): validate the batch
+    # against it — additions widen it, type changes are breaking and
+    # raise — and align everything to the union (missing -> NULL).
+    # Validating against the manifest (not just the touched buckets)
+    # catches conflicts even when the batch lands in empty buckets.
+    table_schema = _manifest_schema(manifest)
+    union_schema = _merged_payload_schema(table_schema, incoming.schema["__row"].dataType)
+    incoming = _align_row_struct(incoming, union_schema)
+
     incoming = incoming.cache()  # two consumers: touched-bucket list + merge
     touched = [int(r["__bucket"]) for r in incoming.select("__bucket").distinct().collect()]
     if not touched:
@@ -128,7 +140,10 @@ def merge_into_silver(
         return
 
     current = _read_state(spark, silver_path, manifest, buckets=touched, num_buckets=num_buckets)
-    merged = incoming if current is None else current.unionByName(incoming)
+    if current is None:
+        merged = incoming
+    else:
+        merged = _align_row_struct(current, union_schema).unionByName(incoming)
 
     # Deletes stay in state as TOMBSTONES (__op='d', null row): dropping
     # them would let a late-arriving older insert in a LATER batch win
@@ -146,6 +161,7 @@ def merge_into_silver(
 
     if manifest is None:
         manifest = {"num_buckets": num_buckets, "buckets": {}}
+    manifest["schema"] = union_schema.json()  # table schema lives in metadata
     old_dirs = []
     for b in touched:
         cur_ver = manifest["buckets"].get(str(b))
@@ -167,6 +183,52 @@ def merge_into_silver(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _manifest_schema(manifest: dict | None):
+    from pyspark.sql.types import StructType
+
+    if manifest is None or "schema" not in manifest:
+        return None
+    return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def _merged_payload_schema(table_schema, batch_schema):
+    """Union of payload fields, table fields first. A type change on a
+    shared field is breaking and raises (additive evolution only)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if table_schema is None:
+        return batch_schema
+    have = {f.name: f.dataType for f in table_schema.fields}
+    out = list(table_schema.fields)
+    for f in batch_schema.fields:
+        if f.name in have:
+            if have[f.name] != f.dataType:
+                raise ValueError(
+                    f"incompatible type change for payload field {f.name!r}: "
+                    f"{have[f.name].simpleString()} vs {f.dataType.simpleString()}"
+                )
+        else:
+            out.append(StructField(f.name, f.dataType, True))
+    return StructType(out)
+
+
+def _align_row_struct(df: DataFrame, union_schema) -> DataFrame:
+    """Widen a state DataFrame's __row struct to `union_schema`
+    (missing fields -> typed NULLs; field order = schema order)."""
+    have = {f.name for f in df.schema["__row"].dataType.fields}
+    if have == {f.name for f in union_schema.fields}:
+        return df
+    row = F.struct(
+        *[
+            (F.col("__row")[f.name] if f.name in have else F.lit(None).cast(f.dataType)).alias(
+                f.name
+            )
+            for f in union_schema.fields
+        ]
+    )
+    return df.select("__key", "__op", "__ts", "__seq", row.alias("__row"), "__bucket")
+
+
 def _read_state(
     spark: SparkSession,
     silver_path: str,
@@ -182,8 +244,10 @@ def _read_state(
     )]
     if not paths:
         return None
-    # __bucket is derivable from __key; recompute instead of storing
-    df = spark.read.parquet(*paths)
+    # __bucket is derivable from __key; recompute instead of storing.
+    # mergeSchema: bucket versions written before a schema evolution
+    # carry the narrower payload struct; the merged read widens them.
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     return df.withColumn("__bucket", _bucket_of("__key", manifest["num_buckets"]))
 
 

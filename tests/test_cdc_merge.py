@@ -225,3 +225,61 @@ def test_compact_tombstones_gc(spark, tmp_path):
     tombs = {r["__key"] for r in state.filter("__op = 'd'").collect()}
     assert tombs == {"b"}  # old tombstone GC'd, young one kept
     assert {r["name"] for r in read_silver(spark, silver).collect()} == {"c"}
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """A new payload field (source ALTER TABLE ADD COLUMN) widens the
+    replica: old rows read NULL, new rows carry the value, and buckets
+    written before the evolution still read correctly (mergeSchema)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cdc_demo_spark.schemas import envelope_schema
+
+    silver = str(tmp_path / "silver")
+    base = generate_events(n_keys=12, n_events=60, seed=61)
+    merge_into_silver(spark, envelope_df(spark, base), silver, "pet")
+
+    wide_payload = StructType(
+        PAYLOAD.fields + [StructField("microchip", StringType(), True)]
+    )
+    row = {"name": "chipped", "owner": "n", "species": "cat", "sex": "f",
+           "birth": None, "death": None, "microchip": "RFID-42"}
+    ev = {"op": "c", "ts": datetime(2030, 1, 1), "seq": 9999, "table": "pet",
+          "key": "chipped", "before": None, "after": row}
+    wide_df = spark.createDataFrame([ev], envelope_schema(wide_payload))
+    merge_into_silver(spark, wide_df, silver, "pet")
+
+    out = read_silver(spark, silver)
+    assert "microchip" in out.columns
+    rows = {r["name"]: r for r in out.collect()}
+    assert rows["chipped"]["microchip"] == "RFID-42"
+    old = [r for n, r in rows.items() if n != "chipped"]
+    assert old and all(r["microchip"] is None for r in old)
+    # evolution survives further merges on old-schema batches too
+    more = [{**e, "seq": e["seq"] + 5000,
+             "ts": e["ts"].replace("2024", "2031")}
+            for e in generate_events(n_keys=12, n_events=20, seed=62)]
+    merge_into_silver(spark, envelope_df(spark, more), silver, "pet")
+    out2 = read_silver(spark, silver)
+    assert "microchip" in out2.columns
+    assert {r["name"]: r for r in out2.collect()}["chipped"]["microchip"] == "RFID-42"
+
+
+def test_schema_evolution_type_conflict_raises(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cdc_demo_spark.schemas import envelope_schema
+
+    silver = str(tmp_path / "silver")
+    merge_into_silver(
+        spark, envelope_df(spark, generate_events(n_keys=3, n_events=10, seed=63)),
+        silver, "pet",
+    )
+    bad_payload = StructType(
+        [StructField("name", LongType(), True)]  # name: string -> long
+    )
+    ev = {"op": "c", "ts": datetime(2030, 1, 1), "seq": 1, "table": "pet",
+          "key": "9", "before": None, "after": {"name": 9}}
+    bad = spark.createDataFrame([ev], envelope_schema(bad_payload))
+    with pytest.raises(Exception, match="incompatible type change"):
+        merge_into_silver(spark, bad, silver, "pet")
