@@ -79,3 +79,50 @@ def test_snapshot_seq_orders_before_live_changes(spark):
     # seq values distinct (monotonic ids offset by start_seq)
     seqs = [r["seq"] for r in rows]
     assert len(set(seqs)) == 8
+
+
+def test_keyless_table_whole_row_key(spark, tmp_path):
+    """SURVEY §1.1: the reference's tables have NO primary key. key_expr
+    with key_cols=None serializes the whole row image — identical rows
+    collapse to one key (binlog delete+insert semantics), and a delete
+    carrying the same image removes exactly that row-identity."""
+    from cdc_demo_spark.streaming.envelope import key_expr
+    from cdc_demo_spark.schemas import envelope_schema
+    from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver
+    from pyspark.sql.types import StringType, StructField, StructType
+    from datetime import datetime
+
+    payload = StructType([StructField(c, StringType(), True) for c in ("name", "owner")])
+    rows = [
+        {"op": "c", "ts": datetime(2024, 1, 1), "seq": 1, "table": "pet", "key": None,
+         "before": None, "after": {"name": "Fluffy", "owner": "Harold"}},
+        # exact duplicate row inserted again (keyless tables allow it;
+        # whole-row identity makes the merge idempotent on it)
+        {"op": "c", "ts": datetime(2024, 1, 2), "seq": 2, "table": "pet", "key": None,
+         "before": None, "after": {"name": "Fluffy", "owner": "Harold"}},
+        {"op": "c", "ts": datetime(2024, 1, 3), "seq": 3, "table": "pet", "key": None,
+         "before": None, "after": {"name": "Fluffy", "owner": "Gwen"}},
+    ]
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    env = env.withColumn("key", key_expr(None))  # whole-row identity
+
+    keys = [r["key"] for r in env.select("key").collect()]
+    assert keys[0] == keys[1] and keys[0] != keys[2]
+
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, env, silver, "pet")
+    got = {(r["name"], r["owner"]) for r in read_silver(spark, silver).collect()}
+    assert got == {("Fluffy", "Harold"), ("Fluffy", "Gwen")}
+
+    # "update" on a keyless table = delete old image + insert new image
+    delta = [
+        {"op": "d", "ts": datetime(2024, 1, 4), "seq": 4, "table": "pet", "key": None,
+         "before": {"name": "Fluffy", "owner": "Harold"},
+         "after": None},
+    ]
+    denv = spark.createDataFrame(delta, envelope_schema(payload))
+    # delete keys on the BEFORE image (after is null)
+    denv = denv.withColumn("key", key_expr(None, payload_col="after"))
+    merge_into_silver(spark, denv, silver, "pet")
+    got = {(r["name"], r["owner"]) for r in read_silver(spark, silver).collect()}
+    assert got == {("Fluffy", "Gwen")}
