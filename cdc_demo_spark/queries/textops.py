@@ -221,3 +221,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
     )
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_digest,
+       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) digested — the preprocessing step before exact dedup, so that
+    case/spacing variants collapse to one digest. Pure codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
