@@ -9,10 +9,16 @@ That bounds the sequential span at group size while keeping global
 throughput linear — the standard way to parallelize an order-dependent
 fold on Spark. Group contents sort by (doc_id, chunk_id) first, so the
 result is deterministic regardless of upstream partitioning.
+
+Within a group the fold is vectorized: block boundaries come from
+``searchsorted`` over the token cumsum (each block is the maximal
+prefix of remaining chunks whose sum fits the budget, minimum one
+chunk), so the Python loop runs once per BLOCK, not once per row.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -34,28 +40,32 @@ def pack_chunks(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["doc_id", "chunk_id"])
         group = pdf[group_col].iloc[0]
-        blocks, cur_docs, cur_tokens, block_id = [], [], 0, 0
+        tokens = pdf["n_tokens"].to_numpy(dtype="int64")
+        doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+        csum = np.cumsum(tokens)
+        n = len(tokens)
 
-        def flush():
-            nonlocal cur_docs, cur_tokens, block_id
-            if cur_docs:
-                blocks.append(
-                    {"group": group, "block_id": block_id, "n_chunks": len(cur_docs),
-                     "total_tokens": cur_tokens, "doc_ids": sorted(set(cur_docs))}
-                )
-                block_id += 1
-                cur_docs, cur_tokens = [], 0
-
-        for _, r in pdf.iterrows():
-            t = int(r["n_tokens"])
-            if cur_tokens + t > block_tokens and cur_docs:
-                flush()
-            cur_docs.append(int(r["doc_id"]))
-            cur_tokens += t
-            if cur_tokens >= block_tokens:
-                flush()
-        flush()
-        return pd.DataFrame(blocks, columns=["group", "block_id", "n_chunks",
-                                             "total_tokens", "doc_ids"])
+        blocks, start, block_id = [], 0, 0
+        while start < n:
+            prev = int(csum[start - 1]) if start else 0
+            # maximal prefix with sum <= budget; >= 1 chunk (oversized
+            # chunk gets its own block, matching "never split/dropped")
+            end = int(np.searchsorted(csum, prev + block_tokens, side="right"))
+            if end <= start:
+                end = start + 1
+            blocks.append(
+                {
+                    "group": group,
+                    "block_id": block_id,
+                    "n_chunks": end - start,
+                    "total_tokens": int(csum[end - 1]) - prev,
+                    "doc_ids": sorted(set(doc_ids[start:end].tolist())),
+                }
+            )
+            block_id += 1
+            start = end
+        return pd.DataFrame(
+            blocks, columns=["group", "block_id", "n_chunks", "total_tokens", "doc_ids"]
+        )
 
     return chunks.groupBy(group_col).applyInPandas(pack, schema=OUT_SCHEMA)

@@ -188,7 +188,9 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the corpus then greedily pack chunks into 256-token
     training blocks per source shard (invariants — nothing lost, budget
-    kept, deterministic — asserted in tests/test_text.py)."""
+    kept, deterministic — asserted in tests/test_text.py). doc_ids is
+    serialized to a CSV string so every output column is scalar (the
+    driver's canonicalizer sorts columns and cannot hash arrays)."""
     from cdc_demo_spark.operators.chunking import chunk_documents
     from cdc_demo_spark.operators.packing import pack_chunks
 
@@ -196,7 +198,16 @@ def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
         docs.select("doc_id", F.col("source").alias("group")), "doc_id"
     )
-    return pack_chunks(chunks, "group", block_tokens=256)
+    packed = pack_chunks(chunks, "group", block_tokens=256)
+    return packed.select(
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids_csv"
+        ),
+    )
 
 
 @register(
