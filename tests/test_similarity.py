@@ -64,7 +64,7 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         assert len(got) == 10
         assert qid in got
     recalls = [len(by_q_exact[q] & by_q_approx[q]) / 10 for q in by_q_exact]
-    assert sum(recalls) / len(recalls) >= 0.2
+    assert sum(recalls) / len(recalls) >= 0.4  # refined centroids (0.67 measured)
 
 
 def test_pairwise_near_duplicates_finds_planted_dup(spark, sf_dir):
@@ -114,7 +114,9 @@ def test_refined_centroids_shapes_and_recall(spark, sf_dir):
 def test_bucketed_near_dup_recall_vs_exact(spark, sf_dir):
     """Measured recall of the centroid-bucketed pairing against the
     exact O(n²) pair set at cosine >= 0.4 (random vectors are the worst
-    case for bucketing — clustered real embeddings do far better)."""
+    case for bucketing — clustered real embeddings do far better).
+    Lloyd refinement must lift recall materially over raw seeds at the
+    SAME bucket/probe budget (measured 0.61 -> 0.82 at sf0.001)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
     from cdc_demo_spark.functions.vector import cosine as cos
@@ -133,4 +135,11 @@ def test_bucketed_near_dup_recall_vs_exact(spark, sf_dir):
            for r in S.pairwise_near_duplicates(emb, threshold=0.4).collect()}
     assert got <= exact  # no false positives ever
     if exact:
-        assert len(got & exact) / len(exact) >= 0.3  # loose bound on random data
+        assert len(got & exact) / len(exact) >= 0.7  # refined buckets
+
+    raw = {(r["id_a"], r["id_b"])
+           for r in S.pairwise_near_duplicates(emb, threshold=0.4,
+                                               refine_iters=0).collect()}
+    if exact:
+        # refinement must not lose recall vs unrefined seeds
+        assert len(got & exact) >= len(raw & exact)
