@@ -74,16 +74,43 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|-|A∩B|. Only pairs
     that co-occur in some shingle posting list are materialized — docs
-    with no overlap never pair up. At 100 TB you'd first drop ultra-
-    frequent shingles (posting-list caps) to bound the join fan-out.
+    with no overlap never pair up.
+
+    ``df_cap`` bounds the join fan-out: shingles appearing in more than
+    `df_cap` documents are dropped from the universe BEFORE the
+    self-join (both intersections and set sizes are computed over the
+    reduced universe, so the score stays a true Jaccard — of the
+    stopword-shingle-filtered sets). Without it, one corpus-frequent
+    shingle creates O(df²) candidate pairs — the classic quadratic
+    blowup on boilerplate text; with it, fan-out per shingle is ≤
+    df_cap², independent of corpus size. A shingle shared by that many
+    documents carries no near-dup signal (it IS boilerplate), which is
+    why posting-list caps are standard in large-scale dedup. Pass
+    ``df_cap=None`` for the uncapped exact semantics.
     """
-    sh = shingles(df, id_col, text_col, k).cache()
+    sh = shingles(df, id_col, text_col, k)
+    if df_cap is not None:
+        # Ultra-frequent shingles are few by construction -> broadcast
+        # anti-join, same shape as the LSH skew guard below.
+        frequent = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -55,9 +55,14 @@ WITH toks AS (
 ), idx AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
   FROM toks WHERE len(t) >= 3
-), sh AS (
+), sh_raw AS (
   SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
   FROM idx
+), sh AS (
+  -- document-frequency cap (mirrors the Spark side): shingles in more
+  -- than 50 docs are boilerplate and are dropped before pairing
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle IN (SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) <= 50)
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -76,12 +81,12 @@ WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.12
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs at threshold 0.12 (the
     synthetic corpus shares a small vocabulary, so overlap is diffuse;
-    the threshold is set to produce a non-trivial pair set)."""
+    the threshold is set to produce a non-trivial pair set). Shingles in
+    more than 50 documents are dropped pre-join (df_cap; mirrored in the
+    oracle) — on this corpus max DF is 9, so results are identical, but
+    the join fan-out is bounded on any corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
-        .withColumnRenamed("id_a", "id_a")
-    )
+    return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
 
 
 @register("q_minhash_near_dups")  # no oracle: engine-specific hash functions

@@ -92,3 +92,36 @@ def test_fingerprint_is_order_insensitive(spark):
           df.select("doc_id", content_fingerprint("text").alias("fp")).collect()}
     assert fp[0] == fp[1002]   # reordered tokens, same bag -> same fingerprint
     assert fp[0] != fp[1001]   # changed token -> different
+
+
+def test_jaccard_df_cap_bounds_adversarial_fanout(spark):
+    """A shingle shared by EVERY document (boilerplate header) must not
+    create O(n²) candidate pairs once df_cap kicks in. The capped run
+    drops the universal shingle from the universe; docs that share only
+    boilerplate produce zero pairs, while genuinely-similar docs are
+    unaffected (their overlap is in rare shingles)."""
+    import random
+
+    rng = random.Random(7)
+    boiler = "copyright acme corp all rights reserved"
+    rows = []
+    for i in range(80):
+        toks = [rng.choice(VOCAB) for _ in range(25)]
+        rows.append((i, boiler + " " + " ".join(toks)))
+    rows.append((1000, rows[0][1]))  # one true near-exact pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3, df_cap=20)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # boilerplate-only overlap pairs are gone; the true dup survives
+    assert (0, 1000) in got
+    assert len(got) < 10  # uncapped, every one of the ~3200 pairs co-occurs
+
+    # candidate fan-out itself is bounded: with the cap, no shingle in
+    # the joined universe has DF > cap
+    sh = D.shingles(df, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    assert dfreq.filter(F.col("c") > 20).count() > 0  # adversarial shingles exist
+    # uncapped pair count explodes vs capped (sanity on the mechanism)
+    uncapped = D.jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0, df_cap=None)
+    assert uncapped.count() > 3000
