@@ -36,14 +36,23 @@ def snapshot_as_events(
     """A6 — emit a full table state as 'r' (read/snapshot) envelope rows,
     the Datastream "backfill" (/root/reference/README.md:126-168).
 
-    seq is assigned per-row via a window-free monotonic id offset so the
-    snapshot totally orders before any live change (start_seq should be
-    below the binlog tail's first seq)."""
+    seq is CONTIGUOUS: start_seq + row_number over a deterministic
+    order (the serialized row image), so the highest snapshot seq is
+    provably start_seq + count - 1 and a caller can guarantee the whole
+    snapshot orders below the binlog tail's first seq. (The previous
+    monotonically_increasing_id scheme jumped by partition_id<<33 —
+    billions — silently breaking that guarantee on multi-partition
+    input.) The global sort runs once at snapshot time; at very large
+    scale swap in rdd.zipWithIndex, which is distributed and needs no
+    sort, at the cost of partition-order determinism."""
     payload = F.struct(*[F.col(c) for c in df.columns])
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.to_json(payload))
     out = df.select(
         F.lit("r").alias("op"),
         (ts_col if ts_col is not None else F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("ts"),
-        (F.lit(start_seq) + F.monotonically_increasing_id()).alias("seq"),
+        (F.lit(start_seq) + F.row_number().over(w) - 1).cast("long").alias("seq"),
         F.lit(table).alias("table"),
         F.lit(None).cast("string").alias("key"),
         F.lit(None).cast(payload_type(df.schema)).alias("before"),

@@ -21,18 +21,31 @@ Physical layout — a minimal Delta/Iceberg-style versioned table:
       data/b3/v7/*.parquet  (immutable once written)
 
 A merge stages new versions for ONLY the touched key-hash buckets, then
-commits by atomically replacing the manifest (os.replace — on an object
-store this is the metadata-service commit). Readers resolve the
-manifest first, so they always see a consistent snapshot: a crash
-mid-merge leaves stale staging files (GC'd later), never mixed state.
-Merge cost is O(touched buckets), not O(state) — untouched buckets'
-files are never rewritten (inode-asserted in tests).
+commits by atomically publishing the next numbered manifest
+(`_manifest.v{N}.json`, created with an atomic link — on an object
+store this is the metadata-service conditional put). Readers resolve
+the highest manifest first, so they always see a consistent snapshot: a
+crash mid-merge leaves stale staging files (GC'd later), never mixed
+state. Merge cost is O(touched buckets), not O(state) — untouched
+buckets' files are never rewritten (inode-asserted in tests).
+
+Crash/concurrency properties:
+- Bucket version dirs carry a uuid suffix (`v8-3fa9c1d2`), so an
+  orphaned dir from a crash between staging renames and the manifest
+  commit can never collide with a later merge's rename (availability,
+  not just consistency).
+- Commits are optimistic-CAS: two writers that both loaded manifest N
+  race to create `_manifest.v{N+1}.json`; the atomic link fails for the
+  loser, which raises ConcurrentCommitError instead of silently
+  discarding the winner's committed bucket versions (Delta/Iceberg
+  commit protocol). Single-writer deployments never see it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -40,7 +53,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 META_COLS = ("__key", "__op", "__ts", "__seq")
-MANIFEST = "_manifest.json"
+MANIFEST = "_manifest.json"  # legacy single-file manifest (read fallback)
+_MANIFEST_V = re.compile(r"_manifest\.v(\d+)\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a manifest since this one was loaded.
+
+    Reload the manifest and re-merge (the loser's staged bucket dirs are
+    unreferenced garbage, GC'd like any crash debris)."""
 
 
 def latest_image(envelopes: DataFrame) -> DataFrame:
@@ -71,21 +92,73 @@ def _bucket_of(col: str, num_buckets: int) -> F.Column:
 # --------------------------------------------------------------------------
 
 
+def _manifest_versions(silver_path: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(silver_path):
+        return []
+    out = []
+    for name in os.listdir(silver_path):
+        m = _MANIFEST_V.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(silver_path, name)))
+    return sorted(out)
+
+
 def _load_manifest(silver_path: str) -> dict | None:
+    """Resolve the current snapshot: highest numbered manifest wins;
+    falls back to the legacy single-file manifest (treated as version
+    0, so the first CAS commit supersedes it)."""
+    versions = _manifest_versions(silver_path)
+    if versions:
+        n, path = versions[-1]
+        with open(path) as f:
+            manifest = json.load(f)
+        manifest["version"] = n
+        return manifest
     path = os.path.join(silver_path, MANIFEST)
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        manifest = json.load(f)
+    manifest.setdefault("version", 0)
+    return manifest
 
 
 def _commit_manifest(silver_path: str, manifest: dict) -> None:
-    """The ONE mutation readers can observe: os.replace is atomic, so a
-    reader sees the old snapshot or the new one, never a mix."""
-    tmp = os.path.join(silver_path, f"{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    """The ONE mutation readers can observe. Optimistic CAS: the commit
+    claims version N+1 by atomically linking a fully-written temp file
+    to `_manifest.v{N+1}.json`; os.link fails with EEXIST if a
+    concurrent writer claimed it first (no torn reads — content is
+    complete before the name exists)."""
+    new_version = int(manifest.get("version", 0)) + 1
+    manifest = {**manifest, "version": new_version}
+    dst = os.path.join(silver_path, f"_manifest.v{new_version}.json")
+    tmp = os.path.join(silver_path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(silver_path, MANIFEST))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"manifest version {new_version} already committed by another "
+            f"writer; reload and re-merge"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    # retention: keep a few trailing manifests for in-flight readers
+    for n, path in _manifest_versions(silver_path)[:-5]:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def _next_bucket_version(cur_ver: str | None) -> str:
+    """Monotonic number for ordering/debugging + uuid suffix so a
+    crash-orphaned dir can never collide with a later rename."""
+    n = int(cur_ver[1:].split("-")[0]) + 1 if cur_ver else 1
+    return f"v{n}-{uuid.uuid4().hex[:8]}"
 
 
 def _bucket_paths(silver_path: str, manifest: dict, buckets=None) -> list[str]:
@@ -165,7 +238,7 @@ def merge_into_silver(
     old_dirs = []
     for b in touched:
         cur_ver = manifest["buckets"].get(str(b))
-        new_ver = f"v{int(cur_ver[1:]) + 1}" if cur_ver else "v1"
+        new_ver = _next_bucket_version(cur_ver)
         src = os.path.join(stage, f"__bucket={b}")
         dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -271,28 +344,41 @@ def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
 def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> None:
     """GC tombstones older than the watermark: no event at-or-below the
     watermark can still arrive, so those deletes can be physically
-    dropped (bounds state size). Full rewrite: every bucket gets a new
-    version, committed by one manifest replace."""
+    dropped (bounds state size).
+
+    SELECTIVE rewrite: a cheap detection pass (column-pruned scan of
+    __op/__ts only — no payloads move) finds the buckets that actually
+    hold watermark-old tombstones; only those get a new version, in one
+    manifest commit. Buckets without old tombstones keep their files
+    untouched (inode-asserted in tests), so GC cost tracks the tombstone
+    population, not total state — the same O(touched) property the merge
+    itself has."""
     manifest = _load_manifest(silver_path)
     state = _read_state(spark, silver_path, manifest)
     if state is None:
         return
-    kept = state.filter(
-        ~((F.col("__op") == "d") & (F.col("__ts") <= F.lit(watermark_ts)))
-    )
+    is_old_tomb = (F.col("__op") == "d") & (F.col("__ts") <= F.lit(watermark_ts))
+    targets = [
+        int(r["__bucket"])
+        for r in state.filter(is_old_tomb).select("__bucket").distinct().collect()
+    ]
+    if not targets:
+        return
+    kept = _read_state(spark, silver_path, manifest, buckets=targets).filter(~is_old_tomb)
     stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
     kept.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     old_dirs = []
-    for b, ver in list(manifest["buckets"].items()):
-        new_ver = f"v{int(ver[1:]) + 1}"
+    for b in targets:
+        ver = manifest["buckets"][str(b)]
+        new_ver = _next_bucket_version(ver)
         src = os.path.join(stage, f"__bucket={b}")
         dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
         if os.path.exists(src):
             os.rename(src, dst)
-        else:
+        else:  # bucket contained only old tombstones -> now empty
             os.makedirs(dst, exist_ok=True)
         old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
-        manifest["buckets"][b] = new_ver
+        manifest["buckets"][str(b)] = new_ver
     _commit_manifest(silver_path, manifest)
     shutil.rmtree(stage, ignore_errors=True)
     for d in old_dirs:

@@ -14,9 +14,14 @@ Design notes:
   OBJECT_FINALIZE -> Pub/Sub notification chain (main.tf:163-181): both
   exist to discover new files; listing is exact-once via the
   checkpointed file log.
-- ``withWatermark`` + ``dropDuplicates`` gives stateful redelivery
-  dedup (B44) bounded by the watermark (at-least-once upstream,
-  exactly-once effect downstream).
+- foreachBatch is at-least-once: a crash between a sink write and the
+  checkpoint commit replays the batch. Every sink write here is
+  IDEMPOTENT per batch_id — bronze and the DLQ overwrite their own
+  `batch_id=N` partition (a replay rewrites the same data in place),
+  and the silver merge is idempotent by (ts, seq) — so replays cannot
+  duplicate rows in any sink. Within a batch, ``dropDuplicates`` on
+  (table, key, seq) collapses redelivered events (B44); cross-batch
+  redelivery is absorbed by the merge's (ts, seq) winner rule.
 - ``Trigger.AvailableNow`` drains everything then stops — deterministic
   for tests, also the right shape for cron-style incremental runs.
 - checkpointLocation makes restarts resume from the file log (B47) —
@@ -101,12 +106,18 @@ class CdcPipeline:
             batch = batch.cache()
             bad = batch.filter(F.col("_corrupt").isNotNull())
             if bad.limit(1).count() > 0:
-                bad.select("_corrupt").withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(os.path.join(self.dlq_dir, table))
+                # idempotent per batch: a replayed batch overwrites its
+                # own partition instead of appending duplicates
+                bad.select("_corrupt").write.mode("overwrite").parquet(
+                    os.path.join(self.dlq_dir, table, f"batch_id={batch_id}")
+                )
             good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-            # Bronze: immutable append-only change log (A11).
-            good.write.mode("append").parquet(os.path.join(self.bronze_dir, table))
+            # Bronze: immutable change log (A11), one partition per
+            # batch so at-least-once replays rewrite in place (the
+            # append-mode version duplicated events on crash-replay).
+            good.write.mode("overwrite").parquet(
+                os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
+            )
             # Redelivery dedup within batch scope (B44): same (table,key,seq)
             # delivered twice is one event. Cross-batch redelivery is
             # handled by the merge's (ts,seq) idempotency.
@@ -129,7 +140,9 @@ class CdcPipeline:
 
         def process(batch: DataFrame, batch_id: int) -> None:
             good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-            good.write.mode("append").parquet(os.path.join(self.bronze_dir, table))
+            good.write.mode("overwrite").parquet(
+                os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
+            )
             good = good.dropDuplicates(["table", "key", "seq"])
             merge_into_silver(self.spark, good, self.silver_dir(table), table)
 

@@ -133,10 +133,9 @@ def test_selective_merge_leaves_untouched_buckets_alone(spark, tmp_path):
     merge_into_silver(spark, envelope_df(spark, events), silver, "pet", num_buckets=8)
 
     def file_ids():
-        import json
+        from cdc_demo_spark.streaming.merge import _load_manifest
 
-        with open(os.path.join(silver, "_manifest.json")) as f:
-            manifest = json.load(f)
+        manifest = _load_manifest(silver)
         out = {}
         for b, ver in manifest["buckets"].items():
             d = os.path.join(silver, "data", f"b{b}", ver)
@@ -283,3 +282,109 @@ def test_schema_evolution_type_conflict_raises(spark, tmp_path):
     bad = spark.createDataFrame([ev], envelope_schema(bad_payload))
     with pytest.raises(Exception, match="incompatible type change"):
         merge_into_silver(spark, bad, silver, "pet")
+
+
+def test_crash_orphan_version_dir_cannot_wedge_merges(spark, tmp_path):
+    """A crash between bucket-dir renames and the manifest commit leaves
+    a POPULATED but unreferenced version dir. Version names are
+    uuid-suffixed, so the next merge can never try to rename onto that
+    orphan (the old sequential scheme raised ENOTEMPTY here, wedging the
+    bucket forever)."""
+    import os
+
+    events = generate_events(n_keys=10, n_events=60, seed=71)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events), silver, "pet")
+
+    from cdc_demo_spark.streaming.merge import _load_manifest
+
+    manifest = _load_manifest(silver)
+    # fabricate the worst-case orphan: for EVERY bucket, a populated dir
+    # named exactly what a sequential scheme would pick next (v{n+1})
+    for b, ver in manifest["buckets"].items():
+        n = int(ver[1:].split("-")[0])
+        orphan = os.path.join(silver, "data", f"b{b}", f"v{n + 1}")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "part-garbage.parquet"), "w") as f:
+            f.write("not parquet")
+
+    # every bucket merges again successfully despite the orphans
+    more = [
+        {**e, "seq": e["seq"] + 1000, "ts": e["ts"].replace("2024", "2025")}
+        for e in generate_events(n_keys=10, n_events=40, seed=72)
+    ]
+    merge_into_silver(spark, envelope_df(spark, more), silver, "pet")
+    assert_matches_oracle(spark, silver, events + more)
+
+
+def test_concurrent_manifest_commit_raises_not_lost(spark, tmp_path):
+    """Two writers that loaded the same manifest version race: the loser
+    must get ConcurrentCommitError, not silently clobber the winner's
+    committed bucket versions."""
+    from cdc_demo_spark.streaming.merge import (
+        ConcurrentCommitError,
+        _commit_manifest,
+        _load_manifest,
+    )
+
+    events = generate_events(n_keys=5, n_events=30, seed=81)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events), silver, "pet")
+
+    stale = _load_manifest(silver)  # writer B snapshots the manifest
+    # writer A commits first (any later merge)
+    more = [
+        {**e, "seq": e["seq"] + 1000, "ts": e["ts"].replace("2024", "2025")}
+        for e in generate_events(n_keys=5, n_events=10, seed=82)
+    ]
+    merge_into_silver(spark, envelope_df(spark, more), silver, "pet")
+
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(silver, stale)  # writer B loses loudly
+    # winner's state is intact
+    assert_matches_oracle(spark, silver, events + more)
+
+
+def test_compact_tombstones_is_selective(spark, tmp_path):
+    """GC must rewrite ONLY buckets holding watermark-old tombstones;
+    every other bucket's files survive by inode."""
+    import os
+
+    from cdc_demo_spark.streaming.merge import (
+        _bucket_of,
+        _load_manifest,
+        compact_tombstones,
+        read_silver_state,
+    )
+
+    events = generate_events(n_keys=30, n_events=120, seed=91, p_delete=0.0)
+    # one old tombstone for a single key
+    tomb = {"op": "d", "ts": "2024-01-01T00:00:00", "seq": 10_000, "table": "pet",
+            "key": "pet0", "before": None, "after": None}
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events + [tomb]), silver, "pet",
+                      num_buckets=8)
+
+    def file_ids():
+        manifest = _load_manifest(silver)
+        out = {}
+        for b, ver in manifest["buckets"].items():
+            d = os.path.join(silver, "data", f"b{b}", ver)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    st = os.stat(os.path.join(d, fn))
+                    out[(f"b{b}", fn)] = st.st_ino
+        return out
+
+    state = read_silver_state(spark, silver)
+    tomb_buckets = {r["__bucket"] for r in
+                    state.filter("__op = 'd'").select("__bucket").collect()}
+    before = file_ids()
+    compact_tombstones(spark, silver, datetime(2024, 6, 1))
+    after = file_ids()
+
+    changed = {d for (d, f) in set(before) ^ set(after)} | {
+        d for (d, f), ino in after.items() if before.get((d, f)) not in (None, ino)
+    }
+    assert changed == {f"b{b}" for b in tomb_buckets}  # only tombstone buckets
+    assert read_silver_state(spark, silver).filter("__op = 'd'").count() == 0

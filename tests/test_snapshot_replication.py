@@ -76,9 +76,19 @@ def test_snapshot_seq_orders_before_live_changes(spark):
     assert len(rows) == 8
     assert all(r["op"] == "r" for r in rows)
     assert all(r["key"] is not None for r in rows)
-    # seq values distinct (monotonic ids offset by start_seq)
-    seqs = [r["seq"] for r in rows]
-    assert len(set(seqs)) == 8
+    # seq values CONTIGUOUS from start_seq: the snapshot's highest seq
+    # is provably start_seq + n - 1, so a caller can place the whole
+    # snapshot below the binlog tail's first seq (the old
+    # monotonically_increasing_id scheme jumped by partition_id<<33)
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(8))
+
+    # contiguity must survive multi-partition input
+    snap_mp = snapshot_as_events(
+        pet_str.repartition(5), "pet", key_cols=["name"], start_seq=100
+    )
+    seqs_mp = sorted(r["seq"] for r in snap_mp.collect())
+    assert seqs_mp == list(range(100, 108))
 
 
 def test_keyless_table_whole_row_key(spark, tmp_path):

@@ -143,3 +143,28 @@ def test_pipeline_second_table_shape(spark, tmp_path):
     out = read_silver(spark, p.silver_dir("events"))
     assert out.count() == 40
     assert set(out.columns) == {"event_id", "event_type", "value"}
+
+
+def test_bronze_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: losing the checkpoint (the
+    worst-case replay — every batch re-runs with the same data) must not
+    duplicate events in bronze, because each batch overwrites its own
+    batch_id partition instead of appending."""
+    import shutil
+
+    p = make_pipeline(spark, tmp_path)
+    events = generate_events(n_keys=8, n_events=60, seed=77)
+    write_event_files(events, os.path.join(p.landing_dir, "pet"), files=4)
+    p.run_available_now("pet")
+    bronze_path = os.path.join(p.bronze_dir, "pet")
+    n_first = spark.read.parquet(bronze_path).count()
+    assert n_first == len(events)
+
+    # simulate a lost sink commit: wipe the checkpoint so the stream
+    # replays ALL files as the same batch ids
+    shutil.rmtree(p.checkpoint_dir("pet"))
+    p.run_available_now("pet")
+    assert spark.read.parquet(bronze_path).count() == len(events)  # no dupes
+    # silver converged (merge was already idempotent by (ts, seq))
+    got = {r["name"]: r.asDict() for r in read_silver(spark, p.silver_dir("pet")).collect()}
+    assert got == replay_oracle(events)
