@@ -94,16 +94,21 @@ def main() -> None:
     for df in load_all(spark, sf_dir).values():
         df.count()
 
-    # Two passes, report the second (steady state): pass 1 pays one-time
-    # whole-stage-codegen compilation (the 64-permutation MinHash agg
-    # alone compiles for ~5s); a resident engine pays that once per plan
-    # shape, not per query.
+    # Three passes, report per-query MIN of passes 2-3 (steady state):
+    # pass 1 pays one-time whole-stage-codegen compilation (the
+    # 64-permutation MinHash agg alone compiles for ~5s) — a resident
+    # engine pays that once per plan shape, not per query. Min-of-2
+    # steady passes damps this host's ±25% run-to-run noise so the
+    # recorded number tracks the plan, not the neighbor.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            if _pass == 0:
+                continue
+            timings[name] = min(timings.get(name, dt), dt)
 
     timings["cdc_merge_events"] = time_cdc_merge(spark, sf_dir)
     total = round(sum(timings.values()), 3)
