@@ -9,8 +9,12 @@
   fail with an actionable message instead of a Java stack trace. The
   JSON path is the tested default (the reference's own dataflow path
   also used JSON: README.md:202 `inputFileFormat=json`).
-- JDBC (B5): the snapshot source (A6). No database ships in this
-  container; construction is tested, connection is not.
+- JDBC (B5): the snapshot source (A6). Exercised end-to-end against
+  embedded Apache Derby (the one JDBC engine shipping in
+  $SPARK_HOME/jars): tests write a source table over JDBC, snapshot it
+  back with a partitioned read, and replicate it through the CDC merge
+  (tests/test_jdbc_snapshot.py). Against MySQL (the reference's source,
+  /root/reference/main.tf:79) only the url/driver options change.
 """
 
 from __future__ import annotations
