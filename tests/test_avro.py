@@ -1,0 +1,131 @@
+"""Avro change-file path (B4): spec conformance of the pure-Python
+container codec, Spark roundtrips, and the reference's preferred flow —
+Avro change files -> CDC merge (/root/reference/README.md:168)."""
+
+from __future__ import annotations
+
+import io
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.sources import avro_codec as AC
+from cdc_demo_spark.sources.formats import read_avro, write_avro
+
+
+def test_zigzag_varint_roundtrip():
+    for n in (0, -1, 1, 63, 64, -64, -65, 2**31, -(2**31), 2**62, -(2**62)):
+        buf = io.BytesIO()
+        AC.write_long(buf, n)
+        buf.seek(0)
+        assert AC.read_long(buf) == n
+    # spec examples: zigzag(0)=0x00, zigzag(-1)=0x01, zigzag(1)=0x02
+    for n, expected in ((0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03")):
+        buf = io.BytesIO()
+        AC.write_long(buf, n)
+        assert buf.getvalue() == expected
+
+
+def test_container_file_spec_shape(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"},
+                         {"name": "s", "type": ["null", "string"]}]}
+    path = str(tmp_path / "t.avro")
+    AC.write_container(path, schema, [{"x": 1, "s": "a"}, {"x": 2, "s": None}])
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"Obj\x01"  # spec magic
+    got_schema, records = AC.read_container(raw)
+    assert got_schema == schema
+    assert records == [{"x": 1, "s": "a"}, {"x": 2, "s": None}]
+
+
+def test_deflate_and_null_codecs_roundtrip(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "t", "type": "string"}]}
+    recs = [{"t": "z" * 1000} for _ in range(50)]
+    p_null = str(tmp_path / "n.avro")
+    p_defl = str(tmp_path / "d.avro")
+    AC.write_container(p_null, schema, recs, codec="null")
+    AC.write_container(p_defl, schema, recs, codec="deflate")
+    import os
+
+    assert os.path.getsize(p_defl) < os.path.getsize(p_null) / 10  # it compresses
+    assert AC.read_container(open(p_null, "rb").read())[1] == recs
+    assert AC.read_container(open(p_defl, "rb").read())[1] == recs
+
+
+def test_corrupt_sync_marker_detected(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    path = str(tmp_path / "c.avro")
+    AC.write_container(path, schema, [{"x": i} for i in range(10)], codec="null")
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    import pytest
+
+    with pytest.raises(ValueError, match="sync"):
+        AC.read_container(bytes(raw))
+
+
+def test_schema_translation_roundtrip():
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    st = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("vals", ArrayType(DoubleType(), False), True),
+        StructField("nested", StructType([
+            StructField("a", StringType(), True),
+        ]), True),
+    ])
+    back = AC.spark_schema_of(AC.avro_schema_of(st))
+    assert back == st
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    df = spark.range(500).select(
+        F.col("id"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("score"),
+        F.to_timestamp(F.lit("2001-06-01 12:34:56.789")).alias("ts"),
+        F.to_date(F.lit("1999-12-31")).alias("d"),
+    )
+    path = str(tmp_path / "avro_table")
+    write_avro(df.repartition(4), path, mode="overwrite")
+    import os
+
+    parts = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert len(parts) == 4  # one container file per partition
+
+    back = read_avro(spark, path)  # schema self-described from header
+    assert back.schema.fieldNames() == df.schema.fieldNames()
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # logical types decode to real datetime/date
+    r = back.orderBy("id").first()
+    assert r["ts"] == datetime(2001, 6, 1, 12, 34, 56, 789000)
+    assert r["d"] == date(1999, 12, 31)
+
+
+def test_avro_envelope_feeds_cdc_merge(spark, tmp_path):
+    """The reference's declared flow: change events land as AVRO files,
+    then replicate (README.md:168). Write an envelope batch as avro,
+    read it back with the self-described schema, merge to silver."""
+    from cdc_demo_spark.streaming.generator import generate_events
+    from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver, replay_oracle
+    from tests.test_cdc_merge import envelope_df
+
+    events = generate_events(n_keys=12, n_events=80, seed=31)
+    env = envelope_df(spark, events)
+    landing = str(tmp_path / "landing")
+    write_avro(env.repartition(3), landing, mode="overwrite")
+
+    back = read_avro(spark, landing)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, back, silver, "pet")
+    got = {r["name"]: r.asDict() for r in read_silver(spark, silver).collect()}
+    assert got == replay_oracle(events)
