@@ -107,3 +107,96 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "simhash"
     )
+
+
+_CLUSTER_EDGE_CTES = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh_raw AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM idx
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle IN (SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) <= 50)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.12
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+)
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_EDGE_CTES},
+reach(s, d) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+)
+SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: Jaccard pairs (threshold 0.12,
+    df_cap 50 — same edge set as q_ngram_jaccard_pairs) closed into
+    connected components via distributed min-label propagation; cluster
+    id = min doc_id in the component, isolated docs are singletons.
+    The DuckDB oracle re-derives components with a recursive
+    transitive-closure CTE — an independent algorithm, same answer."""
+    from cdc_demo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
+    comps = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comps.select("doc_id", F.col("component").alias("cluster_id"))
+
+
+@register(
+    "q_dedup_cluster_survivors",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_EDGE_CTES},
+reach(s, d) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+), comp AS (
+  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+)
+SELECT cluster_id AS doc_id, count(*) AS cluster_size
+FROM comp GROUP BY cluster_id
+""",
+)
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final output: one kept doc per near-dup
+    cluster (the min id) + how many docs it absorbed. Feeding a corpus
+    through this is the actual 'dedup the training set' operation."""
+    from cdc_demo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
+    comps = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return (
+        comps.groupBy(F.col("component").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )

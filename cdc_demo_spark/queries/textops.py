@@ -254,3 +254,97 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_digest"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tf DESC, df ASC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf,
+       round(score, 6) AS tfidf
+FROM ranked WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction
+    signal. One explode + two aggregates + a per-doc window; the DF
+    (document frequency) side is a small dictionary joined broadcast-
+    style by AQE. Ranking ties break by (tf, df, term) — integer-exact
+    across engines, so the oracle can't drift on float ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()  # one scalar, computed once at plan build
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            "tf",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, t, len(t) - 1 AS total,
+         len(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                          i -> concat_ws(' ', t[i], t[i+1])))) AS dist
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_bigrams,
+       round(1.0 - CAST(dist AS DOUBLE) / total, 6) AS repetition_ratio
+FROM g
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio per document (1 - distinct/total bigrams) —
+    the standard boilerplate/spam signal in corpus quality filtering.
+    Pure per-row codegen (array ops), no shuffle at all."""
+    from cdc_demo_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    total = (F.size(toks) - 1).cast("long")
+    dist = F.size(shingle_array(F.col("text"), 2))
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            total.alias("n_bigrams"),
+            F.round(F.lit(1.0) - dist.cast("double") / total, 6).alias("repetition_ratio"),
+        )
+    )

@@ -125,3 +125,21 @@ def test_jaccard_df_cap_bounds_adversarial_fanout(spark):
     # uncapped pair count explodes vs capped (sanity on the mechanism)
     uncapped = D.jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0, df_cap=None)
     assert uncapped.count() > 3000
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 6-node chain (worst-case diameter for propagation), a triangle,
+    and isolated nodes must all label as min-id components."""
+    from cdc_demo_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3-4-5, triangle 6-7-8 (9,10,11 isolated)
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(nodes, edges).collect()}
+    assert all(got[i] == 0 for i in range(6))
+    assert all(got[i] == 6 for i in (6, 7, 8))
+    assert all(got[i] == i for i in (9, 10, 11))
