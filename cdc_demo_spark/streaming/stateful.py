@@ -44,3 +44,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4's arbitrary-state API)
+# --------------------------------------------------------------------------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on ``transformWithStateInPandas``.
+
+    Needs (a) the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState is
+    implemented only there — and (b) the ``protobuf`` package: the TWS
+    python worker speaks protobuf to the JVM state server and crashes
+    at init without it (this container ships no protobuf, so the test
+    gate skips; the applyInPandasWithState path above is the tested
+    default here)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame([{"user_id": key[0], "n": n, "total": total}])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

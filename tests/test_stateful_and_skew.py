@@ -104,3 +104,59 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(probe, build, "k", salt=4, how="left").collect()
     by_k = {r["k"]: r["w"] for r in out}
     assert by_k == {1: "x", 2: "y", 99: None}
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """Same running totals on Spark 4's transformWithStateInPandas
+    (typed ValueState, RocksDB-backed state store) — must equal the
+    batch aggregate, like the applyInPandasWithState variant.
+
+    Environment gate: the TWS python worker speaks protobuf to the JVM
+    state server; without the protobuf package the worker crashes at
+    init (verified: ImportError google.protobuf), so skip there — the
+    applyInPandasWithState tests above cover stateful semantics."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from cdc_demo_spark.streaming.stateful import running_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        land = str(tmp_path / "events")
+        events = make_events(200)
+        write_events(land, events, files=5)
+        stream = spark.readStream.schema(SCHEMA).json(land).select("user_id", "value")
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.sql("SELECT * FROM tws_totals")
+            .groupBy("user_id")
+            .agg(F.max("n").alias("n"), F.max("total").alias("total"))
+            .collect()
+        )
+        batch = (
+            spark.read.schema(SCHEMA).json(land)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        )
+        want = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in batch}
+        have = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in got}
+        assert have == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
