@@ -385,6 +385,69 @@ def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> N
         shutil.rmtree(d, ignore_errors=True)
 
 
+def optimize_silver(
+    spark: SparkSession,
+    silver_path: str,
+    max_files_per_bucket: int = 1,
+    sort_cols: tuple[str, ...] = ("__key",),
+) -> list[int]:
+    """OPTIMIZE for the silver table (Delta OPTIMIZE / Iceberg rewrite
+    analog): every merge appends a new version with however many files
+    the shuffle produced, so a hot bucket fragments over time; scans
+    then pay per-file open cost and lose row-group locality.
+
+    Selectively rewrites ONLY buckets whose current version holds more
+    than ``max_files_per_bucket`` parquet files, coalescing each to one
+    file sorted by ``sort_cols`` (key-sorted row groups -> tight
+    min/max stats -> point-lookup row-group pruning; Z-order-lite).
+    Committed via the same CAS manifest as merges — readers never see a
+    half-optimized table, and a concurrent merge loses cleanly with
+    ConcurrentCommitError rather than silently undoing the rewrite.
+    Returns the bucket ids rewritten (for tests/observability)."""
+    manifest = _load_manifest(silver_path)
+    if manifest is None:
+        return []
+    fragmented = []
+    for b, ver in manifest["buckets"].items():
+        d = os.path.join(silver_path, "data", f"b{b}", ver)
+        if not os.path.isdir(d):
+            continue
+        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if n_files > max_files_per_bucket:
+            fragmented.append(int(b))
+    if not fragmented:
+        return []
+    state = _read_state(spark, silver_path, manifest, buckets=fragmented)
+    stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
+    (
+        # sort prefix = the partition column: FileFormatWriter then sees
+        # its required ordering and adds no sort of its own (which would
+        # destroy the key order inside each bucket's file)
+        state.repartition("__bucket")
+        .sortWithinPartitions("__bucket", *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(stage)
+    )
+    old_dirs = []
+    for b in fragmented:
+        ver = manifest["buckets"][str(b)]
+        new_ver = _next_bucket_version(ver)
+        src = os.path.join(stage, f"__bucket={b}")
+        dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+        old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
+        manifest["buckets"][str(b)] = new_ver
+    _commit_manifest(silver_path, manifest)
+    shutil.rmtree(stage, ignore_errors=True)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return sorted(fragmented)
+
+
 # --------------------------------------------------------------------------
 # Test oracle: single-threaded dict replay (SURVEY.md §5)
 # --------------------------------------------------------------------------

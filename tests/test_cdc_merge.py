@@ -388,3 +388,63 @@ def test_compact_tombstones_is_selective(spark, tmp_path):
     }
     assert changed == {f"b{b}" for b in tomb_buckets}  # only tombstone buckets
     assert read_silver_state(spark, silver).filter("__op = 'd'").count() == 0
+
+
+def test_optimize_silver_compacts_fragmented_buckets(spark, tmp_path):
+    """OPTIMIZE: buckets whose current version holds many small files
+    (one per shuffle task of past merges) are rewritten to ONE
+    key-sorted file; already-compact buckets keep their files by inode;
+    the visible table is byte-identical before and after."""
+    import os
+
+    from cdc_demo_spark.streaming.merge import _load_manifest, optimize_silver
+
+    events = generate_events(n_keys=60, n_events=240, seed=101)
+    silver = str(tmp_path / "silver")
+    # at production scale each merge writes one file per shuffle task
+    # into the touched bucket; AQE coalesces our tiny test batch to one
+    # partition, so disable coalescing while fragmenting
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        merge_into_silver(spark, envelope_df(spark, events), silver, "pet", num_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    def bucket_files():
+        manifest = _load_manifest(silver)
+        out = {}
+        for b, ver in manifest["buckets"].items():
+            d = os.path.join(silver, "data", f"b{b}", ver)
+            out[int(b)] = sorted(
+                (f, os.stat(os.path.join(d, f)).st_ino)
+                for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return out
+
+    before_state = {r["name"]: r.asDict() for r in read_silver(spark, silver).collect()}
+    before_files = bucket_files()
+    fragmented = {b for b, files in before_files.items() if len(files) > 1}
+    assert fragmented, "test needs fragmentation; raise n_keys"
+
+    rewritten = optimize_silver(spark, silver, max_files_per_bucket=1)
+    assert set(rewritten) == fragmented
+
+    after_files = bucket_files()
+    for b, files in after_files.items():
+        if b in fragmented:
+            assert len(files) == 1  # compacted
+        else:
+            assert files == before_files[b]  # untouched by inode
+    # table content identical
+    after_state = {r["name"]: r.asDict() for r in read_silver(spark, silver).collect()}
+    assert after_state == before_state
+    # rows inside the compacted file are key-sorted (row-group pruning)
+    from cdc_demo_spark.streaming.merge import read_silver_state
+
+    manifest = _load_manifest(silver)
+    b = next(iter(fragmented))
+    d = os.path.join(silver, "data", f"b{b}", manifest["buckets"][str(b)])
+    keys = [r["__key"] for r in spark.read.parquet(d).select("__key").collect()]
+    assert keys == sorted(keys)
+    # idempotent: second run finds nothing to do
+    assert optimize_silver(spark, silver, max_files_per_bucket=1) == []
