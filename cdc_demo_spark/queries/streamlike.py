@@ -181,3 +181,46 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("bucket_sum"),
     )
+
+
+@register(
+    "q_weekly_retention",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start, user_id
+  FROM events
+)
+SELECT a.week_start,
+       count(*) AS active_users,
+       CAST(count(b.user_id) AS BIGINT) AS retained_next_week
+FROM weekly a
+LEFT JOIN weekly b
+  ON b.user_id = a.user_id AND b.week_start = a.week_start + INTERVAL 7 DAY
+GROUP BY a.week_start
+""",
+)
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: of the users
+    active in week W, how many are also active in W+1. One dedup
+    aggregate + a self-join on (user, week+7d) — both shuffles on the
+    same user_id-dominated key, so at scale the second reuses the
+    first's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.date_trunc("week", "ts").alias("week_start"), "user_id"
+    ).distinct()
+    a, b = weekly.alias("a"), weekly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.week_start")
+               == F.col("a.week_start") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy(F.col("a.week_start").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.col("b.user_id")).alias("retained_next_week"),
+        )
+    )

@@ -348,3 +348,44 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - dist.cast("double") / total, 6).alias("repetition_ratio"),
         )
     )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), cf AS (
+  SELECT term, count(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT count(*) AS t FROM tok
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(sum(ln(CAST(cf.c AS DOUBLE) / tot.t)) / count(*), 6) AS avg_logprob
+FROM tok JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tok.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token unigram log-probability under the corpus's own
+    unigram model — the cheapest perplexity-style quality signal (low
+    score = rare-token gibberish, high = stereotyped boilerplate).
+    One explode, one small dictionary join (AQE broadcasts it), one
+    aggregate; the corpus total rides in as a literal-free cross join
+    so the plan stays a single pass over tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        tok.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c").cast("double") / F.col("t"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
