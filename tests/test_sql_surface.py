@@ -79,12 +79,15 @@ def test_batch_json_corrupt_capture(spark, tmp_path):
     assert df.filter(F.col("_corrupt").isNull()).collect()[0]["event_id"] == 1
 
 
-def test_avro_gated(spark, tmp_path):
+def test_avro_fallback_active_without_jar(spark, tmp_path):
+    """Without the spark-avro jar the pure-Python codec serves reads —
+    an empty dir is a loud FileNotFoundError, not a NotImplementedError
+    stub (full roundtrip coverage lives in tests/test_avro.py)."""
     from cdc_demo_spark.sources.formats import avro_available, read_avro
 
     if avro_available(spark):  # pragma: no cover - jar present in some envs
-        pytest.skip("avro module present; gate not exercised")
-    with pytest.raises(NotImplementedError, match="spark-avro"):
+        pytest.skip("avro module present; fallback not exercised")
+    with pytest.raises(FileNotFoundError, match="no .avro files"):
         read_avro(spark, str(tmp_path))
 
 
