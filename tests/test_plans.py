@@ -68,3 +68,32 @@ def test_events_ts_filter_prunes_other_columns(spark, sf_dir):
     assert any("event_type" in f for f in pushed)
     for cols in scan_columns(ev):
         assert "props" not in cols  # pruned despite the ts rewrite
+
+
+def test_tfidf_dictionary_join_is_broadcast(spark, sf_dir):
+    """The document-frequency dictionary must broadcast to the token
+    stream — a sort-merge join here would shuffle every token row by
+    term, the classic scale mistake for tf-idf."""
+    from cdc_demo_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_is_partial_aggregated(spark, sf_dir):
+    """int8 quantization's square-sum must partial-aggregate map-side:
+    the shuffle carries one row per (vec, partition), never the
+    exploded dimension rows."""
+    from cdc_demo_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_embedding_quantize_int8"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_cluster_edges_never_cartesian(spark, sf_dir):
+    """Connected-components over the pair graph must stay a bucketed
+    join pipeline — no cartesian product anywhere in the plan."""
+    q = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    assert_no_cartesian(q)
