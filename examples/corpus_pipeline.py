@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus preparation on the engine — the pipeline
+a 100 TB pretraining-data run executes, demonstrated at sf scale:
+
+    documents
+      1. quality gate      (token count, repetition ratio, stopword mix)
+      2. exact dedup       (digest groupBy — min-id survivor)
+      3. near-dup clusters (Jaccard pairs -> connected components)
+      4. chunk             (64-token windows, stride 48)
+      5. pack              (256-token training blocks per source shard)
+      6. deterministic sample (md5-threshold, resumable on any cluster)
+      7. write parquet + a one-line corpus report
+
+Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.chunking import chunk_documents
+from cdc_demo_spark.operators.dedup import exact_dedup, jaccard_pairs
+from cdc_demo_spark.operators.graph import connected_components
+from cdc_demo_spark.operators.packing import pack_chunks
+from cdc_demo_spark.session import get_spark
+from cdc_demo_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
+    spark = get_spark("corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate — pure codegen projections, no shuffle
+    toks = F.split("text", " ")
+    total_bigrams = F.size(toks) - 1
+    from cdc_demo_spark.operators.dedup import shingle_array
+
+    rep_ratio = F.lit(1.0) - F.size(shingle_array(F.col("text"), 2)).cast(
+        "double"
+    ) / F.nullif(total_bigrams, F.lit(0))
+    quality = docs.filter(
+        (F.size(toks) >= 20) & (F.coalesce(rep_ratio, F.lit(0.0)) <= 0.6)
+    )
+    n1 = quality.count()
+
+    # 2. exact dedup on normalized text digest
+    exact = exact_dedup(quality, ["text"], "doc_id")
+    n2 = exact.count()
+
+    # 3. near-dup clusters -> keep min-id survivor per cluster
+    pairs = jaccard_pairs(exact, "doc_id", "text", k=3, threshold=0.5, df_cap=100)
+    comps = connected_components(
+        exact.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    survivors = exact.join(
+        comps.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n3 = survivors.count()
+
+    # 4-5. chunk + pack into training blocks
+    chunks = chunk_documents(survivors, chunk_tokens=64, stride=48).join(
+        survivors.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    blocks = pack_chunks(chunks, "group", block_tokens=256)
+    n_blocks = blocks.count()
+
+    # 6. deterministic 30% sample of blocks (resumable across runs/clusters)
+    sampled = blocks.filter(
+        F.substring(F.md5(F.concat_ws("|", "group", "block_id")), 1, 8) < "4ccccccc"
+    )
+    n_sampled = sampled.count()
+
+    # 7. write + report
+    sampled.withColumn(
+        "doc_ids", F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string")))
+    ).write.mode("overwrite").parquet(os.path.join(out, "blocks"))
+    print(
+        f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
+        f"near-dup survivors {n3} -> {n_blocks} blocks -> sampled {n_sampled} "
+        f"-> {out}/blocks"
+    )
+
+
+if __name__ == "__main__":
+    main()
