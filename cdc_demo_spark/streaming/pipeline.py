@@ -84,7 +84,13 @@ class CdcPipeline:
     # --- the stream -------------------------------------------------------
     def _source(self, table: str) -> DataFrame:
         """Streaming file source over the table's landing subdir, with
-        corrupt-record capture (A13)."""
+        corrupt-record capture (A13). fmt='json' parses with Spark's
+        JSON reader; fmt='avro' streams the reference's preferred
+        format (README.md:168) via the binaryFile streaming source +
+        the engine's container codec — same checkpointed exactly-once
+        file listing either way."""
+        if self.fmt == "avro":
+            return self._avro_source(table)
         schema = envelope_schema(self.payloads[table]).add("_corrupt", "string", True)
         reader = (
             self.spark.readStream.schema(schema)
@@ -93,6 +99,57 @@ class CdcPipeline:
             .option("maxFilesPerTrigger", "64")  # bound micro-batch size
         )
         return reader.json(os.path.join(self.landing_dir, table))
+
+    def _avro_source(self, table: str) -> DataFrame:
+        """Streaming Avro envelopes: binaryFile streaming source (one
+        row per container file, checkpoint-listed) -> per-file decode in
+        mapInPandas. A file that fails to decode becomes ONE row with
+        `_corrupt` set (path + error) and NULL envelope fields, so the
+        DLQ branch (A13) sees it like any malformed JSON record."""
+        import pandas as pd
+
+        from pyspark.sql.types import StructField, StructType
+
+        from cdc_demo_spark.sources import avro_codec as AC
+
+        # all-nullable variant of the envelope: a corrupt file emits one
+        # row of NULL envelope fields + _corrupt, split off downstream
+        schema = StructType(
+            [
+                StructField(f.name, f.dataType, True)
+                for f in envelope_schema(self.payloads[table]).fields
+            ]
+        ).add("_corrupt", "string", True)
+        names = [f.name for f in schema.fields if f.name != "_corrupt"]
+
+        def decode(batches):
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    try:
+                        _, recs = AC.read_container(bytes(content))
+                    except Exception as e:  # noqa: BLE001 - any decode failure -> DLQ
+                        yield pd.DataFrame(
+                            [{**{n: None for n in names}, "_corrupt": f"{path}: {e}"}]
+                        )
+                        continue
+                    if recs:
+                        out = {n: [r.get(n) for r in recs] for n in names}
+                        out["_corrupt"] = [None] * len(recs)
+                        yield pd.DataFrame(out)
+
+        files = (
+            self.spark.readStream.format("binaryFile")
+            # binaryFile's schema is fixed, but streaming sources demand
+            # it be declared explicitly
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", "*.avro")
+            .option("maxFilesPerTrigger", "64")
+            .load(os.path.join(self.landing_dir, table))
+            .select("path", "content")
+        )
+        return files.mapInPandas(decode, schema=schema)
 
     def run_available_now(self, table: str) -> None:
         """Drain all pending files for `table` through bronze + silver,

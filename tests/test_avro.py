@@ -129,3 +129,47 @@ def test_avro_envelope_feeds_cdc_merge(spark, tmp_path):
     merge_into_silver(spark, back, silver, "pet")
     got = {r["name"]: r.asDict() for r in read_silver(spark, silver).collect()}
     assert got == replay_oracle(events)
+
+
+def test_streaming_avro_pipeline_end_to_end(spark, tmp_path):
+    """A8 with the reference's PREFERRED format: Avro change files
+    land, the streaming pipeline (binaryFile source + container codec)
+    drains them through bronze/DLQ/silver; a second wave plus the same
+    checkpoint proves exactly-once listing; a corrupt file routes to
+    the DLQ instead of poisoning the stream."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cdc_demo_spark.streaming.generator import generate_events
+    from cdc_demo_spark.streaming.merge import read_silver, replay_oracle
+    from cdc_demo_spark.streaming.pipeline import CdcPipeline
+    from tests.test_cdc_merge import envelope_df
+
+    payload = StructType(
+        [StructField(c, StringType(), True)
+         for c in ("name", "owner", "species", "sex", "birth", "death")]
+    )
+    p = CdcPipeline(spark, str(tmp_path / "cdc"), {"pet": payload}, fmt="avro")
+    land = os.path.join(p.landing_dir, "pet")
+
+    events = generate_events(n_keys=10, n_events=80, seed=41)
+    half = len(events) // 2
+    write_avro(envelope_df(spark, events[:half]).repartition(2), land, mode="append")
+    p.run_available_now("pet")
+    got1 = {r["name"]: r.asDict() for r in read_silver(spark, p.silver_dir("pet")).collect()}
+    assert got1 == replay_oracle(events[:half])
+
+    # wave 2 + one corrupt file
+    write_avro(envelope_df(spark, events[half:]).repartition(2), land, mode="append")
+    with open(os.path.join(land, "zz-corrupt.avro"), "wb") as f:
+        f.write(b"Obj\x01garbage-not-a-container")
+    p.run_available_now("pet")
+
+    got2 = {r["name"]: r.asDict() for r in read_silver(spark, p.silver_dir("pet")).collect()}
+    assert got2 == replay_oracle(events)
+    dlq = spark.read.parquet(os.path.join(p.dlq_dir, "pet"))
+    assert dlq.count() == 1 and "zz-corrupt" in dlq.collect()[0]["_corrupt"]
+    # bronze holds exactly the good events once (no re-ingest, no dupes)
+    bronze = spark.read.parquet(os.path.join(p.bronze_dir, "pet"))
+    assert bronze.count() == len(events)
