@@ -95,3 +95,80 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'P'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — the
+    two-level aggregation (per-entity count, then histogram of counts)
+    with a filtered LEFT join so zero-order customers land in bucket 0.
+    Both aggregates partial-combine; the second one's input is already
+    one row per customer, so the histogram shuffle is tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_dormant_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(CAST(c_acctbal AS DOUBLE)) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntry,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey
+""",
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers DORMANT since
+    2000 (no order on/after 2000-01-01; every synthetic customer has
+    some order, so pure never-ordered would be empty), grouped by
+    nation (the slim schema has no phone column). A scalar-subquery
+    threshold (one broadcast row) composed with a date-filtered ANTI
+    join — the filter pushes to the orders scan, and the anti join
+    shuffles only custkeys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("ab"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2000-01-01"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
