@@ -135,6 +135,79 @@ def resize_half(media: DataFrame) -> DataFrame:
     return media.mapInPandas(rs, schema=MEDIA_SCHEMA)
 
 
+def _bilinear(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear interpolation of one (H, W) uint8 frame —
+    the real resampling math (PIL.Image.resize(BILINEAR) equivalent,
+    align_corners=False convention), not a toy stride sample."""
+    h, w = frame.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :]
+    f = frame.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
+def resize_bilinear(media: DataFrame, out_h: int = 16, out_w: int = 16) -> DataFrame:
+    """Resize every frame to (out_h, out_w) with true bilinear
+    interpolation — the normalization step before patch embedding.
+    Same Arrow-batched mapInPandas shape as the other stages."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                px = FakeImageCodec.decode(r["payload"])
+                small = np.stack([_bilinear(fr, out_h, out_w) for fr in px])
+                f, h, w = small.shape
+                rows.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "payload": MAGIC + struct.pack("<III", h, w, f) + small.tobytes(),
+                     "width": w, "height": h, "n_frames": f}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+def patch_embeddings(media: DataFrame, side: int = 16, patch: int = 4) -> DataFrame:
+    """ViT-style patch embedding without a model: bilinear-resize each
+    item's FIRST frame to (side, side), split into (side/patch)² patches
+    of patch×patch pixels, embed as normalized per-patch means. Output
+    (media_id, kind, embedding array<float>) plugs straight into the
+    similarity operators (cosine top-k, IVF, near-dup pairing) — the
+    media→vector bridge of a multimodal corpus pipeline."""
+    n_patches = (side // patch) ** 2
+
+    def pe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                px = FakeImageCodec.decode(r["payload"])[0]  # first frame
+                sm = _bilinear(px, side, side).astype(np.float64)
+                g = side // patch
+                # (g, patch, g, patch) -> per-patch means, row-major
+                means = sm.reshape(g, patch, g, patch).mean(axis=(1, 3)).ravel()
+                means = (means - means.mean()) / (means.std() or 1.0)
+                rows.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "embedding": [float(x) for x in means]}
+                )
+            yield pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        pe, schema="media_id long, kind string, embedding array<float>"
+    )
+    assert n_patches > 0
+    return out
+
+
 def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     """Keep every k-th frame of video payloads (images pass through)."""
 

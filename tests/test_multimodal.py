@@ -134,3 +134,48 @@ def test_audio_resample_halves_rate(spark):
         assert r["n_samples"] == 2000
         rate, s = M.FakeAudioCodec.decode(bytes(r["payload"]))
         assert rate == 8000 and len(s) == 2000
+
+
+def test_bilinear_resize_math(spark):
+    """Bilinear properties: a constant frame stays constant at any size;
+    a linear ramp stays (approximately) linear; output dims honored."""
+    import numpy as np
+
+    from cdc_demo_spark.operators.multimodal import _bilinear
+
+    const = np.full((20, 12), 77, dtype=np.uint8)
+    out = _bilinear(const, 9, 17)
+    assert out.shape == (9, 17) and set(out.ravel()) == {77}
+
+    ramp = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (8, 1))  # 8x24 ramp
+    up = _bilinear(ramp, 8, 48).astype(float)
+    diffs = np.diff(up[0])
+    assert (diffs >= 0).all()  # monotone along the ramp
+    assert abs(up[0, 0] - ramp[0, 0]) <= 10 and abs(up[0, -1] - ramp[0, -1]) <= 10
+
+
+def test_patch_embeddings_feed_similarity(spark):
+    """media -> patch embedding -> cosine top-k: the embedding column
+    has the declared shape, is normalized, and an identical payload
+    (same media_id content) is its own nearest neighbor."""
+    from cdc_demo_spark.operators.multimodal import fake_media_table, patch_embeddings
+    from cdc_demo_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    media = fake_media_table(spark, n=40)
+    emb = patch_embeddings(media, side=16, patch=4).cache()
+    rows = emb.limit(5).collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)  # (16/4)^2 patches
+    import numpy as np
+
+    v = np.array(rows[0]["embedding"])
+    assert abs(v.mean()) < 1e-6 and abs(v.std() - 1.0) < 1e-5  # normalized
+
+    q = emb.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = brute_force_topk(
+        emb.select(F.col("media_id").alias("vec_id"), "embedding"), q, k=1
+    )
+    for r in top1.collect():
+        assert r["vec_id"] == r["query_id"] and abs(r["cos_sim"] - 1.0) < 1e-6
