@@ -3,19 +3,22 @@ turns near-duplicate PAIRS into duplicate CLUSTERS (pick one survivor
 per cluster, drop the rest), which is what a corpus dedup pipeline
 actually ships.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node takes the min label in its closed
-neighborhood; stop when no label changes. Rounds needed = graph
-diameter — near-dup components are small and dense (dups of the same
-document), so this converges in 2-3 rounds in practice. Each round is
-one join + one aggregate (two shuffles) on the EDGE list only — node
-payloads never move.
+Algorithm: min-label propagation accelerated with pointer jumping.
+Every node starts labeled with itself; each round every node takes the
+min label in its closed neighborhood, then labels are shortcut through
+themselves (label <- label of label — the path-doubling trick), so a
+path of length d converges in O(log d) rounds instead of O(d): a
+1000-hop chain needs ~10 rounds, not 1000. Stop when no label changes;
+if the round budget is ever exhausted before convergence the operator
+RAISES rather than silently returning a partial clustering. Each round
+is two joins + one aggregate on the EDGE/LABEL lists only — node
+payloads never move. (Same building blocks as large-star/small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014.)
 
-At 100 TB scale the same loop holds because the edge list after LSH
-banding is ~linear in corpus size; for adversarial long-chain graphs
-swap in the large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC 2014), which converges in
-O(log n) rounds with the same join/agg building blocks.
+At 100 TB the edge list after LSH banding is ~linear in corpus size
+and near-dup components are small and dense, so rounds ≈ 2-3; the
+log-diameter bound is the adversarial-chain guarantee.
 """
 
 from __future__ import annotations
@@ -56,9 +59,27 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("new_label"))
         )
-        merged = labels.join(neighbor_labels, "u").localCheckpoint(eager=True)
+        # pointer jumping: follow the new label one more hop (label of
+        # label) — doubles the propagation distance per round
+        jumped = (
+            neighbor_labels.alias("n")
+            .join(
+                neighbor_labels.select(
+                    F.col("u").alias("new_label"), F.col("new_label").alias("jump")
+                ).alias("p"),
+                "new_label",
+                "left",
+            )
+            .select("u", F.least("new_label", F.coalesce("jump", "new_label")).alias("new_label"))
+        )
+        merged = labels.join(jumped, "u").localCheckpoint(eager=True)
         changed = merged.filter(F.col("label") != F.col("new_label")).limit(1).count()
         labels = merged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

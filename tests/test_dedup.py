@@ -143,3 +143,17 @@ def test_connected_components_chain_and_singletons(spark):
     assert all(got[i] == 0 for i in range(6))
     assert all(got[i] == 6 for i in (6, 7, 8))
     assert all(got[i] == i for i in (9, 10, 11))
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping: a 120-node path (diameter 119) must converge
+    well inside the round budget — plain min-propagation would need 119
+    rounds and previously returned a silently-partial clustering."""
+    from cdc_demo_spark.operators.graph import connected_components
+
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(nodes, edges, max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == n

@@ -104,3 +104,45 @@ def test_packing_invariants(spark):
     key = lambda r: (r["group"], r["block_id"])  # noqa: E731
     assert sorted(map(tuple, blocks), key=lambda t: (t[0], t[1])) == \
            sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
+
+
+def test_packing_property_matches_sequential_fold(spark):
+    """Property: the cumsum/searchsorted packer must block exactly like
+    the obvious sequential greedy fold, across random chunk mixes
+    including oversized chunks."""
+    import random
+
+    def reference_fold(tokens, budget):
+        blocks, cur, cur_tokens = [], [], 0
+        for t in tokens:
+            if cur_tokens + t > budget and cur:
+                blocks.append((len(cur), cur_tokens))
+                cur, cur_tokens = [], 0
+            cur.append(t)
+            cur_tokens += t
+            if cur_tokens >= budget:
+                blocks.append((len(cur), cur_tokens))
+                cur, cur_tokens = [], 0
+        if cur:
+            blocks.append((len(cur), cur_tokens))
+        return blocks
+
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    rng = random.Random(17)
+    for trial in range(6):
+        budget = rng.choice([64, 100, 256])
+        sizes = [
+            rng.choice([1, 5, 17, 40, 63, 64, 65, budget, budget + 50])
+            for _ in range(rng.randrange(1, 60))
+        ]
+        chunks = spark.createDataFrame(
+            [(0, i, "g", s) for i, s in enumerate(sizes)],
+            "doc_id long, chunk_id long, group string, n_tokens long",
+        )
+        got = sorted(
+            (r["block_id"], r["n_chunks"], r["total_tokens"])
+            for r in pack_chunks(chunks, "group", block_tokens=budget).collect()
+        )
+        want = [(i, n, t) for i, (n, t) in enumerate(reference_fold(sizes, budget))]
+        assert got == want, f"trial {trial}: budget={budget} sizes={sizes}"
