@@ -157,3 +157,65 @@ def test_connected_components_long_chain_converges_fast(spark):
     got = {r["id"]: r["component"]
            for r in connected_components(nodes, edges, max_iter=12).collect()}
     assert set(got.values()) == {0} and len(got) == n
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star must produce the identical clustering as
+    pointer-jumping label propagation on a mixed graph (chain, triangle,
+    isolated nodes) and on random graphs — same (id, component) rows."""
+    import random
+
+    from cdc_demo_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8)],
+        "id_a long, id_b long",
+    )
+    a = {(r["id"], r["component"]) for r in connected_components(nodes, edges).collect()}
+    b = {(r["id"], r["component"])
+         for r in connected_components_star(nodes, edges).collect()}
+    assert a == b
+
+    rng = random.Random(7)
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = {(r["id"], r["component"]) for r in connected_components(nodes, edges).collect()}
+    b = {(r["id"], r["component"])
+         for r in connected_components_star(nodes, edges).collect()}
+    assert a == b
+
+
+def test_star_cc_long_chain(spark):
+    """The adversarial 120-node path: star rounds are O(log^2 n)
+    worst-case — must converge inside a 25-round budget and label the
+    whole chain with its minimum."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(nodes, edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_star_cc_self_loops_and_duplicate_edges(spark):
+    """Self-loops and repeated/reversed edges must not break or inflate
+    the clustering."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 0), (1, 2), (2, 1), (1, 2), (3, 3)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(nodes, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}

@@ -97,3 +97,49 @@ def test_cluster_edges_never_cartesian(spark, sf_dir):
     join pipeline — no cartesian product anywhere in the plan."""
     q = QUERIES["q_dedup_clusters"](spark, sf_dir)
     assert_no_cartesian(q)
+
+
+def test_q18_semi_join_before_fact_joins(spark, sf_dir):
+    """Q18's IN-subquery must plan as aggregate→semi-join with partial
+    aggregation (the per-order sums combine map-side), and the 3-way
+    join must not degenerate to a cartesian."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_large_volume_customers"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
+    assert_no_cartesian(q)
+
+
+def test_q21_exists_pair_plans_as_semi_and_anti(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair with inequality correlation must
+    appear as one semi and one anti join over slim (orderkey, suppkey)
+    projections — scans must never read lineitem payload columns."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_sole_returning_suppliers"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert_no_cartesian(q)
+    for cols in scan_columns(q):
+        assert "l_extendedprice" not in cols and "l_quantity" not in cols
+
+
+def test_q8_market_share_broadcasts_dims(spark, sf_dir):
+    """The 7-table Q8 join must broadcast every dim (nation twice,
+    region-filtered nation set, supplier) — only the lineitem⋈orders⋈
+    customer spine may shuffle."""
+    q = QUERIES["q_nation_market_share"](spark, sf_dir)
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
+
+
+def test_q15_top_supplier_reuses_aggregate(spark, sf_dir):
+    """Q15 consumes the revenue view twice (max + equality filter); the
+    one-row max side must broadcast, never shuffle the view again for a
+    sort-merge."""
+    q = QUERIES["q_top_supplier"](spark, sf_dir)
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)

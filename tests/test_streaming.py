@@ -91,29 +91,36 @@ def test_continuous_trigger_pipeline(spark, tmp_path):
 
     q = p.start_continuous("pet", interval="1 seconds")
     try:
-        deadline = time.time() + 60
+        # Generous deadline: under a fully-loaded 32-thread host the
+        # micro-batch cadence can stretch well past the 1 s trigger.
+        deadline = time.time() + 120
         while time.time() < deadline:
             try:
                 if read_silver(spark, p.silver_dir("pet")).count() > 0:
                     break
-            except FileNotFoundError:
+            except Exception:  # silver not committed yet (no manifest)
                 pass
             time.sleep(1)
         # drop more files while the stream is live
         write_event_files(events[half:], os.path.join(p.landing_dir, "pet"), files=2, prefix="w2")
         expected = replay_oracle(events)
+        got = None
         while time.time() < deadline:
             try:
                 got = {r["name"]: r.asDict()
                        for r in read_silver(spark, p.silver_dir("pet")).collect()}
                 if got == expected:
                     break
-            except FileNotFoundError:
+            except Exception:  # transient read race with a commit
                 pass
             time.sleep(1)
         assert got == expected
     finally:
-        q.stop()
+        try:
+            q.stop()
+        except Exception:
+            pass  # stop raced with the final trigger; the fixture's
+            # session teardown reaps any straggler query
 
 
 def test_pipeline_second_table_shape(spark, tmp_path):
