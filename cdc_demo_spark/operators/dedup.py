@@ -364,3 +364,48 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_dista
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document overlap with a benchmark/eval set: (id, n_shingles,
+    n_hits, contamination) where contamination = fraction of the doc's
+    distinct k-gram shingles that also appear in ANY benchmark doc.
+    The training-data decontamination primitive: docs above a
+    contamination threshold are dropped (or quarantined) before
+    training so eval numbers stay honest.
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of docs, the corpus is billions), so its DISTINCT
+    shingle set is broadcast; corpus shingles stream past the hash map
+    and only (id, hit?) longs reach the per-doc aggregate — the corpus
+    text itself never shuffles. At 100 TB the only wide exchange is the
+    final groupBy(id), which partial-aggregates map-side."""
+    doc_sh = shingles(docs, id_col, text_col, k)
+    bench_sh = shingles(benchmark, id_col, text_col, k).select("shingle").distinct()
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh).withColumn("_hit", F.lit(1)), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_shingles",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("contamination"),
+    )

@@ -200,3 +200,60 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.groupBy(F.col("component").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
+
+
+@register(
+    "q_benchmark_contamination",
+    oracle="""
+WITH bench_docs AS (
+  SELECT * FROM documents WHERE doc_id % 50 = 0
+), corpus AS (
+  SELECT * FROM documents WHERE doc_id % 50 <> 0
+), btoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM bench_docs
+), bidx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM btoks WHERE len(t) >= 3
+), bench_sh AS (
+  SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle FROM bidx
+), ctoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+), cidx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM ctoks WHERE len(t) >= 3
+), corpus_sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle FROM cidx
+), per_doc AS (
+  SELECT c.doc_id,
+         count(*) AS n_shingles,
+         count(b.shingle) AS n_hits
+  FROM corpus_sh c LEFT JOIN bench_sh b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination
+FROM per_doc
+WHERE CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.05
+ORDER BY contamination DESC, doc_id ASC
+LIMIT 50
+""",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: every 50th document stands in for
+    a benchmark/eval set; corpus documents sharing >= 5% of their
+    distinct 3-gram shingles with ANY benchmark doc are flagged (the
+    real pipeline drops or quarantines them). The benchmark shingle set
+    broadcasts — corpus text never shuffles; see
+    operators/dedup.py::benchmark_contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        D.benchmark_contamination(corpus, bench, "doc_id", "text", k=3)
+        .filter(F.col("contamination") >= 0.05)
+        .select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_hits", "contamination"
+        )
+        .orderBy(F.desc("contamination"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -389,3 +389,58 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q_quality_filter",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_token_len,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id, lang, source, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       CASE WHEN n_tokens < 25 THEN 'too_short'
+            WHEN mean_token_len < 4.0 OR mean_token_len > 5.0 THEN 'token_len'
+            WHEN distinct_ratio < 0.35 THEN 'repetitive'
+            ELSE NULL END AS drop_reason,
+       (n_tokens >= 25 AND mean_token_len >= 4.0 AND mean_token_len <= 5.0
+        AND distinct_ratio >= 0.35) AS keep
+FROM f
+ORDER BY doc_id
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule cascade: compose per-doc quality features into
+    a keep/drop verdict with the FIRST failing rule as the reason —
+    the shippable form of a corpus quality filter (the features alone,
+    q_text_quality, are the diagnostics view). Pure codegen
+    projections; zero shuffle, trivially 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    mtl = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    reason = (
+        F.when(n_tokens < 25, "too_short")
+        .when((mtl < 4.0) | (mtl > 5.0), "token_len")
+        .when(dr < 0.35, "repetitive")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    keep = (n_tokens >= 25) & (mtl >= 4.0) & (mtl <= 5.0) & (dr >= 0.35)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        reason.alias("drop_reason"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")

@@ -219,3 +219,28 @@ def test_star_cc_self_loops_and_duplicate_edges(spark):
     got = {r["id"]: r["component"]
            for r in connected_components_star(nodes, edges).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_benchmark_contamination_counts(spark):
+    """Hand-checkable corpus: doc sharing one 3-gram with the benchmark
+    gets exactly that overlap; a fully-contained doc hits 100%."""
+    from cdc_demo_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )  # shingles: {a b c, b c d, c d e}
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),   # shingles: a b c | b c x | c x y | x y z -> 1/4 hit
+            (2, "b c d e"),       # shingles: b c d | c d e -> 2/2 hit
+            (3, "q r s t"),       # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_shingles"], r["n_hits"], r["contamination"])
+        for r in benchmark_contamination(docs, bench, "doc_id", "text", k=3).collect()
+    }
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (2, 0, 0.0)
