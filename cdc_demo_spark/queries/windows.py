@@ -142,3 +142,78 @@ def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "q_window_navigation",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS second_order,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family (B27 breadth): first/last/nth value and
+    cume_dist per customer order history. last/nth use the FULL frame
+    (the default frame stops at CURRENT ROW — the classic last_value
+    trap). The (orderdate, orderkey) ordering is unique per customer,
+    so every output is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q_range_frame_sum",
+    oracle="""
+SELECT event_id, user_id, epoch_s,
+       CAST(sum(CAST(value AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS hour_sum
+FROM (SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events) e
+ORDER BY event_id
+""",
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per-user trailing-hour
+    sum over event time — the only frame type the suite didn't yet
+    cover. RANGE semantics pull in ALL peers of the current ordering
+    value, so second-resolution ties agg identically in both engines;
+    the decimal cast makes the sliding sum order-independent (an
+    engine may recompute the frame or subtract-on-evict — fp doubles
+    would drift, decimals can't)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("epoch_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
+    ).orderBy("event_id")
