@@ -1,0 +1,203 @@
+"""Incremental MinHash-LSH near-duplicate index.
+
+One-shot corpus dedup (``minhash_near_duplicates``) re-shingles and
+re-pairs the WHOLE corpus every run — the right shape for a first build,
+the wrong one for operations: a 100 TB corpus grows by daily crawl
+deltas that are ~0.1% of its size, and re-clustering 100 TB to admit
+100 GB is a non-starter. This module persists the LSH state (band
+buckets + hashed shingles + set sizes) as parquet and lets each new
+batch probe ONLY the buckets it lands in:
+
+- probe cost ~ O(|batch| × bucket occupancy), independent of corpus
+  size except through bucket width;
+- the corpus-side tables are touched join-wise (the band/bucket join
+  keys drive which stored rows matter — at cluster scale you'd bucket
+  the stored table BY (band, bucket) so the probe co-locates without a
+  full shuffle; plain parquet keeps this demo filesystem-only);
+- verification reads shingles for candidate ids only (semi-join
+  reduction before the intersection count).
+
+Batches append under ``batch=<n>/`` subdirectories, so a crashed append
+is invisible to readers until its final ``_COMMITTED`` marker exists —
+same garbage-not-corruption contract as the CDC silver manifest
+(streaming/merge.py), in miniature.
+
+Parameters (k, num_hashes, bands, threshold) are frozen into
+``_meta.json`` at creation; probing with different parameters than the
+stored signatures would silently produce garbage, so mismatches raise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.dedup import (
+    hashed_shingles,
+    minhash_signatures,
+)
+
+
+class MinHashIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.5,
+        max_bucket: int = 200,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, "_meta.json")
+        meta = {
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "threshold": threshold,
+            "max_bucket": max_bucket,
+        }
+        if os.path.exists(meta_path):
+            stored = json.load(open(meta_path))
+            if stored != meta:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, probed with {meta}"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self.k, self.num_hashes, self.bands = k, num_hashes, bands
+        self.rows = num_hashes // bands
+        self.threshold, self.max_bucket = threshold, max_bucket
+
+    # -- storage ------------------------------------------------------
+
+    def _committed_batches(self, table: str) -> list[str]:
+        root = os.path.join(self.path, table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+        )
+
+    def _read(self, table: str, schema: str) -> DataFrame:
+        dirs = self._committed_batches(table)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
+
+    def _next_batch_id(self) -> int:
+        root = os.path.join(self.path, "buckets")
+        if not os.path.isdir(root):
+            return 0
+        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
+        return max(ids, default=-1) + 1
+
+    # -- the operator -------------------------------------------------
+
+    def _band_buckets(self, sigs: DataFrame) -> DataFrame:
+        entries = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * self.rows + 1, self.rows)
+                    ).alias("bucket"),
+                ),
+            )
+        )
+        return sigs.select("id", entries.alias("e")).select(
+            "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+        )
+
+    def append_batch(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Probe `docs` against the stored corpus AND each other, then
+        admit them to the index. Returns verified near-dup pairs
+        (id_a < id_b, jaccard) where at least one side is new. Ids must
+        be globally unique across all batches (caller's contract —
+        they're the dedup identity)."""
+        sh_new = hashed_shingles(docs, id_col, text_col, self.k).cache()
+        sigs = minhash_signatures(
+            docs, id_col, text_col, self.k, self.num_hashes, shingles_df=sh_new
+        )
+        new_buckets = self._band_buckets(sigs).cache()
+        old_buckets = self._read("buckets", "id long, band int, bucket long")
+
+        all_buckets = old_buckets.unionByName(new_buckets)
+        # skew guard over the COMBINED occupancy (a bucket that was fine
+        # at batch 0 can be degenerate by batch 40)
+        oversized = (
+            all_buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > self.max_bucket)
+            .select("band", "bucket")
+        )
+        probe = new_buckets.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+        build = all_buckets.join(
+            F.broadcast(oversized), ["band", "bucket"], "left_anti"
+        )
+        cands = (
+            probe.alias("a")
+            .join(
+                build.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .distinct()
+        )
+
+        sh_old = self._read("shingles", "id long, h64 long")
+        sh_all = sh_old.unionByName(sh_new)
+        sizes = sh_all.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = sh_all.alias("a"), sh_all.alias("b")
+        inter = (
+            cands.join(a, cands.id_a == F.col("a.id"))
+            .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.h64") == F.col("b.h64")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        pairs = (
+            inter.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        # materialize BEFORE admitting the batch, so the returned frame
+        # doesn't observe its own writes on re-evaluation
+        pairs = pairs.localCheckpoint(eager=True)
+
+        n = self._next_batch_id()
+        for table, df in (("buckets", new_buckets), ("shingles", sh_new)):
+            dst = os.path.join(self.path, table, f"batch={n}")
+            df.write.mode("overwrite").parquet(dst)
+            open(os.path.join(dst, "_COMMITTED"), "w").close()
+        sh_new.unpersist()
+        new_buckets.unpersist()
+        return pairs

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -257,3 +259,26 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("contamination"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register("q_incremental_minhash")  # no oracle: stateful multi-batch op
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: build a persisted MinHash-LSH index
+    from the first 60% of documents, then probe+admit the remaining 40%
+    as a second batch — the daily-crawl-delta shape. Returns the union
+    of both batches' verified near-dup pairs, which tests prove equals
+    the one-shot clustering (tests/test_incremental_dedup.py)."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="mh_index_")
+    try:
+        idx = MinHashIndex(spark, os.path.join(tmp, "idx"), k=3, threshold=0.12)
+        p1 = idx.append_batch(docs.filter(F.col("doc_id") % 5 < 3))
+        p2 = idx.append_batch(docs.filter(F.col("doc_id") % 5 >= 3))
+        return p1.unionByName(p2).orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

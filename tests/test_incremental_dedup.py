@@ -1,0 +1,73 @@
+"""Incremental MinHash index: two-batch probe+append must find exactly
+the pairs a one-shot corpus dedup finds, uncommitted batches must stay
+invisible, and parameter drift must refuse loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+from cdc_demo_spark.sources.tables import load_table
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter(F.col("doc_id") >= 300)
+
+    one_shot = minhash_near_duplicates(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+    )
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.12)
+    p1 = idx.append_batch(a)
+    p2 = idx.append_batch(b)
+
+    # batch-2 pairs must touch at least one batch-2 doc
+    assert all(x >= 300 or y >= 300 for x, y, _ in _pairs(p2))
+    assert _pairs(p1) | _pairs(p2) == _pairs(one_shot)
+
+
+def test_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.12)
+    idx.append_batch(docs)
+
+    # simulate a crashed append: parquet written, no _COMMITTED marker
+    orphan = tmp_path / "idx" / "buckets" / "batch=99"
+    docs.select(
+        F.col("doc_id").alias("id"), F.lit(0).alias("band"), F.lit(0).cast("long").alias("bucket")
+    ).write.parquet(str(orphan))
+    assert idx._committed_batches("buckets") == [
+        str(tmp_path / "idx" / "buckets" / "batch=0")
+    ]
+
+
+def test_parameter_drift_refuses(spark, tmp_path):
+    MinHashIndex(spark, str(tmp_path / "idx"), k=3, bands=16)
+    with pytest.raises(ValueError, match="built with"):
+        MinHashIndex(spark, str(tmp_path / "idx"), k=5, bands=16)
+    with pytest.raises(ValueError, match="built with"):
+        MinHashIndex(spark, str(tmp_path / "idx"), k=3, bands=8)
+
+
+def test_empty_index_first_batch_self_pairs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "w x y z a b c d"),
+            (2, "w x y z a b c e"),  # near-dup of 1
+            (3, "p q r s t u v j"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.3)
+    got = _pairs(idx.append_batch(df))
+    assert {(x, y) for x, y, _ in got} == {(1, 2)}
