@@ -72,3 +72,63 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
 
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def zorder_value(cols: list[str], mins: dict[str, F.Column], spans: dict[str, F.Column], bits: int = 12) -> F.Column:
+    """Morton (Z-order) key: each column is min/max-normalized to a
+    `bits`-bit integer, then the columns' bits are interleaved. Equal
+    prefixes = nearby in EVERY dimension, so sorting by this key
+    clusters rows for multi-column range predicates at once. The bit
+    interleave is unrolled into codegen expressions at plan-build time
+    (like the SimHash bit votes) — zero Python at runtime."""
+    n = len(cols)
+    scaled = {}
+    for c in cols:
+        frac = (F.col(c).cast("double") - mins[c]) / spans[c]
+        q = F.least(
+            F.greatest((frac * ((1 << bits) - 1)).cast("long"), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        )
+        scaled[c] = q
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled[c], i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], target_files: int = 16, bits: int = 12
+) -> None:
+    """Write `df` as parquet clustered on the Z-order curve of `cols`,
+    so parquet min/max footer stats skip files for range predicates on
+    ANY of the clustered columns (a linear sort only skips on its
+    leading column). Layout: range-partition by z (contiguous curve
+    segments per file), sort within, one file per partition.
+
+    Scale: the min/max normalization needs one tiny agg over the input
+    (broadcast as literals into codegen); repartitionByRange samples
+    the z distribution — both are the standard OPTIMIZE ZORDER shape.
+    Min/max normalization assumes roughly bounded columns; heavily
+    skewed columns would want quantile boundaries instead (the curve
+    degrades gracefully — skipping gets worse, results stay right)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    mins = {c: F.lit(stats[f"_min_{c}"]) for c in cols}
+    spans = {
+        c: F.lit(max(stats[f"_max_{c}"] - stats[f"_min_{c}"], 1e-300)) for c in cols
+    }
+    z = zorder_value(cols, mins, spans, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -82,3 +82,49 @@ def test_write_sorted_gives_disjoint_row_group_stats(spark, sf_dir, tmp_path):
             if prev_max is not None:
                 assert st.min >= prev_max  # sorted => disjoint ranges
             prev_max = st.max
+
+
+def test_zorder_skips_files_on_secondary_column(spark, tmp_path):
+    """On a 2-D grid, a linear sort by x leaves y uncorrelated with file
+    boundaries: a y-range predicate overlaps (almost) every file's
+    min/max envelope. Z-order by (x, y) must shrink that to a strict
+    subset — the whole point of multi-dimensional clustering."""
+    from cdc_demo_spark.layout import write_zordered
+
+    n_side = 256  # 65k points on a 256x256 grid
+    df = (
+        spark.range(n_side * n_side)
+        .select(
+            (F.col("id") % n_side).cast("long").alias("x"),
+            (F.col("id") / n_side).cast("long").alias("y"),
+        )
+    )
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(df, zord, ["x", "y"], target_files=16)
+
+    def files_overlapping_y_range(path, lo, hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+        )
+        return per_file.filter((F.col("hi") >= lo) & (F.col("lo") <= hi)).count(), per_file.count()
+
+    lin_hit, lin_total = files_overlapping_y_range(linear, 10, 41)
+    z_hit, z_total = files_overlapping_y_range(zord, 10, 41)
+    assert lin_total >= 8 and z_total >= 8
+    assert lin_hit == lin_total  # linear layout can't skip on y
+    assert z_hit <= z_total // 2  # z-order skips at least half
+
+    # clustering must not change the data
+    assert spark.read.parquet(zord).count() == n_side * n_side
+    got = spark.read.parquet(zord).agg(F.sum("x"), F.sum("y")).collect()[0]
+    want = df.agg(F.sum("x"), F.sum("y")).collect()[0]
+    assert tuple(got) == tuple(want)
