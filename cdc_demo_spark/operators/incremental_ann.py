@@ -1,0 +1,212 @@
+"""Incremental IVF index for embedding similarity search.
+
+``ivf_topk`` trains centroids and buckets the corpus on every call —
+right for a one-shot query, wrong for operations: embeddings arrive in
+batches (each crawl/training-data refresh), and at 100 TB you train the
+bucketing function ONCE and freeze it as the table's physical layout.
+This module is that shape:
+
+- ``build``: Lloyd-refined centroids from the initial corpus, frozen to
+  parquet; vectors land partitioned by ``centroid_id=``.
+- ``append_batch``: new vectors are assigned to the FROZEN centroids
+  (no retrain — the layout is immutable, like a table's bucketing
+  spec) and appended under a committed ``batch=N`` dir.
+- ``topk``: probes the ``nprobe`` nearest buckets per query; the
+  ``centroid_id=`` partition dirs mean the scan PRUNES to the probed
+  buckets — the corpus outside them is never read.
+
+Centroid drift: if the data distribution shifts far from the frozen
+centroids, recall decays; the remedy is a rebuild (new index dir, swap
+pointers), not in-place retraining — retraining would silently strand
+already-bucketed vectors. ``centroid_drift`` measures it (mean cosine
+of a batch to its nearest centroid) so operators can alarm on decay.
+
+Same durability contract as the MinHash index: batches commit with a
+``_COMMITTED`` marker; readers ignore orphans from crashed appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.functions.vector import cosine
+from cdc_demo_spark.operators.similarity import (
+    assign_buckets,
+    choose_centroids,
+    refine_centroids,
+)
+
+
+class IvfIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_centroids: int = 16,
+        nprobe: int = 4,
+        refine_iters: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, "_meta.json")
+        meta = {"n_centroids": n_centroids, "nprobe": nprobe, "refine_iters": refine_iters}
+        if os.path.exists(meta_path):
+            stored = json.load(open(meta_path))
+            if stored != meta:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, opened with {meta}"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self.n_centroids, self.nprobe, self.refine_iters = (
+            n_centroids,
+            nprobe,
+            refine_iters,
+        )
+
+    # -- storage ------------------------------------------------------
+
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    def _committed_batches(self) -> list[str]:
+        root = os.path.join(self.path, "vectors")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+        )
+
+    def centroids(self) -> DataFrame:
+        if not os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} has no centroids; call build() first")
+        return self.spark.read.parquet(self._centroids_path)
+
+    def _vectors(self) -> DataFrame:
+        dirs = self._committed_batches()
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], "vec_id long, embedding array<float>, centroid_id long"
+            )
+        # basePath keeps the centroid_id= partition column visible while
+        # reading an explicit batch-dir subset
+        return (
+            self.spark.read.option("basePath", os.path.join(self.path, "vectors"))
+            .parquet(*dirs)
+            .select("vec_id", "embedding", F.col("centroid_id").cast("long").alias("centroid_id"))
+        )
+
+    def _next_batch_id(self) -> int:
+        root = os.path.join(self.path, "vectors")
+        if not os.path.isdir(root):
+            return 0
+        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
+        return max(ids, default=-1) + 1
+
+    def _write_batch(self, assigned: DataFrame) -> None:
+        n = self._next_batch_id()
+        dst = os.path.join(self.path, "vectors", f"batch={n}")
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dst)
+        open(os.path.join(dst, "_COMMITTED"), "w").close()
+
+    # -- the operator -------------------------------------------------
+
+    def build(
+        self, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> None:
+        """Train (seed-spread + Lloyd refine) and freeze the centroids,
+        then admit `corpus` as batch 0."""
+        if os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} is already built")
+        cents = choose_centroids(corpus, self.n_centroids, vec_col, id_col)
+        if self.refine_iters > 0:
+            cents = refine_centroids(
+                corpus, cents, iterations=self.refine_iters, vec_col=vec_col, id_col=id_col
+            )
+        cents.write.mode("overwrite").parquet(self._centroids_path)
+        self.append_batch(corpus, id_col, vec_col)
+
+    def append_batch(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> None:
+        """Assign `vectors` to the frozen centroids and commit them as a
+        new batch. Ids must be globally unique across batches."""
+        cents = self.centroids()
+        assigned = assign_buckets(
+            vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            cents,
+        )
+        self._write_batch(assigned)
+
+    def centroid_drift(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> float:
+        """Mean nearest-centroid cosine for a batch — the rebuild alarm.
+        Compare against the same number measured at build time; a drop
+        means the frozen layout no longer fits the data."""
+        cents = self.centroids()
+        scored = (
+            vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", cosine(F.col("embedding"), F.col("centroid_vec")).alias("c_sim"))
+            .groupBy("vec_id")
+            .agg(F.max("c_sim").alias("best"))
+            .agg(F.avg("best").alias("drift"))
+        )
+        return float(scored.collect()[0]["drift"])
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k over the probed buckets only. The probe set (query ×
+        nprobe centroid ids) is driver-collected — bounded by
+        |queries|·nprobe, and |queries| is small by contract (the large
+        side is the INDEX) — so the bucket filter is a STATIC partition
+        prune: unprobed centroid_id= dirs are never even listed."""
+        cents = self.centroids()
+        q_scored = queries.crossJoin(F.broadcast(cents)).select(
+            query_id,
+            query_vec,
+            "centroid_id",
+            cosine(F.col(query_vec), F.col("centroid_vec")).alias("c_sim"),
+        )
+        wq = Window.partitionBy(query_id).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        probes = (
+            q_scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= self.nprobe)
+            .select(query_id, query_vec, "centroid_id")
+        )
+        probed_ids = sorted(
+            {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+        )
+        vecs = self._vectors().filter(F.col("centroid_id").isin(probed_ids))
+        cand = vecs.join(F.broadcast(probes), "centroid_id").select(
+            query_id,
+            "vec_id",
+            cosine(F.col(query_vec), F.col("embedding")).alias("cos_sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                query_id,
+                "vec_id",
+                F.round("cos_sim", 6).alias("cos_sim"),
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
