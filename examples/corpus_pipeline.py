@@ -6,6 +6,7 @@ a 100 TB pretraining-data run executes, demonstrated at sf scale:
       1. quality gate      (token count, repetition ratio, stopword mix)
       2. exact dedup       (digest groupBy — min-id survivor)
       3. near-dup clusters (Jaccard pairs -> connected components)
+      3b. decontamination  (drop docs overlapping the held-out eval set)
       4. chunk             (64-token windows, stride 48)
       5. pack              (256-token training blocks per source shard)
       6. deterministic sample (md5-threshold, resumable on any cluster)
@@ -70,6 +71,20 @@ def main() -> None:
     )
     n3 = survivors.count()
 
+    # 3b. decontamination: every 50th doc stands in for the eval set;
+    # survivors sharing >=20% of their 3-gram shingles with it are
+    # quarantined (the eval docs themselves never enter the corpus)
+    from cdc_demo_spark.operators.dedup import benchmark_contamination
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    survivors = survivors.join(bench.select("doc_id"), "doc_id", "left_anti")
+    contam = benchmark_contamination(survivors, bench, "doc_id", "text", k=3)
+    clean_ids = contam.filter(F.col("contamination") < 0.2).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = survivors.join(clean_ids, "doc_id", "left_semi")
+    n3b = survivors.count()
+
     # 4-5. chunk + pack into training blocks
     chunks = chunk_documents(survivors, chunk_tokens=64, stride=48).join(
         survivors.select("doc_id", F.col("source").alias("group")), "doc_id"
@@ -89,8 +104,8 @@ def main() -> None:
     ).write.mode("overwrite").parquet(os.path.join(out, "blocks"))
     print(
         f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
-        f"near-dup survivors {n3} -> {n_blocks} blocks -> sampled {n_sampled} "
-        f"-> {out}/blocks"
+        f"near-dup survivors {n3} -> decontaminated {n3b} -> "
+        f"{n_blocks} blocks -> sampled {n_sampled} -> {out}/blocks"
     )
 
 
