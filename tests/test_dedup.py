@@ -244,3 +244,58 @@ def test_benchmark_contamination_counts(spark):
     assert got[1] == (4, 1, 0.25)
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (2, 0, 0.0)
+
+
+def test_cc_both_algorithms_match_union_find(spark):
+    """Property: on arbitrary random graphs, BOTH distributed CC
+    algorithms must equal a sequential union-find oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cdc_demo_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    @st.composite
+    def graphs(draw):
+        n = draw(st.integers(min_value=1, max_value=25))
+        m = draw(st.integers(min_value=0, max_value=40))
+        edges = [
+            (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+            for _ in range(m)
+        ]
+        return n, edges
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonical label = min node id in the component
+        return {x: find(x) for x in range(n)}
+
+    @given(graphs())
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(g):
+        n, edges = g
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        want = union_find(n, edges)
+        got_lp = {r["id"]: r["component"]
+                  for r in connected_components(nodes, edf).collect()}
+        got_st = {r["id"]: r["component"]
+                  for r in connected_components_star(nodes, edf).collect()}
+        assert got_lp == want
+        assert got_st == want
+
+    check()
