@@ -20,6 +20,7 @@ from cdc_demo_spark.queries import multimodal  # noqa: F401,E402
 from cdc_demo_spark.queries import setops_extra  # noqa: F401,E402
 from cdc_demo_spark.queries import reshaping  # noqa: F401,E402
 from cdc_demo_spark.queries import tpch_like  # noqa: F401,E402
+from cdc_demo_spark.queries import tpch_more  # noqa: F401,E402
 from cdc_demo_spark.queries import quality  # noqa: F401,E402
 
 # The driver's CORRECTNESS capture records only the FIRST 50 registered

@@ -143,3 +143,64 @@ def test_q15_top_supplier_reuses_aggregate(spark, sf_dir):
     q = QUERIES["q_top_supplier"](spark, sf_dir)
     assert has_broadcast_join(q)
     assert_no_cartesian(q)
+
+
+def test_q5_local_supplier_broadcasts_dims(spark, sf_dir):
+    """Q5's nation/region dims must broadcast; the cross-dimension
+    c_nationkey = s_nationkey correlation must plan as a join residual,
+    never a cartesian."""
+    q = QUERIES["q_local_supplier_volume"](spark, sf_dir)
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """The EXISTS with a non-equi date residual must stay a semi join
+    (each order emitted once) over slim projections."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_late_shipment_priority"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "LeftSemi" in plan
+    assert_no_cartesian(q)
+    for cols in scan_columns(q):
+        assert "l_extendedprice" not in cols
+
+
+def test_q2_min_cost_partial_aggregates(spark, sf_dir):
+    """Q2's correlated MIN decorrelates to a per-part partial min over
+    the already-aggregated offers — both aggregation levels must
+    partial-combine, and no join may go cartesian."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_min_cost_supplier"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "partial_min" in plan
+    assert "partial_sum" in plan
+    assert_no_cartesian(q)
+
+
+def test_q16_not_in_plans_as_broadcast_anti(spark, sf_dir):
+    """The NOT IN over complaint suppliers must plan as a broadcast
+    anti join (the bad-supplier set is tiny at every scale)."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_supplier_part_counts"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "LeftAnti" in plan
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
+
+
+def test_q20_nested_in_plans_as_semi_chain(spark, sf_dir):
+    """Q20's nested INs must become a chain of semi joins with the
+    (supplier, part) HAVING sums partial-aggregated; the red-part set
+    broadcasts into the lineitem scan side."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_excess_part_suppliers"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
+    assert has_broadcast_join(q)
+    assert_no_cartesian(q)
