@@ -22,6 +22,9 @@ from cdc_demo_spark.queries import reshaping  # noqa: F401,E402
 from cdc_demo_spark.queries import tpch_like  # noqa: F401,E402
 from cdc_demo_spark.queries import tpch_more  # noqa: F401,E402
 from cdc_demo_spark.queries import quality  # noqa: F401,E402
+from cdc_demo_spark.queries import corpusops  # noqa: F401,E402
+from cdc_demo_spark.queries import eventops  # noqa: F401,E402
+from cdc_demo_spark.queries import stats  # noqa: F401,E402
 
 # The driver's CORRECTNESS capture records only the FIRST 50 registered
 # queries (observed in round 1: rows 0-49 of registration order, the

@@ -1,0 +1,250 @@
+"""Training-corpus construction operators: deterministic sharding,
+mixture sampling, and token-budget accounting over the documents table.
+
+These are the last-mile steps of an LLM data pipeline — after cleaning
+and dedup, the corpus must be (a) shuffled and split into training
+shards, (b) re-weighted across sources to a target mixture, and
+(c) accounted against a token budget.  All three are built on the same
+engine-portable determinism primitive the stratified sampler
+(textops.py) uses: an md5-of-id threshold/bucket, which is reproducible
+across engines, runs, and cluster sizes — the property that makes a
+100 TB corpus build resumable and auditable (rand()/TABLESAMPLE are
+neither).  Everything here is pure codegen expressions: one scan, one
+partial-agg shuffle per query, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+
+@register(
+    "q_training_shards",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT substring(shuffle_key, 1, 1) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       arg_min(doc_id, shuffle_key) AS first_doc
+FROM keyed
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + 16-way sharding for training
+    order.  The shuffle key is md5(epoch-salt || doc_id): changing the
+    salt reshuffles every epoch, while a fixed salt gives the same
+    byte-identical shard layout on any cluster size.  The first hex
+    char is the shard (uniform because md5 is); within a shard, docs
+    train in shuffle_key order — first_doc is the head of that order.
+    At 100 TB this is exactly a repartition-by-range write: no
+    driver-side state, no rand() non-determinism to re-run from."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("shuffle_key"))
+        .groupBy(F.substring("shuffle_key", 1, 1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min_by("doc_id", "shuffle_key").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "q_mixture_sample",
+    oracle="""
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       min(doc_id) AS min_id
+FROM documents
+WHERE substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source
+        WHEN 'src0' THEN 'ffffffff'
+        WHEN 'src1' THEN 'cccccccc'
+        WHEN 'src2' THEN '80000000'
+        WHEN 'src3' THEN '40000000'
+        ELSE '19999999'
+      END
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture re-weighting: each source gets a target sampling
+    rate (src0 keep-all down to 10% for the long tail) and a document
+    survives iff its salted md5 falls under the source's hex threshold
+    (ff.. = 100%, cc.. = 80%, 80.. = 50%, 40.. = 25%, 19.. = 10%).
+    This is how a web-scale corpus is rebalanced toward curated
+    sources without materializing intermediate copies: the decision is
+    a per-row expression, so it composes with any downstream operator
+    in the same scan.  Deterministic across engines and re-runs; the
+    salt versions the mixture so two mixtures can coexist."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    threshold = (
+        F.when(F.col("source") == "src0", "ffffffff")
+        .when(F.col("source") == "src1", "cccccccc")
+        .when(F.col("source") == "src2", "80000000")
+        .when(F.col("source") == "src3", "40000000")
+        .otherwise("19999999")
+    )
+    return (
+        docs.filter(key < threshold)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_context_length_histogram",
+    oracle="""
+WITH toks AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT CASE WHEN n_tokens <= 32 THEN 32
+            WHEN n_tokens <= 64 THEN 64
+            WHEN n_tokens <= 128 THEN 128
+            WHEN n_tokens <= 256 THEN 256
+            WHEN n_tokens <= 512 THEN 512
+            ELSE 1024 END AS ctx_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM toks
+GROUP BY ctx_bucket
+ORDER BY ctx_bucket
+""",
+)
+def q_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning histogram: documents bucketed to the
+    power-of-two context window they would occupy.  Drives the packing
+    strategy (operators/packing.py) — the bucket distribution decides
+    block size and expected padding waste.  The CASE ladder is integer
+    compares in codegen; no floating log2 that could straddle bucket
+    edges differently across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket = (
+        F.when(n_tokens <= 32, 32)
+        .when(n_tokens <= 64, 64)
+        .when(n_tokens <= 128, 128)
+        .when(n_tokens <= 256, 256)
+        .when(n_tokens <= 512, 512)
+        .otherwise(1024)
+    )
+    return (
+        docs.select(bucket.alias("ctx_bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("ctx_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("ctx_bucket")
+    )
+
+
+@register(
+    "q_corpus_token_budget",
+    oracle="""
+WITH per_cell AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS cell_chars
+  FROM documents
+  GROUP BY lang, source
+),
+ranked AS (
+  SELECT lang, source, cell_chars,
+         CAST(sum(cell_chars) OVER (ORDER BY cell_chars DESC, lang, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars,
+         CAST(sum(cell_chars) OVER () AS BIGINT) AS total_chars
+  FROM per_cell
+)
+SELECT lang, source, cell_chars, cum_chars,
+       CAST(cum_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS cum_share
+FROM ranked
+ORDER BY cell_chars DESC, lang, source
+""",
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting: per (lang, source) cell sizes with the
+    running cumulative share when cells are taken biggest-first — the
+    curve a data curator reads to decide where the budget cutoff
+    lands.  Integer char counts keep the window sums exact; only the
+    final share division is floating point (identical one-step double
+    math on both engines).  The running-total window is a single
+    partition at cell granularity (lang × source, thousands of cells
+    at most), NOT at document granularity — the per-document work all
+    happens in the partial agg before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_cell = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("cell_chars")
+    )
+    order = [F.desc("cell_chars"), F.asc("lang"), F.asc("source")]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        per_cell.select(
+            "lang",
+            "source",
+            "cell_chars",
+            F.sum("cell_chars").over(w_cum).cast("long").alias("cum_chars"),
+            F.sum("cell_chars").over(w_all).cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "cell_chars",
+            "cum_chars",
+            (F.col("cum_chars").cast("double") / F.col("total_chars").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(*order)
+    )
+
+
+@register(
+    "q_context_windows",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(u // 32 AS BIGINT) AS win_id,
+       CAST(u AS BIGINT) AS start_tok,
+       CAST(len(toks[u + 1 : u + 64]) AS BIGINT) AS n_tok,
+       array_to_string(toks[u + 1 : u + 64], ' ') AS chunk
+FROM t, UNNEST(generate_series(0, len(toks) - 1, 32)) AS s(u)
+""",
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token context windows every 32 tokens — the
+    sliding-window expansion that turns documents into training
+    examples with cross-boundary context preserved.  Served by the
+    JVM array-algebra path (operators/udtfs.window_spans_df: sequence →
+    transform → explode, zero Python); the equivalent Python UDTF
+    (SlidingWindows, same module) is the registered lateral-generator
+    extension point and is property-tested equal.  No shuffle at all:
+    the expansion is a per-row flatMap in codegen."""
+    from cdc_demo_spark.operators.udtfs import window_spans_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return window_spans_df(docs, size=64, stride=32)

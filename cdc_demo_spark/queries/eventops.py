@@ -1,0 +1,192 @@
+"""Event-sequence analytics over the events table: batch
+sessionization and funnel conversion.
+
+The streaming side already has session windows (streamlike.py B43);
+these are the *batch* shapes a product-analytics user runs over the
+replicated events history — gap-based sessionization via window
+functions (lag → flag → running count, no session_window dependency)
+and an ordered signup→purchase funnel.  Both are pure window/agg
+compositions: per-user partitions shuffle once on user_id and
+everything downstream stays in that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+
+@register(
+    "q_user_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessioned AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a
+    session), the standard three-step window idiom: lag the timestamp,
+    flag gap-starts, running-sum the flags into a session number.
+    All three windows share one (user_id) partitioning, so the whole
+    query is ONE shuffle plus the final per-session aggregate that
+    reuses it.  The (ts, event_id) order key makes the result
+    deterministic under timestamp ties.  At 100 TB: sessions never
+    materialize per-event state beyond the sort — this scales exactly
+    as far as a sort-within-user does, and skewed power users are
+    bounded by per-user event counts, not corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(is_new).over(w_run).cast("long").alias("session_seq"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "q_signup_purchase_funnel",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT f.user_id, min(e.ts) AS purchase_ts
+  FROM first_signup f
+  JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.signup_ts
+  GROUP BY f.user_id
+)
+SELECT count(*) AS n_signup_users,
+       (SELECT count(*) FROM first_purchase) AS n_converted,
+       CAST((SELECT sum(date_diff('second', f.signup_ts, p.purchase_ts))
+             FROM first_signup f JOIN first_purchase p ON f.user_id = p.user_id)
+            AS BIGINT) AS total_lag_sec
+FROM first_signup
+""",
+)
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-step funnel: users who signed up, and of those, who
+    purchased AT OR AFTER their first signup (ordering is what makes a
+    funnel a funnel — a purchase before signup does not convert).
+    Plan: two partial-aggregated min-reductions on the same user_id
+    partitioning, one join, one global fold to three numbers.  The lag
+    total is integer seconds (exact); consumers derive avg/median
+    downstream.  At scale the events scan happens twice (two different
+    type filters push down) — cheaper than caching the whole table for
+    a one-row answer."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"), F.min("signup_ts").alias("signup_ts"))
+    )
+    lag_sec = F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+    converted = purchase.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum(lag_sec).cast("long").alias("total_lag_sec"),
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup_users"))
+        .join(F.broadcast(converted))
+        .select("n_signup_users", "n_converted", "total_lag_sec")
+    )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate view (streaming/rollup.py)
+    driven through the batch surface: the events table arrives as three
+    micro-batches (split by event_id mod 3), each folded into the
+    rollup as a one-row-per-group partial; a compaction runs mid-stream
+    to prove readers can't tell.  The final read must equal the plain
+    GROUP BY over the whole table — which is exactly the oracle.  The
+    monoid trick (count + decimal sum partials) is what makes the
+    incremental path associative and replay-idempotent at any scale."""
+    import tempfile
+
+    from cdc_demo_spark.streaming.rollup import IncrementalRollup
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = IncrementalRollup(
+        spark,
+        tempfile.mkdtemp(prefix="rollup_q_"),
+        group_cols=["event_type"],
+        value_col="value",
+    )
+    for i in range(3):
+        roll.apply_batch(ev.filter(F.col("event_id") % 3 == i), batch_id=i)
+        if i == 1:
+            roll.compact()
+    return (
+        roll.read()
+        .select(
+            "event_type",
+            "cnt",
+            F.col("val_sum").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

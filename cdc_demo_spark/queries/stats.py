@@ -1,0 +1,122 @@
+"""Moment-based statistics (correlation, covariance, stddev) computed
+engine-exactly.
+
+Built-in ``corr``/``covar_samp``/``stddev`` stream doubles in partition
+order, so two engines (or two cluster sizes) produce last-ulp-different
+answers — fine for analysis, fatal for a value-hash differential check,
+and a real reproducibility smell at 100 TB where partitioning changes
+run-to-run.  The fix is the classic moment decomposition: accumulate
+n, Σx, Σy, Σxy, Σx², Σy² exactly, then evaluate the closed-form
+statistics in a fixed sequence of double operations (IEEE doubles make
+each op deterministic; only reassociation is not, and exact sums remove
+exactly that freedom).
+
+Exactness trick: casting ``price²`` to DECIMAL(38,6) is NOT portable —
+a double square can land exactly on a 6th-decimal rounding tie, where
+Spark rounds half-up and DuckDB half-even (observed: one microstep in
+Σy² at sf0.01).  So the moments are integer-scaled instead: quantity is
+integral and price has exactly two decimals, so x and y·100 are exact
+integers, every row-level product stays below 2⁵³ (exact in a double),
+and the DECIMAL(38,0) sums are tie-free by construction.  Correlation
+is scale-invariant; covariance just divides by 100 once at the end.
+One partial-agg pass, same cost as the built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+DEC0 = "decimal(38,0)"
+
+
+@register(
+    "q_moment_stats",
+    oracle="""
+WITH scaled AS (
+  SELECT l_returnflag,
+         l_quantity AS x,
+         round(l_extendedprice * 100) AS y
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM scaled GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+         AS corr_qty_price,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS covar_qty_price,
+       sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty
+FROM moments
+ORDER BY l_returnflag
+""",
+)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance and sample stddev of
+    (quantity, price) per return flag, via exact integer-scaled moment
+    sums (module docstring has the portability analysis).  The final
+    expressions mirror the oracle token-for-token so every double op
+    happens in the same order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.round(F.col("l_extendedprice") * 100)
+    m = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(DEC0)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(DEC0)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(DEC0)).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(DEC0)).cast("double").alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(DEC0)).cast("double").alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    vxy = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vxx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (vxy / F.sqrt(vxx * vyy)).alias("corr_qty_price"),
+        (vxy / (nd * (nd - F.lit(1.0))) / F.lit(100.0)).alias("covar_qty_price"),
+        F.sqrt(vxx / (nd * (nd - F.lit(1.0)))).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register("q_hll_mergeable_rollup")  # no oracle: sketch bytes are engine-specific
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via Apache DataSketches HLL
+    (B23 extension): per-event-type user sketches, re-aggregated to a
+    global estimate by UNIONING THE SKETCHES — no second scan of the
+    fact table.  This is the pattern that makes 100 TB rollup cubes
+    cheap: materialize sketch columns at the finest grain once, and
+    every coarser grain (daily→monthly, type→all) is a tiny
+    sketch-merge, not a rescan.  approx_count_distinct can't do this —
+    its HLL state is not exposed; hll_sketch_agg's is a column.
+    Accuracy and union-consistency are pytest-asserted
+    (tests/test_queries.py); the driver records rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_type = sk.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    overall = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("scope"), F.hll_sketch_estimate("u").alias("est_users")
+    )
+    return per_type.unionByName(overall).orderBy("scope")

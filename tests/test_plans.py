@@ -204,3 +204,19 @@ def test_q20_nested_in_plans_as_semi_chain(spark, sf_dir):
     assert "partial_sum" in plan
     assert has_broadcast_join(q)
     assert_no_cartesian(q)
+
+
+def test_sessionization_reuses_user_partitioning(spark, sf_dir):
+    """Sessionization must be one user_id exchange (shared by the lag/
+    running-sum windows AND the per-session aggregate, whose keys are a
+    superset of the partitioning) plus only the final presentation
+    sort — never a third shuffle for the aggregate."""
+    q = QUERIES["q_user_sessions"](spark, sf_dir)
+    assert shuffle_count(q) <= 2
+
+
+def test_token_budget_windows_after_aggregate(spark, sf_dir):
+    """The running-share window must run over per-cell aggregates (one
+    tiny single-partition window), not per-document rows."""
+    q = QUERIES["q_corpus_token_budget"](spark, sf_dir)
+    assert shuffle_count(q) <= 2
