@@ -248,3 +248,21 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return window_spans_df(docs, size=64, stride=32)
+
+
+@register("q_weighted_sample")  # no oracle: ln() last-ulp varies across engines
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample: 100 documents drawn without
+    replacement with inclusion odds racing on n_chars (longer docs more
+    likely), via deterministic A-ES (operators/sampling.py — the md5-u
+    variant that is reproducible across runs and cluster sizes).
+    Plans as TakeOrderedAndProject: per-partition top-k heaps, no
+    global sort.  Semantics are pytest-proven (tests/test_sampling.py);
+    the driver records rows-only because the ranking key passes through
+    ln()."""
+    from cdc_demo_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100, salt="corpus_v1").select(
+        "doc_id", "source", "lang", "n_chars"
+    )

@@ -282,3 +282,87 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return p1.unionByName(p2).orderBy("id_a", "id_b")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_allpairs_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.12
+""",
+)
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS threshold Jaccard join at t=0.12 via prefix filtering
+    (operators/dedup.allpairs_jaccard).  The oracle is the NAIVE
+    uncapped self-join — prefix filtering must reproduce it exactly,
+    which is precisely its claim over the df_cap variant
+    (q_ngram_jaccard_pairs): fan-out is bounded by ordering frequent
+    shingles out of the indexed prefixes, not by deleting them from
+    the universe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.allpairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.12)
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    oracle="""
+WITH blocked AS (
+  SELECT c_custkey, c_name, substring(c_name, 1, 15) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: edit-distance <= 1 name pairs with
+    prefix blocking.  The blocking key (first 15 chars) turns the
+    quadratic self-join into per-block joins — necessary-but-safe
+    here because edit distance 1 on these fixed-format names implies
+    a long shared prefix; general blocking uses multiple passes
+    (prefix, suffix, q-gram) unioned.  Levenshtein evaluates only
+    inside blocks, and both engines ship the same standard DP
+    definition, so the check is value-exact.  At 100 TB grain the same
+    plan holds: block key is the shuffle key, per-block fan-out is
+    bounded by block size, a skew guard on block cardinality slots in
+    exactly like the LSH max_bucket guard."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1)
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -190,3 +190,73 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_rate_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY event_type, hour
+),
+stats AS (
+  SELECT event_type, hour, cnt,
+         CAST(count(*) OVER w AS BIGINT) AS n_prev,
+         CAST(sum(cnt) OVER w AS BIGINT) AS s_prev,
+         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt,
+       (CAST(cnt AS DOUBLE) - CAST(s_prev AS DOUBLE) / CAST(n_prev AS DOUBLE))
+         / sqrt((CAST(n_prev AS DOUBLE) * CAST(ss_prev AS DOUBLE) - CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE))
+                / (CAST(n_prev AS DOUBLE) * (CAST(n_prev AS DOUBLE) - 1.0))) AS zscore
+FROM stats
+WHERE n_prev >= 12
+  AND (CAST(n_prev AS DOUBLE) * CAST(ss_prev AS DOUBLE) - CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)) > 0
+ORDER BY event_type, hour
+""",
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: each hour's event count scored
+    against the trailing 24 hours (excluding itself) as a z-score.
+    The trailing moments are integer window sums (exact on any
+    engine/partitioning — same portability argument as
+    queries/stats.py), and the z expression is a fixed sequence of
+    double ops, so the score is engine-reproducible.  Warm-up hours
+    (<12 prior buckets) and zero-variance windows are excluded rather
+    than scored against garbage.  The hourly pre-aggregation collapses
+    the fact table before any window runs: the window sees
+    (type × hours) rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prev"),
+        F.sum("cnt").over(w).cast("long").alias("s_prev"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss_prev"),
+    )
+    nd = F.col("n_prev").cast("double")
+    sd = F.col("s_prev").cast("double")
+    ssd = F.col("ss_prev").cast("double")
+    var_num = nd * ssd - sd * sd
+    z = (F.col("cnt").cast("double") - sd / nd) / F.sqrt(
+        var_num / (nd * (nd - F.lit(1.0)))
+    )
+    return (
+        stats.filter((F.col("n_prev") >= 12) & (var_num > 0))
+        .select("event_type", "hour", "cnt", z.alias("zscore"))
+        .orderBy("event_type", "hour")
+    )

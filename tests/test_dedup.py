@@ -299,3 +299,46 @@ def test_cc_both_algorithms_match_union_find(spark):
         assert got_st == want
 
     check()
+
+
+def test_allpairs_prefix_filtering_is_lossless_under_boilerplate(spark):
+    """Adversarial corpus: every doc shares one boilerplate phrase
+    (a universal shingle). df_cap handles this by DELETING the shingle
+    (scores change); prefix filtering must bound fan-out while
+    reproducing the naive uncapped result exactly — the universal
+    shingle sorts to the end of the canonical order and out of every
+    prefix."""
+    import cdc_demo_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        own = " ".join(f"w{i}_{j}" for j in range(10))
+        # overlapping vocab between consecutive docs for real near-dups
+        shared = " ".join(f"w{i + 1}_{j}" for j in range(5)) if i % 2 == 0 else ""
+        rows.append((i, f"{own} {shared} common boiler plate tail".strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.2
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=t, df_cap=None)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.allpairs_jaccard(docs, "doc_id", "text", k=3, threshold=t).collect()
+    }
+    assert fast == naive and fast
+
+    # df_cap=1 on the same corpus removes the universal shingles and
+    # (by design) changes the universe — different scores prove the
+    # two operators make different tradeoffs
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=t, df_cap=1)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert capped != naive

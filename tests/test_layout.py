@@ -128,3 +128,32 @@ def test_zorder_skips_files_on_secondary_column(spark, tmp_path):
     got = spark.read.parquet(zord).agg(F.sum("x"), F.sum("y")).collect()[0]
     want = df.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """DPP: joining a day-partitioned fact to a *filtered* dim must
+    inject a runtime partition filter on the fact scan (the partition
+    set is only known after the dim filter runs — static pruning can't
+    do this).  This is the mechanism that keeps star joins from
+    scanning all partitions at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.layout import write_partitioned_by_day
+    from cdc_demo_spark.sources.tables import load_table
+
+    fact_path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned_by_day(ev, fact_path, ts_col="ts")
+    fact = spark.read.parquet(fact_path)
+    # DPP's planner heuristic requires a *selective predicate* on the
+    # build side (a limit/distinct alone doesn't qualify)
+    dim = (
+        ev.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .filter(F.dayofmonth("event_date") <= 4)
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["_day"] == dim["event_date"]
+    ).groupBy("_day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -220,3 +220,22 @@ def test_token_budget_windows_after_aggregate(spark, sf_dir):
     tiny single-partition window), not per-document rows."""
     q = QUERIES["q_corpus_token_budget"](spark, sf_dir)
     assert shuffle_count(q) <= 2
+
+
+def test_weighted_sample_plans_as_topk(spark, sf_dir):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global sort of the corpus."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_weighted_sample"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(q)
+
+
+def test_rate_anomaly_windows_over_hourly_aggregate(spark, sf_dir):
+    """The trailing-24h window must run over hourly pre-aggregates:
+    partial aggregation collapses events before the window shuffle."""
+    from cdc_demo_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_rate_anomaly"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("partial_count")  # window above agg
