@@ -7,10 +7,13 @@ a 100 TB pretraining-data run executes, demonstrated at sf scale:
       2. exact dedup       (digest groupBy — min-id survivor)
       3. near-dup clusters (Jaccard pairs -> connected components)
       3b. decontamination  (drop docs overlapping the held-out eval set)
+      3c. weighted selection (A-ES race on n_chars — quality-weighted
+          corpus cap, deterministic across cluster sizes)
       4. chunk             (64-token windows, stride 48)
       5. pack              (256-token training blocks per source shard)
       6. deterministic sample (md5-threshold, resumable on any cluster)
-      7. write parquet + a one-line corpus report
+      6b. training shards  (md5 epoch-salted 16-way shard assignment)
+      7. write parquet partitioned by shard + a one-line corpus report
 
 Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -85,6 +88,16 @@ def main() -> None:
     survivors = survivors.join(clean_ids, "doc_id", "left_semi")
     n3b = survivors.count()
 
+    # 3c. quality-weighted corpus cap: keep 90%, racing on n_chars so
+    # longer documents win proportionally more often (deterministic
+    # A-ES — same survivors on any cluster size or rerun)
+    from cdc_demo_spark.operators.sampling import weighted_sample
+
+    survivors = weighted_sample(
+        survivors, "doc_id", "n_chars", k=max(1, int(n3b * 0.9)), salt="corpus_v1"
+    ).drop("_key")
+    n3c = survivors.count()
+
     # 4-5. chunk + pack into training blocks
     chunks = chunk_documents(survivors, chunk_tokens=64, stride=48).join(
         survivors.select("doc_id", F.col("source").alias("group")), "doc_id"
@@ -98,14 +111,22 @@ def main() -> None:
     )
     n_sampled = sampled.count()
 
-    # 7. write + report
-    sampled.withColumn(
+    # 6b-7. assign epoch-salted training shards, write partitioned by
+    # shard (each shard is one training-order slice; re-salt = reshuffle)
+    sharded = sampled.withColumn(
+        "shard",
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("epoch0"), "group", "block_id")), 1, 1
+        ),
+    )
+    sharded.withColumn(
         "doc_ids", F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string")))
-    ).write.mode("overwrite").parquet(os.path.join(out, "blocks"))
+    ).write.mode("overwrite").partitionBy("shard").parquet(os.path.join(out, "blocks"))
     print(
         f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
         f"near-dup survivors {n3} -> decontaminated {n3b} -> "
-        f"{n_blocks} blocks -> sampled {n_sampled} -> {out}/blocks"
+        f"weighted-cap {n3c} -> {n_blocks} blocks -> sampled {n_sampled} "
+        f"-> {out}/blocks (16-way sharded)"
     )
 
 
