@@ -174,3 +174,68 @@ def connected_components_star(
             F.coalesce("component", "u").alias("component"),
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """(id, rank) — PageRank over an undirected pair list (each pair
+    becomes two directed edges), the standard iterative-algorithm
+    shape on this engine: a driver-side FOR loop over a fixed
+    iteration count where each round is one join + one aggregate, with
+    lineage cut per round (localCheckpoint) so the plan stays flat.
+
+    Power iteration: rank <- (1-d)/N + d * Σ_in rank(src)/deg(src).
+    Dangling nodes (no out-edges — only possible here for isolated
+    nodes) keep the teleport mass.  Ranks are doubles and summation
+    order is partition-dependent, so results are reproducible only to
+    fp tolerance — callers wanting cross-engine determinism should
+    round; the pytest oracle replays the same iteration in plain
+    Python and compares to 1e-9 (tests/test_graph_pagerank.py).
+
+    At scale each round shuffles the edge list once on src (join) and
+    once on dst (aggregate) — O(iterations × |E|) total traffic, node
+    payloads never move.  Degree skew (a hub doc near-dup to
+    everything) fans its rank out in the join; AQE's skew splitting
+    applies because it IS a plain join."""
+    n_nodes = nodes.count()
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = sym.join(deg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select(
+        F.col(id_col).alias("nid"), (F.lit(1.0) / n_nodes).alias("rank")
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            out_edges.join(ranks, out_edges.src == ranks.nid)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("nid"))
+            .join(contrib, F.col("nid") == contrib.dst, "left")
+            .select(
+                "nid",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("nid").alias(id_col), "rank")

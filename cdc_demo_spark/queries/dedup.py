@@ -366,3 +366,26 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register("q_neardup_centrality")  # no oracle: fp summation order in ranks
+def q_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup pair graph (allpairs_jaccard
+    at t=0.12) — the centrality-based alternative to min-id survivor
+    selection: within a duplicate cluster the highest-rank document is
+    the most-connected (most canonical) copy, which is what you keep
+    when near-dups are partial containments rather than exact copies.
+    Iterative shape: driver FOR loop, one join + one agg per round,
+    lineage cut per round (operators/graph.pagerank).  Rows-only
+    (double summation order); the recurrence itself is replay-verified
+    in tests/test_graph_pagerank.py."""
+    from cdc_demo_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.allpairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.12)
+    ranks = pagerank(
+        docs.select("doc_id"), pairs, id_col="doc_id", iterations=10
+    )
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank")).orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    ).limit(50)
