@@ -266,3 +266,47 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", k=100, salt="corpus_v1").select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT concat_ws(' ', t[i], t[i+1]) AS pair
+  FROM toks, UNNEST(range(1, len(t))) AS s(i)
+  WHERE len(t) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE/WordPiece vocabulary training,
+    distributed: count every adjacent token pair occurrence across the
+    corpus and rank merge candidates.  (A full BPE trainer iterates
+    this — merge the top pair, re-tokenize, recount; each iteration is
+    exactly this query over the updated token stream.)  The pair
+    construction is array algebra inside codegen (transform over an
+    index sequence, then one explode); counts partial-aggregate
+    map-side, and the top-20 is TakeOrderedAndProject.  Occurrences
+    are counted, not distinct pairs per doc — that is what BPE
+    frequency means."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )

@@ -124,3 +124,27 @@ def test_rollup_sink_through_real_stream(spark, sf_dir, tmp_path):
     assert _got(roll) == _expected(ev.filter(F.col("event_id") % 2 == 0))
     run_wave(F.col("event_id") % 2 == 1, "w2")
     assert _got(roll) == _expected(ev)
+
+
+def test_concurrent_compaction_loses_loudly(spark, sf_dir, tmp_path):
+    """Two compactions racing on the same manifest version: the second
+    commit must raise ConcurrentCommitError (never silently discard the
+    first), and the committed state must stay correct."""
+    import pytest as _pytest
+
+    from cdc_demo_spark.streaming.merge import ConcurrentCommitError
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = IncrementalRollup(spark, str(tmp_path), ["event_type"], "value")
+    roll.apply_batch(ev, batch_id=0)
+    expected = _got(roll)
+
+    # writer A computes its compaction but stalls before commit;
+    # writer B compacts and commits first
+    manifest_before = roll._manifest()
+    roll.compact()  # writer B wins
+    stale = {"version": (manifest_before or {"version": 0}).get("version", 0),
+             "base": "base-stale", "merged_through": 0}
+    with _pytest.raises(ConcurrentCommitError):
+        roll._commit(stale)  # writer A's late commit must fail
+    assert _got(roll) == expected
