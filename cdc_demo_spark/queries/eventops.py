@@ -260,3 +260,47 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "cnt", z.alias("zscore"))
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+       count(*) AS n
+FROM events
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars (open/high/low/close per type per hour) — the
+    time-series downsampling shape, via ordered-argument aggregates:
+    open/close are min_by/max_by on a zero-padded sortable
+    (epoch-micros, event_id) string composite so timestamp ties
+    resolve deterministically on both engines (DuckDB's arg_min
+    cannot order by a struct).  One
+    partial-agg pass; no window, no sort of raw events — min_by
+    partial states merge associatively like any other aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
