@@ -310,3 +310,70 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "q_curriculum_buckets",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         1.0 - CAST(len(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                      i -> concat_ws(' ', t[i], t[i+1])))) AS DOUBLE)
+             / (len(t) - 1) AS rep
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
+),
+bucketed AS (
+  SELECT doc_id, n_chars, rep,
+         ntile(4) OVER (ORDER BY rep, doc_id) AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(rep AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_rep
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quartile-bucket the corpus by a quality
+    signal (repeated-bigram ratio — cleanest docs in bucket 1) so a
+    training schedule can feed buckets in order.  The score is a
+    single exact-integer division (deterministic double on both
+    engines) and the ntile orders on (score, doc_id) so bucket
+    boundaries cannot drift on ties.  Per-bucket mean score goes
+    through a decimal sum — order-independent — then one division.
+    The global ntile is a single-partition window over per-doc scalars
+    (500 rows per 500 docs — at 100 TB you'd ntile per shard or use
+    approx quantile cutpoints instead; this query pins the exact
+    semantics those approximations are judged against)."""
+    from cdc_demo_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    total = (F.size(toks) - 1).cast("long")
+    rep = F.lit(1.0) - F.size(shingle_array(F.col("text"), 2)).cast("double") / total
+    scored = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", "n_chars", rep.alias("rep")
+    )
+    bucketed = scored.select(
+        "doc_id",
+        "n_chars",
+        "rep",
+        F.ntile(4).over(Window.orderBy("rep", "doc_id")).cast("long").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.col("rep").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rep"),
+        )
+        .orderBy("bucket")
+    )

@@ -549,3 +549,43 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.subtract(supp)  # subtract == EXCEPT DISTINCT semantics
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-salted join (operators/skew.salted_join)
+    driven through the driver gate: orders (probe, the side that
+    skews when one customer is viral) salted across 8 sub-keys,
+    customer replicated 8×.  The oracle is the PLAIN join — salting
+    must be invisible in the result, which is exactly its contract.
+    In production this path is reserved for keys AQE's skew splitting
+    cannot fix (a single key too hot for one task); here it proves
+    the rewrite preserves semantics on a real join."""
+    from cdc_demo_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    joined = salted_join(orders, cust, on="custkey", salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
