@@ -150,3 +150,21 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_sq_sum",
         )
     )
+
+
+@register("q_pq_topk")  # no oracle: ADC scores are float sums of trained codebooks
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (operators/pq.py):
+    train deterministic codebooks (m=16 subspaces × 64 centroids),
+    encode the corpus to 16-byte codes, ADC-score a 50-deep shortlist
+    from codes alone, then exact-cosine re-rank only the shortlist.
+    Final top-10 recall vs brute force is pytest-asserted >= 0.9
+    (tests/test_pq.py); measured 0.97-1.0 on this corpus."""
+    from cdc_demo_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_codebooks(emb, m=16, ksub=64, sample=500)
+    codes = PQ.encode(emb, books)
+    return PQ.pq_topk_rerank(
+        codes, emb, _queries_df(emb), books, k=10, shortlist=50
+    )
