@@ -39,6 +39,11 @@ HEADLINE = [
     "q_cosine_topk",
     "q_minhash_near_dups",
     "q_text_quality",
+    # LLM-tier cost centers (added round 3 — the suite total grows by
+    # their honest cost; round-over-round comparison is per-query):
+    "q_allpairs_jaccard",
+    "q_dedup_clusters",
+    "q_pq_topk",
 ]
 
 

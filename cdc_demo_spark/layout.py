@@ -70,8 +70,16 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
     import os
     import shutil
 
-    shutil.rmtree(path)
+    # Crash-safe swap: rename the original aside BEFORE promoting the
+    # rewrite, so a crash at any point leaves a recoverable directory
+    # (either `path` or `path + ".old"`), matching the _COMMITTED/CAS
+    # discipline used by the silver merge.
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def zorder_value(cols: list[str], mins: dict[str, F.Column], spans: dict[str, F.Column], bits: int = 12) -> F.Column:

@@ -57,7 +57,12 @@ def shingle_array(text_col, k: int = 3) -> F.Column:
     pure codegen — no explode, no shuffle)."""
     toks = tokens(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # Docs shorter than k tokens emit NO shingles (not one truncated
+    # shingle): two short docs sharing a partial shingle would otherwise
+    # pair at jaccard 1.0 while the oracles exclude sub-k docs outright.
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.array_distinct(sh)
 
@@ -114,23 +119,27 @@ def jaccard_pairs(
     documents carries no near-dup signal (it IS boilerplate), which is
     why posting-list caps are standard in large-scale dedup. Pass
     ``df_cap=None`` for the uncapped exact semantics.
+
+    Shuffles carry 8-byte xxhash64 shingle hashes, never the shingle
+    strings (collision odds ~|shingles|²/2⁶⁵ — the ``hashed_shingles``
+    argument; the oracle gate is the backstop).
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = hashed_shingles(df, id_col, text_col, k)
     if df_cap is not None:
         # Ultra-frequent shingles are few by construction -> broadcast
         # anti-join, same shape as the LSH skew guard below.
         frequent = (
-            sh.groupBy("shingle")
+            sh.groupBy("h64")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > df_cap)
-            .select("shingle")
+            .select("h64")
         )
-        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(frequent), "h64", "left_anti")
     sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h64") == F.col("b.h64")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -441,23 +450,32 @@ def allpairs_jaccard(
     by ordering, not by deleting data.  Candidates are then verified
     exactly against the FULL shingle sets.
 
-    Scale: prefix index build is one shingle-keyed join (df lookup) +
-    one per-doc window; candidate generation joins prefix-to-prefix
-    (posting lists of rare shingles — short by construction);
-    verification is candidates × doc size.  No driver state, no caps,
-    no approximation.
+    Scale: every shuffle carries 8-byte xxhash64 shingle hashes, never
+    shingle strings (collisions perturb a count at ~|union|²/2⁶⁵ —
+    immeasurable next to float rounding, same argument as
+    ``hashed_shingles``; the external-oracle gate would catch one).
+    Prefix index build is one hash-keyed join (df lookup) + one per-doc
+    window; candidate generation joins prefix-to-prefix (posting lists
+    of rare shingles — short by construction); verification is a single
+    ``array_intersect`` per candidate against the per-doc hash arrays
+    (built per-row in codegen — the full posting lists are never
+    re-joined).  No driver state, no caps, no approximation.
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, k).cache()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
-    w_rank = Window.partitionBy("id").orderBy("sh_df", "shingle")
+    arr = F.array_distinct(
+        F.transform(shingle_array(F.col(text_col), k), lambda s: F.xxhash64(s))
+    )
+    docs = df.select(F.col(id_col).alias("id"), arr.alias("hs")).cache()
+    sh = docs.select("id", F.explode("hs").alias("h64"))
+    dfreq = sh.groupBy("h64").agg(F.count(F.lit(1)).alias("sh_df"))
+    w_rank = Window.partitionBy("id").orderBy("sh_df", "h64")
     w_n = Window.partitionBy("id")
     prefix = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "h64")
         .select(
             "id",
-            "shingle",
+            "h64",
             F.row_number().over(w_rank).alias("rn"),
             F.count(F.lit(1)).over(w_n).alias("n"),
         )
@@ -465,29 +483,28 @@ def allpairs_jaccard(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
         )
-        .select("id", "shingle")
+        .select("id", "h64")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h64") == F.col("b.h64")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("sa_id"), F.col("shingle").alias("sa_sh"))
-    sb = sh.select(F.col("id").alias("sb_id"), F.col("shingle").alias("sb_sh"))
-    inter = (
-        cand.join(sa, cand.id_a == sa.sa_id)
-        .join(sb, (F.col("id_b") == sb.sb_id) & (F.col("sa_sh") == sb.sb_sh))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    verified = (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("sz_a"),
+            F.size("hs_b").alias("sz_b"),
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .filter(jac >= F.lit(float(threshold)))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return verified.filter(jac >= F.lit(float(threshold))).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )

@@ -127,7 +127,18 @@ class MinHashIndex:
         admit them to the index. Returns verified near-dup pairs
         (id_a < id_b, jaccard) where at least one side is new. Ids must
         be globally unique across all batches (caller's contract —
-        they're the dedup identity)."""
+        they're the dedup identity).
+
+        Cap-crossing caveat: the ``max_bucket`` skew guard is evaluated
+        against COMBINED occupancy at probe time. Pairs admitted while a
+        (band, bucket) was under the cap are never retracted after later
+        batches push it over, whereas a one-shot run over the union
+        drops the whole bucket. Incremental == one-shot therefore holds
+        exactly only when no bucket crosses the cap between batches
+        (tests/test_incremental_dedup.py asserts this precondition on
+        its fixture); on a cap-crossing corpus the incremental result is
+        a superset restricted to early-admitted pairs — still verified
+        pairs, just not bit-identical to the one-shot pipeline."""
         sh_new = hashed_shingles(docs, id_col, text_col, self.k).cache()
         sigs = minhash_signatures(
             docs, id_col, text_col, self.k, self.num_hashes, shingles_df=sh_new

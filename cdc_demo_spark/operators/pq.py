@@ -67,6 +67,11 @@ def train_codebooks(
         .collect()
     )
     x = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    if len(x) < ksub:
+        raise ValueError(
+            f"PQ training needs >= ksub={ksub} sample vectors, got {len(x)} "
+            f"(corpus too small or sample= too low)"
+        )
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -78,12 +83,18 @@ def train_codebooks(
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            # Empty clusters re-seed on DISTINCT farthest points (rank
+            # order), not all on the same argmax — identical re-seeds
+            # would collapse back into duplicate centroids next round.
+            far_order = np.argsort(-d2.min(axis=1))
+            n_reseeded = 0
             for c in range(ksub):
                 member = xs[assign == c]
                 if len(member):
                     cents[c] = member.mean(axis=0)
-                else:  # re-seed empty cluster on the farthest point
-                    cents[c] = xs[d2.min(axis=1).argmax()]
+                else:
+                    cents[c] = xs[far_order[n_reseeded % len(far_order)]]
+                    n_reseeded += 1
         books[j] = cents
     return books
 

@@ -36,61 +36,66 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # oracle-backed queries absent from CORRECTNESS_r01 (verify these)
-    "q_text_normalize",
-    "q_asof_join",
-    "q_latest_event_per_user",
-    "q_multimodal_join",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_events_per_day_spine",
-    "q_value_histogram",
-    "q_grouped_median",
-    "q_except_all",
-    "q_intersect_all",
-    "q_grouping_sets",
-    "q_percentiles",
-    "q_pivot",
-    "q_unpivot",
-    "q_scalar_subquery",
-    "q_correlated_exists",
-    "q_shipping_priority",
-    "q_returned_items",
-    "q_data_quality",
-    "q_referential_integrity",
-    # round-1's one red row, now returning scalar-only columns — keep in
-    # the window so the fix shows up in CORRECTNESS_r02
-    "q_packed_blocks",
-    # round-2 session additions (new oracle-backed flagships)
-    "q_local_supplier_volume",
-    "q_late_shipment_priority",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_important_supplier_value",
-    "q_line_status_priority",
-    "q_supplier_part_counts",
-    "q_excess_part_suppliers",
-    "q_allpairs_jaccard",
-    "q_fuzzy_name_pairs",
-    "q_moment_stats",
-    "q_user_sessions",
-    "q_signup_purchase_funnel",
-    "q_incremental_rollup",
-    "q_rate_anomaly",
-    "q_training_shards",
-    "q_mixture_sample",
-    "q_context_windows",
-    "q_corpus_token_budget",
-    "q_context_length_histogram",
-    # round-1-green anchors (regression canaries for the core surface)
+    # The 26 oracle-backed queries never captured by a driver round (all
+    # locally oracle-exact at sf0.01; round 3 converts that into the
+    # hard driver signal).  After this round, union(r1,r2,r3) covers
+    # every oracle-backed query at least once.
+    "q_salted_skew_join",
+    "q_window_navigation",
+    "q_range_frame_sum",
+    "q_dedup_clusters",
+    "q_dedup_cluster_survivors",
+    "q_benchmark_contamination",
+    "q_embedding_quantize_int8",
+    "q_tfidf_top_terms",
+    "q_repetition_ratio",
+    "q_unigram_logprob",
+    "q_quality_filter",
+    "q_weekly_retention",
+    "q_order_count_distribution",
+    "q_promo_revenue",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_top_supplier",
+    "q_nation_volume_shipping",
+    "q_nation_market_share",
+    "q_sole_returning_suppliers",
+    "q_dormant_rich_customers",
+    "q_forecast_revenue",
+    "q_disjunctive_filters",
+    "q_bpe_merge_candidates",
+    "q_curriculum_buckets",
+    "q_ohlc_bars",
+    # round-3 session additions (new oracle-backed queries) slot here,
+    # displacing anchors below, so every new query gets a driver record
+    # in the round it lands.
+    # r1/r2-green anchors (regression canaries across the core surface);
+    # rows-only queries (q_packed_blocks et al.) stay out of the window
+    # — their slot can never go green.
     "q_revenue_by_nation",
     "q_pricing_summary",
+    "q_shipping_priority",
+    "q_returned_items",
     "q_filter_predicates",
     "q_outer_join",
     "q_latest_order_per_customer",
     "q_running_sum",
+    "q_asof_join",
+    "q_json_extract",
+    "q_cosine_topk",
+    "q_text_quality",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_allpairs_jaccard",
+    "q_user_sessions",
+    "q_moment_stats",
+    "q_grouped_median",
+    "q_multimodal_join",
     "q_date_functions",
+    "q_rollup",
+    "q_top_orders",
+    "q_semi_join",
+    "q_string_functions",
 ]
 
 

@@ -158,15 +158,17 @@ SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: Jaccard pairs (threshold 0.12,
     df_cap 50 — same edge set as q_ngram_jaccard_pairs) closed into
-    connected components via distributed min-label propagation; cluster
+    connected components via alternating large-star/small-star
+    contraction (Kiveris et al. SoCC'14 — the scale-safe default even
+    on adversarial long-chain graphs; see operators/graph.py); cluster
     id = min doc_id in the component, isolated docs are singletons.
     The DuckDB oracle re-derives components with a recursive
     transitive-closure CTE — an independent algorithm, same answer."""
-    from cdc_demo_spark.operators.graph import connected_components
+    from cdc_demo_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
-    comps = connected_components(
+    comps = connected_components_star(
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return comps.select("doc_id", F.col("component").alias("cluster_id"))
@@ -191,11 +193,11 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final output: one kept doc per near-dup
     cluster (the min id) + how many docs it absorbed. Feeding a corpus
     through this is the actual 'dedup the training set' operation."""
-    from cdc_demo_spark.operators.graph import connected_components
+    from cdc_demo_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
-    comps = connected_components(
+    comps = connected_components_star(
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return (

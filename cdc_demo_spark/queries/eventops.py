@@ -166,30 +166,36 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY over the whole table — which is exactly the oracle.  The
     monoid trick (count + decimal sum partials) is what makes the
     incremental path associative and replay-idempotent at any scale."""
+    import shutil
     import tempfile
 
     from cdc_demo_spark.streaming.rollup import IncrementalRollup
 
     ev = load_table(spark, sf_dir, "events")
-    roll = IncrementalRollup(
-        spark,
-        tempfile.mkdtemp(prefix="rollup_q_"),
-        group_cols=["event_type"],
-        value_col="value",
-    )
-    for i in range(3):
-        roll.apply_batch(ev.filter(F.col("event_id") % 3 == i), batch_id=i)
-        if i == 1:
-            roll.compact()
-    return (
-        roll.read()
-        .select(
-            "event_type",
-            "cnt",
-            F.col("val_sum").cast("double").alias("total_value"),
+    tmp = tempfile.mkdtemp(prefix="rollup_q_")
+    try:
+        roll = IncrementalRollup(
+            spark, tmp, group_cols=["event_type"], value_col="value"
         )
-        .orderBy("event_type")
-    )
+        for i in range(3):
+            roll.apply_batch(ev.filter(F.col("event_id") % 3 == i), batch_id=i)
+            if i == 1:
+                roll.compact()
+        out = (
+            roll.read()
+            .select(
+                "event_type",
+                "cnt",
+                F.col("val_sum").cast("double").alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        # materialize before the state dir disappears (same pattern as
+        # MinHashIndex.append_batch) — the returned frame must not
+        # depend on the deleted files
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -87,6 +87,31 @@ def _bucket_of(col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
+def silver_bucket_count(
+    expected_state_bytes: int,
+    target_bucket_bytes: int = 128 << 20,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+) -> int:
+    """Bootstrap-time bucket sizing policy for a silver table.
+
+    Merge cost is O(touched buckets): each micro-batch rewrites only the
+    bucket versions its keys hash into, so the bucket count must track
+    EXPECTED STATE SIZE, not a constant — with 8 buckets every batch of
+    a 1 TB table touches most of them and the rewrite amortization is
+    lost; with ~state/128 MB buckets a trickle batch rewrites a few
+    hundred MB no matter how big state grows. Power-of-two count for
+    stable pmod distribution; clamped so toy tables stay debuggable and
+    pathological inputs can't explode the manifest. num_buckets is
+    PINNED in the manifest at table creation (resharding = rewrite), so
+    size for the table's mature state, not its first batch."""
+    import math
+
+    need = max(1, math.ceil(expected_state_bytes / target_bucket_bytes))
+    n = 1 << (need - 1).bit_length()  # next power of two
+    return max(min_buckets, min(max_buckets, n))
+
+
 # --------------------------------------------------------------------------
 # Manifest handling (the table's "metadata layer")
 # --------------------------------------------------------------------------
@@ -179,14 +204,26 @@ def merge_into_silver(
     batch: DataFrame,
     silver_path: str,
     table: str,
-    num_buckets: int = 8,
+    num_buckets: int | None = None,
+    expected_state_bytes: int | None = None,
 ) -> None:
     """Merge one micro-batch of envelope rows for `table` into the
     versioned silver table at `silver_path` (see module docstring for
-    the layout and commit protocol)."""
+    the layout and commit protocol).
+
+    Bucket count resolution: the manifest's pinned count always wins;
+    on first merge (table creation) an explicit ``num_buckets`` is
+    used, else ``silver_bucket_count(expected_state_bytes)`` (the
+    ~128 MB/bucket policy), else the demo default of 8."""
     manifest = _load_manifest(silver_path)
     if manifest is not None:
         num_buckets = manifest["num_buckets"]  # pinned at table creation
+    elif num_buckets is None:
+        num_buckets = (
+            silver_bucket_count(expected_state_bytes)
+            if expected_state_bytes is not None
+            else 8
+        )
 
     batch = batch.filter(F.col("table") == table)
     # No separate latest_image pass: the merge window below applies the

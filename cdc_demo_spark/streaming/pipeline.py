@@ -51,12 +51,17 @@ class CdcPipeline:
         payloads: dict[str, StructType],
         fmt: str = "json",
         watermark: str = "10 minutes",
+        expected_state_bytes: int | dict[str, int] | None = None,
     ) -> None:
         self.spark = spark
         self.base = base_path
         self.payloads = payloads
         self.fmt = fmt
         self.watermark = watermark
+        # Bootstrap-time bucket sizing (SCALE.md): silver bucket count
+        # is pinned at table creation from expected mature state size
+        # (~128 MB/bucket target). int = every table, dict = per-table.
+        self.expected_state_bytes = expected_state_bytes
         # Widest envelope: per-table payload structs merged by name. With
         # heterogeneous tables you run one stream per table (same dirs
         # pattern); the tests exercise the per-table layout.
@@ -80,6 +85,11 @@ class CdcPipeline:
 
     def checkpoint_dir(self, name: str) -> str:
         return os.path.join(self.base, "checkpoints", name)
+
+
+    def _state_hint(self, table: str) -> int | None:
+        e = self.expected_state_bytes
+        return e.get(table) if isinstance(e, dict) else e
 
     # --- the stream -------------------------------------------------------
     def _source(self, table: str) -> DataFrame:
@@ -180,7 +190,10 @@ class CdcPipeline:
             # handled by the merge's (ts,seq) idempotency.
             good = good.dropDuplicates(["table", "key", "seq"])
             # Silver: latest-image merge (A12).
-            merge_into_silver(self.spark, good, self.silver_dir(table), table)
+            merge_into_silver(
+                self.spark, good, self.silver_dir(table), table,
+                expected_state_bytes=self._state_hint(table),
+            )
             batch.unpersist()
 
         q = (
@@ -201,7 +214,10 @@ class CdcPipeline:
                 os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
             )
             good = good.dropDuplicates(["table", "key", "seq"])
-            merge_into_silver(self.spark, good, self.silver_dir(table), table)
+            merge_into_silver(
+                self.spark, good, self.silver_dir(table), table,
+                expected_state_bytes=self._state_hint(table),
+            )
 
         return (
             src.writeStream.foreachBatch(process)

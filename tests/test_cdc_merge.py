@@ -162,6 +162,47 @@ def test_selective_merge_leaves_untouched_buckets_alone(spark, tmp_path):
     assert row[0]["owner"] == "late"
 
 
+def test_bucket_count_policy_from_state_size(spark, tmp_path):
+    """Bootstrap sizing (SCALE.md): num_buckets derives from expected
+    mature state size (~128 MB/bucket), is pinned in the manifest, and
+    a single-key batch on a 64-bucket table rewrites exactly 1/64 of
+    the bucket dirs (inode-checked) — merge cost tracks touched
+    buckets, not table size."""
+    import os
+
+    from cdc_demo_spark.streaming.merge import _load_manifest, silver_bucket_count
+
+    # the policy math itself
+    assert silver_bucket_count(8 << 30) == 64          # 8 GiB / 128 MiB
+    assert silver_bucket_count(1 << 20) == 8           # clamp up to min
+    assert silver_bucket_count(100 << 40) == 4096      # clamp down to max
+    assert silver_bucket_count(11 << 30) == 128        # next power of two
+
+    events = generate_events(n_keys=200, n_events=600, seed=33)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(
+        spark, envelope_df(spark, events), silver, "pet",
+        expected_state_bytes=8 << 30,
+    )
+    manifest = _load_manifest(silver)
+    assert manifest["num_buckets"] == 64
+
+    def version_of():
+        return dict(_load_manifest(silver)["buckets"])
+
+    before = version_of()
+    single = {"op": "u", "ts": "2030-01-01T00:00:00", "seq": 10_000, "table": "pet",
+              "key": "pet0", "before": None,
+              "after": {"name": "pet0", "owner": "late64", "species": "cat",
+                        "sex": "f", "birth": None, "death": None}}
+    merge_into_silver(spark, envelope_df(spark, [single]), silver, "pet")
+    after = version_of()
+    changed = {b for b in after if before.get(b) != after[b]}
+    assert len(changed) == 1, f"one-key batch rewrote buckets {changed}"
+    row = [r for r in read_silver(spark, silver).collect() if r["name"] == "pet0"]
+    assert row[0]["owner"] == "late64"
+
+
 def test_uncommitted_staging_is_invisible_to_readers(spark, tmp_path):
     """Crash-consistency: data staged (or even versioned) but NOT in the
     committed manifest must not affect reads — the manifest replace is

@@ -159,6 +159,23 @@ def test_connected_components_long_chain_converges_fast(spark):
     assert set(got.values()) == {0} and len(got) == n
 
 
+def test_star_cc_long_chain_iteration_bound(spark):
+    """The star-contraction CC (now the default for q_dedup_clusters)
+    must close a 120-node path (diameter 119) within a log-scale round
+    budget — the operator RAISES on budget exhaustion, so passing here
+    IS the iteration-bound assertion for adversarial chain graphs."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(nodes, edges, max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+
+
 def test_star_cc_matches_label_propagation(spark):
     """large-star/small-star must produce the identical clustering as
     pointer-jumping label propagation on a mixed graph (chain, triangle,

@@ -31,6 +31,27 @@ def test_incremental_equals_one_shot(spark, sf_dir, tmp_path):
     p1 = idx.append_batch(a)
     p2 = idx.append_batch(b)
 
+    # Precondition for exact equality (see append_batch docstring): no
+    # (band, bucket) may cross max_bucket between batches — pairs
+    # admitted under the cap are never retracted. Assert the fixture
+    # keeps every combined bucket under the cap so a future corpus
+    # change surfaces here, not as a mystery equality failure below.
+    from cdc_demo_spark.operators.dedup import minhash_signatures
+
+    combined = idx._band_buckets(
+        minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=idx.num_hashes)
+    )
+    max_occ = (
+        combined.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_occ <= idx.max_bucket, (
+        f"fixture now has a bucket at {max_occ} > cap {idx.max_bucket}; "
+        "incremental==one-shot no longer guaranteed (cap-crossing caveat)"
+    )
+
     # batch-2 pairs must touch at least one batch-2 doc
     assert all(x >= 300 or y >= 300 for x, y, _ in _pairs(p2))
     assert _pairs(p1) | _pairs(p2) == _pairs(one_shot)
