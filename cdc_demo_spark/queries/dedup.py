@@ -327,47 +327,30 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fuzzy_name_pairs",
     oracle="""
-WITH blocked AS (
-  SELECT c_custkey, c_name, substring(c_name, 1, 15) AS blk
-  FROM customer
-)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
-FROM blocked a
-JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+FROM customer a
+JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY id_a, id_b
 """,
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution shape: edit-distance <= 1 name pairs with
-    prefix blocking.  The blocking key (first 15 chars) turns the
-    quadratic self-join into per-block joins — necessary-but-safe
-    here because edit distance 1 on these fixed-format names implies
-    a long shared prefix; general blocking uses multiple passes
-    (prefix, suffix, q-gram) unioned.  Levenshtein evaluates only
-    inside blocks, and both engines ship the same standard DP
-    definition, so the check is value-exact.  At 100 TB grain the same
-    plan holds: block key is the shuffle key, per-block fan-out is
+    """Entity-resolution shape: edit-distance <= 1 name pairs via
+    LOSSLESS pigeonhole blocking (operators/fuzzy.edit1_pairs): union
+    of a prefix-8 and a suffix-8 pass — any single edit leaves one of
+    the two 8-char segments intact for names of length >= 16, so the
+    blocked join provably finds every pair.  The oracle is the NAIVE
+    UNBLOCKED quadratic join, so the driver's value-exact gate is
+    itself the losslessness proof (the old single prefix-15 block
+    missed pairs edited in the first 15 chars by construction).  At
+    100 TB grain: block key is the shuffle key, per-block fan-out is
     bounded by block size, a skew guard on block cardinality slots in
     exactly like the LSH max_bucket guard."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
-    )
-    a = cust.select(
-        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "blk"
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"), "blk"
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, ["blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 1)
-        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
-        .orderBy("id_a", "id_b")
-    )
+    from cdc_demo_spark.operators.fuzzy import edit1_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit1_pairs(cust, "c_custkey", "c_name", k=8).orderBy("id_a", "id_b")
 
 
 @register("q_neardup_centrality")  # no oracle: fp summation order in ranks

@@ -211,6 +211,94 @@ def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_packed_census",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         greatest(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1, 1) AS nc
+  FROM toks
+), idx AS (
+  SELECT doc_id, n, unnest(range(0, nc)) AS i FROM meta
+), chunks AS (
+  SELECT c.doc_id, c.i AS chunk_id,
+         CAST(least(c.n - c.i*48, 64) AS BIGINT) AS n_tokens,
+         d.source AS grp
+  FROM idx c JOIN documents d USING (doc_id)
+), ordered AS (
+  SELECT grp, doc_id, chunk_id, n_tokens,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS csum
+  FROM chunks
+  WINDOW w AS (PARTITION BY grp ORDER BY doc_id, chunk_id)
+), maxr AS (
+  SELECT grp, max(rn) AS n FROM ordered GROUP BY grp
+), blk(grp, block_id, start_rn, end_rn, base, end_csum) AS (
+  SELECT m.grp, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         greatest(CAST(1 AS BIGINT),
+                  (SELECT count(*) FROM ordered o2
+                   WHERE o2.grp = m.grp AND o2.csum <= 256)),
+         CAST(0 AS BIGINT),
+         (SELECT o3.csum FROM ordered o3
+          WHERE o3.grp = m.grp AND o3.rn =
+            greatest(CAST(1 AS BIGINT),
+                     (SELECT count(*) FROM ordered o2
+                      WHERE o2.grp = m.grp AND o2.csum <= 256)))
+  FROM maxr m
+  UNION ALL
+  SELECT b.grp, b.block_id + 1, b.end_rn + 1,
+         greatest(b.end_rn + 1,
+                  (SELECT count(*) FROM ordered o2
+                   WHERE o2.grp = b.grp AND o2.csum <= b.end_csum + 256)),
+         b.end_csum,
+         (SELECT o3.csum FROM ordered o3
+          WHERE o3.grp = b.grp AND o3.rn =
+            greatest(b.end_rn + 1,
+                     (SELECT count(*) FROM ordered o2
+                      WHERE o2.grp = b.grp AND o2.csum <= b.end_csum + 256)))
+  FROM blk b JOIN maxr m ON m.grp = b.grp
+  WHERE b.end_rn < m.n
+)
+SELECT b.grp, b.block_id,
+       b.end_rn - b.start_rn + 1 AS n_chunks,
+       b.end_csum - b.base AS total_tokens,
+       array_to_string(list_sort(list(DISTINCT o.doc_id)), ',') AS doc_ids_csv
+FROM blk b
+JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
+GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
+""",
+)
+def q_packed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pipeline's ORACLE-BACKED census: the same chunk ->
+    greedy-pack path as q_packed_blocks (operators/chunking.py ->
+    operators/packing.py), checked value-exact against a DuckDB twin
+    that replays the identical greedy fold as a recursive CTE over the
+    per-group token cumsum (deterministic (doc_id, chunk_id) order
+    makes the order-dependent fold SQL-expressible: each block's end is
+    'count of rows with csum <= base + budget', clamped to at least one
+    chunk — exactly pack_chunks' searchsorted). Every output column is
+    scalar so the driver's canonicalizer can hash it."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("grp")), "doc_id"
+    )
+    packed = pack_chunks(chunks, "grp", block_tokens=256)
+    return packed.select(
+        F.col("group").alias("grp"),
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids_csv"
+        ),
+    )
+
+
+@register(
     "q_stratified_sample",
     oracle="""
 SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id

@@ -359,3 +359,47 @@ def test_allpairs_prefix_filtering_is_lossless_under_boilerplate(spark):
         .collect()
     }
     assert capped != naive
+
+
+def test_edit1_pairs_lossless_on_adversarial_edits(spark):
+    """Pigeonhole blocking (prefix-8 ∪ suffix-8) must equal the
+    UNBLOCKED quadratic join on names edited at EVERY position —
+    including position 1, the case the old prefix-only block missed."""
+    from cdc_demo_spark.operators.fuzzy import edit1_pairs
+
+    base = "Customer#000000042"  # 18 chars, the reference name format
+    rows = [(0, base)]
+    nid = 1
+    for p in range(len(base)):  # one substitution at each position
+        rows.append((nid, base[:p] + "X" + base[p + 1 :])); nid += 1
+    # one deletion and one insertion at head, middle, tail
+    for p in (0, len(base) // 2, len(base) - 1):
+        rows.append((nid, base[:p] + base[p + 1 :])); nid += 1
+        rows.append((nid, base[:p] + "Z" + base[p:])); nid += 1
+    # distant decoys that must NOT pair with anything
+    rows += [(nid, "Supplier#000000001"), (nid + 1, "Totally Different")]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit1_pairs(df, "id", "name", k=8).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b, lev(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    assert got == want
+    # sanity: the suite includes pairs the prefix-only block would miss
+    assert any(na[0] != nb[0] for (a, na), (b, nb) in itertools.combinations(rows, 2)
+               if lev(na, nb) <= 1 for _ in [0])

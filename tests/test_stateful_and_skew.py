@@ -160,3 +160,45 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Pin AQE's skew-join handling so the session configs can't
+    silently regress: on an 80%-hot-key sort-merge join with the skew
+    thresholds scaled to test size, the executed adaptive plan must
+    mark the join skew=true (AQE split the hot partition into parallel
+    subtasks). salted_join stays the explicit escape hatch for the
+    single-key-per-task case AQE cannot subdivide."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    tuned = {
+        # scale the 256MB-grade defaults down to the test's data size
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # force sort-merge (broadcast would hide the shuffle entirely)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        probe = spark.range(400_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        build = spark.range(2_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7).alias("dim"),
+        )
+        joined = probe.join(build, "k").groupBy("k").count()
+        assert joined.count() == 2_000  # materialize THIS queryExecution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
