@@ -168,7 +168,21 @@ def test_aqe_skew_join_split_fires(spark):
     thresholds scaled to test size, the executed adaptive plan must
     mark the join skew=true (AQE split the hot partition into parallel
     subtasks). salted_join stays the explicit escape hatch for the
-    single-key-per-task case AQE cannot subdivide."""
+    single-key-per-task case AQE cannot subdivide.
+
+    Two pitfalls this test encodes (both hit in round 3):
+
+    * The join output must NOT feed a hash-partitioned aggregation —
+      OptimizeSkewedJoin duplicates build-side partitions, which breaks
+      the join's output partitioning, so AQE skips the split whenever a
+      downstream operator requires hash distribution on the join key
+      (unless forceOptimizeSkewedJoin).  A bare join + collect keeps the
+      join a stage-final operator that AQE may split.
+    * Expected cardinality: probe keys are {0 for id%5!=0} ∪ {id for
+      multiples of 5}; build keys are 0..1999.  Matches: key 0 carries
+      320_000 + 1 rows, keys 5..1995 step 5 carry 1 row each (399) —
+      320_400 join rows over 400 distinct keys.
+    """
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
@@ -181,9 +195,8 @@ def test_aqe_skew_join_split_fires(spark):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {k: spark.conf.get(k, None) for k in tuned}
-    try:
-        for k, v in tuned.items():
-            spark.conf.set(k, v)
+
+    def run_join():
         probe = spark.range(400_000).select(
             F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
             F.col("id").alias("payload"),
@@ -192,11 +205,27 @@ def test_aqe_skew_join_split_fires(spark):
             F.col("id").alias("k"),
             (F.col("id") * 7).alias("dim"),
         )
-        joined = probe.join(build, "k").groupBy("k").count()
-        assert joined.count() == 2_000  # materialize THIS queryExecution
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # project to one tiny column so materializing the join's own
+        # queryExecution (collect) is cheap; the SMJ itself is unchanged
+        slim = probe.join(build, "k").select(F.lit(1).alias("one"))
+        n = len(slim.collect())
+        plan = slim._jdf.queryExecution().executedPlan().toString()
+        return n, plan
+
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        n, plan = run_join()
+        assert n == 320_400
         assert "skew=true" in plan, plan[:2000]
+        # negative control: the pin must discriminate — same join with
+        # the skew optimizer off must NOT carry the marker
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        n2, plan2 = run_join()
+        assert n2 == 320_400
+        assert "skew=true" not in plan2
     finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
