@@ -63,18 +63,31 @@ def write_sorted(
 
 def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
     """Rewrite a parquet dir into `target_files` files (streaming sinks
-    accumulate file-per-micro-batch; scans want fewer, bigger files)."""
+    accumulate file-per-micro-batch; scans want fewer, bigger files).
+
+    Concurrency contract: SINGLE WRITER, and readers must not race the
+    swap — between the two renames below there is an instant where
+    `path` does not exist (rename-aside is crash-RECOVERABLE, not
+    reader-ATOMIC).  Concurrent-reader deployments want the manifest
+    indirection the silver merge uses (immutable bucket versions + CAS
+    manifest) instead of a directory swap."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    # Auto-recover a crash inside a previous swap window: if the live
+    # dir is gone but the aside dir survives, restore it before doing
+    # anything else (no manual surgery required to resume).
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     df = spark.read.parquet(path)
     tmp = path + ".compact"
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    import os
-    import shutil
 
     # Crash-safe swap: rename the original aside BEFORE promoting the
     # rewrite, so a crash at any point leaves a recoverable directory
     # (either `path` or `path + ".old"`), matching the _COMMITTED/CAS
     # discipline used by the silver merge.
-    old = path + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

@@ -84,9 +84,14 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     only 8-byte longs cross the explode boundary and every downstream
     join/shuffle carries longs instead of ~50-byte strings (measured
     win on the MinHash verification joins). xxhash64 collisions at
-    corpus scale are ~|shingles|²/2⁶⁵ — negligible next to LSH's own
-    miss rate; use ``shingles`` (strings) where bit-exactness vs an
-    external oracle matters."""
+    corpus scale are ~|shingles|²/2⁶⁵.  POLICY (round 3+): hashes are
+    the shuffle currency on ALL shingle paths, including the
+    oracle-backed exact ones (jaccard_pairs, allpairs_jaccard) — the
+    collision odds are orders of magnitude below LSH's miss rate and
+    the driver's value-exact oracle gate is the standing backstop
+    (a collision would surface as a hash-mismatch row).  Use
+    ``shingles`` (strings) only where the shingle TEXT itself is the
+    output (e.g. BPE merge candidates, contamination reporting)."""
     arr = shingle_array(text_col, k)
     return df.select(
         F.col(id_col).alias("id"),

@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _min_len(df: DataFrame, name_col: str) -> int:
+    """Scalar min string length (bounded driver collect, one agg job).
+
+    Both blocking schemes below are lossless only above a length floor;
+    this makes misuse fail loudly (or auto-shrink) instead of silently
+    dropping pairs — the guard the round-3 ADVICE asked for."""
+    row = df.agg(F.min(F.length(F.col(name_col))).alias("m")).collect()[0]
+    if row["m"] is None:
+        raise ValueError(f"column {name_col!r} has no non-null strings")
+    return int(row["m"])
+
+
 def edit1_pairs(
     df: DataFrame,
     id_col: str,
@@ -36,12 +48,20 @@ def edit1_pairs(
     max_dist: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, edit_dist) for all pairs within ``max_dist`` edits
-    — lossless for ``max_dist=1`` when every string has len >= 2k
-    (shorter corpora: pick k <= min_len/2).
+    — lossless for ``max_dist=1``; requires every string to have
+    len >= 2k, enforced by auto-shrinking k to floor(min_len/2) (raises
+    if even k=1 cannot be honored, i.e. some string is shorter than 2).
 
     Two blocking passes (prefix-k, suffix-k) unioned before exact
     Levenshtein verification; pairs sharing both keys dedup on the id
     pair."""
+    lo = _min_len(df, name_col)
+    if lo < 2:
+        raise ValueError(
+            f"edit1_pairs needs min string length >= 2 (got {lo}); "
+            "block keys would degenerate — use a naive join for such data"
+        )
+    k = min(k, lo // 2)
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     passes = []
     for key in (
@@ -62,5 +82,106 @@ def edit1_pairs(
     dist = F.levenshtein("name_a", "name_b")
     return (
         cand.filter(dist <= max_dist)
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+    )
+
+
+def edit2_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    k: int = 6,
+    w: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, edit_dist) for all pairs within TWO edits —
+    PROVABLY lossless when every string has len >= 2k + w (enforced:
+    k then w auto-shrink to fit min_len; raises below the 2k+w >= 3
+    floor).  Three blocking passes, pigeonhole over <= 2 edits:
+
+      P-pass: first k chars equal.   Covers: every edit at position > k.
+      S-pass: last  k chars equal.   Covers: every edit at position
+              <= len-k (suffix compared as a string from the end, so
+              indel offset shifts cancel).
+      M-pass: the remaining case has >= 1 edit in the first k positions
+              AND >= 1 edit past len-k; with <= 2 edits total that is
+              EXACTLY one edit in each end region, so the middle run
+              s[k+1 .. k+w] (which ends at k+w <= len-k) is untouched
+              and appears verbatim in the partner string at offset
+              k+1+d where d in {-1, 0, +1} is the net indel shift of
+              the single front-region edit.  Index side emits the
+              offset-0 key; probe side emits offsets {-1, 0, +1}; the
+              equi-join catches every such pair in the (index=s,
+              probe=t) direction, and pairs are normalized to
+              id_a < id_b before dedup so direction does not matter.
+
+    Same scale shape as edit1_pairs: block key = shuffle key (three
+    slim passes), Levenshtein only inside blocks, dedup on the id
+    pair.  Exactness is driver-verified: q_fuzzy_name_pairs_d2's
+    oracle is the naive unblocked quadratic join."""
+    lo = _min_len(df, name_col)
+    k = max(1, min(k, (lo - 1) // 2))
+    w = min(w, lo - 2 * k)
+    if w < 1:
+        raise ValueError(
+            f"edit2_pairs needs min string length >= 3 (got {lo}); "
+            "3-segment blocking degenerates — use a naive join for such data"
+        )
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+
+    def sym_pass(key) -> DataFrame:
+        # symmetric block key: each unordered pair meets once (ia < ib)
+        blocked = base.withColumn("blk", key)
+        a = blocked.select(
+            F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk"
+        )
+        b = blocked.select(
+            F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk"
+        )
+        return (
+            a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        )
+
+    passes = [
+        sym_pass(F.substring("name", 1, k)),
+        sym_pass(F.substring(F.col("name"), -k, k)),
+    ]
+    # M-pass: asymmetric — index at offset 0, probe at offsets -1/0/+1.
+    # A pair's untouched middle matches in the (index=s, probe=t)
+    # direction only, so normalize ids with least/greatest afterwards.
+    index = base.select(
+        F.col("id").alias("ia"),
+        F.col("name").alias("na"),
+        F.substring("name", k + 1, w).alias("blk"),
+    )
+    probe = base.select(
+        F.col("id").alias("ib"),
+        F.col("name").alias("nb"),
+        F.array(
+            *[F.substring("name", k + 1 + o, w) for o in (-1, 0, 1)]
+        ).alias("keys"),
+    ).select("ib", "nb", F.explode("keys").alias("blk"))
+    mids = (
+        index.join(probe, "blk")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.when(F.col("ia") < F.col("ib"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .alias("name_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .alias("name_b"),
+        )
+    )
+    passes.append(mids)
+
+    cand = passes[0]
+    for p in passes[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= 2)
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
     )

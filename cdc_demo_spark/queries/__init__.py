@@ -36,42 +36,23 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # The 26 oracle-backed queries never captured by a driver round (all
-    # locally oracle-exact at sf0.01; round 3 converts that into the
-    # hard driver signal).  After this round, union(r1,r2,r3) covers
-    # every oracle-backed query at least once.
-    "q_salted_skew_join",
-    "q_window_navigation",
-    "q_range_frame_sum",
-    "q_dedup_clusters",
-    "q_dedup_cluster_survivors",
-    "q_benchmark_contamination",
-    "q_embedding_quantize_int8",
-    "q_tfidf_top_terms",
-    "q_repetition_ratio",
-    "q_unigram_logprob",
-    "q_quality_filter",
-    "q_weekly_retention",
-    "q_order_count_distribution",
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    "q_large_volume_customers",
-    "q_top_supplier",
-    "q_nation_volume_shipping",
-    "q_nation_market_share",
-    "q_sole_returning_suppliers",
-    "q_dormant_rich_customers",
-    "q_forecast_revenue",
-    "q_disjunctive_filters",
-    "q_bpe_merge_candidates",
-    "q_curriculum_buckets",
-    "q_ohlc_bars",
-    # round-3 session additions (new oracle-backed queries) slot here,
-    # displacing anchors below, so every new query gets a driver record
-    # in the round it lands.
-    # r1/r2-green anchors (regression canaries across the core surface);
+    # Round-4 window head: queries without a driver CORRECTNESS record
+    # yet — q_packed_census (added late in round 3, missed that window)
+    # plus every oracle-backed query NEW this round.  Policy: a new
+    # oracle query always enters this head the round it lands; r1-r3
+    # green rows keep their earlier records.  After this round,
+    # union(r1..r4) covers all oracle-backed queries.
+    "q_packed_census",
+    "q_fuzzy_name_pairs_d2",
+    # r1-r3-green anchors (regression canaries across the core surface);
     # rows-only queries (q_packed_blocks et al.) stay out of the window
     # — their slot can never go green.
+    "q_dedup_clusters",
+    "q_allpairs_jaccard",
+    "q_benchmark_contamination",
+    "q_tfidf_top_terms",
+    "q_curriculum_buckets",
+    "q_ohlc_bars",
     "q_revenue_by_nation",
     "q_pricing_summary",
     "q_shipping_priority",
@@ -86,7 +67,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_text_quality",
     "q_tumbling_window",
     "q_session_window",
-    "q_allpairs_jaccard",
     "q_user_sessions",
     "q_moment_stats",
     "q_grouped_median",
@@ -103,6 +83,8 @@ def _reorder_for_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW_FIRST if n not in QUERIES]
     if missing:
         raise RuntimeError(f"driver-window list references unknown queries: {missing}")
+    if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
+        raise RuntimeError("driver-window list contains duplicates")
     head = set(_DRIVER_WINDOW_FIRST)
     # tail keeps original registration order; within it, oracle-backed
     # queries precede rows-only ones (in case the real cap is > 50)

@@ -353,6 +353,36 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(cust, "c_custkey", "c_name", k=8).orderBy("id_a", "id_b")
 
 
+@register(
+    "q_fuzzy_name_pairs_d2",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a
+JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution at edit distance <= 2 via LOSSLESS 3-segment
+    pigeonhole blocking (operators/fuzzy.edit2_pairs): prefix-k +
+    suffix-k + a middle-window pass whose probe side emits offsets
+    {-1,0,+1} to absorb the indel shift a front-region edit induces.
+    Two edits cannot touch all three segments, so every qualifying
+    pair shares a block key — the oracle is the NAIVE UNBLOCKED
+    quadratic join, making the driver's value-exact gate the
+    losslessness proof (same shape as q_fuzzy_name_pairs at d=1).
+    At 100 TB grain the three passes are slim hash-key shuffles;
+    Levenshtein evaluates only inside blocks."""
+    from cdc_demo_spark.operators.fuzzy import edit2_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit2_pairs(cust, "c_custkey", "c_name", k=6, w=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register("q_neardup_centrality")  # no oracle: fp summation order in ranks
 def q_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact near-dup pair graph (allpairs_jaccard

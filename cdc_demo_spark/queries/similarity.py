@@ -11,11 +11,31 @@ from cdc_demo_spark.sources.tables import load_table
 
 QUERY_IDS = (0, 1, 2)
 
+# The GEMM top-k path collects the QUERY vectors driver-side (one numpy
+# matrix broadcast to every Arrow batch).  That is only sane while the
+# query set is tiny relative to the corpus; above this cap the right
+# tool is the distributed exact path (brute_force_topk) or IVF/PQ.
+ARROW_QUERY_CAP = 10_000
+
 
 def _queries_df(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+
+
+def collect_query_rows(queries: DataFrame, cap: int = ARROW_QUERY_CAP) -> list:
+    """Driver-side (query_id, vector) list for the GEMM kernel, with a
+    hard cap so the bounded collect stays bounded: one limit(cap+1)
+    job, raising (instead of OOMing the driver at scale) when the
+    query side exceeds ``cap``."""
+    rows = queries.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query side exceeds the driver-collect cap ({cap}); use the "
+            "distributed exact path (brute_force_topk) or IVF/PQ ANN instead"
+        )
+    return [(r[0], list(r[1])) for r in rows]
 
 
 @register(
@@ -80,7 +100,7 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the FAST path' exception: a dense linear-algebra kernel the JVM
     expression engine can't match."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrows = [(r["query_id"], list(r["query_vec"])) for r in _queries_df(emb).collect()]
+    qrows = collect_query_rows(_queries_df(emb))
     return S.brute_force_topk_arrow(emb, qrows, k=10)
 
 

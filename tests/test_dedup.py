@@ -403,3 +403,98 @@ def test_edit1_pairs_lossless_on_adversarial_edits(spark):
     # sanity: the suite includes pairs the prefix-only block would miss
     assert any(na[0] != nb[0] for (a, na), (b, nb) in itertools.combinations(rows, 2)
                if lev(na, nb) <= 1 for _ in [0])
+
+
+def _py_lev(a, b):
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+def test_edit2_pairs_lossless_on_adversarial_double_edits(spark):
+    """3-segment blocking must equal the UNBLOCKED quadratic join at
+    max_dist=2 on the hardest inputs: one edit in the first k chars AND
+    one in the last k chars (only the shifted middle window can catch
+    the pair), with every indel combination so the probe offsets
+    {-1,0,+1} are each exercised."""
+    import itertools
+
+    from cdc_demo_spark.operators.fuzzy import edit2_pairs
+
+    base = "Customer#000000042"  # 18 chars = 2k + w at k=w=6
+    last = len(base) - 1
+    rows = [(0, base)]
+    nid = 1
+    # double edits straddling the ends: sub/del/ins at front x back
+    front_edits = [
+        base[:1].replace(base[0], "X") + base[1:],   # sub at pos 0
+        base[1:],                                    # del at pos 0  (shift -1)
+        "Z" + base,                                  # ins at pos 0  (shift +1)
+        base[:4] + "Q" + base[5:],                   # sub at pos 4 (< k)
+    ]
+    for fe in front_edits:
+        l2 = len(fe) - 1
+        for be in (
+            fe[:l2] + "Y",          # sub at last pos
+            fe[:l2],                # del at last pos
+            fe + "W",               # ins at end
+        ):
+            rows.append((nid, be)); nid += 1
+    # single and double same-region edits for completeness
+    rows.append((nid, base[:8] + "XY" + base[10:])); nid += 1
+    rows.append((nid, "Supplier#000000042")); nid += 1  # distant decoy-ish
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit2_pairs(df, "id", "name", k=6, w=6).collect()
+    }
+    want = {
+        (a, b, _py_lev(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if _py_lev(na, nb) <= 2
+    }
+    assert got == want
+    # the suite genuinely exercises the M-pass: some qualifying pair
+    # differs in BOTH its first 6 and last 6 characters
+    assert any(
+        na[:6] != nb[:6] and na[-6:] != nb[-6:]
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if _py_lev(na, nb) <= 2
+    )
+
+
+def test_fuzzy_length_guards(spark):
+    """Blocking below the length floor must fail loudly (ADVICE r3),
+    and auto-shrink must keep losslessness for borderline lengths."""
+    import pytest as _pytest
+
+    from cdc_demo_spark.operators.fuzzy import edit1_pairs, edit2_pairs
+
+    tiny = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    with _pytest.raises(ValueError):
+        edit1_pairs(tiny, "id", "name", k=8).collect()
+    with _pytest.raises(ValueError):
+        edit2_pairs(tiny, "id", "name").collect()
+
+    # length-4 strings: k auto-shrinks (d1: k=2; d2: k=1, w=2) and the
+    # result still equals the naive join
+    import itertools
+
+    rows = [(1, "abcd"), (2, "abXd"), (3, "Xbcd"), (4, "abcX"),
+            (5, "wxyz"), (6, "abdc")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for fn, dmax in ((edit1_pairs, 1), (edit2_pairs, 2)):
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in fn(df, "id", "name", k=8).collect()
+        }
+        want = {
+            (a, b, _py_lev(na, nb))
+            for (a, na), (b, nb) in itertools.combinations(rows, 2)
+            if _py_lev(na, nb) <= dmax
+        }
+        assert got == want

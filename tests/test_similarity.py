@@ -143,3 +143,21 @@ def test_bucketed_near_dup_recall_vs_exact(spark, sf_dir):
     if exact:
         # refinement must not lose recall vs unrefined seeds
         assert len(got & exact) >= len(raw & exact)
+
+
+def test_arrow_query_collect_cap(spark):
+    """The GEMM path's driver-side query collect is hard-capped: over
+    the cap it must raise with a pointer to the distributed paths, not
+    attempt the collect (one limit(cap+1) job either way)."""
+    import pytest
+
+    from cdc_demo_spark.queries.similarity import collect_query_rows
+
+    q = spark.range(10).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("query_vec"),
+    )
+    rows = collect_query_rows(q, cap=10)
+    assert len(rows) == 10 and rows[0][1] == [1.0, 2.0]
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        collect_query_rows(q, cap=9)
