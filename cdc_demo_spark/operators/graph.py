@@ -124,6 +124,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(id, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -142,20 +143,36 @@ def connected_components_star(
 
     Convergence: a round that leaves the edge set unchanged (checked
     exactly with exceptAll on the slim pairs, not a hash heuristic)
-    means every component is a star rooted at its minimum."""
+    means every component is a star rooted at its minimum.
+
+    ``round_stats``, when a list is passed, receives the edge count
+    after each round — the observability hook for the 100 TB question
+    "is the working set actually contracting?".  The counts reuse the
+    convergence check's jobs (no extra action), are logged at INFO, and
+    are pinned by the dense-clique test in tests/test_dedup.py: a
+    clique collapses to its star in one round, so a quadratic edge set
+    must drop to (n-1) spokes immediately and never grow again."""
+    import logging
+
+    log = logging.getLogger(__name__)
     cur = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    prev_n = cur.count()
+    for rnd in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        same_size = nxt.count() == cur.count()
-        if same_size and nxt.exceptAll(cur).limit(1).count() == 0:
+        n = nxt.count()
+        log.info("cc_star round %d: %d -> %d edges", rnd, prev_n, n)
+        if round_stats is not None:
+            round_stats.append(n)
+        if n == prev_n and nxt.exceptAll(cur).limit(1).count() == 0:
             cur = nxt
             break
         cur = nxt
+        prev_n = n
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds; "

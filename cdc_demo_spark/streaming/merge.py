@@ -378,6 +378,32 @@ def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
     return state.filter(F.col("__op") != "d").select("__row.*")
 
 
+def lookup_silver_key(spark: SparkSession, silver_path: str, key: str) -> DataFrame:
+    """Point lookup: the latest live image of one key, opening ONLY the
+    bucket directory the key hashes into — 1/num_buckets of the table's
+    files regardless of table size (the read-path twin of the merge's
+    O(touched-buckets) write property; files-read asserted in
+    tests/test_cdc_merge.py).
+
+    The bucket id comes from a one-row Spark job so the hash is
+    BY CONSTRUCTION the same xxhash64/pmod the writer used — no
+    driver-side reimplementation to drift."""
+    manifest = _load_manifest(silver_path)
+    if manifest is None:
+        raise FileNotFoundError(silver_path)
+    n = manifest["num_buckets"]
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key)), F.lit(n)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    state = _read_state(spark, silver_path, manifest, buckets=[b])
+    if state is None:
+        return None
+    return (
+        state.filter((F.col("__key") == key) & (F.col("__op") != "d"))
+        .select("__row.*")
+    )
+
+
 def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> None:
     """GC tombstones older than the watermark: no event at-or-below the
     watermark can still arrive, so those deletes can be physically
