@@ -268,3 +268,104 @@ def pairwise_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def int8_quantized(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qv) with qv = symmetric int8 quantization of the embedding
+    (scale = 127/max|x| per vector, exactly the q_embedding_quantize_int8
+    construction: cast-to-double BEFORE any math, then round, so the
+    quantized integers are engine-portable). A zero vector quantizes to
+    NULLs and drops out of every downstream integer comparison."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, F.abs))
+    s = F.lit(127.0) / F.nullif(mx, F.lit(0.0))
+    qv = F.transform(x, lambda v: F.round(v * s).cast("long"))
+    return corpus.select(F.col(id_col).alias("id"), qv.alias("qv"))
+
+
+def int8_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+) -> DataFrame:
+    """(id_a, id_b) for every pair whose INT8-QUANTIZED cosine is
+    >= t_num/t_den (a positive rational) — decided in pure integer
+    arithmetic, so the pair set is bit-reproducible across engines:
+
+        cos(qa, qb) >= t  <=>  dot >= 0  AND  t_den² · dot² >= t_num² · |qa|²·|qb|²
+
+    (both sides exact int64: 64 dims × 127² keeps every term < 2^50).
+    Float cosine enters only once, at quantization — the same rounding
+    the int8 storage path already commits to.
+
+    Scale: this is the EXACT quadratic baseline (the honest cost of
+    all-pairs over dense vectors — prefix filters prune nothing when
+    every dimension is nonzero); at corpus scale you tile it as GEMM
+    or swap in the LSH/IVF candidate generators and keep this as the
+    verifier. semantic_dedup() takes the pair source as a parameter
+    for exactly that swap."""
+    q = int8_quantized(corpus, id_col, vec_col)
+    a = q.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    zero = F.lit(0).cast("long")
+    add = lambda acc, v: acc + v  # noqa: E731
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), zero, add)
+    na = F.aggregate(F.transform("qa", lambda x: x * x), zero, add)
+    nb = F.aggregate(F.transform("qb", lambda x: x * x), zero, add)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                F.lit(t_den * t_den) * F.col("dot") * F.col("dot")
+                >= F.lit(t_num * t_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 use
+    k-means cluster + intra-cluster cosine; here: threshold pair graph
+    + connected components, the same closure used for text near-dups):
+    (vec_id, cluster_id, n_members, keep) for every vector in a
+    semantic-duplicate cluster of >= 2 members; keep marks the min-id
+    survivor. Pass ``pairs`` to swap the exact quadratic pair source
+    for an ANN candidate generator at corpus scale (clusters then
+    depend on its recall; the default is exact)."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    if pairs is None:
+        pairs = int8_cosine_pairs(corpus, id_col, vec_col, t_num, t_den)
+    nodes = corpus.select(id_col)
+    cc = connected_components_star(nodes, pairs, id_col=id_col)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.join(sizes, "component")
+        .filter(F.col("n_members") >= 2)
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )

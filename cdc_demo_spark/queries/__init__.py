@@ -44,6 +44,7 @@ _DRIVER_WINDOW_FIRST = [
     # union(r1..r4) covers all oracle-backed queries.
     "q_packed_census",
     "q_fuzzy_name_pairs_d2",
+    "q_semantic_dedup_int8",
     # r1-r3-green anchors (regression canaries across the core surface);
     # rows-only queries (q_packed_blocks et al.) stay out of the window
     # — their slot can never go green.

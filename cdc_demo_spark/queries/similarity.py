@@ -172,6 +172,61 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_semantic_dedup_int8",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(
+           CAST(x AS DOUBLE) * (127.0 / nullif(
+             list_aggregate(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE))), 'max'), 0.0))
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                      z -> z[1] * z[2])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS nb
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+), pe AS (
+  SELECT id_a, id_b FROM p
+  WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pe
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pe
+), reach(s, d) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+), comp AS (
+  SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s
+), sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+)
+SELECT c.vec_id, c.cluster_id, sz.n_members, c.vec_id = c.cluster_id AS keep
+FROM comp c JOIN sz USING (cluster_id)
+WHERE sz.n_members >= 2
+""",
+)
+def q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding column, VALUE-EXACT end to
+    end (operators/similarity.semantic_dedup): int8-quantize each
+    vector (the committed storage rounding), decide cosine >= 2/5 in
+    pure int64 cross-multiplied arithmetic — no float compare to
+    drift between engines — then close the pair graph with
+    star-contraction CC and keep the min-id survivor per cluster.
+    The oracle replays quantization, integer threshold, and a
+    recursive-CTE transitive closure in DuckDB; this upgrades
+    embedding near-dedup from rows-only (q_embedding_near_dups, LSH
+    recall) to the hard driver signal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, t_num=2, t_den=5)
+
+
 @register("q_pq_topk")  # no oracle: ADC scores are float sums of trained codebooks
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (operators/pq.py):

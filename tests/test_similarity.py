@@ -161,3 +161,41 @@ def test_arrow_query_collect_cap(spark):
     assert len(rows) == 10 and rows[0][1] == [1.0, 2.0]
     with pytest.raises(ValueError, match="brute_force_topk"):
         collect_query_rows(q, cap=9)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Planted geometry: two exact-duplicate groups plus a slightly
+    jittered member must cluster together (cosine(v, v+eps) ~ 1 >= 0.4);
+    orthogonal vectors must not. keep marks exactly one min-id
+    survivor per cluster, and the pairs= override swaps the generator."""
+    from cdc_demo_spark.operators.similarity import (
+        int8_cosine_pairs,
+        semantic_dedup,
+    )
+
+    def basis(i, dim=8, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    rows = [
+        (0, basis(0)), (1, basis(0, scale=2.0)),          # colinear pair
+        (2, basis(1)), (3, basis(1)), (4, [0.0, 1.0, 0.05] + [0.0] * 5),
+        (5, basis(2)),                                    # singleton
+        (6, basis(3)),                                    # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["n_members"], r["keep"])
+        for r in semantic_dedup(df, t_num=2, t_den=5).collect()
+    }
+    assert got[0] == (0, 2, True) and got[1] == (0, 2, False)
+    assert got[2] == (2, 3, True)
+    assert got[3][0] == 2 and got[4][0] == 2
+    assert 5 not in got and 6 not in got  # singletons excluded
+    # survivors: exactly one keep per cluster
+    keeps = [v for v in got.values() if v[2]]
+    assert len(keeps) == len({v[0] for v in got.values()})
+    # pluggable pair source: an empty pair set yields no clusters
+    empty = int8_cosine_pairs(df).filter(F.lit(False))
+    assert semantic_dedup(df, pairs=empty).count() == 0
