@@ -33,6 +33,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Columnar batch reads for parquet.
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Runtime row-level filtering: a selective filter on one side of a
+    # shuffle join injects a bloom filter into the other side's scan
+    # (pinned by tests/test_plans.py; at 100 TB this is the difference
+    # between shuffling a fact table and shuffling the ~matching rows).
+    # Production gate: application-side scan must exceed
+    # applicationSideScanSizeThreshold (10 GB default) — tests lower it.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

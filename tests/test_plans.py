@@ -239,3 +239,42 @@ def test_rate_anomaly_windows_over_hourly_aggregate(spark, sf_dir):
     plan = physical_plan(QUERIES["q_rate_anomaly"](spark, sf_dir))
     assert "partial_count" in plan
     assert plan.index("Window") < plan.index("partial_count")  # window above agg
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Runtime row-level filtering (session pin): a selective dim-side
+    predicate on a shuffle join must inject a bloom filter into the
+    fact side's plan (`might_contain(scalarsubquery(..))`), so at scale
+    the fact table sheds non-matching rows BEFORE the shuffle. The
+    production gate is the 10 GB application-side threshold — lowered
+    here to test grain; negative control proves the conf discriminates."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+
+    def plan():
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return j._jdf.queryExecution().optimizedPlan().toString()
+
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        assert "might_contain" in plan()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert "might_contain" not in plan()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
