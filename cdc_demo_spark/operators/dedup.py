@@ -269,28 +269,43 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact-Jaccard verification at `threshold` (no false positives; the
-    miss rate follows the LSH S-curve, asserted in tests)."""
+    miss rate follows the LSH S-curve, asserted in tests).
+
+    Verification is a single ``array_intersect`` per candidate against
+    cached per-doc hash arrays — the same rewrite that took
+    allpairs_jaccard from 12.8s to 5.7s replaced the posting-list
+    double re-join + groupBy here (2.88s → measured below); the
+    exploded view feeds only the signature aggregate."""
     rows = num_hashes // bands
-    # One hashed-shingle scan feeds signatures, sizes AND verification:
-    # every downstream shuffle carries (id, h64) longs, never strings.
-    sh = hashed_shingles(df, id_col, text_col, k).cache()
+    # One hashed-shingle pass feeds signatures AND verification: docs
+    # carries the per-doc hash arrays (array_distinct kills the rare
+    # cross-shingle hash collision inside a doc), sh explodes it for the
+    # signature min-aggregate. Every shuffle carries longs, never text.
+    arr = F.array_distinct(
+        F.transform(shingle_array(F.col(text_col), k), lambda s: F.xxhash64(s))
+    )
+    docs = df.select(F.col(id_col).alias("id"), arr.alias("hs")).cache()
+    sh = docs.select("id", F.explode("hs").alias("h64"))
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
     # No broadcast hint on cands: forcing it serializes the whole LSH
     # stage before verification can start (measured slower); AQE converts
     # to broadcast at runtime when the pair set is actually small.
-    inter = (
-        cands.join(a, cands.id_a == F.col("a.id"))
-        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.h64") == F.col("b.h64")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    verified = (
+        cands.join(docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("sz_a"),
+            F.size("hs_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        verified.withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
