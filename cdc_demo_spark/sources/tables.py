@@ -10,8 +10,10 @@ Scale notes (100 TB design point):
 - Plain ``spark.read.parquet`` keeps predicate pushdown, column pruning
   and partition pruning available to Catalyst; we never materialize or
   cache eagerly here.
-- The only column rewritten at load time is ``events.ts`` (nanosecond
-  parquet timestamp → microsecond TimestampType).  That cast is a cheap
+- The only column rewritten at load time is ``events.ts``, canonicalized
+  to microsecond ``TimestampType`` from whatever the runtime's parquet
+  reader produced (int64 nanos on legacy 3.x confs, ``TIMESTAMP_NTZ`` on
+  Spark 4.x).  That cast is a cheap
   projection executed inside whole-stage codegen, not a UDF, so it does
   not break pushdown on the *other* columns.  Filters on ``ts`` itself
   are evaluated post-scan — acceptable because a production deployment
@@ -25,7 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 from cdc_demo_spark import schemas
 
@@ -37,12 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in schemas.TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TESTDATA)}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) scanned as raw int64 (spark.sql.legacy.parquet.
-        # nanosAsLong) → truncate to micros, matching DuckDB's ns→us cast.
-        # `div` = exact integer division; a float `/` would round (the
-        # 1.7e18 nanos exceed double's 53-bit mantissa → off-by-1µs).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Canonicalize ts to TimestampType regardless of what the runtime's
+        # parquet reader produced for the fixture's timestamp[us]
+        # (isAdjustedToUTC=false) column:
+        #   - Spark <=3.x with legacy nanosAsLong: raw int64 nanos →
+        #     truncate to micros (`div` = exact integer division; float `/`
+        #     would round — 1.7e18 ns exceeds double's 53-bit mantissa).
+        #   - Spark 4.x: TIMESTAMP_NTZ → cast to TIMESTAMP. Under the
+        #     pinned UTC session zone this relabels the same micros value,
+        #     giving instants identical to the DuckDB oracle's.
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(dt, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
