@@ -14,7 +14,8 @@ minimal, spec-conformant implementation of the PUBLIC Avro 1.11 spec
   float/double, length-prefixed bytes/string, records as concatenated
   fields, unions as (branch index, value), arrays/maps as blocks.
 - codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951).
-- logical types: timestamp-micros (long), date (int).
+- logical types: timestamp-micros (long), local-timestamp-micros
+  (long, for TIMESTAMP_NTZ), date (int).
 
 Only what the CDC envelope needs is implemented (no enum/fixed,
 map keys are strings per spec); unsupported schema nodes raise.
@@ -102,7 +103,9 @@ def encode(buf: io.BytesIO, schema, value) -> None:
         buf.write(b"\x01" if value else b"\x00")
     elif t in ("int", "long"):
         lt = schema.get("logicalType")
-        if lt == "timestamp-micros" and not isinstance(value, int):
+        if lt in ("timestamp-micros", "local-timestamp-micros") and not isinstance(
+            value, int
+        ):
             value = int(value.timestamp() * 1_000_000) if value.tzinfo else (
                 int((value - _EPOCH_NAIVE).total_seconds() * 1_000_000)
             )
@@ -156,7 +159,7 @@ def decode(buf, schema):
     if t in ("int", "long"):
         n = read_long(buf)
         lt = schema.get("logicalType")
-        if lt == "timestamp-micros":
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
             return _EPOCH_NAIVE + _timedelta(microseconds=n)
         if lt == "date":
             return _EPOCH_DATE + _timedelta(days=n)
@@ -317,6 +320,11 @@ def avro_schema_of(struct, name: str = "topLevelRecord") -> dict:
             return simple
         if isinstance(dt, T.TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            # Avro 1.10+ local-timestamp-micros: wall-clock micros with no
+            # zone, the exact semantics of Spark's TIMESTAMP_NTZ (the r4
+            # bench crashed here: NotImplementedError on an NTZ envelope).
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
         raise NotImplementedError(f"no avro mapping for {dt.simpleString()}")
@@ -346,6 +354,8 @@ def spark_schema_of(avro: dict):
         lt = node.get("logicalType")
         if lt == "timestamp-micros":
             return T.TimestampType(), False
+        if lt == "local-timestamp-micros":
+            return T.TimestampNTZType(), False
         if lt == "date":
             return T.DateType(), False
         if t == "record":

@@ -85,6 +85,37 @@ def test_schema_translation_roundtrip():
     assert back == st
 
 
+def test_ntz_schema_and_value_roundtrip(spark, tmp_path):
+    """TIMESTAMP_NTZ <-> local-timestamp-micros, both schema and values
+    (the r4 bench crashed on the missing mapping: NTZ envelope ->
+    NotImplementedError before a single timing printed)."""
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampNTZType,
+    )
+
+    st = StructType([
+        StructField("id", LongType(), False),
+        StructField("ts", TimestampNTZType(), True),
+    ])
+    avro = AC.avro_schema_of(st)
+    (ts_field,) = [f for f in avro["fields"] if f["name"] == "ts"]
+    assert ts_field["type"][1]["logicalType"] == "local-timestamp-micros"
+    assert AC.spark_schema_of(avro) == st
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (
+            F.to_timestamp(F.lit("2001-06-01 12:34:56.789")).cast("timestamp_ntz")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+    )
+    path = str(tmp_path / "avro_ntz")
+    write_avro(df.repartition(2), path, mode="overwrite")
+    back = read_avro(spark, path)
+    assert isinstance(back.schema["ts"].dataType, type(st["ts"].dataType))
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+
 def test_spark_write_read_roundtrip(spark, tmp_path):
     df = spark.range(500).select(
         F.col("id"),
