@@ -44,6 +44,9 @@ HEADLINE = [
     "q_allpairs_jaccard",
     "q_dedup_clusters",
     "q_pq_topk",
+    # round-4 additions (VERDICT r4 #8): keep their honest cost tracked
+    "q_semantic_dedup_int8",
+    "q_fuzzy_name_pairs_d2",
 ]
 
 
@@ -155,27 +158,50 @@ def main() -> None:
     # engine pays that once per plan shape, not per query. Min-of-2
     # steady passes damps this host's ±25% run-to-run noise so the
     # recorded number tracks the plan, not the neighbor.
-    timings: dict[str, float] = {}
+    #
+    # Every entry is individually fenced: one broken benchmark records
+    # {"err": ...} for itself and NOTHING else (r4 lost all 18 timings
+    # to a single NotImplementedError raised after they were measured —
+    # the JSON line must survive any partial failure).
+    timings: dict[str, object] = {}
     for _pass in range(3):
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
+            if isinstance(timings.get(name), dict):
+                continue  # errored on an earlier pass
+            try:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                if not isinstance(timings.get(name), float):  # keep a good pass
+                    timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+                continue
             if _pass == 0:
                 continue
-            timings[name] = min(timings.get(name, dt), dt)
+            prev = timings.get(name, dt)
+            timings[name] = min(prev, dt) if isinstance(prev, float) else dt
 
-    timings["cdc_merge_events"] = time_cdc_merge(spark, sf_dir)
-    # full ingest (landing files -> parse -> bronze -> silver) per format;
-    # avro/json ratio = the pure-Python Avro codec's visible cost
-    timings["cdc_merge_events_json"] = time_cdc_ingest(spark, sf_dir, "json")
-    timings["cdc_merge_events_avro"] = time_cdc_ingest(spark, sf_dir, "avro")
-    total = round(sum(timings.values()), 3)
+    for name, fn in (
+        ("cdc_merge_events", lambda: time_cdc_merge(spark, sf_dir)),
+        # full ingest (landing -> parse -> bronze -> silver) per format;
+        # avro/json ratio = the pure-Python Avro codec's visible cost
+        ("cdc_merge_events_json", lambda: time_cdc_ingest(spark, sf_dir, "json")),
+        ("cdc_merge_events_avro", lambda: time_cdc_ingest(spark, sf_dir, "avro")),
+    ):
+        try:
+            timings[name] = fn()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+
+    ok = {k: v for k, v in timings.items() if isinstance(v, float)}
+    total = round(sum(ok.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "timed_entries": len(ok),
+        "errored_entries": len(timings) - len(ok),
         "sf": sf,
     }))
 

@@ -221,6 +221,60 @@ def ivf_topk(
     )
 
 
+def _multiprobe_membership(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_buckets: int,
+    probes: int,
+    refine_iters: int,
+) -> DataFrame:
+    """(id, vec, centroid_id) with each vector assigned to its `probes`
+    nearest Lloyd-refined centroids — the shared IVF bucketing step
+    behind pairwise_near_duplicates and centroid_candidate_pairs."""
+    centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
+    if refine_iters > 0:
+        centroids = refine_centroids(
+            corpus, centroids, iterations=refine_iters, vec_col=vec_col, id_col=id_col
+        )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def centroid_candidate_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    probes: int = 2,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from multi-probe IVF bucketing: a
+    pair is a candidate iff the two vectors' probe sets intersect.
+    ~probes²/n_buckets of the quadratic pair count, no verification —
+    feed the output to an exact verifier (int8_cosine_pairs' filter via
+    semantic_dedup_ann, or a float re-score)."""
+    member = _multiprobe_membership(
+        corpus, id_col, vec_col, n_buckets, probes, refine_iters
+    )
+    a = member.select(F.col(id_col).alias("id_a"), F.col("centroid_id"))
+    b = member.select(F.col(id_col).alias("id_b"), F.col("centroid_id"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def pairwise_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -239,20 +293,8 @@ def pairwise_near_duplicates(
     always found — identical vectors share all probes. No false
     positives ever: candidates are re-scored exactly. Centroids are
     Lloyd-refined before bucketing (same rationale as ivf_topk)."""
-    centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
-    if refine_iters > 0:
-        centroids = refine_centroids(
-            corpus, centroids, iterations=refine_iters, vec_col=vec_col, id_col=id_col
-        )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    member = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= probes)
-        .select(id_col, vec_col, "centroid_id")
+    member = _multiprobe_membership(
+        corpus, id_col, vec_col, n_buckets, probes, refine_iters
     )
     a, b = member.alias("a"), member.alias("b")
     return (
@@ -310,21 +352,31 @@ def int8_cosine_pairs(
     Scale: this is the EXACT quadratic baseline (the honest cost of
     all-pairs over dense vectors — prefix filters prune nothing when
     every dimension is nonzero); at corpus scale you tile it as GEMM
-    or swap in the LSH/IVF candidate generators and keep this as the
-    verifier. semantic_dedup() takes the pair source as a parameter
-    for exactly that swap."""
+    or swap in an ANN candidate generator and keep this as the
+    verifier — int8_cosine_pairs_ann below does exactly that with
+    multi-probe IVF bucketing, and semantic_dedup_ann plumbs it
+    through the clustering unchanged."""
     q = int8_quantized(corpus, id_col, vec_col)
     a = q.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
     b = q.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return _int8_threshold_filter(cand, t_num, t_den)
+
+
+def _int8_threshold_filter(cand: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """(id_a, id_b) rows of ``cand`` (which carries qa/qb int64 arrays)
+    whose int8-quantized cosine >= t_num/t_den — the shared
+    integer-exact verifier behind both the quadratic pair source and
+    the ANN candidate path (identical filter => ANN results are always
+    a subset of the exact pair set; recall is the only degree of
+    freedom)."""
     zero = F.lit(0).cast("long")
     add = lambda acc, v: acc + v  # noqa: E731
     dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), zero, add)
     na = F.aggregate(F.transform("qa", lambda x: x * x), zero, add)
     nb = F.aggregate(F.transform("qb", lambda x: x * x), zero, add)
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+        cand.select("id_a", "id_b", dot.alias("dot"), na.alias("na"), nb.alias("nb"))
         .filter(
             (F.col("dot") >= 0)
             & (
@@ -334,6 +386,51 @@ def int8_cosine_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def int8_cosine_pairs_ann(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+    n_buckets: int = 16,
+    probes: int = 2,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """The scale path for the int8 pair graph (VERDICT r4 #5): generate
+    candidates with multi-probe IVF bucketing (~probes²/n_buckets of
+    the quadratic pair count crosses the verifier), then apply the SAME
+    integer-exact threshold filter as int8_cosine_pairs.  Zero false
+    positives by construction; recall is the bucketing's miss rate,
+    pytest-gated vs the exact pair graph."""
+    cand = centroid_candidate_pairs(
+        corpus, id_col, vec_col, n_buckets, probes, refine_iters
+    )
+    q = int8_quantized(corpus, id_col, vec_col)
+    qa = q.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    qb = q.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    return _int8_threshold_filter(cand.join(qa, "id_a").join(qb, "id_b"), t_num, t_den)
+
+
+def semantic_dedup_ann(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+    n_buckets: int = 16,
+    probes: int = 2,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """semantic_dedup with the ANN candidate generator plumbed in as
+    the pair source — the shape you run at corpus scale (the default
+    quadratic source is the oracle-checkable baseline).  Same output
+    schema; clusters depend on the bucketing's recall."""
+    pairs = int8_cosine_pairs_ann(
+        corpus, id_col, vec_col, t_num, t_den, n_buckets, probes, refine_iters
+    )
+    return semantic_dedup(corpus, id_col, vec_col, t_num, t_den, pairs=pairs)
 
 
 def semantic_dedup(

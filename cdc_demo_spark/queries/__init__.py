@@ -36,47 +36,71 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-4 window head: queries without a driver CORRECTNESS record
-    # yet — q_packed_census (added late in round 3, missed that window)
-    # plus every oracle-backed query NEW this round.  Policy: a new
-    # oracle query always enters this head the round it lands; r1-r3
-    # green rows keep their earlier records.  After this round,
-    # union(r1..r4) covers all oracle-backed queries.
-    "q_packed_census",
-    "q_fuzzy_name_pairs_d2",
-    "q_semantic_dedup_int8",
-    # r1-r3-green anchors (regression canaries across the core surface);
-    # rows-only queries (q_packed_blocks et al.) stay out of the window
-    # — their slot can never go green.
-    "q_dedup_clusters",
-    "q_allpairs_jaccard",
-    "q_benchmark_contamination",
-    "q_tfidf_top_terms",
-    "q_curriculum_buckets",
+    # Round-5 window head.  Standing policy: a new query always enters
+    # the head the round it lands; earlier-round green rows keep their
+    # records.  union(r1..r4) already covers all 115 oracle-backed
+    # queries, so this round's head (a) re-proves the three r4
+    # TIMESTAMP_NTZ casualties under the fix, (b) gives the 16 rows-only
+    # queries — the only registered queries with NO driver record of any
+    # kind — their first driver run, and (c) spends the remaining slots
+    # refreshing the STALEST oracle records (last green r1/r2).
+    #
+    # (a) r4 regressions, fixed this round (sources/tables.py NTZ canon):
     "q_ohlc_bars",
-    "q_revenue_by_nation",
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_returned_items",
-    "q_filter_predicates",
-    "q_outer_join",
-    "q_latest_order_per_customer",
-    "q_running_sum",
-    "q_asof_join",
-    "q_json_extract",
-    "q_cosine_topk",
-    "q_text_quality",
-    "q_tumbling_window",
     "q_session_window",
-    "q_user_sessions",
-    "q_moment_stats",
-    "q_grouped_median",
-    "q_multimodal_join",
-    "q_date_functions",
-    "q_rollup",
-    "q_top_orders",
-    "q_semi_join",
-    "q_string_functions",
+    "q_range_frame_sum",
+    # (b new) ANN-candidate semantic dedup, new this round (rows-only:
+    # recall-dependent pair source; exactness proven by the pytest
+    # recall gate against the exact pair graph):
+    "q_semantic_dedup_ann",
+    # (b) the 16 rows-only queries, never driver-checked before:
+    "q_approx_count_distinct",
+    "q_minhash_near_dups",
+    "q_simhash_signatures",
+    "q_incremental_minhash",
+    "q_neardup_centrality",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dups",
+    "q_pq_topk",
+    "q_packed_blocks",
+    "q_media_features",
+    "q_media_pipeline",
+    "q_audio_features",
+    "q_zscore_normalize",
+    "q_approx_percentiles",
+    "q_weighted_sample",
+    "q_hll_mergeable_rollup",
+    # (c) oracle-record refreshes, oldest first (r1 set, then r2):
+    "q_array_functions",
+    "q_bpe_token_count",
+    "q_cosine_topk_arrow",
+    "q_dedup_exact_keep",
+    "q_dedup_stats",
+    "q_document_chunks",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_math_functions",
+    "q_ngram_jaccard_pairs",
+    "q_null_functions",
+    "q_stratified_sample",
+    "q_token_stats",
+    "q_context_length_histogram",
+    "q_context_windows",
+    "q_corpus_token_budget",
+    "q_correlated_exists",
+    "q_data_quality",
+    "q_events_per_day_spine",
+    "q_except_all",
+    "q_excess_part_suppliers",
+    "q_fuzzy_name_pairs",
+    "q_grouping_sets",
+    "q_important_supplier_value",
+    "q_incremental_rollup",
+    "q_intersect_all",
+    "q_late_shipment_priority",
+    "q_latest_event_per_user",
+    "q_line_status_priority",
+    "q_local_supplier_volume",
 ]
 
 

@@ -227,6 +227,20 @@ def q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb, t_num=2, t_den=5)
 
 
+@register("q_semantic_dedup_ann")  # no oracle: pair recall depends on IVF bucketing
+def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_dedup_int8's scale path (VERDICT r4 #5): the SAME
+    integer-exact int8 threshold verifier, but candidates come from
+    multi-probe IVF bucketing (operators/similarity.semantic_dedup_ann)
+    instead of the quadratic crossJoin — ~probes²/n_buckets of the
+    pair count reaches the verifier.  Rows-only by design: the verified
+    pair set is provably a SUBSET of the exact one (identical filter),
+    so only recall can differ, and tests/test_similarity.py gates
+    recall >= 0.8 against the exact pair graph at test grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_ann(emb, t_num=2, t_den=5).orderBy("vec_id")
+
+
 @register("q_pq_topk")  # no oracle: ADC scores are float sums of trained codebooks
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (operators/pq.py):

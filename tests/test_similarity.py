@@ -199,3 +199,37 @@ def test_semantic_dedup_planted_clusters(spark):
     # pluggable pair source: an empty pair set yields no clusters
     empty = int8_cosine_pairs(df).filter(F.lit(False))
     assert semantic_dedup(df, pairs=empty).count() == 0
+
+
+def test_semantic_dedup_ann_subset_and_recall(spark, sf_dir):
+    """The ANN pair source (multi-probe IVF candidates + the SAME
+    integer-exact verifier) must produce (a) a strict SUBSET of the
+    exact int8 pair graph — the verifier is identical, so a non-subset
+    means the candidate join corrupted pairs — and (b) recall >= 0.8
+    on the real embeddings fixture at test grain."""
+    from cdc_demo_spark.operators.similarity import (
+        int8_cosine_pairs,
+        int8_cosine_pairs_ann,
+    )
+    from cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in int8_cosine_pairs(emb).collect()}
+    ann = {(r.id_a, r.id_b) for r in int8_cosine_pairs_ann(emb).collect()}
+    assert ann <= exact
+    assert exact, "fixture produced no exact pairs; recall gate is vacuous"
+    recall = len(ann) / len(exact)
+    assert recall >= 0.8, f"ANN pair recall {recall:.3f} < 0.8 ({len(ann)}/{len(exact)})"
+
+
+def test_semantic_dedup_ann_exact_duplicates_always_found(spark):
+    """Identical vectors share every probe, so exact duplicates can
+    never be missed by the bucketing — the guarantee that matters for
+    dedup (near-misses cost recall, true dupes must not)."""
+    from cdc_demo_spark.operators.similarity import semantic_dedup_ann
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0, 2.0]) for i in range(40)]
+    rows += [(100, [9.0, 1.0, 4.0, 2.0]), (101, [9.0, 1.0, 4.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster_id for r in semantic_dedup_ann(df, n_buckets=4).collect()}
+    assert got.get(100) == got.get(101) is not None
