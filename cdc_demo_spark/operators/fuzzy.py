@@ -28,6 +28,92 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _delete_char(s, i, max_len):
+    """Column expr: string ``s`` with the ``i``-th (1-based) char removed."""
+    return F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.lit(max_len)))
+
+
+def deletion_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    max_len: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, edit_dist) for all pairs within ``max_dist`` (1 or 2)
+    edits via DELETION-NEIGHBORHOOD blocking (the FastSS / SymSpell
+    scheme): block key = every string obtainable by deleting <= max_dist
+    characters.  Lossless for ANY data: an optimal <=d-op alignment of
+    (a, b) marks <= d positions in each string (substituted / inserted /
+    deleted chars); removing exactly those yields the same subsequence
+    from both sides, so every qualifying pair shares >= 1 key.
+    Candidates are a superset (shared key => distance <= 2·max_dist);
+    exact Levenshtein verifies.
+
+    Why this beats positional pigeonhole blocking (edit1/edit2_pairs
+    below): segment keys are fixed character RANGES, so their
+    selectivity is hostage to where the data's entropy lives — on a
+    corpus sharing a long literal prefix (``Customer#000...``) the
+    prefix and middle passes each select the whole table and the block
+    join degenerates quadratic (measured: edit2_pairs 306 s at sf0.1 vs
+    ~20 s here).  A deletion key keeps every character EXCEPT the <= d
+    deleted ones, so keys stay discriminating wherever the entropy is;
+    candidate volume tracks the true pair count (output-bound), not the
+    key skew.  The price is fan-out: ~L²/2 keys per string at d=2 —
+    fine for entity names, wrong for documents (that's MinHash's job),
+    enforced by ``max_len``.
+
+    Scale shape: keys shuffle as xxhash64 longs (repo policy — a
+    collision only adds a candidate that Levenshtein rejects), the
+    self-join is on the hash, pairs dedup before ONE verify pass.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"deletion_pairs supports max_dist 1 or 2, got {max_dist}")
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    too_long = base.filter(F.length("name") > max_len).limit(1).count()
+    if too_long:
+        raise ValueError(
+            f"deletion_pairs: {name_col} exceeds max_len={max_len}; deletion "
+            "fan-out is O(len²) — use MinHash/Jaccard operators for long text"
+        )
+    name = F.col("name")
+    L = F.length("name")
+    d1 = F.when(
+        L >= 1,
+        F.transform(F.sequence(F.lit(1), L), lambda i: _delete_char(name, i, max_len)),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = F.array_union(F.array(name), d1)
+    if max_dist == 2:
+        d2 = F.when(
+            L >= 2,
+            F.flatten(
+                F.transform(
+                    d1,
+                    lambda t: F.transform(
+                        F.sequence(F.lit(1), L - 1),
+                        lambda j: _delete_char(t, j, max_len),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        keys = F.array_union(keys, d2)
+    sh = base.select(
+        "id", "name", F.explode(F.transform(keys, lambda k: F.xxhash64(k))).alias("h64")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "h64")
+    b = sh.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"), "h64")
+    cand = (
+        a.join(b, "h64")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist <= max_dist).select(
+        "id_a", "id_b", dist.cast("long").alias("edit_dist")
+    )
+
+
 def _min_len(df: DataFrame, name_col: str) -> int:
     """Scalar min string length (bounded driver collect, one agg job).
 

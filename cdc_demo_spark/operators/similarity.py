@@ -388,6 +388,70 @@ def _int8_threshold_filter(cand: DataFrame, t_num: int, t_den: int) -> DataFrame
     )
 
 
+def int8_cosine_pairs_gemm(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+    max_collect: int = 65536,
+) -> DataFrame:
+    """int8_cosine_pairs tiled as INTEGER GEMM — identical pair set
+    (pure int64 arithmetic on both paths, asserted equal in
+    tests/test_similarity.py), ~100× faster: the HOF path evaluates
+    ``aggregate(zip_with(...))`` interpreted per element per PAIR
+    (O(n²·d) interpreter steps); this path does one numpy int64
+    matmul per (Arrow batch × corpus tile) and only survivor pairs
+    cross back to the JVM.
+
+    Scale shape: the quantized matrix rides into the closure
+    (cap-guarded collect, like brute_force_topk_arrow's query side —
+    n·d int64 = 0.5 MB per 1k vectors), each executor batch GEMMs
+    against 8k-row tiles of it.  This is still the EXACT quadratic
+    baseline — O(n²) compare work is the point — so the cap raises
+    loudly at the size where you must switch to the ANN candidate
+    source (int8_cosine_pairs_ann) or broadcast-tile both sides.
+    Overflow: |dot| <= d·127², so t_den²·dot² fits int64 for
+    d·t_den² < ~5.7e5 — d=64, t_den=5 is 4 orders under the line."""
+    import numpy as np
+    import pandas as pd
+
+    q = int8_quantized(corpus, id_col, vec_col).filter(
+        ~F.exists("qv", lambda x: x.isNull())  # zero vectors match nothing
+    )
+    rows = q.limit(max_collect + 1).collect()
+    if len(rows) > max_collect:
+        raise ValueError(
+            f"int8_cosine_pairs_gemm: corpus exceeds max_collect={max_collect}; "
+            "use int8_cosine_pairs_ann (IVF candidates + exact verify) at this scale"
+        )
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
+    n2 = (M * M).sum(axis=1)
+    tn2, td2 = t_num * t_num, t_den * t_den
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            bids = b["id"].to_numpy(dtype=np.int64)
+            B = np.stack(b["qv"].map(lambda v: np.asarray(v, dtype=np.int64)))
+            bn2 = (B * B).sum(axis=1)
+            for lo in range(0, len(ids), 8192):
+                hi = min(lo + 8192, len(ids))
+                D = B @ M[lo:hi].T  # (batch, tile) exact int64
+                mask = (
+                    (bids[:, None] < ids[None, lo:hi])
+                    & (D >= 0)
+                    & (td2 * D * D >= tn2 * bn2[:, None] * n2[None, lo:hi])
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame({"id_a": bids[ii], "id_b": ids[lo:hi][jj]})
+
+    return q.mapInPandas(gen, schema="id_a long, id_b long")
+
+
 def int8_cosine_pairs_ann(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -337,20 +337,24 @@ ORDER BY id_a, id_b
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: edit-distance <= 1 name pairs via
-    LOSSLESS pigeonhole blocking (operators/fuzzy.edit1_pairs): union
-    of a prefix-8 and a suffix-8 pass — any single edit leaves one of
-    the two 8-char segments intact for names of length >= 16, so the
-    blocked join provably finds every pair.  The oracle is the NAIVE
+    LOSSLESS deletion-neighborhood blocking
+    (operators/fuzzy.deletion_pairs, the FastSS/SymSpell scheme):
+    block key = string minus <= 1 character, so any single-edit pair
+    provably shares a key and keys stay discriminating regardless of
+    where the corpus's entropy lives (the positional pigeonhole
+    variant, edit1_pairs, keeps its losslessness proof but its
+    prefix block selects the entire table on shared-prefix corpora
+    like c_name — pytest pins both equal).  The oracle is the NAIVE
     UNBLOCKED quadratic join, so the driver's value-exact gate is
-    itself the losslessness proof (the old single prefix-15 block
-    missed pairs edited in the first 15 chars by construction).  At
-    100 TB grain: block key is the shuffle key, per-block fan-out is
-    bounded by block size, a skew guard on block cardinality slots in
-    exactly like the LSH max_bucket guard."""
-    from cdc_demo_spark.operators.fuzzy import edit1_pairs
+    itself the losslessness proof.  At 100 TB grain: hashed deletion
+    keys are the shuffle currency, fan-out is L+1 keys per name,
+    candidates track the true pair count."""
+    from cdc_demo_spark.operators.fuzzy import deletion_pairs
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit1_pairs(cust, "c_custkey", "c_name", k=8).orderBy("id_a", "id_b")
+    return deletion_pairs(cust, "c_custkey", "c_name", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
@@ -365,20 +369,23 @@ ORDER BY id_a, id_b
 """,
 )
 def q_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution at edit distance <= 2 via LOSSLESS 3-segment
-    pigeonhole blocking (operators/fuzzy.edit2_pairs): prefix-k +
-    suffix-k + a middle-window pass whose probe side emits offsets
-    {-1,0,+1} to absorb the indel shift a front-region edit induces.
-    Two edits cannot touch all three segments, so every qualifying
-    pair shares a block key — the oracle is the NAIVE UNBLOCKED
-    quadratic join, making the driver's value-exact gate the
-    losslessness proof (same shape as q_fuzzy_name_pairs at d=1).
-    At 100 TB grain the three passes are slim hash-key shuffles;
-    Levenshtein evaluates only inside blocks."""
-    from cdc_demo_spark.operators.fuzzy import edit2_pairs
+    """Entity-resolution at edit distance <= 2 via LOSSLESS
+    deletion-neighborhood blocking (operators/fuzzy.deletion_pairs):
+    block key = string minus <= 2 characters; an optimal <= 2-op
+    alignment marks <= 2 positions per side whose removal yields the
+    same subsequence, so every qualifying pair shares a key.  The
+    oracle is the NAIVE UNBLOCKED quadratic join, making the driver's
+    value-exact gate the losslessness proof.  Replaced the 3-segment
+    pigeonhole path (edit2_pairs, kept + pytest-pinned equal) in r5:
+    its prefix/middle segment keys select the whole table on the
+    shared-prefix c_name corpus — measured 306 s at sf0.1 vs ~20 s
+    here; deletion keys keep the discriminating characters, so the
+    candidate set tracks the ~6M true pairs instead of the ~900M
+    degenerate block join."""
+    from cdc_demo_spark.operators.fuzzy import deletion_pairs
 
     cust = load_table(spark, sf_dir, "customer")
-    return edit2_pairs(cust, "c_custkey", "c_name", k=6, w=6).orderBy(
+    return deletion_pairs(cust, "c_custkey", "c_name", max_dist=2).orderBy(
         "id_a", "id_b"
     )
 

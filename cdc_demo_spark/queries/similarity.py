@@ -222,9 +222,16 @@ def q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays quantization, integer threshold, and a
     recursive-CTE transitive closure in DuckDB; this upgrades
     embedding near-dedup from rows-only (q_embedding_near_dups, LSH
-    recall) to the hard driver signal."""
+    recall) to the hard driver signal.
+
+    Pair source: the integer-GEMM tiling of the exact quadratic scan
+    (int8_cosine_pairs_gemm) — the identical pair set to the HOF
+    expression path (pytest-asserted), ~100× faster because the
+    O(n²·d) compare runs as numpy int64 matmuls instead of
+    per-element interpreted HOF folds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, t_num=2, t_den=5)
+    pairs = S.int8_cosine_pairs_gemm(emb, t_num=2, t_den=5)
+    return S.semantic_dedup(emb, t_num=2, t_den=5, pairs=pairs)
 
 
 @register("q_semantic_dedup_ann")  # no oracle: pair recall depends on IVF bucketing

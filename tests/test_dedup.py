@@ -500,6 +500,56 @@ def test_fuzzy_length_guards(spark):
         assert got == want
 
 
+def test_deletion_pairs_equals_naive_adversarial(spark):
+    """deletion_pairs must equal the unblocked quadratic join on the
+    same adversarial suites the pigeonhole tests use (every edit
+    position, indel shifts, straddling double edits) at BOTH
+    max_dist=1 and max_dist=2 — plus degenerate short strings down to
+    the empty string, which positional blocking cannot even attempt."""
+    import itertools
+
+    from cdc_demo_spark.operators.fuzzy import deletion_pairs
+
+    base = "Customer#000000042"
+    rows = [(0, base)]
+    nid = 1
+    for p in range(len(base)):
+        rows.append((nid, base[:p] + "X" + base[p + 1 :])); nid += 1
+    front_edits = [
+        "X" + base[1:], base[1:], "Z" + base, base[:4] + "Q" + base[5:],
+    ]
+    for fe in front_edits:
+        l2 = len(fe) - 1
+        for be in (fe[:l2] + "Y", fe[:l2], fe + "W"):
+            rows.append((nid, be)); nid += 1
+    rows += [(nid, "Supplier#000000042"), (nid + 1, "Totally Different"),
+             (nid + 2, ""), (nid + 3, "a"), (nid + 4, "ab"), (nid + 5, "b")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for dmax in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in deletion_pairs(df, "id", "name", max_dist=dmax).collect()
+        }
+        want = {
+            (a, b, _py_lev(na, nb))
+            for (a, na), (b, nb) in itertools.combinations(rows, 2)
+            if _py_lev(na, nb) <= dmax
+        }
+        assert got == want, f"max_dist={dmax}"
+
+
+def test_deletion_pairs_max_len_guard(spark):
+    """O(len²) key fan-out must refuse long text loudly — documents
+    belong to the MinHash/Jaccard family, not deletion blocking."""
+    import pytest as _pytest
+
+    from cdc_demo_spark.operators.fuzzy import deletion_pairs
+
+    df = spark.createDataFrame([(1, "x" * 100), (2, "y" * 100)], "id long, name string")
+    with _pytest.raises(ValueError, match="max_len"):
+        deletion_pairs(df, "id", "name")
+
+
 def test_cc_star_contracts_dense_clique(spark):
     """100 TB guard for the CC stage (VERDICT r3 #3): the star rounds
     distinct() the full edge list each iteration, so feed the worst

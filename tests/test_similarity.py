@@ -201,6 +201,26 @@ def test_semantic_dedup_planted_clusters(spark):
     assert semantic_dedup(df, pairs=empty).count() == 0
 
 
+def test_int8_gemm_pairs_equal_hof_pairs(spark, sf_dir):
+    """The GEMM tiling must produce the IDENTICAL pair set to the HOF
+    expression path — both are pure int64 arithmetic, so equality is
+    exact, not approximate. Also pins the cap guard."""
+    import pytest
+
+    from cdc_demo_spark.operators.similarity import (
+        int8_cosine_pairs,
+        int8_cosine_pairs_gemm,
+    )
+    from cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = {(r.id_a, r.id_b) for r in int8_cosine_pairs(emb).collect()}
+    gemm = {(r.id_a, r.id_b) for r in int8_cosine_pairs_gemm(emb).collect()}
+    assert gemm == hof and hof
+    with pytest.raises(ValueError, match="max_collect"):
+        int8_cosine_pairs_gemm(emb, max_collect=10).collect()
+
+
 def test_semantic_dedup_ann_subset_and_recall(spark, sf_dir):
     """The ANN pair source (multi-probe IVF candidates + the SAME
     integer-exact verifier) must produce (a) a strict SUBSET of the
