@@ -70,12 +70,6 @@ def deletion_pairs(
     if max_dist not in (1, 2):
         raise ValueError(f"deletion_pairs supports max_dist 1 or 2, got {max_dist}")
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
-    too_long = base.filter(F.length("name") > max_len).limit(1).count()
-    if too_long:
-        raise ValueError(
-            f"deletion_pairs: {name_col} exceeds max_len={max_len}; deletion "
-            "fan-out is O(len²) — use MinHash/Jaccard operators for long text"
-        )
     name = F.col("name")
     L = F.length("name")
     d1 = F.when(
@@ -97,19 +91,44 @@ def deletion_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
         keys = F.array_union(keys, d2)
+    # In-scan length guard: rides the key projection itself (no extra
+    # pre-flight pass over the column — at 100 TB a separate check job
+    # is a full extra scan); any over-long row aborts before its keys
+    # are emitted, so truncation can never silently lose pairs.
+    keys = F.when(
+        L > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"deletion_pairs: {name_col} exceeds max_len={max_len} "
+                    "(deletion fan-out is O(len²) — use MinHash/Jaccard "
+                    "operators for long text); offending value: "
+                ),
+                name,
+            )
+        ).cast("array<string>"),
+    ).otherwise(keys)
+    # Shuffle currency: (id, h64) longs only; names rejoin AFTER the
+    # pair-level dedup so the wide dedup shuffle never carries strings.
     sh = base.select(
-        "id", "name", F.explode(F.transform(keys, lambda k: F.xxhash64(k))).alias("h64")
+        "id", F.explode(F.transform(keys, lambda k: F.xxhash64(k))).alias("h64")
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "h64")
-    b = sh.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"), "h64")
+    a = sh.select(F.col("id").alias("id_a"), "h64")
+    b = sh.select(F.col("id").alias("id_b"), "h64")
     cand = (
         a.join(b, "h64")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "name_a", "id_b", "name_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    named = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
+    )  # AQE broadcasts the name side when it is small; no forced hint —
+    # at corpus scale both sides shuffle on the id, which is correct
     dist = F.levenshtein("name_a", "name_b")
-    return cand.filter(dist <= max_dist).select(
+    return named.filter(dist <= max_dist).select(
         "id_a", "id_b", dist.cast("long").alias("edit_dist")
     )
 

@@ -540,14 +540,16 @@ def test_deletion_pairs_equals_naive_adversarial(spark):
 
 def test_deletion_pairs_max_len_guard(spark):
     """O(len²) key fan-out must refuse long text loudly — documents
-    belong to the MinHash/Jaccard family, not deletion blocking."""
+    belong to the MinHash/Jaccard family, not deletion blocking.  The
+    guard is IN-SCAN (raise_error inside the key projection, no extra
+    pre-flight pass), so it surfaces at action time."""
     import pytest as _pytest
 
     from cdc_demo_spark.operators.fuzzy import deletion_pairs
 
     df = spark.createDataFrame([(1, "x" * 100), (2, "y" * 100)], "id long, name string")
-    with _pytest.raises(ValueError, match="max_len"):
-        deletion_pairs(df, "id", "name")
+    with _pytest.raises(Exception, match="max_len"):
+        deletion_pairs(df, "id", "name").collect()
 
 
 def test_cc_star_contracts_dense_clique(spark):
