@@ -510,13 +510,15 @@ def semantic_dedup(
     + connected components, the same closure used for text near-dups):
     (vec_id, cluster_id, n_members, keep) for every vector in a
     semantic-duplicate cluster of >= 2 members; keep marks the min-id
-    survivor. Pass ``pairs`` to swap the exact quadratic pair source
-    for an ANN candidate generator at corpus scale (clusters then
-    depend on its recall; the default is exact)."""
+    survivor. The default pair source is the exact integer-GEMM scan
+    (int8_cosine_pairs_gemm — fast up to its collect cap, raises with
+    guidance past it); pass ``pairs`` to swap in an ANN candidate
+    generator at corpus scale (semantic_dedup_ann does; clusters then
+    depend on its recall)."""
     from cdc_demo_spark.operators.graph import connected_components_star
 
     if pairs is None:
-        pairs = int8_cosine_pairs(corpus, id_col, vec_col, t_num, t_den)
+        pairs = int8_cosine_pairs_gemm(corpus, id_col, vec_col, t_num, t_den)
     nodes = corpus.select(id_col)
     cc = connected_components_star(nodes, pairs, id_col=id_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

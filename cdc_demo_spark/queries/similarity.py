@@ -230,8 +230,7 @@ def q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²·d) compare runs as numpy int64 matmuls instead of
     per-element interpreted HOF folds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.int8_cosine_pairs_gemm(emb, t_num=2, t_den=5)
-    return S.semantic_dedup(emb, t_num=2, t_den=5, pairs=pairs)
+    return S.semantic_dedup(emb, t_num=2, t_den=5)  # default source = GEMM
 
 
 @register("q_semantic_dedup_ann")  # no oracle: pair recall depends on IVF bucketing
