@@ -1,0 +1,196 @@
+"""Incremental semantic-dedup index over embedding batches.
+
+``semantic_dedup_ann`` re-buckets and re-verifies the WHOLE corpus per
+run; operationally embeddings arrive as crawl/refresh deltas, and at
+100 TB you admit a delta by probing only the buckets it lands in — the
+same shift ``MinHashIndex`` (operators/incremental_dedup.py) makes for
+text near-dup.  State per committed batch: int8-quantized vectors plus
+their multi-probe IVF memberships; new batches probe stored members
+through the FROZEN centroids, and every candidate passes the SAME
+integer-exact int8 cosine threshold as the one-shot operators, so
+admitted pairs are bit-identical to what a one-shot run over the union
+would verify (given the same centroids — pytest pins two-batch ==
+one-shot exactly; tests/test_incremental_semantic.py).
+
+Centroids can be supplied at ``build`` (the train-once-at-ingest story;
+also what makes the equality invariant testable) or trained from the
+initial corpus.  Durability follows the house contract: ``batch=N``
+dirs with a ``_COMMITTED`` marker; crashed appends are invisible.
+
+Scale shape: probe cost ~ O(|batch| x bucket occupancy); stored state
+is touched join-wise on (centroid_id) and (id); quantized vectors are
+int64 arrays (8 x dim bytes per row) — at cluster scale the state
+tables would be bucketed BY centroid_id so probes co-locate without a
+full shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.similarity import (
+    _int8_threshold_filter,
+    choose_centroids,
+    int8_quantized,
+    refine_centroids,
+)
+
+
+class SemanticIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        t_num: int = 2,
+        t_den: int = 5,
+        n_buckets: int = 16,
+        probes: int = 2,
+        refine_iters: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, "_meta.json")
+        meta = {
+            "t_num": t_num,
+            "t_den": t_den,
+            "n_buckets": n_buckets,
+            "probes": probes,
+            "refine_iters": refine_iters,
+        }
+        if os.path.exists(meta_path):
+            stored = json.load(open(meta_path))
+            if stored != meta:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, opened with {meta}"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self.t_num, self.t_den = t_num, t_den
+        self.n_buckets, self.probes, self.refine_iters = n_buckets, probes, refine_iters
+
+    # -- storage ------------------------------------------------------
+
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    def centroids(self) -> DataFrame:
+        if not os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} has no centroids; call build()")
+        return self.spark.read.parquet(self._centroids_path)
+
+    def _committed_batches(self, table: str) -> list[str]:
+        root = os.path.join(self.path, table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+        )
+
+    def _read(self, table: str, schema: str) -> DataFrame:
+        dirs = self._committed_batches(table)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
+
+    def _next_batch_id(self) -> int:
+        root = os.path.join(self.path, "members")
+        if not os.path.isdir(root):
+            return 0
+        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
+        return max(ids, default=-1) + 1
+
+    # -- the operator -------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Freeze centroids (supplied, or trained from `corpus`) and
+        admit `corpus` as batch 0. Returns batch-0 internal pairs."""
+        if os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} is already built")
+        if centroids is None:
+            centroids = choose_centroids(corpus, self.n_buckets, vec_col, id_col)
+            if self.refine_iters > 0:
+                centroids = refine_centroids(
+                    corpus,
+                    centroids,
+                    iterations=self.refine_iters,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                )
+        centroids.write.mode("overwrite").parquet(self._centroids_path)
+        return self.append_batch(corpus, id_col, vec_col)
+
+    def append_batch(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Probe `vectors` against the stored corpus AND each other
+        through the frozen centroids, verify with the integer-exact
+        int8 threshold, then admit the batch. Returns verified pairs
+        (id_a < id_b) with at least one new side. Ids must be globally
+        unique across batches (caller's contract)."""
+        base = vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        member_new = self._assign(base).localCheckpoint(eager=True)
+        q_new = int8_quantized(base, "vec_id", "embedding").localCheckpoint(eager=True)
+
+        member_old = self._read("members", "id long, centroid_id long")
+        member_all = member_old.unionByName(member_new)
+        cand = (
+            member_new.withColumnRenamed("id", "pid")
+            .join(member_all, "centroid_id")
+            .filter(F.col("pid") != F.col("id"))
+            .select(
+                F.least("pid", "id").alias("id_a"),
+                F.greatest("pid", "id").alias("id_b"),
+            )
+            .distinct()
+        )
+        q_all = self._read("quantized", "id long, qv array<bigint>").unionByName(q_new)
+        qa = q_all.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+        qb = q_all.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+        pairs = _int8_threshold_filter(
+            cand.join(qa, "id_a").join(qb, "id_b"), self.t_num, self.t_den
+        ).localCheckpoint(eager=True)  # materialize before admitting state
+
+        n = self._next_batch_id()
+        for table, df in (("members", member_new), ("quantized", q_new)):
+            dst = os.path.join(self.path, table, f"batch={n}")
+            df.write.mode("overwrite").parquet(dst)
+            open(os.path.join(dst, "_COMMITTED"), "w").close()
+        return pairs
+
+    def _assign(self, base: DataFrame) -> DataFrame:
+        """(id, centroid_id) multi-probe membership against the FROZEN
+        centroids (no retraining — the probe set must match what every
+        earlier batch was stored under)."""
+        from pyspark.sql import Window
+
+        from cdc_demo_spark.functions.vector import cosine
+
+        scored = base.crossJoin(F.broadcast(self.centroids())).select(
+            F.col("vec_id").alias("id"),
+            "centroid_id",
+            cosine(F.col("embedding"), F.col("centroid_vec")).alias("c_sim"),
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.probes)
+            .select("id", "centroid_id")
+        )

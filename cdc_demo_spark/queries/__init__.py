@@ -53,6 +53,7 @@ _DRIVER_WINDOW_FIRST = [
     # recall-dependent pair source; exactness proven by the pytest
     # recall gate against the exact pair graph):
     "q_semantic_dedup_ann",
+    "q_incremental_semantic",
     # (b) the 16 rows-only queries, never driver-checked before:
     "q_approx_count_distinct",
     "q_minhash_near_dups",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_late_shipment_priority",
     "q_latest_event_per_user",
     "q_line_status_priority",
-    "q_local_supplier_volume",
 ]
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -245,6 +247,31 @@ def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall >= 0.8 against the exact pair graph at test grain."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup_ann(emb, t_num=2, t_den=5).orderBy("vec_id")
+
+
+@register("q_incremental_semantic")  # no oracle: stateful multi-batch op
+def q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: freeze IVF centroids, admit the
+    first 60% of embeddings, then probe+admit the rest as a delta —
+    the crawl-refresh shape (operators/incremental_semantic.py).
+    Returns the union of both batches' verified pairs, which pytest
+    proves EXACTLY equals the one-shot run under the same centroids
+    (integer-exact verifier, deterministic membership —
+    tests/test_incremental_semantic.py)."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="sem_index_")
+    try:
+        idx = SemanticIndex(spark, os.path.join(tmp, "idx"), n_buckets=8)
+        p1 = idx.build(emb.filter(F.col("vec_id") % 5 < 3))
+        p2 = idx.append_batch(emb.filter(F.col("vec_id") % 5 >= 3))
+        return p1.unionByName(p2).orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register("q_pq_topk")  # no oracle: ADC scores are float sums of trained codebooks
