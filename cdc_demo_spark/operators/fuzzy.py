@@ -108,8 +108,16 @@ def deletion_pairs(
             )
         ).cast("array<string>"),
     ).otherwise(keys)
-    # Shuffle currency: (id, h64) longs only; names rejoin AFTER the
-    # pair-level dedup so the wide dedup shuffle never carries strings.
+    # Shuffle currency: (id, h64) longs only. Stage order is join ->
+    # DEDUP -> attach names -> Levenshtein: the pair dedup runs on slim
+    # (id_a, id_b) rows BEFORE names attach, collapsing the join's key
+    # multiplicity (~2x at sf0.1) so the per-pair Levenshtein runs once
+    # per candidate, not once per shared key.  (The tempting inverse —
+    # verify first, dedup survivors — measured 3-5x SLOWER at sf0.1:
+    # the verify stream is wide (two names per row) and pays the
+    # multiplicity in Levenshtein calls.)  Name attach broadcasts under
+    # AQE when small; at corpus scale it becomes an id-keyed shuffle
+    # join, which is the correct shape.
     sh = base.select(
         "id", F.explode(F.transform(keys, lambda k: F.xxhash64(k))).alias("h64")
     )
@@ -125,8 +133,7 @@ def deletion_pairs(
         base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a"
     ).join(
         base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
-    )  # AQE broadcasts the name side when it is small; no forced hint —
-    # at corpus scale both sides shuffle on the id, which is correct
+    )
     dist = F.levenshtein("name_a", "name_b")
     return named.filter(dist <= max_dist).select(
         "id_a", "id_b", dist.cast("long").alias("edit_dist")
