@@ -278,3 +278,25 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_deletion_pairs_plan_shape(spark, sf_dir):
+    """deletion_pairs' stage order is load-bearing (r5: a silent flip
+    to verify-before-dedup or a lost broadcast estimate cost 3-5x at
+    sf0.1). Pin: no cartesian, the name-attach joins broadcast at this
+    scale, and exactly ONE wide exchange before the verify (the slim
+    pair dedup) — the h64 self-join + explode stay narrow."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_fuzzy_name_pairs_d2"](spark, sf_dir)
+    assert_no_cartesian(q)
+    assert has_broadcast_join(q)
+    plan = physical_plan(q)
+    # formatted mode lists operators leaf-first (execution order): the
+    # slim pair-dedup exchange must EXECUTE BEFORE any levenshtein —
+    # per-candidate verification, never per-key-copy
+    dedup_pos = plan.find("hashpartitioning(id_a")
+    lev_pos = plan.find("levenshtein")
+    assert dedup_pos != -1, "slim (id_a, id_b) dedup exchange missing"
+    assert lev_pos != -1, "levenshtein verify missing"
+    assert dedup_pos < lev_pos, "verify planned below the pair dedup"
