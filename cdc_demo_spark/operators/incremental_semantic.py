@@ -14,8 +14,12 @@ one-shot exactly; tests/test_incremental_semantic.py).
 
 Centroids can be supplied at ``build`` (the train-once-at-ingest story;
 also what makes the equality invariant testable) or trained from the
-initial corpus.  Durability follows the house contract: ``batch=N``
-dirs with a ``_COMMITTED`` marker; crashed appends are invisible.
+initial corpus.  Durability follows the house contract with one
+refinement: a batch's two state tables (members + quantized vectors)
+commit under a SINGLE batch-level marker written after both parquet
+writes, so a crash mid-append leaves garbage no probe ever observes —
+a per-table marker could expose ids without their vectors and
+silently drop pairs.
 
 Scale shape: probe cost ~ O(|batch| x bucket occupancy); stored state
 is touched join-wise on (centroid_id) and (id); quantized vectors are
@@ -34,6 +38,7 @@ from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.similarity import (
     _int8_threshold_filter,
+    assign_multiprobe,
     choose_centroids,
     int8_quantized,
     refine_centroids,
@@ -85,7 +90,15 @@ class SemanticIndex:
             raise RuntimeError(f"index at {self.path} has no centroids; call build()")
         return self.spark.read.parquet(self._centroids_path)
 
+    def _commit_marker(self, n: int) -> str:
+        return os.path.join(self.path, "commits", str(n))
+
     def _committed_batches(self, table: str) -> list[str]:
+        """Batch dirs covered by a BATCH-LEVEL commit marker. One marker
+        spans both state tables: per-table markers would let a crash
+        between the members commit and the quantized write leave a
+        half-visible batch whose ids generate candidates but have no
+        vectors to verify against — silently dropping pairs forever."""
         root = os.path.join(self.path, table)
         if not os.path.isdir(root):
             return []
@@ -93,7 +106,7 @@ class SemanticIndex:
             os.path.join(root, d)
             for d in os.listdir(root)
             if d.startswith("batch=")
-            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+            and os.path.exists(self._commit_marker(int(d.split("=")[1])))
         )
 
     def _read(self, table: str, schema: str) -> DataFrame:
@@ -170,27 +183,21 @@ class SemanticIndex:
 
         n = self._next_batch_id()
         for table, df in (("members", member_new), ("quantized", q_new)):
-            dst = os.path.join(self.path, table, f"batch={n}")
-            df.write.mode("overwrite").parquet(dst)
-            open(os.path.join(dst, "_COMMITTED"), "w").close()
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.path, table, f"batch={n}")
+            )
+        # the single marker lands only after BOTH tables are fully
+        # written — a crash anywhere above leaves invisible garbage
+        os.makedirs(os.path.join(self.path, "commits"), exist_ok=True)
+        open(self._commit_marker(n), "w").close()
         return pairs
 
     def _assign(self, base: DataFrame) -> DataFrame:
         """(id, centroid_id) multi-probe membership against the FROZEN
         centroids (no retraining — the probe set must match what every
-        earlier batch was stored under)."""
-        from pyspark.sql import Window
-
-        from cdc_demo_spark.functions.vector import cosine
-
-        scored = base.crossJoin(F.broadcast(self.centroids())).select(
-            F.col("vec_id").alias("id"),
-            "centroid_id",
-            cosine(F.col("embedding"), F.col("centroid_vec")).alias("c_sim"),
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= self.probes)
-            .select("id", "centroid_id")
-        )
+        earlier batch was stored under). Routes through the SAME
+        assignment as the one-shot operators; the incremental ==
+        one-shot equality invariant depends on that."""
+        return assign_multiprobe(
+            base, self.centroids(), self.probes, "vec_id", "embedding"
+        ).select(F.col("vec_id").alias("id"), "centroid_id")

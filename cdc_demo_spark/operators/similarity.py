@@ -155,18 +155,7 @@ def assign_buckets(
     """Tag each corpus vector with its nearest centroid (max cosine).
     At 100 TB this runs once at ingest and becomes the table's physical
     partitioning — queries then prune whole partitions."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
+    return assign_multiprobe(corpus, centroids, 1, id_col, vec_col)
 
 
 def ivf_topk(
@@ -221,22 +210,19 @@ def ivf_topk(
     )
 
 
-def _multiprobe_membership(
+def assign_multiprobe(
     corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_buckets: int,
+    centroids: DataFrame,
     probes: int,
-    refine_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec, centroid_id) with each vector assigned to its `probes`
-    nearest Lloyd-refined centroids — the shared IVF bucketing step
-    behind pairwise_near_duplicates and centroid_candidate_pairs."""
-    centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
-    if refine_iters > 0:
-        centroids = refine_centroids(
-            corpus, centroids, iterations=refine_iters, vec_col=vec_col, id_col=id_col
-        )
+    """(id, vec, centroid_id): each vector assigned to its `probes`
+    nearest GIVEN centroids (deterministic tiebreak: centroid_id asc).
+    THE single multi-probe assignment — pairwise_near_duplicates,
+    centroid_candidate_pairs, and the incremental SemanticIndex all
+    route through here, because the incremental == one-shot equality
+    invariant depends on their assignments staying bit-identical."""
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col, vec_col, "centroid_id",
         cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
@@ -247,6 +233,25 @@ def _multiprobe_membership(
         .filter(F.col("rn") <= probes)
         .select(id_col, vec_col, "centroid_id")
     )
+
+
+def _multiprobe_membership(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_buckets: int,
+    probes: int,
+    refine_iters: int,
+) -> DataFrame:
+    """assign_multiprobe after training centroids from the corpus —
+    the one-shot entry point (the incremental index supplies frozen
+    centroids instead)."""
+    centroids = choose_centroids(corpus, n_buckets, vec_col, id_col)
+    if refine_iters > 0:
+        centroids = refine_centroids(
+            corpus, centroids, iterations=refine_iters, vec_col=vec_col, id_col=id_col
+        )
+    return assign_multiprobe(corpus, centroids, probes, id_col, vec_col)
 
 
 def centroid_candidate_pairs(
@@ -425,6 +430,8 @@ def int8_cosine_pairs_gemm(
             f"int8_cosine_pairs_gemm: corpus exceeds max_collect={max_collect}; "
             "use int8_cosine_pairs_ann (IVF candidates + exact verify) at this scale"
         )
+    if not rows:  # empty (or all-zero-vector) corpus: no pairs, no GEMM
+        return corpus.sparkSession.createDataFrame([], "id_a long, id_b long")
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
     n2 = (M * M).sum(axis=1)

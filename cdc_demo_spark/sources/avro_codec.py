@@ -37,11 +37,14 @@ import zlib
 from datetime import date as _date
 from datetime import datetime as _datetime
 from datetime import timedelta as _timedelta
+from datetime import timezone as _timezone
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 _EPOCH_NAIVE = _datetime(1970, 1, 1)
+_EPOCH_UTC = _datetime(1970, 1, 1, tzinfo=_timezone.utc)
 _EPOCH_DATE = _date(1970, 1, 1)
+_MICRO = _timedelta(microseconds=1)
 
 _PRIMITIVE_WRITERS = {}
 _PRIMITIVE_READERS = {}
@@ -106,8 +109,14 @@ def encode(buf: io.BytesIO, schema, value) -> None:
         if lt in ("timestamp-micros", "local-timestamp-micros") and not isinstance(
             value, int
         ):
-            value = int(value.timestamp() * 1_000_000) if value.tzinfo else (
-                int((value - _EPOCH_NAIVE).total_seconds() * 1_000_000)
+            # timedelta // 1µs is EXACT integer arithmetic; the tempting
+            # int(total_seconds() * 1e6) truncates 1µs low for ~1.3% of
+            # values (float rounds twice) — same hazard tables.py documents
+            # for the nanos cast.
+            value = (
+                (value - _EPOCH_UTC) // _MICRO
+                if value.tzinfo
+                else (value - _EPOCH_NAIVE) // _MICRO
             )
         elif lt == "date" and not isinstance(value, int):
             value = (value - _EPOCH_DATE).days

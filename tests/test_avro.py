@@ -85,6 +85,28 @@ def test_schema_translation_roundtrip():
     assert back == st
 
 
+def test_timestamp_micro_encode_is_exact():
+    """Pure-codec regression for the float-truncation bug: naive and
+    tz-aware datetimes whose micros round 1µs low under
+    int(total_seconds()*1e6) must encode exactly (timedelta // 1µs)."""
+    import io
+    from datetime import timedelta, timezone
+
+    schema = {"type": "long", "logicalType": "timestamp-micros"}
+    # 1110779019281869 µs: int(total_seconds()*1e6) yields ...868
+    adversarial = datetime(2005, 3, 14, 5, 43, 39, 281869)
+    for value, want in [
+        (adversarial, 1110779019281869),
+        (adversarial.replace(tzinfo=timezone.utc), 1110779019281869),
+        (datetime(1970, 1, 1) - timedelta(microseconds=3), -3),
+    ]:
+        buf = io.BytesIO()
+        AC.encode(buf, schema, value)
+        buf.seek(0)
+        got = AC.decode(buf, schema)
+        assert (got - datetime(1970, 1, 1)) // timedelta(microseconds=1) == want
+
+
 def test_ntz_schema_and_value_roundtrip(spark, tmp_path):
     """TIMESTAMP_NTZ <-> local-timestamp-micros, both schema and values
     (the r4 bench crashed on the missing mapping: NTZ envelope ->

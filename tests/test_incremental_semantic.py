@@ -70,15 +70,22 @@ def test_meta_mismatch_raises(spark, emb, frozen_centroids, tmp_path):
 
 
 def test_crashed_append_is_invisible(spark, emb, frozen_centroids, tmp_path):
-    """A batch dir without _COMMITTED must not contribute members or
-    quantized vectors to later probes (garbage, not corruption)."""
+    """A batch without its batch-level commit marker must contribute
+    NOTHING to later probes (garbage, not corruption) — including the
+    half-written case where one state table landed and the other (or
+    the marker) did not, which a per-table marker scheme would expose
+    as candidate ids with no vectors to verify against."""
     path = str(tmp_path / "crash")
     idx = SemanticIndex(spark, path, n_buckets=8)
     first = emb.filter(F.col("vec_id") % 5 < 3)
     second = emb.filter(F.col("vec_id") % 5 >= 3)
     idx.build(first, centroids=frozen_centroids)
-    for table in ("members", "quantized"):
-        os.remove(os.path.join(path, table, "batch=0", "_COMMITTED"))
+    # simulate a crash after the members write but before commit:
+    # quantized dir gone, marker gone, members dir still on disk
+    import shutil
+
+    os.remove(os.path.join(path, "commits", "0"))
+    shutil.rmtree(os.path.join(path, "quantized", "batch=0"))
     # with batch 0 uncommitted, the second batch only sees itself
     solo = SemanticIndex(spark, str(tmp_path / "solo"), n_buckets=8)
     expected = _pairs(solo.build(second, centroids=frozen_centroids))

@@ -219,6 +219,13 @@ def test_int8_gemm_pairs_equal_hof_pairs(spark, sf_dir):
     assert gemm == hof and hof
     with pytest.raises(ValueError, match="max_collect"):
         int8_cosine_pairs_gemm(emb, max_collect=10).collect()
+    # empty and all-zero-vector corpora: no pairs, no numpy AxisError
+    empty = emb.filter(F.lit(False))
+    assert int8_cosine_pairs_gemm(empty).count() == 0
+    zeros = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    assert int8_cosine_pairs_gemm(zeros).count() == 0
 
 
 def test_semantic_dedup_ann_subset_and_recall(spark, sf_dir):

@@ -52,7 +52,9 @@ def test_events_ts_instants_match_raw_ntz_micros(spark, sf_dir):
         .limit(5)
         .collect()
     )
-    want_us = [int(r.iv.total_seconds() * 1_000_000) for r in want]
+    # exact integer micros — int(total_seconds()*1e6) truncates 1µs low
+    # for ~1.3% of values (float rounds twice)
+    want_us = [r.iv // datetime.timedelta(microseconds=1) for r in want]
     assert [r.us for r in got] == want_us
 
 
