@@ -192,6 +192,32 @@ class SemanticIndex:
         open(self._commit_marker(n), "w").close()
         return pairs
 
+    def centroid_drift(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> float:
+        """Mean nearest-centroid cosine for a batch — the rebuild alarm
+        (same contract as IvfIndex.centroid_drift): frozen centroids
+        never retrain, so when this drops against its build-time value
+        the layout no longer fits the data and recall decays; the
+        remedy is a rebuild into a new index dir, not in-place
+        mutation."""
+        from cdc_demo_spark.functions.vector import cosine
+
+        scored = (
+            vectors.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            )
+            .crossJoin(F.broadcast(self.centroids()))
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.col("centroid_vec")).alias("c_sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("c_sim").alias("best"))
+            .agg(F.avg("best").alias("drift"))
+        )
+        return float(scored.collect()[0]["drift"])
+
     def _assign(self, base: DataFrame) -> DataFrame:
         """(id, centroid_id) multi-probe membership against the FROZEN
         centroids (no retraining — the probe set must match what every

@@ -62,6 +62,19 @@ def test_pairs_subset_of_exact_graph(spark, emb, frozen_centroids, tmp_path):
     assert len(got) / len(exact) >= 0.8
 
 
+def test_centroid_drift_detects_shift(spark, emb, frozen_centroids, tmp_path):
+    """In-distribution batches score near the build-time drift value;
+    a distribution-shifted batch (negated vectors) scores lower —
+    the signal that triggers a rebuild."""
+    idx = SemanticIndex(spark, str(tmp_path / "drift"), n_buckets=8)
+    idx.build(emb, centroids=frozen_centroids)
+    base = idx.centroid_drift(emb)
+    shifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    assert idx.centroid_drift(shifted) < base
+
+
 def test_meta_mismatch_raises(spark, emb, frozen_centroids, tmp_path):
     path = str(tmp_path / "meta")
     SemanticIndex(spark, path, n_buckets=8).build(emb, centroids=frozen_centroids)
