@@ -163,11 +163,14 @@ def main() -> None:
     # {"err": ...} for itself and NOTHING else (r4 lost all 18 timings
     # to a single NotImplementedError raised after they were measured —
     # the JSON line must survive any partial failure).
+    # Transient failures retry: an entry that errored on an earlier
+    # pass is attempted again on every later pass, and a successful
+    # timing REPLACES the err record — the err survives only if every
+    # pass failed (round-5 ADVICE: a warm-up hiccup must not cost the
+    # timing a later pass would have produced).
     timings: dict[str, object] = {}
     for _pass in range(3):
         for name in HEADLINE:
-            if isinstance(timings.get(name), dict):
-                continue  # errored on an earlier pass
             try:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -195,6 +198,9 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}
     total = round(sum(ok.values()), 3)
+    # Host-load indicator (round-5 VERDICT #3): the 1/5/15-minute load
+    # averages let a reader normalize round-over-round deltas for
+    # driver/CI contention instead of attributing host noise to plans.
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": total,
@@ -202,6 +208,7 @@ def main() -> None:
         "queries": timings,
         "timed_entries": len(ok),
         "errored_entries": len(timings) - len(ok),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
     }))
 

@@ -399,64 +399,91 @@ def int8_cosine_pairs_gemm(
     vec_col: str = "embedding",
     t_num: int = 2,
     t_den: int = 5,
-    max_collect: int = 65536,
+    tile_rows: int = 8192,
 ) -> DataFrame:
-    """int8_cosine_pairs tiled as INTEGER GEMM — identical pair set
-    (pure int64 arithmetic on both paths, asserted equal in
-    tests/test_similarity.py), ~100× faster: the HOF path evaluates
-    ``aggregate(zip_with(...))`` interpreted per element per PAIR
-    (O(n²·d) interpreter steps); this path does one numpy int64
-    matmul per (Arrow batch × corpus tile) and only survivor pairs
-    cross back to the JVM.
+    """int8_cosine_pairs tiled as DISTRIBUTED integer GEMM — identical
+    pair set (pure int64 arithmetic on both paths, asserted equal in
+    tests/test_similarity.py), ~100× faster than the HOF path (which
+    evaluates ``aggregate(zip_with(...))`` interpreted per element per
+    PAIR — O(n²·d) interpreter steps) and with NO corpus-size ceiling:
+    nothing is ever collected to the driver.
 
-    Scale shape: the quantized matrix rides into the closure
-    (cap-guarded collect, like brute_force_topk_arrow's query side —
-    n·d int64 = 0.5 MB per 1k vectors), each executor batch GEMMs
-    against 8k-row tiles of it.  This is still the EXACT quadratic
-    baseline — O(n²) compare work is the point — so the cap raises
-    loudly at the size where you must switch to the ANN candidate
-    source (int8_cosine_pairs_ann) or broadcast-tile both sides.
+    Shape: hash-tile the quantized corpus into ``L = ceil(n/tile_rows)``
+    blocks, pack each block into ONE row (collect_list of (id, qv) —
+    ≤ tile_rows·d int64 ≈ 4 MB at the defaults), theta-join the packed
+    blocks on ``bx <= by`` (L(L+1)/2 rows), and GEMM each block pair in
+    a single Arrow batch.  Total shuffle = L · |quantized corpus| —
+    inherent to exact all-pairs (compute is O(n²·d) regardless); per-
+    task memory is two tiles, constant in n.  A parallelism floor
+    splits small corpora into a few tiles anyway so local[32] doesn't
+    serialize behind one task.  This replaces the r5 driver-collect
+    design (cap 65,536) — the exact baseline now scales with the
+    cluster; switch to int8_cosine_pairs_ann only when O(n²) COMPUTE
+    (not memory) is the binding cost.
     Overflow: |dot| <= d·127², so t_den²·dot² fits int64 for
     d·t_den² < ~5.7e5 — d=64, t_den=5 is 4 orders under the line."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     q = int8_quantized(corpus, id_col, vec_col).filter(
         ~F.exists("qv", lambda x: x.isNull())  # zero vectors match nothing
     )
-    rows = q.limit(max_collect + 1).collect()
-    if len(rows) > max_collect:
-        raise ValueError(
-            f"int8_cosine_pairs_gemm: corpus exceeds max_collect={max_collect}; "
-            "use int8_cosine_pairs_ann (IVF candidates + exact verify) at this scale"
-        )
-    if not rows:  # empty (or all-zero-vector) corpus: no pairs, no GEMM
+    # drives the tile count only; counted BEFORE quantization so the job
+    # reads zero value columns from a parquet scan (upper bound of the
+    # quantized row count — zero vectors only make tiles slightly small)
+    n = corpus.count()
+    if n == 0:
         return corpus.sparkSession.createDataFrame([], "id_a long, id_b long")
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
-    n2 = (M * M).sum(axis=1)
+    # parallelism floor: even a sub-tile corpus splits ~8 ways so the
+    # block-pair join yields ~36 tasks, not 1 (tiles of >= ~512 rows
+    # keep the per-task GEMM worth its scheduling overhead)
+    n_tiles = max(math.ceil(n / tile_rows), min(8, math.ceil(n / 512)))
+    packed = (
+        q.groupBy(F.pmod(F.xxhash64(F.col("id")), F.lit(n_tiles)).alias("blk"))
+        .agg(F.collect_list(F.struct("id", "qv")).alias("chunk"))
+        .localCheckpoint(eager=False)  # pack once; both join sides reuse it
+    )
+    x = packed.select(F.col("blk").alias("bx"), F.col("chunk").alias("cx"))
+    y = packed.select(F.col("blk").alias("by"), F.col("chunk").alias("cy"))
+    # pure theta join: Spark broadcasts `packed` while it fits the
+    # broadcast threshold (fast small-corpus path) and falls back to
+    # CartesianProduct past it — L×L block pairs, two tiles per task,
+    # memory constant in n either way
+    block_pairs = x.join(y, F.col("bx") <= F.col("by"))
     tn2, td2 = t_num * t_num, t_den * t_den
+
+    def unpack(cell):
+        ids = np.fromiter((e["id"] for e in cell), dtype=np.int64, count=len(cell))
+        M = np.stack([np.asarray(e["qv"], dtype=np.int64) for e in cell])
+        return ids, M, (M * M).sum(axis=1)
 
     def gen(batches):
         for b in batches:
-            if not len(b):
-                continue
-            bids = b["id"].to_numpy(dtype=np.int64)
-            B = np.stack(b["qv"].map(lambda v: np.asarray(v, dtype=np.int64)))
-            bn2 = (B * B).sum(axis=1)
-            for lo in range(0, len(ids), 8192):
-                hi = min(lo + 8192, len(ids))
-                D = B @ M[lo:hi].T  # (batch, tile) exact int64
-                mask = (
-                    (bids[:, None] < ids[None, lo:hi])
-                    & (D >= 0)
-                    & (td2 * D * D >= tn2 * bn2[:, None] * n2[None, lo:hi])
-                )
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    yield pd.DataFrame({"id_a": bids[ii], "id_b": ids[lo:hi][jj]})
+            for bx, by, cx, cy in zip(b["bx"], b["by"], b["cx"], b["cy"]):
+                ids_x, X, nx2 = unpack(cx)
+                if bx == by:
+                    ids_y, Y, ny2 = ids_x, X, nx2
+                else:
+                    ids_y, Y, ny2 = unpack(cy)
+                D = X @ Y.T  # (tile, tile) exact int64
+                ok = (D >= 0) & (td2 * D * D >= tn2 * nx2[:, None] * ny2[None, :])
+                lt = ok & (ids_x[:, None] < ids_y[None, :])
+                ii, jj = np.nonzero(lt)
+                out_a, out_b = [ids_x[ii]], [ids_y[jj]]
+                if bx != by:
+                    # ids hash to exactly one block, so cross-block pairs
+                    # appear once — emit the (y < x) orientation too
+                    gt = ok & (ids_x[:, None] > ids_y[None, :])
+                    ii, jj = np.nonzero(gt)
+                    out_a.append(ids_y[jj])
+                    out_b.append(ids_x[ii])
+                a = np.concatenate(out_a)
+                if len(a):
+                    yield pd.DataFrame({"id_a": a, "id_b": np.concatenate(out_b)})
 
-    return q.mapInPandas(gen, schema="id_a long, id_b long")
+    return block_pairs.mapInPandas(gen, schema="id_a long, id_b long")
 
 
 def int8_cosine_pairs_ann(
@@ -517,11 +544,11 @@ def semantic_dedup(
     + connected components, the same closure used for text near-dups):
     (vec_id, cluster_id, n_members, keep) for every vector in a
     semantic-duplicate cluster of >= 2 members; keep marks the min-id
-    survivor. The default pair source is the exact integer-GEMM scan
-    (int8_cosine_pairs_gemm — fast up to its collect cap, raises with
-    guidance past it); pass ``pairs`` to swap in an ANN candidate
-    generator at corpus scale (semantic_dedup_ann does; clusters then
-    depend on its recall)."""
+    survivor. The default pair source is the exact
+    distributed integer-GEMM scan (int8_cosine_pairs_gemm —
+    block-tiled, no corpus-size ceiling); pass ``pairs`` to swap in an
+    ANN candidate generator when O(n²) compute is the binding cost
+    (semantic_dedup_ann does; clusters then depend on its recall)."""
     from cdc_demo_spark.operators.graph import connected_components_star
 
     if pairs is None:

@@ -226,11 +226,13 @@ def q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding near-dedup from rows-only (q_embedding_near_dups, LSH
     recall) to the hard driver signal.
 
-    Pair source: the integer-GEMM tiling of the exact quadratic scan
-    (int8_cosine_pairs_gemm) — the identical pair set to the HOF
-    expression path (pytest-asserted), ~100× faster because the
-    O(n²·d) compare runs as numpy int64 matmuls instead of
-    per-element interpreted HOF folds."""
+    Pair source: the DISTRIBUTED integer-GEMM block tiling of the
+    exact quadratic scan (int8_cosine_pairs_gemm) — the identical
+    pair set to the HOF expression path (pytest-asserted), ~100×
+    faster because the O(n²·d) compare runs as numpy int64 matmuls
+    instead of per-element interpreted HOF folds, and with no
+    corpus-size ceiling: tiles are packed and joined executor-side,
+    nothing is collected to the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, t_num=2, t_den=5)  # default source = GEMM
 

@@ -113,6 +113,15 @@ def encode(buf: io.BytesIO, schema, value) -> None:
             # int(total_seconds() * 1e6) truncates 1µs low for ~1.3% of
             # values (float rounds twice) — same hazard tables.py documents
             # for the nanos cast.
+            if lt == "local-timestamp-micros" and value.tzinfo is not None:
+                # 'local' semantics are zone-less; Spark NTZ always hands
+                # the codec naive datetimes, so a tz-aware value here is a
+                # caller error — converting it to any zone's wall clock
+                # would silently shift the stored value (round-5 ADVICE).
+                raise ValueError(
+                    "local-timestamp-micros takes a naive datetime; got "
+                    f"tz-aware {value!r} — convert and strip tzinfo first"
+                )
             value = (
                 (value - _EPOCH_UTC) // _MICRO
                 if value.tzinfo

@@ -105,6 +105,16 @@ def test_timestamp_micro_encode_is_exact():
         buf.seek(0)
         got = AC.decode(buf, schema)
         assert (got - datetime(1970, 1, 1)) // timedelta(microseconds=1) == want
+    # local-timestamp-micros is zone-LESS: a tz-aware input is a caller
+    # error and must raise, not silently store some zone's wall clock
+    # (round-5 ADVICE; Spark NTZ always hands the codec naive values)
+    import pytest
+
+    local = {"type": "long", "logicalType": "local-timestamp-micros"}
+    buf = io.BytesIO()
+    AC.encode(buf, local, adversarial)  # naive: fine
+    with pytest.raises(ValueError, match="naive datetime"):
+        AC.encode(io.BytesIO(), local, adversarial.replace(tzinfo=timezone.utc))
 
 
 def test_ntz_schema_and_value_roundtrip(spark, tmp_path):

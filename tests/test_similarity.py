@@ -202,11 +202,11 @@ def test_semantic_dedup_planted_clusters(spark):
 
 
 def test_int8_gemm_pairs_equal_hof_pairs(spark, sf_dir):
-    """The GEMM tiling must produce the IDENTICAL pair set to the HOF
-    expression path — both are pure int64 arithmetic, so equality is
-    exact, not approximate. Also pins the cap guard."""
-    import pytest
-
+    """The distributed GEMM tiling must produce the IDENTICAL pair set
+    to the HOF expression path — both are pure int64 arithmetic, so
+    equality is exact, not approximate. Also pins that the pair set is
+    invariant to the tile size (tile_rows small enough to force many
+    block pairs, including every cross-block orientation)."""
     from cdc_demo_spark.operators.similarity import (
         int8_cosine_pairs,
         int8_cosine_pairs_gemm,
@@ -217,8 +217,12 @@ def test_int8_gemm_pairs_equal_hof_pairs(spark, sf_dir):
     hof = {(r.id_a, r.id_b) for r in int8_cosine_pairs(emb).collect()}
     gemm = {(r.id_a, r.id_b) for r in int8_cosine_pairs_gemm(emb).collect()}
     assert gemm == hof and hof
-    with pytest.raises(ValueError, match="max_collect"):
-        int8_cosine_pairs_gemm(emb, max_collect=10).collect()
+    # tiling invariance: many tiny tiles => same exact pair set
+    tiny = {
+        (r.id_a, r.id_b)
+        for r in int8_cosine_pairs_gemm(emb, tile_rows=64).collect()
+    }
+    assert tiny == hof
     # empty and all-zero-vector corpora: no pairs, no numpy AxisError
     empty = emb.filter(F.lit(False))
     assert int8_cosine_pairs_gemm(empty).count() == 0
