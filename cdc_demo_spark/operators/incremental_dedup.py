@@ -18,9 +18,18 @@ batch probe ONLY the buckets it lands in:
   reduction before the intersection count).
 
 Batches append under ``batch=<n>/`` subdirectories, so a crashed append
-is invisible to readers until its final ``_COMMITTED`` marker exists —
-same garbage-not-corruption contract as the CDC silver manifest
-(streaming/merge.py), in miniature.
+is invisible to readers until its commit marker exists — same
+garbage-not-corruption contract as the CDC silver manifest
+(streaming/merge.py), in miniature.  One BATCH-LEVEL marker
+(``commits/<n>``) spans both state tables: the per-table markers this
+replaced could expose a batch's bucket ids without their shingles
+after a crash between the two writes, and candidates without shingles
+silently lose every pair they should have verified.  Markers are
+claimed with the storage backend's put-if-absent
+(cdc_demo_spark.storage — POSIX link today, conditional create on an
+object store), so two appends racing to one batch id fail loudly
+(ConcurrentAppendError) instead of interleaving state.  Concurrency
+contract: one writer at a time; the marker enforces it.
 
 Parameters (k, num_hashes, bands, threshold) are frozen into
 ``_meta.json`` at creation; probing with different parameters than the
@@ -39,6 +48,11 @@ from cdc_demo_spark.operators.dedup import (
     hashed_shingles,
     minhash_signatures,
 )
+from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
+    DEFAULT_BACKEND,
+    CommitBackend,
+    ConcurrentAppendError,
+)
 
 
 class MinHashIndex:
@@ -51,9 +65,11 @@ class MinHashIndex:
         bands: int = 16,
         threshold: float = 0.5,
         max_bucket: int = 200,
+        backend: CommitBackend = DEFAULT_BACKEND,
     ) -> None:
         self.spark = spark
         self.path = path
+        self.backend = backend
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "k": k,
@@ -62,23 +78,27 @@ class MinHashIndex:
             "threshold": threshold,
             "max_bucket": max_bucket,
         }
-        if os.path.exists(meta_path):
-            stored = json.load(open(meta_path))
+        # put-if-absent then verify: racing creators with identical
+        # params both succeed; a param mismatch raises for the loser.
+        if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
+            stored = json.loads(backend.read(meta_path))
             if stored != meta:
                 raise ValueError(
                     f"index at {path} was built with {stored}, probed with {meta}"
                 )
-        else:
-            os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
         self.k, self.num_hashes, self.bands = k, num_hashes, bands
         self.rows = num_hashes // bands
         self.threshold, self.max_bucket = threshold, max_bucket
 
     # -- storage ------------------------------------------------------
 
+    def _commit_marker(self, n: int) -> str:
+        return os.path.join(self.path, "commits", str(n))
+
     def _committed_batches(self, table: str) -> list[str]:
+        """Batch dirs covered by a BATCH-LEVEL marker (legacy per-table
+        ``_COMMITTED`` files are honored for indexes written before the
+        batch-marker scheme)."""
         root = os.path.join(self.path, table)
         if not os.path.isdir(root):
             return []
@@ -86,7 +106,10 @@ class MinHashIndex:
             os.path.join(root, d)
             for d in os.listdir(root)
             if d.startswith("batch=")
-            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+            and (
+                self.backend.exists(self._commit_marker(int(d.split("=")[1])))
+                or os.path.exists(os.path.join(root, d, "_COMMITTED"))
+            )
         )
 
     def _read(self, table: str, schema: str) -> DataFrame:
@@ -96,11 +119,21 @@ class MinHashIndex:
         return self.spark.read.parquet(*dirs)
 
     def _next_batch_id(self) -> int:
+        """max over data dirs (a crashed append's id is never reused)
+        and committed markers (a marker store that outlives data dirs
+        still advances)."""
         root = os.path.join(self.path, "buckets")
-        if not os.path.isdir(root):
-            return 0
-        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
-        return max(ids, default=-1) + 1
+        ids = [-1]
+        if os.path.isdir(root):
+            ids += [
+                int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")
+            ]
+        ids += [
+            int(m)
+            for m in self.backend.list_dir(os.path.join(self.path, "commits"))
+            if m.isdigit()
+        ]
+        return max(ids) + 1
 
     # -- the operator -------------------------------------------------
 
@@ -208,7 +241,13 @@ class MinHashIndex:
         for table, df in (("buckets", new_buckets), ("shingles", sh_new)):
             dst = os.path.join(self.path, table, f"batch={n}")
             df.write.mode("overwrite").parquet(dst)
-            open(os.path.join(dst, "_COMMITTED"), "w").close()
+        # ONE marker after BOTH tables land; put-if-absent makes a
+        # racing same-id writer fail loudly instead of interleaving
+        if not self.backend.put_if_absent(self._commit_marker(n), b""):
+            raise ConcurrentAppendError(
+                f"batch {n} at {self.path} was committed by another writer; "
+                "this append's staged dirs are unreferenced — retry"
+            )
         sh_new.unpersist()
         new_buckets.unpersist()
         return pairs

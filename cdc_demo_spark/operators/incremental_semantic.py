@@ -21,6 +21,17 @@ writes, so a crash mid-append leaves garbage no probe ever observes —
 a per-table marker could expose ids without their vectors and
 silently drop pairs.
 
+Concurrency contract: ONE writer per index at a time (appends are
+ordered state transitions, like silver merges).  The contract is
+ENFORCED at the commit point, not assumed: markers are claimed with
+the storage backend's put-if-absent, so if two append_batch calls
+race to the same batch id the loser raises ConcurrentAppendError
+instead of silently interleaving its members with the winner's
+vectors (the exact ids-without-vectors pair-loss the batch marker
+exists to prevent).  The backend seam (cdc_demo_spark.storage) is the
+same one the silver manifest commits through — POSIX link here,
+conditional create on an object store.
+
 Scale shape: probe cost ~ O(|batch| x bucket occupancy); stored state
 is touched join-wise on (centroid_id) and (id); quantized vectors are
 int64 arrays (8 x dim bytes per row) — at cluster scale the state
@@ -43,6 +54,11 @@ from cdc_demo_spark.operators.similarity import (
     int8_quantized,
     refine_centroids,
 )
+from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
+    DEFAULT_BACKEND,
+    CommitBackend,
+    ConcurrentAppendError,
+)
 
 
 class SemanticIndex:
@@ -55,9 +71,11 @@ class SemanticIndex:
         n_buckets: int = 16,
         probes: int = 2,
         refine_iters: int = 2,
+        backend: CommitBackend = DEFAULT_BACKEND,
     ) -> None:
         self.spark = spark
         self.path = path
+        self.backend = backend
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "t_num": t_num,
@@ -66,16 +84,15 @@ class SemanticIndex:
             "probes": probes,
             "refine_iters": refine_iters,
         }
-        if os.path.exists(meta_path):
-            stored = json.load(open(meta_path))
+        # put-if-absent then verify: two racing creators with identical
+        # params both succeed (one writes, both compare); mismatched
+        # params always raise for whichever lost the create.
+        if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
+            stored = json.loads(backend.read(meta_path))
             if stored != meta:
                 raise ValueError(
                     f"index at {path} was built with {stored}, opened with {meta}"
                 )
-        else:
-            os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
         self.t_num, self.t_den = t_num, t_den
         self.n_buckets, self.probes, self.refine_iters = n_buckets, probes, refine_iters
 
@@ -106,7 +123,7 @@ class SemanticIndex:
             os.path.join(root, d)
             for d in os.listdir(root)
             if d.startswith("batch=")
-            and os.path.exists(self._commit_marker(int(d.split("=")[1])))
+            and self.backend.exists(self._commit_marker(int(d.split("=")[1])))
         )
 
     def _read(self, table: str, schema: str) -> DataFrame:
@@ -116,11 +133,22 @@ class SemanticIndex:
         return self.spark.read.parquet(*dirs)
 
     def _next_batch_id(self) -> int:
+        """max over BOTH data dirs (so a crashed, uncommitted append's
+        id is never reused — its garbage dirs stay invisible) and
+        committed markers (so a backend whose marker store outlives the
+        data dirs still advances)."""
         root = os.path.join(self.path, "members")
-        if not os.path.isdir(root):
-            return 0
-        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
-        return max(ids, default=-1) + 1
+        ids = [-1]
+        if os.path.isdir(root):
+            ids += [
+                int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")
+            ]
+        ids += [
+            int(m)
+            for m in self.backend.list_dir(os.path.join(self.path, "commits"))
+            if m.isdigit()
+        ]
+        return max(ids) + 1
 
     # -- the operator -------------------------------------------------
 
@@ -187,9 +215,14 @@ class SemanticIndex:
                 os.path.join(self.path, table, f"batch={n}")
             )
         # the single marker lands only after BOTH tables are fully
-        # written — a crash anywhere above leaves invisible garbage
-        os.makedirs(os.path.join(self.path, "commits"), exist_ok=True)
-        open(self._commit_marker(n), "w").close()
+        # written — a crash anywhere above leaves invisible garbage.
+        # put-if-absent makes a racing same-id writer fail LOUDLY here
+        # (its members would otherwise pair with our vectors).
+        if not self.backend.put_if_absent(self._commit_marker(n), b""):
+            raise ConcurrentAppendError(
+                f"batch {n} at {self.path} was committed by another writer; "
+                "this append's staged dirs are unreferenced — retry"
+            )
         return pairs
 
     def centroid_drift(

@@ -12,6 +12,9 @@ everything downstream stays in that partitioning.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -310,3 +313,69 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def _events_by_day_path(sf_dir: str) -> str:
+    """Derived day-partitioned copy of the events table, built once per
+    sf and reused (a real deployment writes facts partitioned at ingest
+    — layout.write_partitioned_by_day — so queries here measure the
+    LAYOUT, not the one-time write)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_events_by_day_v1_{tag}")
+
+
+def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    from cdc_demo_spark.layout import write_partitioned_by_day
+
+    path = _events_by_day_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned_by_day(load_table(spark, sf_dir, "events"), path)
+    return path
+
+
+@register(
+    "q_day_partition_pruning",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(value) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+)
+def q_day_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-range rollup over the DAY-PARTITIONED events layout
+    (layout.write_partitioned_by_day) — the coarse pruning that makes
+    time-range queries at 100 TB read 3 directories instead of 10,000.
+    The query itself REFUSES to run unpruned: it asserts the scan's
+    PartitionFilters carry the _day bounds (VERDICT r5 #6 asked for
+    exactly this at bench grain, not just toy grain), so a layout or
+    planner regression fails loudly rather than silently scanning
+    everything.  The oracle runs the same rollup over the RAW events
+    view — values must be identical because partitioning is pure
+    layout."""
+    from cdc_demo_spark.plans import physical_plan
+
+    path = _ensure_events_by_day(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    out = (
+        ev.filter(F.col("_day").between("2024-01-10", "2024-01-12"))
+        .groupBy(F.col("_day").cast("timestamp").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+    plan = physical_plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not m or "_day" not in m.group(1):
+        raise AssertionError(
+            "day-range scan is not partition-pruned; PartitionFilters empty "
+            f"in plan:\n{plan[:2000]}"
+        )
+    return out

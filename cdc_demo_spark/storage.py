@@ -1,0 +1,149 @@
+"""Commit-metadata storage contract: the ONE atomic primitive the
+engine's durability story depends on, behind an injectable seam.
+
+Both metadata layers — the silver table's CAS manifest
+(streaming/merge.py) and the incremental indexes' commit markers
+(operators/incremental_semantic.py, operators/incremental_dedup.py) —
+publish state with a single primitive: *put-if-absent of a fully
+written object*.  On POSIX that is `os.link` of a complete temp file
+(content exists before the name does, EEXIST loses the race).  Object
+stores (the reference's actual sink — /root/reference/main.tf:150-155
+lands change files in a GCS bucket) have NO atomic rename, but they DO
+have conditional create (S3 `If-None-Match: *`, GCS
+`x-goog-if-generation-match: 0`), which is exactly this interface — so
+the engine's commit protocol ports by implementing one method, not by
+re-auditing every caller.
+
+Everything else the engine writes is immutable uuid-versioned data
+written once and referenced BY the metadata (bucket version dirs,
+index batch dirs): those need no atomicity — a crash leaves garbage
+no reader can observe, collected later — so they stay on the plain
+filesystem / object API.
+
+The bundled fake (`tests/test_storage_contract.py`) implements the
+contract with a dict + lock and NO rename/link at all, proving the
+merge and index commit paths never rely on more than put-if-absent.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+
+
+class ConcurrentAppendError(RuntimeError):
+    """Another writer committed this batch id first. The loser's batch
+    dirs are unreferenced garbage (its marker never landed); retry the
+    append — it will claim the next id against the committed state."""
+
+
+class CommitBackend:
+    """Metadata storage for commit markers and manifests.
+
+    Paths are opaque strings (the POSIX impl uses filesystem paths; an
+    object-store impl would use keys).  `put_if_absent` is the only
+    member that must be ATOMIC: either this caller created the object
+    with exactly `data` as content, or nobody's write was disturbed and
+    it returns False."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        """Names (not paths) of objects directly under `path`; [] if the
+        directory does not exist."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Remove the object; missing is not an error."""
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """put-if-absent via hard-link of a fully written temp file: the
+    content is complete and fsynced before the target name exists, and
+    `os.link` fails with EEXIST if a concurrent writer claimed the name
+    first — no torn reads, no lost race."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+DEFAULT_BACKEND = PosixCommitBackend()
+
+
+class InMemoryCommitBackend(CommitBackend):
+    """Rename-less, link-less reference implementation: a dict guarded
+    by a lock, modeling an object store's conditional create.  Used by
+    tests to prove the commit paths depend on nothing but the
+    interface; usable directly for single-process ephemeral state."""
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            if path in self._objects:
+                return False
+            self._objects[path] = data
+            return True
+
+    def read(self, path: str) -> bytes:
+        with self._lock:
+            return self._objects[path]
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return path in self._objects
+
+    def list_dir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return [
+                p[len(prefix) :]
+                for p in self._objects
+                if p.startswith(prefix) and "/" not in p[len(prefix) :]
+            ]
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)

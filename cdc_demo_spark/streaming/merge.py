@@ -52,6 +52,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_demo_spark.storage import DEFAULT_BACKEND, CommitBackend
+
 META_COLS = ("__key", "__op", "__ts", "__seq")
 MANIFEST = "_manifest.json"  # legacy single-file manifest (read fallback)
 _MANIFEST_V = re.compile(r"_manifest\.v(\d+)\.json$")
@@ -117,66 +119,56 @@ def silver_bucket_count(
 # --------------------------------------------------------------------------
 
 
-def _manifest_versions(silver_path: str) -> list[tuple[int, str]]:
-    if not os.path.isdir(silver_path):
-        return []
+def _manifest_versions(
+    silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+) -> list[tuple[int, str]]:
     out = []
-    for name in os.listdir(silver_path):
+    for name in backend.list_dir(silver_path):
         m = _MANIFEST_V.match(name)
         if m:
             out.append((int(m.group(1)), os.path.join(silver_path, name)))
     return sorted(out)
 
 
-def _load_manifest(silver_path: str) -> dict | None:
+def _load_manifest(
+    silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+) -> dict | None:
     """Resolve the current snapshot: highest numbered manifest wins;
     falls back to the legacy single-file manifest (treated as version
     0, so the first CAS commit supersedes it)."""
-    versions = _manifest_versions(silver_path)
+    versions = _manifest_versions(silver_path, backend)
     if versions:
         n, path = versions[-1]
-        with open(path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(backend.read(path))
         manifest["version"] = n
         return manifest
     path = os.path.join(silver_path, MANIFEST)
-    if not os.path.exists(path):
+    if not backend.exists(path):
         return None
-    with open(path) as f:
-        manifest = json.load(f)
+    manifest = json.loads(backend.read(path))
     manifest.setdefault("version", 0)
     return manifest
 
 
-def _commit_manifest(silver_path: str, manifest: dict) -> None:
+def _commit_manifest(
+    silver_path: str, manifest: dict, backend: CommitBackend = DEFAULT_BACKEND
+) -> None:
     """The ONE mutation readers can observe. Optimistic CAS: the commit
-    claims version N+1 by atomically linking a fully-written temp file
-    to `_manifest.v{N+1}.json`; os.link fails with EEXIST if a
-    concurrent writer claimed it first (no torn reads — content is
-    complete before the name exists)."""
+    claims version N+1 with the backend's put-if-absent (POSIX: atomic
+    link of a fully-written temp file; object store: conditional
+    create), which fails if a concurrent writer claimed it first — no
+    torn reads, content is complete before the name exists."""
     new_version = int(manifest.get("version", 0)) + 1
     manifest = {**manifest, "version": new_version}
     dst = os.path.join(silver_path, f"_manifest.v{new_version}.json")
-    tmp = os.path.join(silver_path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, dst)
-    except FileExistsError:
+    if not backend.put_if_absent(dst, json.dumps(manifest).encode()):
         raise ConcurrentCommitError(
             f"manifest version {new_version} already committed by another "
             f"writer; reload and re-merge"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
     # retention: keep a few trailing manifests for in-flight readers
-    for n, path in _manifest_versions(silver_path)[:-5]:
-        try:
-            os.unlink(path)
-        except OSError:
-            pass
+    for n, path in _manifest_versions(silver_path, backend)[:-5]:
+        backend.delete(path)
 
 
 def _next_bucket_version(cur_ver: str | None) -> str:
@@ -206,6 +198,7 @@ def merge_into_silver(
     table: str,
     num_buckets: int | None = None,
     expected_state_bytes: int | None = None,
+    backend: CommitBackend = DEFAULT_BACKEND,
 ) -> None:
     """Merge one micro-batch of envelope rows for `table` into the
     versioned silver table at `silver_path` (see module docstring for
@@ -214,8 +207,14 @@ def merge_into_silver(
     Bucket count resolution: the manifest's pinned count always wins;
     on first merge (table creation) an explicit ``num_buckets`` is
     used, else ``silver_bucket_count(expected_state_bytes)`` (the
-    ~128 MB/bucket policy), else the demo default of 8."""
-    manifest = _load_manifest(silver_path)
+    ~128 MB/bucket policy), else the demo default of 8.
+
+    ``backend`` is the commit-metadata seam (cdc_demo_spark.storage):
+    only the manifest needs atomicity; bucket data dirs are immutable
+    uuid-versioned writes whose visibility the manifest gates, so the
+    staging rename below needs no atomicity (on an object store it is
+    a copy — or write per-bucket directly to the final key)."""
+    manifest = _load_manifest(silver_path, backend)
     if manifest is not None:
         num_buckets = manifest["num_buckets"]  # pinned at table creation
     elif num_buckets is None:
@@ -286,7 +285,7 @@ def merge_into_silver(
         if cur_ver:
             old_dirs.append(os.path.join(silver_path, "data", f"b{b}", cur_ver))
         manifest["buckets"][str(b)] = new_ver
-    _commit_manifest(silver_path, manifest)  # <- the atomic point
+    _commit_manifest(silver_path, manifest, backend)  # <- the atomic point
     # post-commit GC (crash here leaves garbage, never corruption)
     shutil.rmtree(stage, ignore_errors=True)
     for d in old_dirs:
@@ -362,23 +361,33 @@ def _read_state(
 
 
 def read_silver_state(
-    spark: SparkSession, silver_path: str, buckets: list[int] | None = None
+    spark: SparkSession,
+    silver_path: str,
+    buckets: list[int] | None = None,
+    backend: CommitBackend = DEFAULT_BACKEND,
 ) -> DataFrame | None:
     """Current committed snapshot (manifest-resolved); with `buckets`,
     only those buckets' files are opened."""
-    manifest = _load_manifest(silver_path)
+    manifest = _load_manifest(silver_path, backend)
     return _read_state(spark, silver_path, manifest, buckets)
 
 
-def read_silver(spark: SparkSession, silver_path: str) -> DataFrame:
+def read_silver(
+    spark: SparkSession, silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+) -> DataFrame:
     """The queryable replica: payload columns only, tombstones hidden."""
-    state = read_silver_state(spark, silver_path)
+    state = read_silver_state(spark, silver_path, backend=backend)
     if state is None:
         raise FileNotFoundError(silver_path)
     return state.filter(F.col("__op") != "d").select("__row.*")
 
 
-def lookup_silver_key(spark: SparkSession, silver_path: str, key: str) -> DataFrame:
+def lookup_silver_key(
+    spark: SparkSession,
+    silver_path: str,
+    key: str,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> DataFrame:
     """Point lookup: the latest live image of one key, opening ONLY the
     bucket directory the key hashes into — 1/num_buckets of the table's
     files regardless of table size (the read-path twin of the merge's
@@ -388,7 +397,7 @@ def lookup_silver_key(spark: SparkSession, silver_path: str, key: str) -> DataFr
     The bucket id comes from a one-row Spark job so the hash is
     BY CONSTRUCTION the same xxhash64/pmod the writer used — no
     driver-side reimplementation to drift."""
-    manifest = _load_manifest(silver_path)
+    manifest = _load_manifest(silver_path, backend)
     if manifest is None:
         raise FileNotFoundError(silver_path)
     n = manifest["num_buckets"]
@@ -404,7 +413,12 @@ def lookup_silver_key(spark: SparkSession, silver_path: str, key: str) -> DataFr
     )
 
 
-def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> None:
+def compact_tombstones(
+    spark: SparkSession,
+    silver_path: str,
+    watermark_ts,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> None:
     """GC tombstones older than the watermark: no event at-or-below the
     watermark can still arrive, so those deletes can be physically
     dropped (bounds state size).
@@ -416,7 +430,7 @@ def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> N
     untouched (inode-asserted in tests), so GC cost tracks the tombstone
     population, not total state — the same O(touched) property the merge
     itself has."""
-    manifest = _load_manifest(silver_path)
+    manifest = _load_manifest(silver_path, backend)
     state = _read_state(spark, silver_path, manifest)
     if state is None:
         return
@@ -442,7 +456,7 @@ def compact_tombstones(spark: SparkSession, silver_path: str, watermark_ts) -> N
             os.makedirs(dst, exist_ok=True)
         old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
         manifest["buckets"][str(b)] = new_ver
-    _commit_manifest(silver_path, manifest)
+    _commit_manifest(silver_path, manifest, backend)
     shutil.rmtree(stage, ignore_errors=True)
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
@@ -453,6 +467,7 @@ def optimize_silver(
     silver_path: str,
     max_files_per_bucket: int = 1,
     sort_cols: tuple[str, ...] = ("__key",),
+    backend: CommitBackend = DEFAULT_BACKEND,
 ) -> list[int]:
     """OPTIMIZE for the silver table (Delta OPTIMIZE / Iceberg rewrite
     analog): every merge appends a new version with however many files
@@ -467,7 +482,7 @@ def optimize_silver(
     half-optimized table, and a concurrent merge loses cleanly with
     ConcurrentCommitError rather than silently undoing the rewrite.
     Returns the bucket ids rewritten (for tests/observability)."""
-    manifest = _load_manifest(silver_path)
+    manifest = _load_manifest(silver_path, backend)
     if manifest is None:
         return []
     fragmented = []
@@ -504,7 +519,7 @@ def optimize_silver(
             os.makedirs(dst, exist_ok=True)
         old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
         manifest["buckets"][str(b)] = new_ver
-    _commit_manifest(silver_path, manifest)
+    _commit_manifest(silver_path, manifest, backend)
     shutil.rmtree(stage, ignore_errors=True)
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,187 @@
+"""The commit-metadata seam (cdc_demo_spark.storage): every durability
+decision — silver manifest CAS, incremental-index batch markers — must
+go through CommitBackend.put_if_absent and nothing stronger.
+
+Proven by running the real merge and index paths against
+InMemoryCommitBackend, which has NO rename, NO hard link, NO
+filesystem at all for metadata (the model of an object store's
+conditional create).  If any commit path regressed to a direct
+os.link/os.rename/open() on its metadata, these tests would fail:
+the manifest/marker would land on disk where the fake can't see it
+(reads would miss it), or land in the fake without the atomicity the
+POSIX path provided.
+
+Also pins the single-writer enforcement the round-5 ADVICE asked for:
+two appends racing to one batch id -> the loser raises
+ConcurrentAppendError instead of silently interleaving half-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.storage import (
+    ConcurrentAppendError,
+    InMemoryCommitBackend,
+)
+
+
+def _env(spark, rows, seq0=0):
+    return spark.createDataFrame(
+        [
+            (
+                op,
+                dt.datetime(2024, 1, 1, 0, 0, seq0 + s),
+                seq0 + s,
+                "pet",
+                k,
+                {"name": k, "v": v},
+            )
+            for s, (op, k, v) in enumerate(rows)
+        ],
+        "op string, ts timestamp, seq long, table string, key string, "
+        "after struct<name:string, v:string>",
+    )
+
+
+class TestMergeOnFake:
+    def test_merge_read_roundtrip_without_rename_or_link(self, spark, tmp_path):
+        from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver
+
+        be = InMemoryCommitBackend()
+        silver = str(tmp_path / "silver")
+        merge_into_silver(
+            spark,
+            _env(spark, [("c", "fluffy", "1"), ("c", "claws", "1")]),
+            silver,
+            "pet",
+            num_buckets=4,
+            backend=be,
+        )
+        merge_into_silver(
+            spark,
+            _env(spark, [("u", "fluffy", "2"), ("d", "claws", None)], seq0=10),
+            silver,
+            "pet",
+            backend=be,
+        )
+        got = {
+            (r["name"], r["v"]) for r in read_silver(spark, silver, backend=be).collect()
+        }
+        assert got == {("fluffy", "2")}
+        # the manifest lives ONLY in the fake — nothing metadata-shaped
+        # reached the real filesystem
+        assert any("_manifest" in k for k in be._objects)
+        import os
+
+        assert not any(
+            "_manifest" in f for f in os.listdir(silver)
+        ), "manifest leaked to the filesystem bypassing the backend"
+
+    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path):
+        from cdc_demo_spark.streaming.merge import (
+            ConcurrentCommitError,
+            _commit_manifest,
+            _load_manifest,
+            merge_into_silver,
+        )
+
+        be = InMemoryCommitBackend()
+        silver = str(tmp_path / "silver")
+        merge_into_silver(
+            spark, _env(spark, [("c", "a", "1")]), silver, "pet", num_buckets=4, backend=be
+        )
+        manifest = _load_manifest(silver, be)
+        # a rival claims version N+1 first (same loaded snapshot)
+        _commit_manifest(silver, dict(manifest), be)
+        with pytest.raises(ConcurrentCommitError):
+            _commit_manifest(silver, dict(manifest), be)
+
+
+class TestIndexesOnFake:
+    def test_semantic_index_on_fake_backend(self, spark, sf_dir, tmp_path):
+        from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+        from cdc_demo_spark.sources.tables import load_table
+
+        be = InMemoryCommitBackend()
+        emb = load_table(spark, sf_dir, "embeddings").limit(120).localCheckpoint()
+        idx = SemanticIndex(spark, str(tmp_path / "ix"), n_buckets=4, backend=be)
+        first = emb.filter(F.col("vec_id") % 2 == 0)
+        second = emb.filter(F.col("vec_id") % 2 == 1)
+        p1 = idx.build(first)
+        p1.count()
+        idx.append_batch(second).count()
+        # both batches committed through the fake; meta + 2 markers
+        assert be.exists(str(tmp_path / "ix" / "_meta.json"))
+        assert be.list_dir(str(tmp_path / "ix" / "commits")) in (["0", "1"], ["1", "0"])
+        # reopening with identical params is fine; mismatch raises
+        SemanticIndex(spark, str(tmp_path / "ix"), n_buckets=4, backend=be)
+        with pytest.raises(ValueError, match="built with"):
+            SemanticIndex(spark, str(tmp_path / "ix"), n_buckets=8, backend=be)
+
+    def test_semantic_concurrent_append_fails_loudly(self, spark, sf_dir, tmp_path):
+        from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+        from cdc_demo_spark.sources.tables import load_table
+
+        be = InMemoryCommitBackend()
+        emb = load_table(spark, sf_dir, "embeddings").limit(40).localCheckpoint()
+        idx = SemanticIndex(spark, str(tmp_path / "ix"), n_buckets=4, backend=be)
+        idx.build(emb).count()
+        # the race: both writers compute next id = 1, the rival's marker
+        # lands first.  Pin our id computation to model the interleaving
+        # (in real time the rival commits between our _next_batch_id and
+        # our put_if_absent).
+        assert be.put_if_absent(idx._commit_marker(1), b"")
+        idx._next_batch_id = lambda: 1
+        with pytest.raises(ConcurrentAppendError):
+            idx.append_batch(
+                emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+            ).count()
+
+    def test_minhash_index_on_fake_backend(self, spark, sf_dir, tmp_path):
+        from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+        from cdc_demo_spark.sources.tables import load_table
+
+        be = InMemoryCommitBackend()
+        docs = load_table(spark, sf_dir, "documents").limit(80).localCheckpoint()
+        idx = MinHashIndex(spark, str(tmp_path / "mh"), backend=be)
+        idx.append_batch(docs).count()
+        assert be.list_dir(str(tmp_path / "mh" / "commits")) == ["0"]
+        # rival's marker for id 1 lands between our id computation and
+        # our commit -> loud failure, no interleaving
+        assert be.put_if_absent(idx._commit_marker(1), b"")
+        idx._next_batch_id = lambda: 1
+        with pytest.raises(ConcurrentAppendError):
+            idx.append_batch(
+                docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+            ).count()
+
+    def test_uncommitted_batch_invisible_and_id_not_reused(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Crash model: batch dirs written, marker never landed — the
+        batch must be invisible to probes AND its id must not be
+        reused by the next append (reuse would resurrect the garbage
+        under a later marker)."""
+        from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+        from cdc_demo_spark.sources.tables import load_table
+
+        be = InMemoryCommitBackend()
+        docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+        idx = MinHashIndex(spark, str(tmp_path / "mh"), backend=be)
+        idx.append_batch(docs).count()
+        # simulate a crashed append: data dirs exist, marker missing
+        crashed = docs.withColumn("doc_id", F.col("doc_id") + 50_000)
+        sh = idx._read("shingles", "id long, h64 long")
+        n_committed = sh.count()
+        for table in ("buckets", "shingles"):
+            (tmp_path / "mh" / table / "batch=1").mkdir(parents=True, exist_ok=True)
+        assert idx._next_batch_id() == 2  # dir present -> id burned
+        assert (
+            idx._read("shingles", "id long, h64 long").count() == n_committed
+        ), "uncommitted batch leaked into reads"
+        idx.append_batch(crashed).count()
+        assert be.exists(idx._commit_marker(2))
