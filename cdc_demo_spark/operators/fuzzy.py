@@ -66,37 +66,30 @@ def deletion_pairs(
     Scale shape: keys shuffle as xxhash64 longs (repo policy — a
     collision only adds a candidate that Levenshtein rejects), the
     self-join is on the hash, pairs dedup before ONE verify pass.
+
+    Key generation is EXPLODE-then-compute, not array HOFs: Spark
+    evaluates ``transform``/``flatten`` lambdas INTERPRETED per array
+    element, and at ~L²/2 keys per string the interpreter — not the
+    shuffle — dominated the whole operator (measured at sf0.1: the
+    nested-transform pipeline ran 60 s cold; exploding deletion
+    positions into rows and building each key with codegen
+    concat/substr runs the identical key set in 13 s).  Each explode
+    level emits a position index; position 0 means "no deletion at
+    this level", so (0,0)=original, (i,0)=all d1, (i,j)=all ordered
+    d2 — every <=2-deletion subsequence exactly.  dropDuplicates on
+    (id, h64) restores the per-string key-set semantics the
+    array_union HOF provided (duplicate keys arise from repeated
+    characters; without the dedup their join multiplicity squares).
     """
     if max_dist not in (1, 2):
         raise ValueError(f"deletion_pairs supports max_dist 1 or 2, got {max_dist}")
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
-    name = F.col("name")
-    L = F.length("name")
-    d1 = F.when(
-        L >= 1,
-        F.transform(F.sequence(F.lit(1), L), lambda i: _delete_char(name, i, max_len)),
-    ).otherwise(F.array().cast("array<string>"))
-    keys = F.array_union(F.array(name), d1)
-    if max_dist == 2:
-        d2 = F.when(
-            L >= 2,
-            F.flatten(
-                F.transform(
-                    d1,
-                    lambda t: F.transform(
-                        F.sequence(F.lit(1), L - 1),
-                        lambda j: _delete_char(t, j, max_len),
-                    ),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        keys = F.array_union(keys, d2)
     # In-scan length guard: rides the key projection itself (no extra
     # pre-flight pass over the column — at 100 TB a separate check job
     # is a full extra scan); any over-long row aborts before its keys
     # are emitted, so truncation can never silently lose pairs.
-    keys = F.when(
-        L > max_len,
+    guarded = F.when(
+        F.length("name") > max_len,
         F.raise_error(
             F.concat(
                 F.lit(
@@ -104,10 +97,39 @@ def deletion_pairs(
                     "(deletion fan-out is O(len²) — use MinHash/Jaccard "
                     "operators for long text); offending value: "
                 ),
-                name,
+                F.col("name"),
             )
-        ).cast("array<string>"),
-    ).otherwise(keys)
+        ),
+    ).otherwise(F.col("name"))
+    lvl1 = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+        guarded.alias("name"),
+    ).select(
+        "id",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(_delete_char(F.col("name"), F.col("i"), max_len))
+        .alias("s1"),
+        "i",
+    )
+    if max_dist == 2:
+        # second deletion only from already-deleted strings: (0, j>0)
+        # would re-derive d1 keys the (i>0, 0) rows already emit
+        jseq = F.when(F.col("i") == 0, F.sequence(F.lit(0), F.lit(0))).otherwise(
+            F.sequence(F.lit(0), F.length("s1"))
+        )
+        keyed = (
+            lvl1.select("id", F.explode(jseq).alias("j"), "s1")
+            .select(
+                "id",
+                F.when(F.col("j") == 0, F.col("s1"))
+                .otherwise(_delete_char(F.col("s1"), F.col("j"), max_len))
+                .alias("s2"),
+            )
+            .select("id", F.xxhash64("s2").alias("h64"))
+        )
+    else:
+        keyed = lvl1.select("id", F.xxhash64("s1").alias("h64"))
     # Shuffle currency: (id, h64) longs only. Stage order is join ->
     # DEDUP -> attach names -> Levenshtein: the pair dedup runs on slim
     # (id_a, id_b) rows BEFORE names attach, collapsing the join's key
@@ -118,9 +140,7 @@ def deletion_pairs(
     # multiplicity in Levenshtein calls.)  Name attach broadcasts under
     # AQE when small; at corpus scale it becomes an id-keyed shuffle
     # join, which is the correct shape.
-    sh = base.select(
-        "id", F.explode(F.transform(keys, lambda k: F.xxhash64(k))).alias("h64")
-    )
+    sh = keyed.dropDuplicates(["id", "h64"])
     a = sh.select(F.col("id").alias("id_a"), "h64")
     b = sh.select(F.col("id").alias("id_b"), "h64")
     cand = (
@@ -134,8 +154,10 @@ def deletion_pairs(
     ).join(
         base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
     )
-    dist = F.levenshtein("name_a", "name_b")
-    return named.filter(dist <= max_dist).select(
+    # banded (threshold) Levenshtein: O(d·n) cells instead of O(n²);
+    # -1 = "past the threshold", so the filter keeps exactly dist <= d
+    dist = F.levenshtein("name_a", "name_b", max_dist)
+    return named.filter(dist >= 0).select(
         "id_a", "id_b", dist.cast("long").alias("edit_dist")
     )
 
