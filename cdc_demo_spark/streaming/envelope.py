@@ -63,3 +63,93 @@ def snapshot_as_events(
 
 def payload_type(schema: StructType) -> StructType:
     return schema
+
+
+# --------------------------------------------------------------------------
+# A7 as a CONSUMED CONTRACT: plugging a real binlog tail into the engine
+# --------------------------------------------------------------------------
+
+def debezium_value_schema(payload: StructType) -> StructType:
+    """The Debezium MySQL connector's public message-value shape (the
+    fields this adapter consumes; Debezium emits more — transaction
+    block, schema block — which PERMISSIVE parsing ignores):
+
+        {"payload": {
+            "before": {...}|null, "after": {...}|null,
+            "op": "c"|"u"|"d"|"r",
+            "ts_ms": 1711111111111,
+            "source": {"table": "pet",
+                        "file": "mysql-bin.000003", "pos": 4711, ...}}}
+
+    This is the published wire format of the standard open-source
+    binlog reader for exactly the MySQL setup the reference provisions
+    (binary_log_enabled + replication grants,
+    /root/reference/main.tf:105, README.md:115-117). The driver
+    contract (BASELINE.json) scopes live capture itself out of the
+    engine; this schema + ``from_debezium`` close the gap as a
+    consumed contract instead of a non-goal: anyone running Debezium
+    (or Datastream, whose envelope is the same shape) against the
+    reference's MySQL lands files our pipeline replicates."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    source = StructType(
+        [
+            StructField("table", StringType(), True),
+            StructField("file", StringType(), True),
+            StructField("pos", LongType(), True),
+        ]
+    )
+    inner = StructType(
+        [
+            StructField("before", payload, True),
+            StructField("after", payload, True),
+            StructField("op", StringType(), True),
+            StructField("ts_ms", LongType(), True),
+            StructField("source", source, True),
+        ]
+    )
+    return StructType([StructField("payload", inner, True)])
+
+
+def from_debezium(
+    raw: DataFrame,
+    payload: StructType,
+    key_cols: list[str] | None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Debezium-shaped JSON strings -> this engine's envelope rows —
+    the adapter that makes the reference's one out-of-engine stage
+    (A7, the binlog tail) pluggable end-to-end.
+
+    Field mapping (everything downstream — dedup, watermark, merge —
+    is unchanged; the adapter is a pure projection):
+
+    - ``op``: Debezium's c/u/d/r are ALREADY this envelope's op codes
+      (SURVEY.md §1.3 chose them for this reason).
+    - ``ts``: ``ts_ms`` (source commit millis) -> timestamp.
+    - ``seq``: the binlog coordinate (file, pos) packed into one long:
+      ``file_index * 2^40 + pos``.  A MySQL binlog file is capped at
+      max_binlog_size = 1 GiB << 2^40, so the pack is collision-free
+      and orders exactly as (file, pos) does — the server's total
+      order that the merge's (ts, seq) winner rule needs; ts_ms alone
+      is millisecond-coarse and ties under load.
+    - ``key``: key_cols from the row image (whole-row for keyless
+      tables), via the same ``key_expr`` every other source uses.
+
+    Messages that don't parse keep a null payload and are filtered
+    here; in the pipeline the same rows route to the DLQ (A13) via
+    ``_corrupt``."""
+    m = raw.select(
+        F.from_json(F.col(value_col), debezium_value_schema(payload)).alias("v")
+    ).select("v.payload.*")
+    file_idx = F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).cast("long")
+    out = m.filter(F.col("op").isin(*OPS)).select(
+        F.col("op"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        (file_idx * F.lit(1 << 40) + F.col("source.pos")).cast("long").alias("seq"),
+        F.col("source.table").alias("table"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("before"),
+        F.col("after"),
+    )
+    return out.withColumn("key", key_expr(key_cols))
