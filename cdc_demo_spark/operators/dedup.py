@@ -528,3 +528,96 @@ def allpairs_jaccard(
     return verified.filter(jac >= F.lit(float(threshold))).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """Engine-portable SimHash: md5 token hashes (identical hex in any
+    engine) instead of xxhash64, 60 bits (15 hex chars -> the hash fits
+    a signed int64 in both Spark and DuckDB via '0x'-cast), so the
+    WHOLE pair graph is oracle-checkable value-exact — the upgrade that
+    moves the SimHash family from rows-only to hash-match verification
+    (q_simhash_hamming_pairs).
+
+    Shape follows the house lesson from deletion_pairs (r6): explode
+    tokens into rows and aggregate 60 codegen'd ±1 bit votes per doc —
+    no interpreted array-HOF fold (the xxhash64 simhash() predates the
+    lesson and keeps its shape for compatibility; at its 500-doc usage
+    the difference is irrelevant, at corpus scale use this one).
+    Integer votes, deterministic ties (v > 0 -> bit set): bit-exact
+    across engines by construction."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be 1..60 (15 hex chars of md5), got {bits}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("w"),
+    )
+    h = toks.select(
+        "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv")
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", packed.alias("simhash"))
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    max_distance: int = 3,
+    bits: int = 60,
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for signature pairs within ``max_distance``
+    bit flips, via (max_distance+1)-chunk pigeonhole blocking (Manku et
+    al. WWW'07): <= d flips cannot touch all d+1 disjoint chunks, so
+    every qualifying pair shares at least one exact chunk — lossless by
+    pigeonhole, verified exactly by bit_count(xor).  Generalizes the
+    4x16-bit blocking in simhash_near_duplicates to any (bits, d) with
+    (d+1) | bits.  Shuffle key = (chunk index, chunk value); candidate
+    volume tracks chunk collisions, never the O(n²) pair space."""
+    n_chunks = max_distance + 1
+    if bits % n_chunks:
+        raise ValueError(f"chunk count {n_chunks} must divide bits={bits}")
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(sig_col, width * i).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    blocked = sig.select("id", sig_col, F.explode(chunks).alias("c")).select(
+        "id", sig_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -411,3 +411,50 @@ def q_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("doc_id", F.round("rank", 9).alias("rank")).orderBy(
         F.desc("rank"), F.asc("doc_id")
     ).limit(50)
+
+
+@register(
+    "q_simhash_hamming_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a VALUE-EXACT oracle (Manku et al.
+    WWW'07): the engine-portable md5 signature (operators/dedup.
+    simhash_md5 — 60-bit, integer votes, deterministic ties) makes the
+    whole pair graph reproducible in DuckDB, so the driver's hash gate
+    now covers the SimHash family end-to-end, not just row counts
+    (q_simhash_signatures stays as the xxhash64 production variant).
+    Spark finds pairs via 4x15-bit pigeonhole blocking — <= 3 flips
+    can't touch all 4 chunks — while the oracle runs the naive
+    quadratic self-join: the hash match doubles as the blocking's
+    losslessness proof on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash_md5(docs, "doc_id", "text")
+    return (
+        D.hamming_pairs(sig, max_distance=3, bits=60)
+        .orderBy("id_a", "id_b")
+    )

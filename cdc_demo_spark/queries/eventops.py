@@ -379,3 +379,54 @@ def q_day_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"in plan:\n{plan[:2000]}"
         )
     return out
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END AS k, value
+  FROM events
+),
+dim AS (SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey < 2000)
+SELECT k, name,
+       COUNT(*) AS n_events,
+       CAST(SUM(value) AS DOUBLE) AS sum_value
+FROM big JOIN dim USING (k)
+GROUP BY k, name
+ORDER BY k
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through operators/skew.salted_join: half the events
+    collapse onto key 1 (a deliberate 50% hot key — the shape where one
+    task serializes an unsalted shuffle join), the dimension replicates
+    8 ways, and every row of the hot key scatters across 8 sub-
+    partitions.  The ORACLE is the plain unsalted join — the driver's
+    value-exact gate doubles as the proof that salting changed only the
+    partition function, never the result.  Balance itself is asserted
+    in tests/test_skew.py (max sub-partition ~ hot/8)."""
+    from cdc_demo_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+        "event_id",
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    )
+    joined = salted_join(ev, dim, "k", n_salt=8, scatter_col="event_id")
+    return (
+        joined.groupBy("k", "name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("k")
+    )

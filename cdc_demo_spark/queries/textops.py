@@ -532,3 +532,39 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_pii_mask",
+    oracle="""
+SELECT c_custkey,
+       concat(
+         regexp_replace(substring(c_name, 1, length(c_name) - 4),
+                        '[0-9]', '*', 'g'),
+         substring(c_name, length(c_name) - 3, 4)
+       ) AS masked_name,
+       CAST(length(regexp_replace(substring(c_name, 1, length(c_name) - 4),
+                                  '[^0-9]', '', 'g')) AS BIGINT) AS n_masked
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking — the redaction pass a training-data pipeline
+    runs before a corpus ships (account/phone-number shapes): every
+    digit except the last four becomes '*', plus an audit count of
+    masked digits.  Exercised on c_name's embedded account number (the
+    fixture's only digit-bearing identity column).  Pure codegen string
+    expressions (regexp_replace + substring), no UDF; at 100 TB this is
+    a map-only pass that pipelines into the scan.  Spark's
+    regexp_replace replaces ALL matches by default; the oracle passes
+    DuckDB's 'g' flag for the same semantics — value-exact across
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    head = F.expr("substring(c_name, 1, length(c_name) - 4)")
+    tail = F.expr("substring(c_name, length(c_name) - 3, 4)")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.regexp_replace(head, "[0-9]", "*"), tail).alias("masked_name"),
+        F.length(F.regexp_replace(head, "[^0-9]", "")).cast("long").alias("n_masked"),
+    ).orderBy("c_custkey")

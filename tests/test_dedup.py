@@ -580,3 +580,57 @@ def test_cc_star_contracts_dense_clique(spark):
     assert stats[0] == n - 1, stats
     assert all(a >= b for a, b in zip(stats, stats[1:])), stats
     assert len(stats) <= 4, stats
+
+
+class TestSimhashMd5:
+    def test_blocking_equals_naive(self, spark, sf_dir):
+        """Pigeonhole blocking is lossless: chunk-blocked pairs ==
+        naive quadratic pairs at every distance <= 3 (the oracle
+        re-proves this against DuckDB; this is the Spark-side unit)."""
+        from cdc_demo_spark.operators.dedup import hamming_pairs, simhash_md5
+        from cdc_demo_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        sig = simhash_md5(docs, "doc_id", "text").localCheckpoint()
+        blocked = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs(sig, max_distance=3, bits=60).collect()
+        }
+        a = sig.selectExpr("id AS id_a", "simhash AS sh_a")
+        b = sig.selectExpr("id AS id_b", "simhash AS sh_b")
+        from pyspark.sql import functions as F
+
+        naive = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        assert blocked == naive and naive
+
+    def test_signature_fits_60_bits(self, spark, sf_dir):
+        from cdc_demo_spark.operators.dedup import simhash_md5
+        from cdc_demo_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        sig = simhash_md5(docs, "doc_id", "text")
+        bad = sig.filter((F.col("simhash") < 0) | (F.col("simhash") >= F.lit(1 << 60)))
+        assert bad.count() == 0
+
+    def test_param_validation(self, spark, sf_dir):
+        import pytest as _pt
+
+        from cdc_demo_spark.operators.dedup import hamming_pairs, simhash_md5
+        from cdc_demo_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        with _pt.raises(ValueError, match="bits"):
+            simhash_md5(docs, "doc_id", "text", bits=64)
+        sig = simhash_md5(docs, "doc_id", "text")
+        with _pt.raises(ValueError, match="divide"):
+            hamming_pairs(sig, max_distance=6, bits=60)
