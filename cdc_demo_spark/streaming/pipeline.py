@@ -225,3 +225,112 @@ class CdcPipeline:
             .trigger(processingTime=interval)
             .start()
         )
+
+
+class NotifiedCdcPipeline(CdcPipeline):
+    """A9 implemented, not just subsumed: notification-driven file
+    discovery (/root/reference/main.tf:163-181 — the bucket's
+    OBJECT_FINALIZE -> Pub/Sub chain the reference's Dataflow job
+    subscribes to).
+
+    The plain CdcPipeline discovers work by LISTING the landing
+    directory — exact-once and fine at demo scale, but at a 100 TB
+    bucket with millions of landed objects the per-trigger list is the
+    dominant (and billable) cost; that is precisely why the reference
+    provisions the notification chain instead of polling.  Here the
+    analog is a NOTIFICATION LOG: the producer appends small JSON files
+    of {"path": ...} records (one per landed object — the
+    OBJECT_FINALIZE message shape) under ``notifications/<table>/``,
+    and the stream reads THAT dir — whose size tracks the arrival
+    rate, not the bucket's history.  Landed data files are opened by
+    explicit path; the landing dir itself is NEVER listed.
+
+    Exactly-once composition (same guarantees as the listing source):
+    - the notification stream's checkpointed file log gives each
+      notification file at-most-once delivery to foreachBatch;
+    - a redelivered PATH (producer retry writing a second notification
+      for the same object) is absorbed downstream: per-batch
+      dropDuplicates on (table, key, seq) and the silver merge's
+      (ts, seq) winner rule — the same two layers that absorb
+      redelivered EVENTS;
+    - bronze/DLQ stay idempotent per batch_id (overwrite-in-place on
+      replay).
+
+    A notification for a path that does not (yet) exist raises the
+    batch — producers must write data before its notification, the
+    same happens-before GCS guarantees OBJECT_FINALIZE fires after the
+    object is durable."""
+
+    def notif_dir(self, table: str) -> str:
+        return os.path.join(self.base, "notifications", table)
+
+    def notify(self, table: str, paths: list[str]) -> None:
+        """Producer side of the contract: append one notification file
+        covering `paths` (the test/demo stand-in for the bucket's
+        notification service)."""
+        import json as _json
+        import uuid as _uuid
+
+        d = self.notif_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            for p in paths:
+                f.write(_json.dumps({"path": p}) + "\n")
+        os.rename(tmp, os.path.join(d, f"notif-{_uuid.uuid4().hex}.json"))
+
+    def run_notified_available_now(self, table: str) -> None:
+        """Drain all pending NOTIFICATIONS (not the landing dir) through
+        the same DLQ/bronze/silver path as run_available_now."""
+        if self.fmt != "json":
+            raise NotImplementedError(
+                "notification-driven ingest currently parses JSON envelopes"
+            )
+        schema = envelope_schema(self.payloads[table]).add("_corrupt", "string", True)
+        notifs = (
+            self.spark.readStream.schema("path string")
+            .option("maxFilesPerTrigger", "64")
+            .json(self.notif_dir(table))
+        )
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            paths = sorted(
+                {r["path"] for r in batch.select("path").collect() if r["path"]}
+            )
+            if not paths:
+                return
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"notified objects missing (notification wrote before "
+                    f"data was durable?): {missing[:3]}"
+                )
+            events = (
+                self.spark.read.schema(schema)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt")
+                .json(paths)
+            ).cache()
+            bad = events.filter(F.col("_corrupt").isNotNull())
+            if bad.limit(1).count() > 0:
+                bad.select("_corrupt").write.mode("overwrite").parquet(
+                    os.path.join(self.dlq_dir, table, f"batch_id={batch_id}")
+                )
+            good = events.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good.write.mode("overwrite").parquet(
+                os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
+            )
+            good = good.dropDuplicates(["table", "key", "seq"])
+            merge_into_silver(
+                self.spark, good, self.silver_dir(table), table,
+                expected_state_bytes=self._state_hint(table),
+            )
+            events.unpersist()
+
+        q = (
+            notifs.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint_dir(table + "-notified"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
