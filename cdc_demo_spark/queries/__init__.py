@@ -36,71 +36,69 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-5 window head.  Standing policy: a new query always enters
+    # Round-6 window head.  Standing policy: a new query always enters
     # the head the round it lands; earlier-round green rows keep their
-    # records.  union(r1..r4) already covers all 115 oracle-backed
-    # queries, so this round's head (a) re-proves the three r4
-    # TIMESTAMP_NTZ casualties under the fix, (b) gives the 16 rows-only
-    # queries — the only registered queries with NO driver record of any
-    # kind — their first driver run, and (c) spends the remaining slots
-    # refreshing the STALEST oracle records (last green r1/r2).
+    # records.  After r5 the union(r1..r5) covers ALL registered
+    # queries (oracle + rows-only), so this round's head is (a) the
+    # five queries NEW in r6 — all oracle-backed — then (b) the 35
+    # queries whose newest green record is r2/r3 (the staleness-
+    # ceiling rotation: after this round no record is older than r4),
+    # then (c) the remaining slots refreshing r4-green oracle records
+    # alphabetically from the top.
     #
-    # (a) r4 regressions, fixed this round (sources/tables.py NTZ canon):
-    "q_ohlc_bars",
-    "q_session_window",
-    "q_range_frame_sum",
-    # (b new) ANN-candidate semantic dedup, new this round (rows-only:
-    # recall-dependent pair source; exactness proven by the pytest
-    # recall gate against the exact pair graph):
-    "q_semantic_dedup_ann",
-    "q_incremental_semantic",
-    # (b) the 16 rows-only queries, never driver-checked before:
-    "q_approx_count_distinct",
-    "q_minhash_near_dups",
-    "q_simhash_signatures",
-    "q_incremental_minhash",
-    "q_neardup_centrality",
-    "q_ann_ivf_topk",
-    "q_embedding_near_dups",
-    "q_pq_topk",
-    "q_packed_blocks",
-    "q_media_features",
-    "q_media_pipeline",
-    "q_audio_features",
-    "q_zscore_normalize",
-    "q_approx_percentiles",
-    "q_weighted_sample",
-    "q_hll_mergeable_rollup",
-    # (c) oracle-record refreshes, oldest first (r1 set, then r2):
-    "q_array_functions",
-    "q_bpe_token_count",
-    "q_cosine_topk_arrow",
-    "q_dedup_exact_keep",
-    "q_dedup_stats",
-    "q_document_chunks",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_math_functions",
-    "q_ngram_jaccard_pairs",
-    "q_null_functions",
-    "q_stratified_sample",
-    "q_token_stats",
-    "q_context_length_histogram",
-    "q_context_windows",
-    "q_corpus_token_budget",
-    "q_correlated_exists",
-    "q_data_quality",
-    "q_events_per_day_spine",
-    "q_except_all",
-    "q_excess_part_suppliers",
-    "q_fuzzy_name_pairs",
-    "q_grouping_sets",
-    "q_important_supplier_value",
-    "q_incremental_rollup",
-    "q_intersect_all",
-    "q_late_shipment_priority",
-    "q_latest_event_per_user",
-    "q_line_status_priority",
+    # (a) new in r6:
+    "q_simhash_hamming_pairs",      # SimHash family's first value-exact gate
+    "q_minhash_signatures_md5",     # MinHash family's first value-exact gate
+    "q_pii_mask",
+    "q_day_partition_pruning",      # asserts PartitionFilters in its own plan
+    "q_skew_salted_join",           # oracle = unsalted join (equality proof)
+    # (b) newest-green r2/r3 refreshes:
+    "q_bpe_merge_candidates",
+    "q_dedup_cluster_survivors",
+    "q_disjunctive_filters",
+    "q_dormant_rich_customers",
+    "q_embedding_quantize_int8",
+    "q_forecast_revenue",
+    "q_large_volume_customers",
+    "q_local_supplier_volume",
+    "q_min_cost_supplier",
+    "q_mixture_sample",
+    "q_nation_market_share",
+    "q_nation_volume_shipping",
+    "q_order_count_distribution",
+    "q_percentiles",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_quality_filter",
+    "q_rate_anomaly",
+    "q_referential_integrity",
+    "q_repetition_ratio",
+    "q_scalar_subquery",
+    "q_signup_purchase_funnel",
+    "q_sliding_window",
+    "q_small_qty_revenue",
+    "q_sole_returning_suppliers",
+    "q_supplier_part_counts",
+    "q_text_normalize",
+    "q_top_supplier",
+    "q_training_shards",
+    "q_unigram_logprob",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_weekly_retention",
+    "q_window_navigation",
+    # (c) r4-green oracle refreshes:
+    "q_allpairs_jaccard",
+    "q_anti_join",
+    "q_asof_join",
+    "q_benchmark_contamination",
+    "q_case_when",
+    "q_collect_names",
+    "q_cosine_topk",
+    "q_count_distinct",
+    "q_cross_join",
+    "q_cube",
 ]
 
 

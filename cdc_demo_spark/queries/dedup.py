@@ -458,3 +458,79 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.hamming_pairs(sig, max_distance=3, bits=60)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q_minhash_signatures_md5",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+hi AS (
+  SELECT doc_id, ii.i AS i,
+         CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15)
+              AS BIGINT) AS h
+  FROM s CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+)
+SELECT doc_id, i, MIN(h) AS min_h
+FROM hi
+GROUP BY doc_id, i
+ORDER BY doc_id, i
+""",
+)
+def q_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with a VALUE-EXACT oracle: 64 permutations
+    simulated as md5(i || ':' || shingle) (Broder's one-hash-per-
+    permutation scheme with an engine-portable hash), 3-token string
+    shingles, min per (doc, permutation).  Like q_simhash_hamming_pairs
+    this md5 twin exists so the driver's hash gate covers the FAMILY's
+    math value-exact — the production signatures (xxhash64 slices,
+    operators/dedup.minhash_signatures) keep their cheaper hash and
+    their pytest LSH⊆exact verification.  Shape: explode shingles ×
+    permutations into rows, codegen md5/conv per row, one partial-agg
+    min — no interpreted HOF in the hot path (r6 house lesson).
+    Docs shorter than 3 tokens emit no rows (the shingle contract,
+    operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    sh_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    )
+    hi = sh_rows.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "sh",
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return (
+        hi.groupBy("doc_id", F.col("i").cast("long").alias("i"))
+        .agg(F.min("h").alias("min_h"))
+        .orderBy("doc_id", "i")
+    )
