@@ -1,0 +1,193 @@
+"""Right-to-be-forgotten: physical erasure of one key across every
+layer the pipeline persists, without breaking CDC merge semantics.
+
+GDPR-style deletion is NOT the same as a CDC delete: a 'd' event hides
+the key from readers but the payload bytes remain in silver state,
+bronze change history, and (possibly) DLQ blobs.  Erasure must remove
+the BYTES while keeping the merge correct in the face of late events:
+
+- **Silver**: the key's rows are replaced by a single REDACTED
+  TOMBSTONE carrying the key's current max (ts, seq) and a NULL row
+  image.  Dropping the rows outright would let a late, older insert
+  arriving in a future batch win against nothing and resurrect the
+  payload (the B46 hazard); the tombstone blocks every event at or
+  below the erasure point while events genuinely newer (the user
+  returns) insert normally.  Cost: O(1 bucket) — the same selective
+  rewrite as a merge, committed through the same CAS manifest.
+- **Bronze**: the immutable change log is rewritten WITHOUT the key's
+  envelope rows, only for the batch_id partitions that contain the key
+  (detected by a column-pruned scan of `key` only).  Cost tracks the
+  key's history, not log size.
+- **DLQ**: corrupt raw blobs that mention the serialized key are
+  dropped (best-effort by construction — a corrupt record has no
+  parsed key column, substring match is the strongest available
+  predicate; documented, not hidden).
+
+At 100 TB these rewrites are the standard compliance shape (Delta/
+Iceberg DELETE + VACUUM): metadata-gated selective file rewrites.
+Erasure REMOVES bytes, so unlike merges it is not idempotent-by-
+replay — run it after the key's retention decision is final; a crash
+mid-erasure leaves staged garbage or a committed manifest, never a
+half-visible mix (same commit protocol as the merge)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.storage import DEFAULT_BACKEND, CommitBackend
+from cdc_demo_spark.streaming.merge import (
+    _bucket_of,
+    _commit_manifest,
+    _load_manifest,
+    _next_bucket_version,
+    _read_state,
+)
+
+
+def erase_key_from_silver(
+    spark: SparkSession,
+    silver_path: str,
+    key: str,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> bool:
+    """Replace every state row for `key` with one redacted tombstone at
+    the key's max (ts, seq). Returns False if the key has no state.
+    Touches exactly one bucket; commits via the CAS manifest."""
+    manifest = _load_manifest(silver_path, backend)
+    if manifest is None:
+        return False
+    n = manifest["num_buckets"]
+    b = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(key)), F.lit(n)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    state = _read_state(spark, silver_path, manifest, buckets=[b])
+    if state is None:
+        return False
+    state = state.cache()
+    mine = state.filter(F.col("__key") == key)
+    top = mine.agg(F.max(F.struct("__ts", "__seq")).alias("w")).collect()[0]["w"]
+    if top is None:
+        state.unpersist()
+        return False
+    row_type = state.schema["__row"].dataType
+    tomb = spark.createDataFrame(
+        [(key, "d", top["__ts"], top["__seq"])],
+        "__key string, __op string, __ts timestamp, __seq long",
+    ).select(
+        "__key",
+        "__op",
+        "__ts",
+        "__seq",
+        F.lit(None).cast(row_type).alias("__row"),
+        F.lit(b).cast("int").alias("__bucket"),
+    )
+    kept = state.filter(F.col("__key") != key).unionByName(tomb)
+
+    stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
+    kept.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    state.unpersist()
+    ver = manifest["buckets"].get(str(b))
+    new_ver = _next_bucket_version(ver)
+    src = os.path.join(stage, f"__bucket={b}")
+    dst = os.path.join(silver_path, "data", f"b{b}", new_ver)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(src):
+        os.rename(src, dst)
+    else:
+        os.makedirs(dst, exist_ok=True)
+    manifest["buckets"][str(b)] = new_ver
+    _commit_manifest(silver_path, manifest, backend)
+    shutil.rmtree(stage, ignore_errors=True)
+    if ver:
+        shutil.rmtree(os.path.join(silver_path, "data", f"b{b}", ver), ignore_errors=True)
+    return True
+
+
+def erase_key_from_bronze(
+    spark: SparkSession, bronze_dir: str, table: str, key: str
+) -> list[int]:
+    """Rewrite only the bronze batch_id partitions whose change log
+    contains `key`; returns the batch ids rewritten. Detection is a
+    column-pruned scan of `key` alone (no payloads move until a
+    partition is known dirty)."""
+    root = os.path.join(bronze_dir, table)
+    if not os.path.isdir(root):
+        return []
+    log = spark.read.option("basePath", root).parquet(root)
+    dirty = sorted(
+        int(r["batch_id"])
+        for r in log.filter(F.col("key") == key).select("batch_id").distinct().collect()
+    )
+    for bid in dirty:
+        part = os.path.join(root, f"batch_id={bid}")
+        kept = spark.read.parquet(part).filter(F.col("key") != key).localCheckpoint()
+        # same overwrite-in-place idempotence contract as the bronze
+        # sink itself: the partition is rewritten complete-or-not-at-all
+        tmp = part + f".erase-{uuid.uuid4().hex}"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = part + f".old-{uuid.uuid4().hex}"
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old, ignore_errors=True)
+    return dirty
+
+
+def erase_key_from_dlq(spark: SparkSession, dlq_dir: str, table: str, key: str) -> int:
+    """Drop corrupt raw records that mention the serialized key
+    (best-effort: corrupt rows have no parsed columns). Returns the
+    number of records dropped."""
+    root = os.path.join(dlq_dir, table)
+    if not os.path.isdir(root):
+        return 0
+    raw = spark.read.option("basePath", root).parquet(root)
+    hit = raw.filter(F.col("_corrupt").contains(key))
+    n = hit.count()
+    if n == 0:
+        return 0
+    for r in (
+        hit.select("batch_id").distinct().collect()
+    ):
+        bid = int(r["batch_id"])
+        part = os.path.join(root, f"batch_id={bid}")
+        kept = (
+            spark.read.parquet(part)
+            .filter(~F.col("_corrupt").contains(key))
+            .localCheckpoint()
+        )
+        tmp = part + f".erase-{uuid.uuid4().hex}"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = part + f".old-{uuid.uuid4().hex}"
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def erase_key(
+    spark: SparkSession,
+    base_path: str,
+    table: str,
+    key: str,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> dict:
+    """Full-stack erasure across a CdcPipeline's layout (landing files
+    are the PRODUCER'S bucket — out of engine scope, same contract as
+    A7 capture). Returns a per-layer report for the audit log."""
+    silver = os.path.join(base_path, "silver", table)
+    report = {
+        "silver": erase_key_from_silver(spark, silver, key, backend),
+        "bronze_batches": erase_key_from_bronze(
+            spark, os.path.join(base_path, "bronze"), table, key
+        ),
+        "dlq_records": erase_key_from_dlq(
+            spark, os.path.join(base_path, "dlq"), table, key
+        ),
+    }
+    return report
