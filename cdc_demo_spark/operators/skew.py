@@ -1,30 +1,34 @@
-"""Hot-key skew mitigation: salted joins, the manual technique AQE's
-skew-join covers only partially.
+"""Skew-aware join (the 100 TB escape hatch when AQE isn't enough).
 
-AQE splits skewed SORT-MERGE partitions at runtime
-(spark.sql.adaptive.skewJoin.*), but it cannot split a skewed
-BROADCAST-probe build, and it reacts after a straggler materializes.
-Salting fixes the layout up front: replicate the small side N ways,
-scatter the big side's rows across the N copies, and the hot key's
-probe work spreads over N tasks by construction.  The join RESULT is
-provably unchanged — salting only refines the partition function; each
-big-side row still meets exactly one copy of its dimension row
-(q_skew_salted_join's oracle is the plain unsalted join, so the
-driver's value-exact gate is the equality proof; the balance property
-is pytest-asserted).
+AQE's skew-join splitting (enabled in session.py) subdivides oversized
+SORT-MERGE shuffle partitions, but it cannot split a skewed probe
+against a broadcast build, and it reacts only after the straggler
+materializes. Salting is the explicit fallback for the pathological
+case: ONE join key so hot that a single task would still process it
+(think `user_id = NULL`-like sentinel keys or a viral entity at 10⁹
+rows).
 
-Cost model (when to salt): the small side's shuffle/broadcast volume
-multiplies by n_salt, so salt when  skew_factor = hot_key_rows /
-avg_partition_rows  exceeds n_salt's replication overhead — at 100 TB a
-single hot key holding 5% of a fact table serializes 5% of the cluster
-behind one task, and n_salt=32 turns that into 0.16% per task for a
-32x-replicated (still tiny) dimension.
+``salted_join`` replicates the build side R times and scatters the
+probe side across the R salt values, turning one hot partition into R
+even ones. Semantics-preserving for inner/left equi-joins (each probe
+row meets each matching build row exactly once — on its own salt);
+right/full are rejected loudly because unmatched BUILD rows would
+surface once per replica. Two driver queries prove the invariant
+through the oracle gate: q_salted_skew_join (natural orders⋈customer)
+and q_hot_key_salted_join (a deliberate 50%-hot key); balance is
+pytest-asserted in tests/test_skew.py.
+
+Cost model (when to salt): the build side's shuffle/broadcast volume
+multiplies by `salt`, so salt when hot_key_rows / avg_partition_rows
+exceeds that replication overhead — at 100 TB a single key holding 5%
+of a fact table serializes 5% of the cluster behind one task, and
+salt=32 turns it into 0.16% per task for a 32x-replicated (still
+tiny) build side.
 
 Reference anchor: the menagerie data model itself is skew-prone — pet
 name is the de-facto join key (/root/reference/menagerie-db/pet.txt vs
 event.txt) with no uniqueness constraint, so one popular pet owns an
-unbounded share of events.
-"""
+unbounded share of events."""
 
 from __future__ import annotations
 
@@ -33,41 +37,36 @@ from pyspark.sql import functions as F
 
 
 def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    key: str,
-    n_salt: int = 8,
-    scatter_col: str | None = None,
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt: int = 8,
     how: str = "inner",
+    scatter_col: str | None = None,
 ) -> DataFrame:
-    """Equi-join ``big ⋈ small`` on ``key`` with the hot-key probe work
-    scattered across ``n_salt`` sub-partitions per key.
+    """Equi-join `probe ⋈ build ON probe[on] == build[on]` with the hot
+    probe side salted across `salt` sub-keys.
 
-    - ``small`` is replicated n_salt ways (explode over 0..n_salt-1);
-    - ``big`` rows pick ONE salt deterministically:
-      pmod(xxhash64(scatter_col), n_salt) — any roughly-unique column
-      works (a row id, an event id); with None, xxhash64 over ALL big
-      columns (always correct, costs a row serialization).
-    - join key becomes (key, salt); each big row meets exactly one
-      replica of its dimension row, so the result multiset equals the
-      unsalted join for inner/left joins (right/full would over-count
-      unmatched SMALL rows n_salt times — rejected loudly).
-
-    Scale shape: shuffle currency grows by one int column; the small
-    side's volume multiplies by n_salt (see module docstring for the
-    when-to-salt cost model)."""
+    build is replicated salt× (cheap when build << probe — the usual
+    skew shape); probe rows get a deterministic salt from
+    xxhash64(scatter_col) when given (a row id — cheapest), else from
+    their whole-row content hash (always correct, costs a row
+    serialization)."""
     if how not in ("inner", "left"):
         raise ValueError(
-            f"salted_join supports inner/left (got {how!r}): unmatched "
-            "small-side rows would appear once per replica in right/full"
+            f"salted_join supports inner/left equi-joins (got {how!r}): "
+            "unmatched build rows would appear once per replica in right/full"
         )
     scatter = (
         F.xxhash64(F.col(scatter_col))
         if scatter_col
-        else F.xxhash64(*[F.col(c) for c in big.columns])
+        else F.xxhash64(*probe.columns)
     )
-    b = big.withColumn("__salt", F.pmod(scatter, F.lit(n_salt)).cast("int"))
-    s = small.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+    salted_probe = probe.withColumn(
+        "_salt", F.pmod(scatter, F.lit(salt)).cast("int")
     )
-    return b.join(s, [key, "__salt"], how).drop("__salt")
+    replicas = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_probe.join(replicas, [on, "_salt"], how)
+    return out.drop("_salt")

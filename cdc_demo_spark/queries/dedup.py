@@ -534,3 +534,139 @@ def q_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("h").alias("min_h"))
         .orderBy("doc_id", "i")
     )
+
+
+@register(
+    "q_minhash_near_dups_md5",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+hi AS (
+  SELECT doc_id, ii.i AS i,
+         CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15)
+              AS BIGINT) AS h
+  FROM s CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+),
+sig AS (
+  SELECT doc_id, i, MIN(h) AS min_h FROM hi GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(min_h AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n
+  FROM cand c
+  JOIN s x ON x.doc_id = c.id_a
+  JOIN s y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH near-dup pipeline with a value-exact
+    oracle: md5 signatures (q_minhash_signatures_md5's math) -> 16
+    bands of 4 rows, band bucket = md5 of the ordered minhash run ->
+    candidates sharing a bucket -> exact Jaccard verify at 0.5 over
+    distinct 3-token shingles.  The oracle mirrors the ALGORITHM
+    (banding is probabilistic recall — a ground-truth oracle is
+    q_allpairs_jaccard's job); the value here is that every stage of
+    the production LSH shape — signature, banding, bucket join,
+    verification — is reproduced bit-for-bit by an independent engine,
+    upgrading the family's flagship from rows-only to hash-match.
+    No skew guard in this twin (the xxhash64 production path keeps
+    max_bucket; at 500 docs the guard never trips anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    sh_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    ).distinct()
+    hi = sh_rows.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "sh",
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = hi.groupBy("doc_id", "i").agg(F.min("h").alias("min_h"))
+    # band bucket: md5 of the ordered minhash run (4-element array sort
+    # + join — HOF glue on tiny arrays, not a hot path)
+    bands = (
+        sig.groupBy("doc_id", (F.col("i") / 4).cast("long").alias("band"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "min_h"))),
+                        lambda x: x["min_h"].cast("string"),
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = sh_rows.select(F.col("doc_id").alias("id_a"), "sh")
+    y = sh_rows.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(x, "id_a").join(y, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jac = F.col("n").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
+    return (
+        inter.join(sizes.selectExpr("doc_id AS id_a", "sz AS sz_a"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "sz AS sz_b"), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

@@ -382,7 +382,7 @@ def q_day_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_skew_salted_join",
+    "q_hot_key_salted_join",
     oracle="""
 WITH big AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END AS k, value
@@ -397,7 +397,7 @@ GROUP BY k, name
 ORDER BY k
 """,
 )
-def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hot_key_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key join through operators/skew.salted_join: half the events
     collapse onto key 1 (a deliberate 50% hot key — the shape where one
     task serializes an unsalted shuffle join), the dimension replicates
@@ -421,7 +421,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") < 2000)
         .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
     )
-    joined = salted_join(ev, dim, "k", n_salt=8, scatter_col="event_id")
+    joined = salted_join(ev, dim, on="k", salt=8, scatter_col="event_id")
     return (
         joined.groupBy("k", "name")
         .agg(

@@ -39,7 +39,7 @@ def _multiset(df):
 def test_salted_equals_plain_inner(spark, skewed):
     ev, dim = skewed
     plain = ev.join(dim, "k")
-    salted = salted_join(ev, dim, "k", n_salt=8, scatter_col="event_id")
+    salted = salted_join(ev, dim, on="k", salt=8, scatter_col="event_id")
     assert sorted(plain.columns) == sorted(salted.columns)
     assert _multiset(salted.select(*plain.columns)) == _multiset(plain)
 
@@ -51,7 +51,7 @@ def test_salted_equals_plain_left(spark, skewed):
     small_dim = dim.filter(F.col("k") % 3 == 0)  # force unmatched big rows
     plain = ev.join(small_dim, "k", "left")
     salted = salted_join(
-        ev, small_dim, "k", n_salt=8, scatter_col="event_id", how="left"
+        ev, small_dim, on="k", salt=8, scatter_col="event_id", how="left"
     )
     assert _multiset(salted.select(*plain.columns)) == _multiset(plain)
 
@@ -79,4 +79,4 @@ def test_hot_key_scatters_balanced(spark, skewed):
 def test_right_and_full_rejected(spark, skewed):
     ev, dim = skewed
     with pytest.raises(ValueError, match="inner/left"):
-        salted_join(ev, dim, "k", how="right")
+        salted_join(ev, dim, on="k", how="right")
