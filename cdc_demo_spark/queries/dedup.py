@@ -670,3 +670,80 @@ def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q_containment_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+keep AS (
+  SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 50
+),
+f AS (SELECT s.doc_id, s.sh FROM s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment dedup (the RefinedWeb/CCNet boilerplate shape):
+    flag pairs where the SMALLER document's shingle set is >= 60%
+    inside the other's — catches quotes, mirrored pages, and
+    boilerplate wrappers that Jaccard misses (a 100-shingle doc fully
+    contained in a 1000-shingle doc has Jaccard 0.1 but containment
+    1.0).  Same scale shape as the Jaccard family: shingle-key join,
+    df_cap=50 drops universal shingles from BOTH sizes and
+    intersections (a true containment over the filtered sets — the
+    q_ngram_jaccard_pairs contract), candidates bounded by shingle
+    co-occurrence.  String shingles keep the oracle engine-portable;
+    the xxhash64 operators stay the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    s = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    ).distinct()
+    keep = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 50)
+    f = s.join(keep.select("sh"), "sh")
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = f.select(F.col("doc_id").alias("id_a"), "sh")
+    b = f.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cont = F.col("n").cast("double") / F.least("sz_a", "sz_b")
+    return (
+        inter.join(sizes.selectExpr("doc_id AS id_a", "sz AS sz_a"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "sz AS sz_b"), "id_b")
+        .filter(cont >= 0.6)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

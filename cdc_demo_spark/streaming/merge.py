@@ -258,7 +258,16 @@ def merge_into_silver(
     # them would let a late-arriving older insert in a LATER batch win
     # against nothing and resurrect the key (violates B46). Readers
     # filter tombstones; GC: compact ones older than the watermark.
-    w = Window.partitionBy("__key").orderBy(F.desc("__ts"), F.desc("__seq"))
+    # Tie-break: a DELETE wins an exact (ts, seq) tie. A real log never
+    # emits two different ops at one log position, and redelivered
+    # events are identical rows (tie irrelevant) — the one place ties
+    # genuinely occur is an erasure tombstone (streaming/erasure.py,
+    # pinned at the erased key's max (ts, seq)) racing a REDELIVERY of
+    # that very event: without this term the winner is arbitrary and
+    # the erased payload can resurrect nondeterministically.
+    w = Window.partitionBy("__key").orderBy(
+        F.desc("__ts"), F.desc("__seq"), (F.col("__op") == "d").desc()
+    )
     new_state = (
         merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

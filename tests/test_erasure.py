@@ -154,3 +154,71 @@ def test_dlq_blobs_mentioning_key_dropped(spark, tmp_path):
     )
     assert dlq.filter(F.col("_corrupt").contains(key)).count() == 0
     assert dlq.count() >= 1  # the unrelated corrupt record survives
+
+
+# ---------------------------------------------------------------------------
+# Property: erasure composed with arbitrary delivery — including
+# REDELIVERY of pre-erasure events — always converges to the dict model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_demo_spark.streaming.erasure import erase_key_from_silver
+from cdc_demo_spark.streaming.merge import replay_oracle
+from tests.test_cdc_merge import assert_matches_oracle, envelope_df
+
+KEYS = ["k0", "k1", "k2"]
+
+
+@st.composite
+def erasure_scenarios(draw):
+    n = draw(st.integers(min_value=4, max_value=20))
+    events = []
+    for seq in range(n):
+        key = draw(st.sampled_from(KEYS))
+        op = draw(st.sampled_from(["c", "u", "d"]))
+        after = (
+            None
+            if op == "d"
+            else {"name": key, "owner": draw(st.sampled_from(["a", "b"])),
+                  "species": "cat", "sex": None, "birth": None, "death": None}
+        )
+        events.append({"op": op, "ts": f"2024-01-01T00:{seq:02d}:00", "seq": seq,
+                       "table": "pet", "key": key, "before": None, "after": after})
+    cut = draw(st.integers(min_value=1, max_value=n - 1))
+    target = draw(st.sampled_from(KEYS))
+    # post-erasure delivery: the remaining events PLUS redeliveries of
+    # pre-erasure events (the resurrection hazard the d-wins-ties
+    # ordering exists for)
+    redelivered = draw(st.lists(st.sampled_from(events[:cut]), max_size=4))
+    return events, cut, target, redelivered
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=erasure_scenarios())
+def test_erasure_convergence_property(spark, tmp_path_factory, data):
+    events, cut, target, redelivered = data
+    silver = str(tmp_path_factory.mktemp("er") / "silver")
+    merge_into_silver(spark, envelope_df(spark, events[:cut]), silver, "pet",
+                      num_buckets=4)
+    erased = erase_key_from_silver(spark, silver, target)
+    tail = events[cut:] + redelivered
+    if tail:
+        merge_into_silver(spark, envelope_df(spark, tail), silver, "pet")
+
+    # dict model: erasure == a synthetic delete at the key's max
+    # delivered (ts, seq), applied AFTER its tied event (d wins ties)
+    model = list(events)
+    pre = [e for e in events[:cut] if e["key"] == target]
+    if erased:
+        assert pre, "erasure reported success for a key with no state"
+        top = max(pre, key=lambda e: (e["ts"], e["seq"]))
+        model = model + [{**top, "op": "d", "after": None}]
+    else:
+        assert not pre, "erasure reported no state for a delivered key"
+    assert_matches_oracle(spark, silver, model)
