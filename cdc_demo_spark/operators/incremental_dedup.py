@@ -96,21 +96,30 @@ class MinHashIndex:
         return os.path.join(self.path, "commits", str(n))
 
     def _committed_batches(self, table: str) -> list[str]:
-        """Batch dirs covered by a BATCH-LEVEL marker (legacy per-table
-        ``_COMMITTED`` files are honored for indexes written before the
-        batch-marker scheme)."""
+        """Batch dirs PUBLISHED BY a batch-level marker whose content
+        names the uuid-staged dir (see incremental_semantic.py — a
+        racing loser's dirs are never read or overwritten). Legacy
+        per-table ``_COMMITTED`` files are honored for indexes written
+        before the marker scheme."""
         root = os.path.join(self.path, table)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch=")
-            and (
-                self.backend.exists(self._commit_marker(int(d.split("=")[1])))
-                or os.path.exists(os.path.join(root, d, "_COMMITTED"))
-            )
-        )
+        out = []
+        for m in self.backend.list_dir(os.path.join(self.path, "commits")):
+            if not m.isdigit():
+                continue
+            uid = self.backend.read(self._commit_marker(int(m))).decode()
+            d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
+            if os.path.isdir(d):
+                out.append(d)
+        if os.path.isdir(root):  # legacy layout
+            out += [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("batch=")
+                and "-" not in d
+                and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+                and os.path.join(root, d) not in out
+            ]
+        return sorted(out)
 
     def _read(self, table: str, schema: str) -> DataFrame:
         dirs = self._committed_batches(table)
@@ -126,7 +135,9 @@ class MinHashIndex:
         ids = [-1]
         if os.path.isdir(root):
             ids += [
-                int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")
+                int(d.split("=")[1].split("-")[0])
+                for d in os.listdir(root)
+                if d.startswith("batch=")
             ]
         ids += [
             int(m)
@@ -237,13 +248,17 @@ class MinHashIndex:
         # doesn't observe its own writes on re-evaluation
         pairs = pairs.localCheckpoint(eager=True)
 
+        import uuid
+
         n = self._next_batch_id()
+        uid = uuid.uuid4().hex[:8]
         for table, df in (("buckets", new_buckets), ("shingles", sh_new)):
-            dst = os.path.join(self.path, table, f"batch={n}")
+            dst = os.path.join(self.path, table, f"batch={n}-{uid}")
             df.write.mode("overwrite").parquet(dst)
-        # ONE marker after BOTH tables land; put-if-absent makes a
-        # racing same-id writer fail loudly instead of interleaving
-        if not self.backend.put_if_absent(self._commit_marker(n), b""):
+        # ONE marker after BOTH tables land; its content publishes the
+        # uuid-staged dirs, so a racing loser both fails loudly AND
+        # could never have touched the winner's files
+        if not self.backend.put_if_absent(self._commit_marker(n), uid.encode()):
             raise ConcurrentAppendError(
                 f"batch {n} at {self.path} was committed by another writer; "
                 "this append's staged dirs are unreferenced — retry"

@@ -111,20 +111,27 @@ class SemanticIndex:
         return os.path.join(self.path, "commits", str(n))
 
     def _committed_batches(self, table: str) -> list[str]:
-        """Batch dirs covered by a BATCH-LEVEL commit marker. One marker
-        spans both state tables: per-table markers would let a crash
-        between the members commit and the quantized write leave a
-        half-visible batch whose ids generate candidates but have no
-        vectors to verify against — silently dropping pairs forever."""
+        """Batch dirs PUBLISHED BY a batch-level commit marker. One
+        marker spans both state tables (per-table markers would let a
+        crash between the members commit and the quantized write leave
+        a half-visible batch whose ids generate candidates but have no
+        vectors to verify against — silently dropping pairs forever),
+        and the marker's CONTENT names the uuid-staged dir it commits:
+        the data dirs are write-once garbage until a marker points at
+        them, so a racing loser's dirs are never read OR overwritten
+        (the r6 review found mode-overwrite staging into the final
+        batch={n} path let a loser clobber the winner's committed
+        files before its own marker claim failed)."""
         root = os.path.join(self.path, table)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch=")
-            and self.backend.exists(self._commit_marker(int(d.split("=")[1])))
-        )
+        out = []
+        for m in self.backend.list_dir(os.path.join(self.path, "commits")):
+            if not m.isdigit():
+                continue
+            uid = self.backend.read(self._commit_marker(int(m))).decode()
+            d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
+            if os.path.isdir(d):
+                out.append(d)
+        return sorted(out)
 
     def _read(self, table: str, schema: str) -> DataFrame:
         dirs = self._committed_batches(table)
@@ -141,7 +148,9 @@ class SemanticIndex:
         ids = [-1]
         if os.path.isdir(root):
             ids += [
-                int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")
+                int(d.split("=")[1].split("-")[0])
+                for d in os.listdir(root)
+                if d.startswith("batch=")
             ]
         ids += [
             int(m)
@@ -209,16 +218,21 @@ class SemanticIndex:
             cand.join(qa, "id_a").join(qb, "id_b"), self.t_num, self.t_den
         ).localCheckpoint(eager=True)  # materialize before admitting state
 
+        import uuid
+
         n = self._next_batch_id()
+        uid = uuid.uuid4().hex[:8]
         for table, df in (("members", member_new), ("quantized", q_new)):
             df.write.mode("overwrite").parquet(
-                os.path.join(self.path, table, f"batch={n}")
+                os.path.join(self.path, table, f"batch={n}-{uid}")
             )
         # the single marker lands only after BOTH tables are fully
         # written — a crash anywhere above leaves invisible garbage.
-        # put-if-absent makes a racing same-id writer fail LOUDLY here
-        # (its members would otherwise pair with our vectors).
-        if not self.backend.put_if_absent(self._commit_marker(n), b""):
+        # The marker's content PUBLISHES this append's uuid-staged dirs;
+        # a racing same-id writer staged under a different uuid, so the
+        # loser fails loudly here and its dirs stay unreferenced — it
+        # can never have touched the winner's files.
+        if not self.backend.put_if_absent(self._commit_marker(n), uid.encode()):
             raise ConcurrentAppendError(
                 f"batch {n} at {self.path} was committed by another writer; "
                 "this append's staged dirs are unreferenced — retry"

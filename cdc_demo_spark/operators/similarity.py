@@ -445,12 +445,22 @@ def int8_cosine_pairs_gemm(
         .agg(F.collect_list(F.struct("id", "qv")).alias("chunk"))
         .localCheckpoint(eager=False)  # pack once; both join sides reuse it
     )
-    x = packed.select(F.col("blk").alias("bx"), F.col("chunk").alias("cx"))
-    y = packed.select(F.col("blk").alias("by"), F.col("chunk").alias("cy"))
-    # pure theta join: Spark broadcasts `packed` while it fits the
-    # broadcast threshold (fast small-corpus path) and falls back to
-    # CartesianProduct past it — L×L block pairs, two tiles per task,
-    # memory constant in n either way
+    # Multi-tile corpora: one tile per partition BEFORE the theta join.
+    # A CartesianProduct partition is (left partition × right
+    # partition), so this pins the per-task Arrow batch to ~1 block
+    # pair (two tiles, ~8 MB payload) — the r6 review caught that
+    # AQE-coalesced inputs could otherwise hand mapInPandas a batch of
+    # HUNDREDS of pair rows, each carrying two packed tiles, and Arrow
+    # materializes the whole batch as Python objects before the
+    # generator sees row one. The single-tile toy regime skips the
+    # extra exchange and keeps the broadcast fast path (measured 1.7 s
+    # vs 5 s warm at sf0.1's 500-row corpus).
+    side = packed if n_tiles == 1 else packed.repartition(n_tiles, "blk")
+    x = side.select(F.col("blk").alias("bx"), F.col("chunk").alias("cx"))
+    y = side.select(F.col("blk").alias("by"), F.col("chunk").alias("cy"))
+    # pure theta join: Spark broadcasts the packed side while it fits
+    # the broadcast threshold and falls back to CartesianProduct past
+    # it — L×L block pairs either way
     block_pairs = x.join(y, F.col("bx") <= F.col("by"))
     tn2, td2 = t_num * t_num, t_den * t_den
 

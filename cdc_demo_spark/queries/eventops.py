@@ -317,21 +317,41 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_by_day_path(sf_dir: str) -> str:
     """Derived day-partitioned copy of the events table, built once per
-    sf and reused (a real deployment writes facts partitioned at ingest
-    — layout.write_partitioned_by_day — so queries here measure the
-    LAYOUT, not the one-time write)."""
+    FIXTURE STATE and reused (a real deployment writes facts
+    partitioned at ingest — layout.write_partitioned_by_day — so
+    queries here measure the LAYOUT, not the one-time write).  The
+    cache key includes the source file's (mtime, size) fingerprint: a
+    regenerated fixture gets a fresh derived copy instead of silently
+    serving stale data (r6 review)."""
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_events_by_day_v1_{tag}")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = f"{int(st.st_mtime)}_{st.st_size}"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_events_by_day_v1_{tag}_{fp}"
+    )
 
 
 def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Build-to-temp + atomic rename publish: two processes racing the
+    build each write their own staging dir; the loser's rename fails
+    against the winner's published copy and it cleans up and uses the
+    winner's — never a half-written layout under the final path."""
+    import shutil
+    import uuid
+
     from cdc_demo_spark.layout import write_partitioned_by_day
 
     path = _events_by_day_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_partitioned_by_day(load_table(spark, sf_dir, "events"), path)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    stage = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    write_partitioned_by_day(load_table(spark, sf_dir, "events"), stage)
+    try:
+        os.rename(stage, path)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race: use winner's
     return path
 
 

@@ -41,11 +41,11 @@ from pyspark.sql import functions as F
 
 from cdc_demo_spark.storage import DEFAULT_BACKEND, CommitBackend
 from cdc_demo_spark.streaming.merge import (
-    _bucket_of,
     _commit_manifest,
     _load_manifest,
     _next_bucket_version,
     _read_state,
+    bucket_id_of,
 )
 
 
@@ -61,12 +61,7 @@ def erase_key_from_silver(
     manifest = _load_manifest(silver_path, backend)
     if manifest is None:
         return False
-    n = manifest["num_buckets"]
-    b = (
-        spark.range(1)
-        .select(F.pmod(F.xxhash64(F.lit(key)), F.lit(n)).cast("int").alias("b"))
-        .collect()[0]["b"]
-    )
+    b = bucket_id_of(spark, key, manifest["num_buckets"])
     state = _read_state(spark, silver_path, manifest, buckets=[b])
     if state is None:
         return False
@@ -110,6 +105,40 @@ def erase_key_from_silver(
     return True
 
 
+def _recover_swaps(root: str) -> None:
+    """Auto-recover a crash inside a previous partition swap: a
+    ``.old-<bid>-*`` aside dir whose ``batch_id=<bid>`` target is
+    missing is the original partition mid-swap — restore it before
+    touching anything (mirrors layout.compact's recovery)."""
+    for d in os.listdir(root):
+        if d.startswith(".old-"):
+            bid = d.split("-")[1]
+            part = os.path.join(root, f"batch_id={bid}")
+            if not os.path.exists(part):
+                os.rename(os.path.join(root, d), part)
+            else:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        elif d.startswith(".erase-"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _swap_partition(root: str, bid: int, kept) -> None:
+    """Replace ``batch_id=<bid>`` with ``kept``'s rows. Staging and
+    aside dirs are DOT-PREFIXED so Spark's file index never sees them:
+    the r6 review caught that a ``batch_id=N.old-<hex>`` style name
+    still PARSES as a partition value — a crash would poison the
+    partition column for every later reader. With hidden names the
+    crash windows leave either the original (recoverable via
+    _recover_swaps) or the finished swap, never a bogus partition."""
+    part = os.path.join(root, f"batch_id={bid}")
+    tmp = os.path.join(root, f".erase-{bid}-{uuid.uuid4().hex[:8]}")
+    kept.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(root, f".old-{bid}-{uuid.uuid4().hex[:8]}")
+    os.rename(part, old)
+    os.rename(tmp, part)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def erase_key_from_bronze(
     spark: SparkSession, bronze_dir: str, table: str, key: str
 ) -> list[int]:
@@ -120,6 +149,7 @@ def erase_key_from_bronze(
     root = os.path.join(bronze_dir, table)
     if not os.path.isdir(root):
         return []
+    _recover_swaps(root)
     log = spark.read.option("basePath", root).parquet(root)
     dirty = sorted(
         int(r["batch_id"])
@@ -128,14 +158,7 @@ def erase_key_from_bronze(
     for bid in dirty:
         part = os.path.join(root, f"batch_id={bid}")
         kept = spark.read.parquet(part).filter(F.col("key") != key).localCheckpoint()
-        # same overwrite-in-place idempotence contract as the bronze
-        # sink itself: the partition is rewritten complete-or-not-at-all
-        tmp = part + f".erase-{uuid.uuid4().hex}"
-        kept.write.mode("overwrite").parquet(tmp)
-        old = part + f".old-{uuid.uuid4().hex}"
-        os.rename(part, old)
-        os.rename(tmp, part)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_partition(root, bid, kept)
     return dirty
 
 
@@ -146,6 +169,7 @@ def erase_key_from_dlq(spark: SparkSession, dlq_dir: str, table: str, key: str) 
     root = os.path.join(dlq_dir, table)
     if not os.path.isdir(root):
         return 0
+    _recover_swaps(root)
     raw = spark.read.option("basePath", root).parquet(root)
     hit = raw.filter(F.col("_corrupt").contains(key))
     n = hit.count()
@@ -161,12 +185,7 @@ def erase_key_from_dlq(spark: SparkSession, dlq_dir: str, table: str, key: str) 
             .filter(~F.col("_corrupt").contains(key))
             .localCheckpoint()
         )
-        tmp = part + f".erase-{uuid.uuid4().hex}"
-        kept.write.mode("overwrite").parquet(tmp)
-        old = part + f".old-{uuid.uuid4().hex}"
-        os.rename(part, old)
-        os.rename(tmp, part)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_partition(root, bid, kept)
     return n
 
 
@@ -183,11 +202,19 @@ def erase_key(
     silver = os.path.join(base_path, "silver", table)
     report = {
         "silver": erase_key_from_silver(spark, silver, key, backend),
+        # both discovery modes' change logs (listing + notified
+        # namespaces — a layout normally has one, erasure checks both)
         "bronze_batches": erase_key_from_bronze(
             spark, os.path.join(base_path, "bronze"), table, key
+        )
+        + erase_key_from_bronze(
+            spark, os.path.join(base_path, "bronze-notified"), table, key
         ),
         "dlq_records": erase_key_from_dlq(
             spark, os.path.join(base_path, "dlq"), table, key
+        )
+        + erase_key_from_dlq(
+            spark, os.path.join(base_path, "dlq-notified"), table, key
         ),
     }
     return report

@@ -89,6 +89,22 @@ def _bucket_of(col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
+def bucket_id_of(spark: SparkSession, key: str, num_buckets: int) -> int:
+    """The bucket a key hashes into, computed BY a one-row Spark job so
+    it is by construction the same xxhash64/pmod the writer used — no
+    driver-side reimplementation to drift (shared by point lookups and
+    erasure)."""
+    return int(
+        spark.range(1)
+        .select(_bucket_of_lit(key, num_buckets).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _bucket_of_lit(key: str, num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.lit(key)), F.lit(num_buckets)).cast("int")
+
+
 def silver_bucket_count(
     expected_state_bytes: int,
     target_bucket_bytes: int = 128 << 20,
@@ -409,10 +425,7 @@ def lookup_silver_key(
     manifest = _load_manifest(silver_path, backend)
     if manifest is None:
         raise FileNotFoundError(silver_path)
-    n = manifest["num_buckets"]
-    b = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(key)), F.lit(n)).cast("int").alias("b")
-    ).collect()[0]["b"]
+    b = bucket_id_of(spark, key, manifest["num_buckets"])
     state = _read_state(spark, silver_path, manifest, buckets=[b])
     if state is None:
         return None

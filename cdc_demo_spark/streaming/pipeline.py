@@ -261,6 +261,22 @@ class NotifiedCdcPipeline(CdcPipeline):
     same happens-before GCS guarantees OBJECT_FINALIZE fires after the
     object is durable."""
 
+    # The notified stream has its OWN batch-id sequence (independent
+    # checkpoint), so its bronze/DLQ live in a separate namespace: the
+    # r6 review caught that sharing the listing pipeline's dirs would
+    # let notified batch 0 overwrite-in-place the listing run's bronze
+    # batch_id=0 — silently destroying part of the immutable change
+    # log. One discovery mode per layout is the sane deployment; the
+    # namespace split makes mixing them safe anyway (both converge on
+    # the same silver via (ts, seq)).
+    @property
+    def bronze_dir(self) -> str:
+        return os.path.join(self.base, "bronze-notified")
+
+    @property
+    def dlq_dir(self) -> str:
+        return os.path.join(self.base, "dlq-notified")
+
     def notif_dir(self, table: str) -> str:
         return os.path.join(self.base, "notifications", table)
 

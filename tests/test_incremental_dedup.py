@@ -62,14 +62,16 @@ def test_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
     idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.12)
     idx.append_batch(docs)
 
-    # simulate a crashed append: parquet written, no _COMMITTED marker
-    orphan = tmp_path / "idx" / "buckets" / "batch=99"
+    # simulate a crashed append: parquet written, no marker published
+    orphan = tmp_path / "idx" / "buckets" / "batch=99-deadbeef"
     docs.select(
         F.col("doc_id").alias("id"), F.lit(0).alias("band"), F.lit(0).cast("long").alias("bucket")
     ).write.parquet(str(orphan))
-    assert idx._committed_batches("buckets") == [
-        str(tmp_path / "idx" / "buckets" / "batch=0")
-    ]
+    import glob
+
+    committed = idx._committed_batches("buckets")
+    assert committed == glob.glob(str(tmp_path / "idx" / "buckets" / "batch=0-*"))
+    assert str(orphan) not in committed
 
 
 def test_parameter_drift_refuses(spark, tmp_path):

@@ -97,8 +97,10 @@ def test_crashed_append_is_invisible(spark, emb, frozen_centroids, tmp_path):
     # quantized dir gone, marker gone, members dir still on disk
     import shutil
 
+    import glob
+
     os.remove(os.path.join(path, "commits", "0"))
-    shutil.rmtree(os.path.join(path, "quantized", "batch=0"))
+    shutil.rmtree(glob.glob(os.path.join(path, "quantized", "batch=0-*"))[0])
     # with batch 0 uncommitted, the second batch only sees itself
     solo = SemanticIndex(spark, str(tmp_path / "solo"), n_buckets=8)
     expected = _pairs(solo.build(second, centroids=frozen_centroids))
