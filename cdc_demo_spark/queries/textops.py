@@ -568,3 +568,133 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.regexp_replace(head, "[0-9]", "*"), tail).alias("masked_name"),
         F.length(F.regexp_replace(head, "[^0-9]", "")).cast("long").alias("n_masked"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q_dup_ngram_fraction",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] || ' ' ||
+         toks[u.j + 4] || ' ' || toks[u.j + 5] AS gram
+  FROM t, UNNEST(range(greatest(len(toks) - 4, 0))) AS u(j)
+),
+df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_fraction
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fraction per document (the RefinedWeb /
+    Gopher-repetition corpus metric): the share of a doc's distinct
+    5-gram set that also appears in at least one OTHER document —
+    high values mark boilerplate/mirrored content that survives
+    doc-level dedup.  Scale shape: one explode to (doc, gram) rows, a
+    document-frequency aggregate on the gram key, one join back —
+    every stage partial-aggregates and shuffles on the gram/doc keys;
+    at 100 TB the df table is the big intermediate and would bucket by
+    gram hash (here grams stay strings for oracle portability; the
+    production variant would xxhash64 them like the shingle ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda j: F.concat_ws(" ", F.slice(toks, j, 5)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum((F.col("nd") > 1).cast("long")).alias("n_dup")
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), dup)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_grams"), 6).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_linear_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (SELECT doc_id, u.w AS w FROM t, UNNEST(toks) AS u(w)),
+feat AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM tok
+),
+weighted AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 6)
+               AS BIGINT) % 2001 - 1000) / 1000.0 AS wgt
+  FROM feat
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(wgt), 6) AS score
+FROM weighted
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring in the fastText shape — the filter
+    every web-scale corpus runs (CCNet/LLaMA wiki-ref filtering): hash
+    each token into a 1024-bucket feature space, look up a weight,
+    average into a document score.  The WEIGHTS here are a
+    deterministic md5-derived stand-in (the container has no model
+    artifacts — same stance as the multimodal decode stubs): the
+    deliverable is the scoring plumbing, which is exactly what a real
+    exported linear model needs — hash features codegen-side, a
+    broadcast weight lookup (here inlined as an expression; a real
+    1024-row weight table would broadcast-join), one partial-agg
+    average.  No Python anywhere; at 100 TB this is a map-side-only
+    pass.  Value-exact against DuckDB: integer md5 buckets, integer
+    stand-in weights over 1000.0, round(avg, 6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 1024
+    )
+    wgt = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / 1000.0
+    return (
+        tok.select("doc_id", wgt.alias("wgt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("wgt"), 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
