@@ -563,3 +563,40 @@ def replay_oracle(events: list[dict]) -> dict[str, dict]:
         else:
             state[ev["key"]] = ev["after"]
     return state
+
+
+def merge_into_silver_with_retry(
+    spark: SparkSession,
+    batch: DataFrame,
+    silver_path: str,
+    table: str,
+    retries: int = 3,
+    num_buckets: int | None = None,
+    expected_state_bytes: int | None = None,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> int:
+    """merge_into_silver with the optimistic-CAS loser's protocol built
+    in: on ConcurrentCommitError, reload the (now newer) manifest and
+    re-merge — the batch's (ts, seq) idempotency makes the retry safe
+    even if the winner's commit already contained some of this batch's
+    keys. Returns the number of attempts used. Raises after `retries`
+    consecutive losses (pathological contention is a deployment bug —
+    silver tables are designed single-writer-per-table; this wrapper
+    exists for the OCCASIONAL compaction-vs-merge race, closing the
+    'no retry loop built in' known-limit from SCALE.md)."""
+    last: ConcurrentCommitError | None = None
+    for attempt in range(1, retries + 1):
+        try:
+            merge_into_silver(
+                spark,
+                batch,
+                silver_path,
+                table,
+                num_buckets=num_buckets,
+                expected_state_bytes=expected_state_bytes,
+                backend=backend,
+            )
+            return attempt
+        except ConcurrentCommitError as e:
+            last = e  # manifest moved under us: reload happens on re-entry
+    raise last

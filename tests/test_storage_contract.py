@@ -185,3 +185,71 @@ class TestIndexesOnFake:
         ), "uncommitted batch leaked into reads"
         idx.append_batch(crashed).count()
         assert be.exists(idx._commit_marker(2))
+
+
+class TestMergeRetry:
+    def test_retry_wins_after_concurrent_commit(self, spark, tmp_path):
+        """A rival commits between our manifest load and our commit; the
+        wrapper reloads and lands on the next version — final state
+        reflects BOTH writers (the loser's re-merge sees the winner's
+        rows as state)."""
+        from cdc_demo_spark.streaming import merge as M
+
+        be = InMemoryCommitBackend()
+        silver = str(tmp_path / "silver")
+        M.merge_into_silver(
+            spark, _env(spark, [("c", "a", "1")]), silver, "pet",
+            num_buckets=4, backend=be,
+        )
+
+        # rival fires exactly once, right at our first commit attempt
+        real_commit = M._commit_manifest
+        fired = {"n": 0}
+
+        def racing_commit(path, manifest, backend):
+            if fired["n"] == 0:
+                fired["n"] = 1
+                rival = dict(M._load_manifest(path, backend))
+                real_commit(path, rival, backend)  # rival claims our version
+            real_commit(path, manifest, backend)
+
+        M._commit_manifest = racing_commit
+        try:
+            attempts = M.merge_into_silver_with_retry(
+                spark, _env(spark, [("c", "b", "2")], seq0=10), silver, "pet",
+                backend=be,
+            )
+        finally:
+            M._commit_manifest = real_commit
+        assert attempts == 2
+        got = {
+            (r["name"], r["v"])
+            for r in M.read_silver(spark, silver, backend=be).collect()
+        }
+        assert got == {("a", "1"), ("b", "2")}
+
+    def test_retry_exhaustion_raises(self, spark, tmp_path):
+        from cdc_demo_spark.streaming import merge as M
+
+        be = InMemoryCommitBackend()
+        silver = str(tmp_path / "silver")
+        M.merge_into_silver(
+            spark, _env(spark, [("c", "a", "1")]), silver, "pet",
+            num_buckets=4, backend=be,
+        )
+        real_commit = M._commit_manifest
+
+        def always_raced(path, manifest, backend):
+            rival = dict(M._load_manifest(path, backend))
+            real_commit(path, rival, backend)
+            real_commit(path, manifest, backend)  # always loses
+
+        M._commit_manifest = always_raced
+        try:
+            with pytest.raises(M.ConcurrentCommitError):
+                M.merge_into_silver_with_retry(
+                    spark, _env(spark, [("c", "b", "2")], seq0=10), silver,
+                    "pet", retries=2, backend=be,
+                )
+        finally:
+            M._commit_manifest = real_commit
