@@ -547,9 +547,13 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> Da
     across engines by construction."""
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be 1..60 (15 hex chars of md5), got {bits}")
+    # single-space split, NOT the \s+ tokens() helper: the portability
+    # claim includes tokenization, and SQL engines' string_split(' ')
+    # emits empty tokens on runs of whitespace where \s+ would not —
+    # a latent value divergence on any non-single-spaced corpus
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("w"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
     h = toks.select(
         "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv")

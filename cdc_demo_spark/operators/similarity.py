@@ -455,7 +455,12 @@ def int8_cosine_pairs_gemm(
     # generator sees row one. The single-tile toy regime skips the
     # extra exchange and keeps the broadcast fast path (measured 1.7 s
     # vs 5 s warm at sf0.1's 500-row corpus).
-    side = packed if n_tiles == 1 else packed.repartition(n_tiles, "blk")
+    # repartitionByRange, not hash repartition: blk values are exactly
+    # 0..L-1, so range partitioning lands ~one tile per partition
+    # deterministically, where hashpartitioning(blk) % L leaves
+    # birthday-collision partitions holding several tiles (k tiles on
+    # both sides of a cartesian task -> k^2 pair rows per Arrow batch)
+    side = packed if n_tiles == 1 else packed.repartitionByRange(n_tiles, "blk")
     x = side.select(F.col("blk").alias("bx"), F.col("chunk").alias("cx"))
     y = side.select(F.col("blk").alias("by"), F.col("chunk").alias("cy"))
     # pure theta join: Spark broadcasts the packed side while it fits

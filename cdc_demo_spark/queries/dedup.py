@@ -497,7 +497,7 @@ def q_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than 3 tokens emit no rows (the shingle contract,
     operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
     sh_rows = docs.select(
         "doc_id",
         F.explode(
@@ -597,7 +597,7 @@ def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     No skew guard in this twin (the xxhash64 production path keeps
     max_bucket; at 500 docs the guard never trips anyway)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
     sh_rows = docs.select(
         "doc_id",
         F.explode(
@@ -715,7 +715,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence.  String shingles keep the oracle engine-portable;
     the xxhash64 operators stay the production path."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
     s = docs.select(
         "doc_id",
         F.explode(

@@ -343,15 +343,30 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
 
     from cdc_demo_spark.layout import write_partitioned_by_day
 
+    import glob
+    import tempfile
+
     path = _events_by_day_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    # GC siblings from older fixture states (each regeneration would
+    # otherwise leak a full derived copy in the tempdir forever)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_events_by_day_v1_{tag}_*")
+    ):
+        if stale != path and not stale.startswith(path + ".build-"):
+            shutil.rmtree(stale, ignore_errors=True)
     stage = f"{path}.build-{uuid.uuid4().hex[:8]}"
     write_partitioned_by_day(load_table(spark, sf_dir, "events"), stage)
     try:
         os.rename(stage, path)
     except OSError:
-        shutil.rmtree(stage, ignore_errors=True)  # lost the race: use winner's
+        # either we lost the publish race (winner's copy must exist) or
+        # the rename genuinely failed — only the first is swallowable
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
     return path
 
 

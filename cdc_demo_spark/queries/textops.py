@@ -605,7 +605,7 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hash (here grams stay strings for oracle portability; the
     production variant would xxhash64 them like the shingle ops)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
     g = docs.select(
         "doc_id",
         F.explode(
@@ -675,7 +675,7 @@ def q_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass.  Value-exact against DuckDB: integer md5 buckets, integer
     stand-in weights over 1000.0, round(avg, 6)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
     tok = docs.select("doc_id", F.explode(toks).alias("w"))
     bucket = (
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 1024

@@ -109,7 +109,12 @@ def _recover_swaps(root: str) -> None:
     """Auto-recover a crash inside a previous partition swap: a
     ``.old-<bid>-*`` aside dir whose ``batch_id=<bid>`` target is
     missing is the original partition mid-swap — restore it before
-    touching anything (mirrors layout.compact's recovery)."""
+    touching anything (mirrors layout.compact's recovery).
+
+    SINGLE-ERASER contract (like compact's single-writer): recovery
+    assumes no OTHER erasure is mid-swap on this table — it would
+    collect that erasure's live ``.erase-*`` staging as crash debris.
+    Erasure is an administrative op; serialize it per table."""
     for d in os.listdir(root):
         if d.startswith(".old-"):
             bid = d.split("-")[1]
@@ -199,22 +204,23 @@ def erase_key(
     """Full-stack erasure across a CdcPipeline's layout (landing files
     are the PRODUCER'S bucket — out of engine scope, same contract as
     A7 capture). Returns a per-layer report for the audit log."""
+    from cdc_demo_spark.streaming.pipeline import BRONZE_NAMESPACES, DLQ_NAMESPACES
+
     silver = os.path.join(base_path, "silver", table)
     report = {
         "silver": erase_key_from_silver(spark, silver, key, backend),
-        # both discovery modes' change logs (listing + notified
-        # namespaces — a layout normally has one, erasure checks both)
-        "bronze_batches": erase_key_from_bronze(
-            spark, os.path.join(base_path, "bronze"), table, key
-        )
-        + erase_key_from_bronze(
-            spark, os.path.join(base_path, "bronze-notified"), table, key
-        ),
-        "dlq_records": erase_key_from_dlq(
-            spark, os.path.join(base_path, "dlq"), table, key
-        )
-        + erase_key_from_dlq(
-            spark, os.path.join(base_path, "dlq-notified"), table, key
+        # every discovery mode's change log (the namespace list lives
+        # with the pipeline, so a new mode is scrubbed by construction)
+        "bronze_batches": [
+            bid
+            for ns in BRONZE_NAMESPACES
+            for bid in erase_key_from_bronze(
+                spark, os.path.join(base_path, ns), table, key
+            )
+        ],
+        "dlq_records": sum(
+            erase_key_from_dlq(spark, os.path.join(base_path, ns), table, key)
+            for ns in DLQ_NAMESPACES
         ),
     }
     return report

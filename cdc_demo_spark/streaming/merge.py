@@ -85,8 +85,12 @@ def _as_state(envelopes: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_of(col: str, num_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+def _bucket_of(col, num_buckets: int) -> F.Column:
+    """THE bucket-hash recipe (column name or Column expression) —
+    every consumer (merge writer, point lookup, erasure) goes through
+    this one expression so the recipe cannot drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(num_buckets)).cast("int")
 
 
 def bucket_id_of(spark: SparkSession, key: str, num_buckets: int) -> int:
@@ -96,13 +100,9 @@ def bucket_id_of(spark: SparkSession, key: str, num_buckets: int) -> int:
     erasure)."""
     return int(
         spark.range(1)
-        .select(_bucket_of_lit(key, num_buckets).alias("b"))
+        .select(_bucket_of(F.lit(key), num_buckets).alias("b"))
         .collect()[0]["b"]
     )
-
-
-def _bucket_of_lit(key: str, num_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.lit(key)), F.lit(num_buckets)).cast("int")
 
 
 def silver_bucket_count(
@@ -584,6 +584,8 @@ def merge_into_silver_with_retry(
     silver tables are designed single-writer-per-table; this wrapper
     exists for the OCCASIONAL compaction-vs-merge race, closing the
     'no retry loop built in' known-limit from SCALE.md)."""
+    if retries < 1:
+        raise ValueError(f"retries must be >= 1, got {retries}")
     last: ConcurrentCommitError | None = None
     for attempt in range(1, retries + 1):
         try:

@@ -39,6 +39,13 @@ from pyspark.sql.types import StructType
 from cdc_demo_spark.schemas import envelope_schema
 from cdc_demo_spark.streaming.merge import merge_into_silver
 
+# Every change-log / DLQ namespace any discovery mode writes, relative
+# to a pipeline base dir. Erasure iterates THIS list — adding a
+# discovery mode here keeps right-to-be-forgotten complete by
+# construction instead of by remembering to edit erasure.py.
+BRONZE_NAMESPACES = ("bronze", "bronze-notified")
+DLQ_NAMESPACES = ("dlq", "dlq-notified")
+
 
 class CdcPipeline:
     """One streaming query replicating a set of tables from a landing
@@ -74,11 +81,11 @@ class CdcPipeline:
 
     @property
     def bronze_dir(self) -> str:
-        return os.path.join(self.base, "bronze")
+        return os.path.join(self.base, BRONZE_NAMESPACES[0])
 
     @property
     def dlq_dir(self) -> str:
-        return os.path.join(self.base, "dlq")
+        return os.path.join(self.base, DLQ_NAMESPACES[0])
 
     def silver_dir(self, table: str) -> str:
         return os.path.join(self.base, "silver", table)
@@ -271,11 +278,11 @@ class NotifiedCdcPipeline(CdcPipeline):
     # the same silver via (ts, seq)).
     @property
     def bronze_dir(self) -> str:
-        return os.path.join(self.base, "bronze-notified")
+        return os.path.join(self.base, BRONZE_NAMESPACES[1])
 
     @property
     def dlq_dir(self) -> str:
-        return os.path.join(self.base, "dlq-notified")
+        return os.path.join(self.base, DLQ_NAMESPACES[1])
 
     def notif_dir(self, table: str) -> str:
         return os.path.join(self.base, "notifications", table)

@@ -55,8 +55,11 @@ def main() -> None:
     for q, a, b, r, v in rows:
         print(f"{q.ljust(w)}  {a:8.3f}  {b:8.3f}  {r:6.2f}  {v}")
     print()
-    print(f"shared-suite total: {o_tot:.2f} s -> {n_tot:.2f} s "
-          f"({n_tot / o_tot:.2f}x, {len(shared)} queries)")
+    if shared:
+        print(f"shared-suite total: {o_tot:.2f} s -> {n_tot:.2f} s "
+              f"({n_tot / o_tot:.2f}x, {len(shared)} queries)")
+    else:
+        print("no shared numeric queries between the two artifacts")
     for name, d in (("old", old), ("new", new)):
         extra = sorted(set(d["queries"]) - set(shared))
         if extra:
