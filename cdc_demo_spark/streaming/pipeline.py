@@ -117,12 +117,12 @@ class CdcPipeline:
         )
         return reader.json(os.path.join(self.landing_dir, table))
 
-    def _avro_source(self, table: str) -> DataFrame:
-        """Streaming Avro envelopes: binaryFile streaming source (one
-        row per container file, checkpoint-listed) -> per-file decode in
-        mapInPandas. A file that fails to decode becomes ONE row with
-        `_corrupt` set (path + error) and NULL envelope fields, so the
-        DLQ branch (A13) sees it like any malformed JSON record."""
+    def _decode_schema_and_fn(self, table: str):
+        """(schema, mapInPandas fn) for per-file Avro container decode:
+        a file that fails to decode becomes ONE row with `_corrupt` set
+        (path + error) and NULL envelope fields, so the DLQ branch
+        (A13) sees it like any malformed JSON record.  Shared by the
+        streaming binaryFile source and the notified batch read."""
         import pandas as pd
 
         from pyspark.sql.types import StructField, StructType
@@ -154,6 +154,13 @@ class CdcPipeline:
                         out["_corrupt"] = [None] * len(recs)
                         yield pd.DataFrame(out)
 
+        return schema, decode
+
+    def _avro_source(self, table: str) -> DataFrame:
+        """Streaming Avro envelopes: binaryFile streaming source (one
+        row per container file, checkpoint-listed) -> per-file decode
+        in mapInPandas (see _decode_schema_and_fn)."""
+        schema, decode = self._decode_schema_and_fn(table)
         files = (
             self.spark.readStream.format("binaryFile")
             # binaryFile's schema is fixed, but streaming sources demand
@@ -304,12 +311,15 @@ class NotifiedCdcPipeline(CdcPipeline):
 
     def run_notified_available_now(self, table: str) -> None:
         """Drain all pending NOTIFICATIONS (not the landing dir) through
-        the same DLQ/bronze/silver path as run_available_now."""
-        if self.fmt != "json":
-            raise NotImplementedError(
-                "notification-driven ingest currently parses JSON envelopes"
-            )
-        schema = envelope_schema(self.payloads[table]).add("_corrupt", "string", True)
+        the same DLQ/bronze/silver path as run_available_now. Parses
+        both envelope formats the reference lands (README.md:168 Avro,
+        :202 json): notified objects are opened BY PATH with the
+        matching decoder — JSON via the PERMISSIVE reader, Avro via a
+        binaryFile batch read through the same container-codec decode
+        as the streaming source."""
+        json_schema = envelope_schema(self.payloads[table]).add(
+            "_corrupt", "string", True
+        )
         notifs = (
             self.spark.readStream.schema("path string")
             .option("maxFilesPerTrigger", "64")
@@ -328,12 +338,21 @@ class NotifiedCdcPipeline(CdcPipeline):
                     f"notified objects missing (notification wrote before "
                     f"data was durable?): {missing[:3]}"
                 )
-            events = (
-                self.spark.read.schema(schema)
-                .option("mode", "PERMISSIVE")
-                .option("columnNameOfCorruptRecord", "_corrupt")
-                .json(paths)
-            ).cache()
+            if self.fmt == "avro":
+                schema, decode = self._decode_schema_and_fn(table)
+                events = (
+                    self.spark.read.format("binaryFile")
+                    .load(paths)
+                    .select("path", "content")
+                    .mapInPandas(decode, schema=schema)
+                ).cache()
+            else:
+                events = (
+                    self.spark.read.schema(json_schema)
+                    .option("mode", "PERMISSIVE")
+                    .option("columnNameOfCorruptRecord", "_corrupt")
+                    .json(paths)
+                ).cache()
             bad = events.filter(F.col("_corrupt").isNotNull())
             if bad.limit(1).count() > 0:
                 bad.select("_corrupt").write.mode("overwrite").parquet(

@@ -95,3 +95,36 @@ def test_notification_before_data_raises(spark, tmp_path):
     p.notify("pet", [os.path.join(p.landing_dir, "pet", "never-written.json")])
     with pytest.raises(Exception, match="notified objects missing"):
         p.run_notified_available_now("pet")
+
+
+def test_notified_avro_ingest(spark, tmp_path):
+    """A9 × A8: notification-driven discovery of AVRO change files (the
+    reference's preferred landing format) — listed objects decode
+    through the same container codec as the streaming source and
+    converge through the merge."""
+    from cdc_demo_spark.schemas import envelope_schema
+    from cdc_demo_spark.sources.formats import write_avro
+    from cdc_demo_spark.streaming.envelope import payload_type  # noqa: F401
+
+    p = NotifiedCdcPipeline(
+        spark, str(tmp_path / "cdc"), {"pet": PAYLOAD}, fmt="avro"
+    )
+    events = scramble(generate_events(n_keys=10, n_events=50))
+    env = spark.createDataFrame(
+        [
+            {**e, "ts": __import__("datetime").datetime.fromisoformat(e["ts"])}
+            for e in events
+        ],
+        envelope_schema(PAYLOAD),
+    ).repartition(3)
+    land = os.path.join(p.landing_dir, "pet")
+    write_avro(env, land)
+    paths = [
+        os.path.join(land, f) for f in os.listdir(land) if f.endswith(".avro")
+    ]
+    assert len(paths) >= 2
+    p.notify("pet", paths)
+    p.run_notified_available_now("pet")
+
+    expected = {row["name"] for row in replay_oracle(events).values()}
+    assert _silver_names(spark, p) == expected
