@@ -698,3 +698,95 @@ def q_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_bm25_topk",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (SELECT doc_id, u.w AS w FROM t, UNNEST(toks) AS u(w)),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(len AS DOUBLE)) AS avgdl FROM dl
+),
+q(term) AS (VALUES ('filter'), ('window'), ('merge')),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM tok JOIN q ON tok.w = q.term
+  GROUP BY doc_id, w
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term) d,
+       stats s
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avgdl))) AS score
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones; the
+    probabilistic-idf variant with k1=1.2, b=0.75) for a fixed 3-term
+    query over the documents table, top 20 — the lexical-retrieval
+    primitive of every RAG/eval pipeline, expressed as pure aggregates:
+    one token explode shared by the length and term-frequency branches,
+    a two-row broadcastable stats aggregate, and a per-(doc, term) sum.
+    Deterministic top-k: ordered by the ROUNDED score then doc_id, so
+    float ulps at the boundary can't reorder across engines (the
+    q_unigram_logprob precedent shows ln() itself agrees to well under
+    the 1e-6 round).  At 100 TB: the idf/stats side is bytes-sized and
+    broadcasts; only the token explode shuffles, keyed by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("len").cast("double")).alias("avgdl"),
+    )
+    q = spark.createDataFrame([("filter",), ("window",), ("merge",)], "term string")
+    tf = (
+        tok.join(F.broadcast(q), tok.w == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl")))
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

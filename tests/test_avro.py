@@ -236,3 +236,81 @@ def test_streaming_avro_pipeline_end_to_end(spark, tmp_path):
     # bronze holds exactly the good events once (no re-ingest, no dupes)
     bronze = spark.read.parquet(os.path.join(p.bronze_dir, "pet"))
     assert bronze.count() == len(events)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: pure-Python codec roundtrip over adversarial values
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _values():
+    import datetime as dt
+
+    # naive datetimes at microsecond grain within Avro's long-micros range
+    ts = st.datetimes(
+        min_value=dt.datetime(1900, 1, 1),
+        max_value=dt.datetime(2200, 1, 1),
+    ).map(lambda d: d.replace(tzinfo=None))
+    return st.fixed_dictionaries(
+        {
+            "s": st.one_of(st.none(), st.text(max_size=40)),  # incl. non-BMP unicode
+            "n": st.one_of(
+                st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+            ),
+            "f": st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),  # ±inf allowed
+            ),
+            "b": st.one_of(st.none(), st.binary(max_size=32)),
+            "t": st.one_of(st.none(), ts),
+            "arr": st.lists(
+                st.integers(min_value=-(2**40), max_value=2**40), max_size=5
+            ),
+        }
+    )
+
+
+FUZZ_SCHEMA = {
+    "type": "record",
+    "name": "fuzz",
+    "fields": [
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "f", "type": ["null", "double"]},
+        {"name": "b", "type": ["null", "bytes"]},
+        {"name": "t", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(recs=st.lists(_values(), min_size=0, max_size=7), deflate=st.booleans())
+def test_container_roundtrip_fuzz(tmp_path_factory, recs, deflate):
+    """write_container -> read_container must be the identity on every
+    representable record batch — unicode astral planes, ±inf, long
+    extremes, empty batches, both codecs.  (The r5 1-microsecond
+    timestamp truncation bug is exactly the class this hunts: the
+    fixed-fixture roundtrips happened to avoid it.)"""
+    import os
+
+    from cdc_demo_spark.sources import avro_codec as AC
+
+    d = tmp_path_factory.mktemp("avrofuzz")
+    path = os.path.join(str(d), "f.avro")
+    AC.write_container(
+        path, FUZZ_SCHEMA, recs, codec="deflate" if deflate else "null"
+    )
+    with open(path, "rb") as f:
+        _, got = AC.read_container(f.read())
+    # bytes come back as bytes; hypothesis binary is bytes — direct compare
+    assert got == [
+        {**r, "b": bytes(r["b"]) if r["b"] is not None else None} for r in recs
+    ]
