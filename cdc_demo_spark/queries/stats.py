@@ -120,3 +120,55 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("scope"), F.hll_sketch_estimate("u").alias("est_users")
     )
     return per_type.unionByName(overall).orderBy("scope")
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6) AS winsorized_mean,
+       round(AVG(e.value), 6) AS raw_mean
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clipping pass of a metrics/feature
+    pipeline: per-group exact [p01, p99] bounds, values clamped into
+    the band, clipped counts audited.  Two aggregates over one scan
+    shape: the bounds aggregate is group-count-sized and BROADCASTS
+    back onto the fact scan (at 100 TB this is the canonical
+    small-agg-rejoin pattern; the sketch path swaps in
+    approx_percentile with identical plumbing).  Exact interpolated
+    percentiles match DuckDB's quantile_cont (the q_percentiles
+    precedent); means rounded at 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
