@@ -40,7 +40,7 @@ _DRIVER_WINDOW_FIRST = [
     # the head the round it lands; earlier-round green rows keep their
     # records.  After r5 the union(r1..r5) covers ALL registered
     # queries (oracle + rows-only), so this round's head is (a) the
-    # eleven queries NEW in r6 — all oracle-backed — then (b) the 35
+    # thirteen queries NEW in r6 — all oracle-backed — then (b) the 35
     # queries whose newest green record is r2/r3 (the staleness-
     # ceiling rotation: after this round no record is older than r4),
     # then (c) the remaining slots refreshing r4-green oracle records
@@ -55,6 +55,8 @@ _DRIVER_WINDOW_FIRST = [
     "q_linear_quality_score",       # hashed-linear (fastText-shape) scorer
     "q_bm25_topk",                  # lexical retrieval scoring (BM25)
     "q_winsorize",                  # outlier clipping with audit counts
+    "q_mad_outliers",               # robust modified z-score (MAD)
+    "q_train_val_test_split",       # leak-proof deterministic split census
     "q_pii_mask",
     "q_day_partition_pruning",      # asserts PartitionFilters in its own plan
     "q_hot_key_salted_join",        # oracle = unsalted join (equality proof)
@@ -96,8 +98,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_window_navigation",
     # (c) r4-green oracle refreshes:
     "q_allpairs_jaccard",
-    "q_anti_join",
-    "q_asof_join",
     "q_benchmark_contamination",
 ]
 

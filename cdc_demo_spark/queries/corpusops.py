@@ -377,3 +377,54 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_train_val_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                < 'f5c28f5c' THEN 'train'
+           WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                < 'fae147ad' THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~96/2/2 by salted md5
+    thresholds — the split stage every training corpus runs before
+    anything touches an eval set): a document's split is a pure
+    function of its id, so re-runs, backfills, and incremental
+    appends can never leak a doc across splits, and changing the salt
+    re-splits intentionally.  Census per (source, split) keeps the
+    output small and audit-shaped; thresholds are hex prefixes exactly
+    like the mixture/shard ops (engine-portable, no RNG state).
+    Map-only at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split1:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(h < "f5c28f5c", "train").when(h < "fae147ad", "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )

@@ -172,3 +172,57 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, ABS(e.value - med.m) AS ad, med.m
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(d.m), 6) AS median,
+       round(MAX(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(d.value - d.m) > 3.5 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    modified z-score, |x - med| > 3.5 * 1.4826 * MAD): unlike the
+    stddev z-score (q_rate_anomaly's trailing variant), MAD doesn't let
+    the outliers inflate their own threshold.  Two exact-median passes
+    (each the q_percentiles-proven quantile_cont parity), each a tiny
+    per-group aggregate broadcast-rejoined onto the scan — the same
+    small-agg-rejoin shape as q_winsorize, twice.  The sketch path
+    swaps approx_percentile in both spots unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    flagged = (F.col("ad") > 3.5 * 1.4826 * F.col("mad")).cast("long")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("m"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(flagged).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
