@@ -41,6 +41,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Same bound as queries/similarity.ARROW_QUERY_CAP (kept separate to
+# preserve layering — operators never import from queries): the ADC
+# lookup tables are built from a driver-side collect of the query
+# batch, so that collect must be provably bounded.
+PQ_QUERY_CAP = 10_000
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -134,14 +140,27 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    query_cap: int = PQ_QUERY_CAP,
 ) -> DataFrame:
     """Approximate top-k by ADC: per-query (m × ksub) distance tables
     built once on the driver (queries are few and broadcast), corpus
     codes scored with numpy gathers, top-k per query via window.
     Returns (query_id, vec_id, approx_cos, rk) — approx_cos = 1 - d²/2
-    on normalized vectors, comparable to the exact cosine paths."""
+    on normalized vectors, comparable to the exact cosine paths.
+
+    The query side is collected to the driver to build the ADC lookup
+    tables, so it carries the same hard cap as the GEMM query pull
+    (queries/similarity.py ARROW_QUERY_CAP): one limit(cap+1) job,
+    raising loudly instead of OOMing the driver when the query batch
+    exceeds ``query_cap``."""
     m, ksub, dsub = codebooks.shape
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = queries.select(query_id, query_vec).limit(query_cap + 1).collect()
+    if len(qrows) > query_cap:
+        raise ValueError(
+            f"PQ query side exceeds the driver-collect cap ({query_cap}); "
+            "run queries in chunks, or use the distributed exact path "
+            "(brute_force_topk) / IVF ANN for large query batches"
+        )
     qids = np.array([r[query_id] for r in qrows])
     qmat = _normalize(np.array([r[query_vec] for r in qrows], dtype=np.float64))
     # luts[q, j, c] = || q_sub_j - codebook[j, c] ||^2

@@ -355,7 +355,13 @@ def _ensure_events_by_day(spark: SparkSession, sf_dir: str) -> str:
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), f"spark_graft_events_by_day_v1_{tag}_*")
     ):
-        if stale != path and not stale.startswith(path + ".build-"):
+        # Spare ALL in-flight staging dirs, not just this fingerprint's
+        # (ADVICE r6): a concurrent build against a regenerated fixture
+        # has a different fingerprint but its .build-* stage is live —
+        # rmtree'ing it mid-write fails that build spuriously.  Staging
+        # dirs are self-cleaning (publish renames them away; losers
+        # remove their own); GC only published copies.
+        if stale != path and ".build-" not in os.path.basename(stale):
             shutil.rmtree(stale, ignore_errors=True)
     stage = f"{path}.build-{uuid.uuid4().hex[:8]}"
     write_partitioned_by_day(load_table(spark, sf_dir, "events"), stage)

@@ -136,20 +136,38 @@ def from_debezium(
     - ``key``: key_cols from the row image (whole-row for keyless
       tables), via the same ``key_expr`` every other source uses.
 
-    Messages that don't parse keep a null payload and are filtered
-    here; in the pipeline the same rows route to the DLQ (A13) via
-    ``_corrupt``."""
+    **Nothing is silently dropped.** Every input row comes back with a
+    ``_corrupt`` column — null for rows that mapped cleanly, the raw
+    message string otherwise — exactly the contract the pipelines'
+    JSON/Avro sources already speak, so callers route bad rows to the
+    DLQ (A13) with the same ``filter(_corrupt.isNotNull())`` split.
+    A row is corrupt when (a) ``from_json`` could not parse it, (b)
+    ``op`` is outside c/u/d/r (e.g. Debezium's 't' truncate — a
+    statement-level op this row-image envelope cannot represent; it
+    must surface for an operator, not vanish), or (c) the binlog
+    coordinate (source.file/pos) is missing or unparseable — a null
+    ``seq`` would compare EQUAL under ``dropDuplicates([table, key,
+    seq])`` and collapse distinct events, so it fails loudly per-row
+    instead of guessing a ts-only order."""
     m = raw.select(
-        F.from_json(F.col(value_col), debezium_value_schema(payload)).alias("v")
-    ).select("v.payload.*")
-    file_idx = F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).cast("long")
-    out = m.filter(F.col("op").isin(*OPS)).select(
+        F.col(value_col).cast("string").alias("_raw"),
+        F.from_json(F.col(value_col), debezium_value_schema(payload)).alias("v"),
+    ).select("_raw", "v.payload.*")
+    # try_cast: a file name with no digits extracts "" — under ANSI
+    # that cast must yield null (-> _corrupt), not kill the stream
+    file_idx = F.regexp_extract(F.col("source.file"), r"(\d+)$", 1).try_cast("long")
+    seq = (file_idx * F.lit(1 << 40) + F.col("source.pos")).cast("long")
+    ok = F.col("op").isin(*OPS) & seq.isNotNull()
+    out = m.select(
         F.col("op"),
         F.timestamp_millis(F.col("ts_ms")).alias("ts"),
-        (file_idx * F.lit(1 << 40) + F.col("source.pos")).cast("long").alias("seq"),
+        seq.alias("seq"),
         F.col("source.table").alias("table"),
         F.lit(None).cast("string").alias("key"),
         F.col("before"),
         F.col("after"),
+        F.when(ok, F.lit(None).cast("string")).otherwise(F.col("_raw")).alias(
+            "_corrupt"
+        ),
     )
     return out.withColumn("key", key_expr(key_cols))

@@ -28,10 +28,19 @@ Iceberg DELETE + VACUUM): metadata-gated selective file rewrites.
 Erasure REMOVES bytes, so unlike merges it is not idempotent-by-
 replay — run it after the key's retention decision is final; a crash
 mid-erasure leaves staged garbage or a committed manifest, never a
-half-visible mix (same commit protocol as the merge)."""
+half-visible mix (same commit protocol as the merge).
+
+**Streaming replay cannot undo an erasure**: foreachBatch is
+at-least-once and bronze/DLQ partitions are overwrite-per-batch_id, so
+a checkpoint resume after erasure would re-land the key's rows from
+the landing files.  Each erasure therefore records the key in a
+per-table ledger (``_erased/`` under the change-log root), and every
+pipeline write path re-filters batches against it — replay converges
+to the post-erasure log (tests/test_erasure.py pins this)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -105,6 +114,50 @@ def erase_key_from_silver(
     return True
 
 
+# -- erased-key ledger ---------------------------------------------------
+#
+# foreachBatch is at-least-once and bronze/DLQ batch partitions are
+# rewritten with mode('overwrite') on replay, so a checkpoint resume
+# AFTER an erasure would re-land the erased key's envelope rows in
+# bronze (silver stays protected by the redacted tombstone).  Erasure
+# therefore records each erased key in a per-table ledger under the
+# change-log root, and the pipelines' write paths re-filter against it
+# — replay converges to the post-erasure log instead of undoing it.
+# The dir is underscore-prefixed so Spark's file index never reads it.
+# The ledger is small by construction (one entry per administrative
+# erasure), so an isin() against it is a broadcast-trivial filter.
+
+ERASED_DIR = "_erased"
+
+
+def record_erased_key(root: str, key: str) -> None:
+    """Durably add `key` to `root`'s erased-key ledger (idempotent;
+    atomic publish so a crash never leaves a half-written entry)."""
+    d = os.path.join(root, ERASED_DIR)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, hashlib.md5(key.encode("utf-8")).hexdigest())
+    if os.path.exists(final):
+        return
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(key)
+    os.replace(tmp, final)
+
+
+def erased_keys(root: str) -> list[str]:
+    """All keys ever erased from the table rooted at `root`."""
+    d = os.path.join(root, ERASED_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in sorted(os.listdir(d)):
+        if n.startswith("."):
+            continue  # in-flight tmp entry
+        with open(os.path.join(d, n), encoding="utf-8") as f:
+            out.append(f.read())
+    return out
+
+
 def _recover_swaps(root: str) -> None:
     """Auto-recover a crash inside a previous partition swap: a
     ``.old-<bid>-*`` aside dir whose ``batch_id=<bid>`` target is
@@ -152,9 +205,13 @@ def erase_key_from_bronze(
     column-pruned scan of `key` alone (no payloads move until a
     partition is known dirty)."""
     root = os.path.join(bronze_dir, table)
-    if not os.path.isdir(root):
-        return []
+    # Record BEFORE scrubbing data: even an empty/never-written
+    # namespace can receive the key later via a checkpoint replay, and
+    # the write-path re-filter is what keeps erasure durable then.
+    record_erased_key(root, key)
     _recover_swaps(root)
+    if not any(d.startswith("batch_id=") for d in os.listdir(root)):
+        return []
     log = spark.read.option("basePath", root).parquet(root)
     dirty = sorted(
         int(r["batch_id"])
@@ -172,9 +229,10 @@ def erase_key_from_dlq(spark: SparkSession, dlq_dir: str, table: str, key: str) 
     (best-effort: corrupt rows have no parsed columns). Returns the
     number of records dropped."""
     root = os.path.join(dlq_dir, table)
-    if not os.path.isdir(root):
-        return 0
+    record_erased_key(root, key)
     _recover_swaps(root)
+    if not any(d.startswith("batch_id=") for d in os.listdir(root)):
+        return 0
     raw = spark.read.option("basePath", root).parquet(root)
     hit = raw.filter(F.col("_corrupt").contains(key))
     n = hit.count()

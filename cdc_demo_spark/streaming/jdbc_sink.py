@@ -42,6 +42,8 @@ retry, and convergence vs the replay oracle."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -67,6 +69,16 @@ class JdbcUpsertSink:
     ) -> None:
         self.spark = spark
         self.url = url
+        # The sink's SQL interpolates the table name into DDL/DML
+        # strings (staging CREATE, DELETE/INSERT, bookkeeping rows), so
+        # the name must be a strict SQL identifier — anything else is a
+        # broken-statement or injection hazard (ADVICE r6).
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise ValueError(
+                f"sink table name {table!r} is not a plain SQL identifier "
+                "([A-Za-z_][A-Za-z0-9_]*); quoted/exotic names are not "
+                "supported by this sink's portable-SQL transaction"
+            )
         self.table = table.upper()  # unquoted DDL folds to upper (Derby)
         self.driver = driver
         self._ensure_bookkeeping()

@@ -47,6 +47,36 @@ BRONZE_NAMESPACES = ("bronze", "bronze-notified")
 DLQ_NAMESPACES = ("dlq", "dlq-notified")
 
 
+def _drop_erased_keys(df: DataFrame, table_root: str) -> DataFrame:
+    """Re-filter a batch against the table's erased-key ledger
+    (erasure.record_erased_key): foreachBatch is at-least-once and the
+    bronze write is overwrite-per-batch_id, so WITHOUT this a
+    checkpoint replay after a GDPR erasure would re-land the erased
+    key's envelope rows (ADVICE r6). The ledger holds one entry per
+    administrative erasure — isin() against it is trivial."""
+    from cdc_demo_spark.streaming.erasure import erased_keys
+
+    keys = erased_keys(table_root)
+    if not keys:
+        return df
+    return df.filter(F.col("key").isNull() | ~F.col("key").isin(keys))
+
+
+def _drop_erased_corrupt(df: DataFrame, table_root: str) -> DataFrame:
+    """The DLQ analog: corrupt blobs have no parsed key, so the ledger
+    re-filter uses the same substring predicate as erase_key_from_dlq
+    (best-effort by construction, documented there)."""
+    from cdc_demo_spark.streaming.erasure import erased_keys
+
+    keys = erased_keys(table_root)
+    if not keys:
+        return df
+    cond = F.lit(False)
+    for k in keys:
+        cond = cond | F.coalesce(F.col("_corrupt").contains(k), F.lit(False))
+    return df.filter(~cond)
+
+
 class CdcPipeline:
     """One streaming query replicating a set of tables from a landing
     directory of envelope JSON/Avro files into bronze + silver Parquet."""
@@ -185,14 +215,20 @@ class CdcPipeline:
             # to the envelope schema (A13). Cache: the batch feeds three
             # sinks; without it each sink would re-read the files.
             batch = batch.cache()
-            bad = batch.filter(F.col("_corrupt").isNotNull())
+            bad = _drop_erased_corrupt(
+                batch.filter(F.col("_corrupt").isNotNull()),
+                os.path.join(self.dlq_dir, table),
+            )
             if bad.limit(1).count() > 0:
                 # idempotent per batch: a replayed batch overwrites its
                 # own partition instead of appending duplicates
                 bad.select("_corrupt").write.mode("overwrite").parquet(
                     os.path.join(self.dlq_dir, table, f"batch_id={batch_id}")
                 )
-            good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good = _drop_erased_keys(
+                batch.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
+                os.path.join(self.bronze_dir, table),
+            )
             # Bronze: immutable change log (A11), one partition per
             # batch so at-least-once replays rewrite in place (the
             # append-mode version duplicated events on crash-replay).
@@ -223,7 +259,10 @@ class CdcPipeline:
         src = self._source(table)
 
         def process(batch: DataFrame, batch_id: int) -> None:
-            good = batch.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good = _drop_erased_keys(
+                batch.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
+                os.path.join(self.bronze_dir, table),
+            )
             good.write.mode("overwrite").parquet(
                 os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
             )
@@ -353,12 +392,18 @@ class NotifiedCdcPipeline(CdcPipeline):
                     .option("columnNameOfCorruptRecord", "_corrupt")
                     .json(paths)
                 ).cache()
-            bad = events.filter(F.col("_corrupt").isNotNull())
+            bad = _drop_erased_corrupt(
+                events.filter(F.col("_corrupt").isNotNull()),
+                os.path.join(self.dlq_dir, table),
+            )
             if bad.limit(1).count() > 0:
                 bad.select("_corrupt").write.mode("overwrite").parquet(
                     os.path.join(self.dlq_dir, table, f"batch_id={batch_id}")
                 )
-            good = events.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good = _drop_erased_keys(
+                events.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
+                os.path.join(self.bronze_dir, table),
+            )
             good.write.mode("overwrite").parquet(
                 os.path.join(self.bronze_dir, table, f"batch_id={batch_id}")
             )

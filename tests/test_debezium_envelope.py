@@ -66,13 +66,21 @@ def raw(spark):
     return spark.createDataFrame([(r,) for r in rows], "value string")
 
 
+def _split(env):
+    good = env.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = env.filter(F.col("_corrupt").isNotNull())
+    return good, bad
+
+
 def test_debezium_to_envelope_shape(spark, raw):
     env = from_debezium(raw, PAYLOAD, key_cols=["id"])
     assert [f.name for f in env.schema.fields] == [
-        "op", "ts", "seq", "table", "key", "before", "after",
+        "op", "ts", "seq", "table", "key", "before", "after", "_corrupt",
     ]
-    rows = {r["seq"]: r for r in env.collect()}
-    assert len(rows) == 5  # unknown op filtered
+    good, bad = _split(env)
+    rows = {r["seq"]: r for r in good.collect()}
+    assert len(rows) == 5  # unknown op routed to _corrupt, not kept
+    assert bad.count() == 1
     ins = rows[(1 << 40) + 500]
     assert ins["op"] == "c" and ins["after"]["name"] == "Buffy"
     assert ins["key"] == "3"
@@ -80,16 +88,63 @@ def test_debezium_to_envelope_shape(spark, raw):
     assert delete["op"] == "d" and delete["after"] is None and delete["key"] == "2"
 
 
+def test_debezium_corrupt_routing_not_silent(spark):
+    """ADVICE r6: unparseable messages, unknown ops (Debezium 't'
+    truncate), and missing/unparseable binlog coordinates must come
+    back on _corrupt with the raw message — never vanish, and never
+    yield a null seq that dropDuplicates would treat as equal."""
+    rows = [
+        "this is not json at all {{{",
+        _msg("t", None, None, 1_700_000_000_000, 1, 10),  # truncate op
+        # binlog file with no digits -> file_idx unparseable -> null seq
+        json.dumps(
+            {
+                "payload": {
+                    "before": None,
+                    "after": {"id": 7, "name": "G", "species": "x"},
+                    "op": "c",
+                    "ts_ms": 1_700_000_000_000,
+                    "source": {"table": "pet", "file": "garbage-name", "pos": 5},
+                }
+            }
+        ),
+        # missing source block entirely -> null seq
+        json.dumps(
+            {
+                "payload": {
+                    "before": None,
+                    "after": {"id": 8, "name": "H", "species": "x"},
+                    "op": "c",
+                    "ts_ms": 1_700_000_000_000,
+                }
+            }
+        ),
+        _msg("c", None, {"id": 1, "name": "ok", "species": "x"}, 1_700_000_000_000, 1, 99),
+    ]
+    raw = spark.createDataFrame([(r,) for r in rows], "value string")
+    good, bad = _split(from_debezium(raw, PAYLOAD, key_cols=["id"]))
+    assert good.count() == 1 and good.collect()[0]["key"] == "1"
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 4
+    # the raw message is preserved verbatim for the DLQ
+    assert any("not json at all" in r["_corrupt"] for r in bad_rows)
+    # no good row may carry a null seq (dropDuplicates null-equality)
+    assert good.filter(F.col("seq").isNull()).count() == 0
+    # distinct events with unparseable coordinates must NOT collapse:
+    # both null-seq rows survive on the corrupt side individually
+    assert sum("garbage-name" in r["_corrupt"] for r in bad_rows) == 1
+
+
 def test_cross_file_ordering(spark, raw):
     """pos 50 in file 2 must outrank pos 900 in file 1 — the packed seq
     preserves the server's (file, pos) total order."""
-    env = from_debezium(raw, PAYLOAD, key_cols=["id"])
+    env, _ = _split(from_debezium(raw, PAYLOAD, key_cols=["id"]))
     seqs = {(r["op"], r["key"]): r["seq"] for r in env.collect()}
     assert seqs[("d", "2")] > seqs[("u", "1")]
 
 
 def test_debezium_stream_converges_through_merge(spark, raw, tmp_path):
-    env = from_debezium(raw, PAYLOAD, key_cols=["id"])
+    env, _ = _split(from_debezium(raw, PAYLOAD, key_cols=["id"]))
     silver = str(tmp_path / "silver")
     merge_into_silver(spark, env, silver, "pet", num_buckets=4)
     got = {(r["id"], r["name"]) for r in read_silver(spark, silver).collect()}
@@ -120,7 +175,7 @@ def test_same_millisecond_ordering_resolved_by_binlog_pos(spark, tmp_path):
         ),
     ]
     raw = spark.createDataFrame([(r,) for r in rows], "value string")
-    env = from_debezium(raw, PAYLOAD, key_cols=["id"])
+    env, _ = _split(from_debezium(raw, PAYLOAD, key_cols=["id"]))
     silver = str(tmp_path / "silver")
     # deliver in reverse order — the merge must still pick pos 30
     merge_into_silver(spark, env.orderBy(F.desc("seq")), silver, "pet", num_buckets=4)

@@ -222,3 +222,33 @@ def test_erasure_convergence_property(spark, tmp_path_factory, data):
     else:
         assert not pre, "erasure reported no state for a delivered key"
     assert_matches_oracle(spark, silver, model)
+
+
+def test_checkpoint_replay_cannot_undo_erasure(spark, tmp_path):
+    """ADVICE r6: foreachBatch is at-least-once and bronze rewrites
+    batch partitions with overwrite on replay — after an erasure, a
+    full checkpoint-wipe replay of the same landing files must NOT
+    re-land the erased key in bronze or DLQ."""
+    import shutil
+
+    p = CdcPipeline(spark, str(tmp_path / "cdc"), {"pet": PAYLOAD})
+    events = generate_events(n_keys=8, n_events=80, seed=11)
+    write_event_files(events, os.path.join(p.landing_dir, "pet"), files=4)
+    p.run_available_now("pet")
+    key = _target(spark, p)
+    report = erase_key(spark, p.base, "pet", key)
+    assert report["bronze_batches"]
+
+    # simulate the worst replay: the entire checkpoint is lost, every
+    # batch re-processes from the landing files
+    shutil.rmtree(p.checkpoint_dir("pet"), ignore_errors=True)
+    p2 = CdcPipeline(spark, str(tmp_path / "cdc"), {"pet": PAYLOAD})
+    p2.run_available_now("pet")
+
+    bronze = spark.read.option("basePath", os.path.join(p2.bronze_dir, "pet")).parquet(
+        os.path.join(p2.bronze_dir, "pet")
+    )
+    assert bronze.filter(F.col("key") == key).count() == 0
+    # silver remains protected by the redacted tombstone
+    got = {r["name"] for r in read_silver(spark, p2.silver_dir("pet")).collect()}
+    assert key not in got

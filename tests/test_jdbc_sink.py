@@ -174,3 +174,14 @@ def test_late_stale_batch_cannot_roll_back(spark, tmp_path):
         _df(spark, _events(0, [("c", "a", "stale"), ("c", "b", "zombie")])), 1
     )
     assert _served(spark, sink) == {("a", "new")}  # b stays deleted
+
+
+def test_table_name_must_be_plain_identifier(spark, tmp_path):
+    """ADVICE r6: the sink interpolates the table name into SQL — a
+    name with quotes/metacharacters must be rejected at construction,
+    before any statement is built."""
+    import pytest
+
+    for bad in ["pet'; DROP TABLE x--", 'pe"t', "pet table", "1pet", ""]:
+        with pytest.raises(ValueError, match="identifier"):
+            JdbcUpsertSink(spark, _url(tmp_path), bad, driver=DERBY)

@@ -71,3 +71,18 @@ def test_pq_reconstruction_improves_with_codebook_size(spark, sf_dir):
         return err
 
     assert mse(64) < mse(16) < mse(4)
+
+
+def test_pq_query_collect_cap_raises(spark, sf_dir):
+    """VERDICT r6 item 4: the ADC query-side collect carries the same
+    limit(cap+1)+raise guard as ARROW_QUERY_CAP — a million-query
+    batch must fail loudly naming the distributed alternative, not OOM
+    the driver silently."""
+    import pytest
+
+    emb, _, books, codes = _setup(spark, sf_dir)
+    many = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        PQ.pq_topk(codes, many, books, k=5, query_cap=3)
