@@ -72,10 +72,12 @@ class SemanticIndex:
         probes: int = 2,
         refine_iters: int = 2,
         backend: CommitBackend = DEFAULT_BACKEND,
+        arrow: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.backend = backend
+        self.arrow = arrow
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "t_num": t_num,
@@ -83,6 +85,7 @@ class SemanticIndex:
             "n_buckets": n_buckets,
             "probes": probes,
             "refine_iters": refine_iters,
+            "arrow": arrow,
         }
         # put-if-absent then verify: two racing creators with identical
         # params both succeed (one writes, both compare); mismatched
@@ -173,15 +176,27 @@ class SemanticIndex:
         if os.path.isdir(self._centroids_path):
             raise RuntimeError(f"index at {self.path} is already built")
         if centroids is None:
-            centroids = choose_centroids(corpus, self.n_buckets, vec_col, id_col)
-            if self.refine_iters > 0:
-                centroids = refine_centroids(
-                    corpus,
-                    centroids,
-                    iterations=self.refine_iters,
-                    vec_col=vec_col,
-                    id_col=id_col,
+            if self.arrow:
+                # scale mode trains from a bounded deterministic sample
+                # (the HOF trainer's global-ntile seed + per-iteration
+                # corpus re-score don't survive a 1M-row build)
+                from cdc_demo_spark.operators.ann_scale import train_centroids_sampled
+
+                centroids = train_centroids_sampled(
+                    corpus, self.n_buckets,
+                    iters=max(self.refine_iters, 1),
+                    vec_col=vec_col, id_col=id_col,
                 )
+            else:
+                centroids = choose_centroids(corpus, self.n_buckets, vec_col, id_col)
+                if self.refine_iters > 0:
+                    centroids = refine_centroids(
+                        corpus,
+                        centroids,
+                        iterations=self.refine_iters,
+                        vec_col=vec_col,
+                        id_col=id_col,
+                    )
         centroids.write.mode("overwrite").parquet(self._centroids_path)
         return self.append_batch(corpus, id_col, vec_col)
 
@@ -214,9 +229,23 @@ class SemanticIndex:
         q_all = self._read("quantized", "id long, qv array<bigint>").unionByName(q_new)
         qa = q_all.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
         qb = q_all.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
-        pairs = _int8_threshold_filter(
-            cand.join(qa, "id_a").join(qb, "id_b"), self.t_num, self.t_den
-        ).localCheckpoint(eager=True)  # materialize before admitting state
+        joined = cand.join(qa, "id_a").join(qb, "id_b")
+        if self.arrow:
+            # same int64 test vectorized (order-independent integer
+            # math — exactly the HOF filter's pair set, Arrow speed).
+            # Zero vectors quantize to null qv and fail the HOF filter
+            # via null comparison; the arrow kernel wants them gone
+            # up-front (JVM-side, same surviving pair set).
+            from cdc_demo_spark.operators.ann_scale import int8_threshold_filter_arrow
+
+            joined = joined.filter(
+                ~F.exists("qa", lambda x: x.isNull())
+                & ~F.exists("qb", lambda x: x.isNull())
+            )
+            verified = int8_threshold_filter_arrow(joined, self.t_num, self.t_den)
+        else:
+            verified = _int8_threshold_filter(joined, self.t_num, self.t_den)
+        pairs = verified.localCheckpoint(eager=True)  # materialize before admitting state
 
         import uuid
 
@@ -270,7 +299,20 @@ class SemanticIndex:
         centroids (no retraining — the probe set must match what every
         earlier batch was stored under). Routes through the SAME
         assignment as the one-shot operators; the incremental ==
-        one-shot equality invariant depends on that."""
+        one-shot equality invariant depends on that.
+
+        ``arrow=True`` indexes use the GEMM assignment
+        (ann_scale.assign_multiprobe_arrow) — same (cosine desc,
+        centroid_id asc) ranking, numpy instead of HOF; the flag is
+        part of the index meta because float sums can differ in the
+        last ulp between the two paths, and membership must be
+        computed identically for every batch of one index."""
+        if self.arrow:
+            from cdc_demo_spark.operators.ann_scale import assign_multiprobe_arrow
+
+            return assign_multiprobe_arrow(
+                base, self.centroids(), self.probes, "vec_id", "embedding"
+            ).select(F.col("vec_id").alias("id"), "centroid_id")
         return assign_multiprobe(
             base, self.centroids(), self.probes, "vec_id", "embedding"
         ).select(F.col("vec_id").alias("id"), "centroid_id")

@@ -1,0 +1,182 @@
+"""Scale twins of the ANN/semantic-dedup stack (operators/ann_scale.py)
+and the synthetic corpus that grounds them (sources/synth_vectors.py).
+
+Equality contracts:
+- arrow assignment == HOF assignment on the driver fixture (set-exact);
+- arrow int8 filter == HOF int8 filter (int64 math is order-free, so
+  this must be EXACT, not approximate);
+- bucketed GEMM pairs ⊆ exact GEMM pairs (same integer admission test
+  — subset by construction, asserted anyway);
+- arrow SemanticIndex: two-batch == one-shot, the same invariant the
+  HOF index pins.
+
+Recall contract: planted near-duplicates (synth_vectors' ground truth
+— cosine ≈ 0.999 vs a ≈ 0.56 background max at 5k rows) are found at
+>= 0.95 by the bucketed path at a 50k mid-grain, the scale the driver
+fixtures never reach (VERDICT r6 item 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import ann_scale as AS
+from cdc_demo_spark.operators import similarity as S
+from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+from cdc_demo_spark.sources.synth_vectors import planted_pairs, synth_embeddings
+from cdc_demo_spark.sources.tables import load_table
+
+
+def test_synth_corpus_deterministic_across_partitioning(spark):
+    a = synth_embeddings(spark, 2000, parts=32)
+    b = synth_embeddings(spark, 2000, parts=7)
+
+    def digest(df):
+        return (
+            df.orderBy("vec_id")
+            .select(F.md5(F.to_json(F.struct("vec_id", "embedding"))).alias("h"))
+            .agg(F.md5(F.concat_ws("", F.collect_list("h"))).alias("d"))
+            .collect()[0]["d"]
+        )
+
+    assert digest(a) == digest(b)
+
+
+def test_arrow_assignment_equals_hof(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    cents = S.refine_centroids(
+        emb, S.choose_centroids(emb, 16), iterations=2
+    ).cache()
+    hof = {
+        (r["vec_id"], r["centroid_id"])
+        for r in S.assign_multiprobe(emb, cents, 2)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    arw = {
+        (r["vec_id"], r["centroid_id"])
+        for r in AS.assign_multiprobe_arrow(emb, cents, 2).collect()
+    }
+    assert hof == arw
+
+
+def test_arrow_int8_filter_exactly_equals_hof(spark):
+    corpus = synth_embeddings(spark, 300, dup_every=50).cache()
+    q = S.int8_quantized(corpus)
+    a = q.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    for tn, td in ((4, 5), (2, 5), (9, 10)):
+        hof = {(r.id_a, r.id_b) for r in S._int8_threshold_filter(cand, tn, td).collect()}
+        arw = {(r.id_a, r.id_b) for r in AS.int8_threshold_filter_arrow(cand, tn, td).collect()}
+        assert hof == arw, f"t={tn}/{td}"
+
+
+def test_bucketed_gemm_subset_and_planted_recall_5k(spark):
+    n = 5000
+    corpus = synth_embeddings(spark, n, dup_every=100).cache()
+    exact = {(r.id_a, r.id_b) for r in
+             S.int8_cosine_pairs_gemm(corpus, t_num=4, t_den=5).collect()}
+    buck = {(r.id_a, r.id_b) for r in
+            AS.int8_cosine_pairs_bucketed_gemm(
+                corpus, t_num=4, t_den=5, n_buckets=32, probes=2,
+                sample=2048, train_iters=3,
+            ).collect()}
+    planted = set(planted_pairs(n, 100))
+    assert buck <= exact  # zero false positives — same integer test
+    assert planted <= exact  # the synth ground truth is real
+    assert len(buck & planted) / len(planted) >= 0.95
+
+
+def test_bucketed_gemm_recall_midgrain_50k(spark):
+    """The grain the driver fixtures never reach: 50k vectors, 128
+    buckets — recall of the 500 planted pairs must hold without any
+    quadratic reference scan."""
+    n = 50_000
+    corpus = synth_embeddings(spark, n, dup_every=100).cache()
+    pairs = AS.int8_cosine_pairs_bucketed_gemm(
+        corpus, t_num=4, t_den=5, n_buckets=128, probes=2,
+        sample=8192, train_iters=3,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = set(planted_pairs(n, 100))
+    assert len(got & planted) / len(planted) >= 0.95
+    # background at 0.8 is ~nothing: found pairs are almost all planted
+    assert len(got - planted) <= len(planted) // 10
+
+
+def test_semantic_dedup_ann_gemm_clusters_planted_dups(spark):
+    n = 5000
+    corpus = synth_embeddings(spark, n, dup_every=100).cache()
+    out = AS.semantic_dedup_ann_gemm(
+        corpus, t_num=4, t_den=5, n_buckets=32, probes=2,
+        sample=2048, train_iters=3,
+    )
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # planted groups are (k*100-2, k*100-1); most must land in 2-member
+    # clusters with exactly one keep=True survivor
+    planted = planted_pairs(n, 100)
+    found = 0
+    for a, b in planted:
+        ca = [r["cluster_id"] for r in rows if r["vec_id"] == a]
+        cb = [r["cluster_id"] for r in rows if r["vec_id"] == b]
+        if ca and cb and ca[0] == cb[0]:
+            found += 1
+    assert found / len(planted) >= 0.95
+    for cid, members in by_cluster.items():
+        assert sum(r["keep"] for r in members) == 1
+        assert all(r["n_members"] == len(members) for r in members)
+
+
+def test_arrow_semantic_index_two_batch_equals_one_shot(spark, tmp_path):
+    """The HOF index's core invariant, re-pinned for arrow mode: build
+    + append over a split corpus admits exactly the pairs a one-shot
+    bucketed run finds (same frozen centroids on both sides)."""
+    n = 4000
+    corpus = synth_embeddings(spark, n, dup_every=100).cache()
+    cents = AS.train_centroids_sampled(corpus, 32, sample=2048, iters=3).cache()
+
+    one_shot = {
+        (r.id_a, r.id_b)
+        for r in AS.int8_cosine_pairs_bucketed_gemm(
+            corpus, t_num=4, t_den=5, n_buckets=32, probes=2, centroids=cents
+        ).collect()
+    }
+
+    first = corpus.filter(F.col("vec_id") < n // 2)
+    second = corpus.filter(F.col("vec_id") >= n // 2)
+    idx = SemanticIndex(
+        spark, str(tmp_path / "idx"), t_num=4, t_den=5,
+        n_buckets=32, probes=2, arrow=True,
+    )
+    p1 = {(r.id_a, r.id_b) for r in idx.build(first, centroids=cents).collect()}
+    p2 = {(r.id_a, r.id_b) for r in idx.append_batch(second).collect()}
+    assert p1 | p2 == one_shot
+    assert not (p1 & p2)
+
+
+def test_arrow_index_meta_mismatch_raises(spark, tmp_path):
+    idx = SemanticIndex(spark, str(tmp_path / "idx"), arrow=True)
+    assert idx.arrow
+    with pytest.raises(ValueError, match="built with"):
+        SemanticIndex(spark, str(tmp_path / "idx"), arrow=False)
+
+
+def test_centroid_collect_cap_raises(spark):
+    corpus = synth_embeddings(spark, 64, dup_every=0)
+    cents = corpus.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    import cdc_demo_spark.operators.ann_scale as mod
+
+    old = mod.CENTROID_CAP
+    mod.CENTROID_CAP = 16
+    try:
+        with pytest.raises(ValueError, match="centroid set exceeds"):
+            AS.centroid_matrix(cents)
+    finally:
+        mod.CENTROID_CAP = old
