@@ -81,6 +81,23 @@ def _norm_rows(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism.
+
+    A 1M×64 float corpus is ~280 MB of parquet — which the scan
+    coalesces into ~3 partitions at the default maxPartitionBytes, so
+    every Arrow stage downstream runs 3-wide on a 32-core host
+    (measured: the assignment GEMM alone was 104 s at 1M before this,
+    ~6 s after).  Dense-vector work is CPU-bound per byte, so the
+    right split size is far below the scan default; one explicit
+    round-robin shuffle of the vectors buys full-width compute for
+    every stage after it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def train_centroids_sampled(
     corpus: DataFrame,
     n_centroids: int,
@@ -99,9 +116,20 @@ def train_centroids_sampled(
     run-to-run, the trained state is kilobytes, and training cost is
     independent of corpus size."""
     spark = corpus.sparkSession
+    src = _widen(corpus.select(id_col, vec_col))
+    n = src.count()
+    if n > sample * 8:
+        # hash-prefix prefilter: keep ~4·sample rows cheaply so the
+        # md5 ordering sorts thousands of rows, not the whole corpus
+        # (the filter is a pure function of id — still deterministic;
+        # uniform hash makes undershooting 4× margin a non-event, and
+        # the length check below catches it loudly regardless)
+        cut = int((sample * 4 / n) * (1 << 32))
+        src = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 32)) < cut
+        )
     rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        src.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
         .collect()
     )
@@ -157,13 +185,24 @@ def assign_multiprobe_arrow(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            X = _norm_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            # np.stack over the Arrow-native ndarray rows — .tolist()
+            # would materialize every element as a Python float (64M
+            # objects at 1M×64, measured as most of the stage's wall)
+            X = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             S = X @ Cn  # (n, K)
-            # top-`probes` per row by (sim desc, centroid_id asc):
-            # argsort on -S is stable, so equal sims keep index order
-            # == centroid_id order (cids is sorted ascending)
-            top = np.argsort(-S, axis=1, kind="stable")[:, :probes]
+            # top-`probes` per row by (sim desc, centroid_id asc) as
+            # `probes` in-place argmax scans: argmax takes the FIRST
+            # max, i.e. the lowest centroid_id on exact ties — the
+            # identical tie rule as the HOF window, at O(n·K) per
+            # probe (measured 75× faster than a stable argsort of the
+            # full score matrix, which dominated the 1M assignment)
             n = len(ids)
+            rows = np.arange(n)
+            top = np.empty((n, probes), dtype=np.int64)
+            for p in range(probes):
+                t = S.argmax(axis=1)
+                top[:, p] = t
+                S[rows, t] = -np.inf
             yield pd.DataFrame(
                 {
                     "id": np.repeat(ids, probes),
@@ -171,10 +210,35 @@ def assign_multiprobe_arrow(
                 }
             )
 
-    out = corpus.select(id_col, vec_col).mapInPandas(
+    out = _widen(corpus.select(id_col, vec_col)).mapInPandas(
         gen, schema="id long, centroid_id long"
     )
     return out.withColumnRenamed("id", id_col) if id_col != "id" else out
+
+
+def int8_quantize_rows(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(Q int64[n,d], nonzero bool[n]) — numpy twin of
+    ``similarity.int8_quantized``: scale = 127/max|x| per row on the
+    float64-cast values, ROUND_HALF_UP (away from zero), zero vectors
+    flagged for the caller to drop (their qv is NULL in the JVM path
+    and they match nothing).
+
+    Rounding parity: Spark's round() is BigDecimal HALF_UP of the
+    double's shortest decimal form; ``copysign(floor(|v| + 0.5), v)``
+    computes the same integer unless |v| sits within one ulp of a
+    half-integer AND the +0.5 addition rounds across it — a measure-
+    zero coincidence for real-valued inputs that the elementwise
+    parity test (tests/test_ann_scale.py) would surface if a fixture
+    ever hit it.  The payoff: the JVM quantizer is three interpreted-
+    HOF passes (~29 s alone at 1M×64); this is one fused numpy
+    expression inside a pass that already exists."""
+    X = X.astype(np.float64)
+    mx = np.abs(X).max(axis=1)
+    nonzero = mx > 0.0
+    s = np.where(nonzero, 127.0 / np.where(nonzero, mx, 1.0), 0.0)
+    V = X * s[:, None]
+    Q = np.copysign(np.floor(np.abs(V) + 0.5), V).astype(np.int64)
+    return Q, nonzero
 
 
 def int8_threshold_filter_arrow(
@@ -192,8 +256,8 @@ def int8_threshold_filter_arrow(
         for b in batches:
             if not len(b):
                 continue
-            qa = np.array(b["qa"].tolist(), dtype=np.int64)
-            qb = np.array(b["qb"].tolist(), dtype=np.int64)
+            qa = np.stack(b["qa"].to_numpy()).astype(np.int64)
+            qb = np.stack(b["qb"].to_numpy()).astype(np.int64)
             dot = (qa * qb).sum(axis=1)
             na = (qa * qa).sum(axis=1)
             nb = (qb * qb).sum(axis=1)
@@ -242,53 +306,114 @@ def int8_cosine_pairs_bucketed_gemm(
     Per-task memory: two sub-tiles (2·tile_rows·d int64), constant in
     corpus size; sub-tile counts come from an exact per-bucket count,
     so skew splits hot buckets into more tasks."""
+    # one widening shuffle up front: assignment, quantization, and the
+    # membership join all inherit full-width partitions from it
+    # (eager — both the member and the vecs branch read it)
+    corpus = _widen(corpus.select(id_col, vec_col)).localCheckpoint(eager=True)
     if centroids is None:
         centroids = train_centroids_sampled(
             corpus, n_buckets, sample, train_iters, vec_col, id_col
         )
     member = assign_multiprobe_arrow(corpus, centroids, probes, id_col, vec_col)
-    q = int8_quantized(corpus, id_col, vec_col).filter(
-        ~F.exists("qv", lambda x: x.isNull())
+    # quantization happens INSIDE the numpy pack step (int8_quantize_
+    # rows) — the JVM HOF quantizer costs ~29 s alone at 1M×64, and
+    # shipping raw float32 embeddings to the packer is SMALLER than
+    # shipping array<bigint> qv (256 B vs 512 B per row)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qm = (
+        member.join(vecs, member[id_col] == vecs["id"])
+        .select("centroid_id", "id", "vec")
+        # materialize once, EAGERLY: the per-bucket counts and the
+        # packing both read qm, and the x/y tile join both reads
+        # packed — a lazy checkpoint shared by two branches of the
+        # same job can still compute twice (measured: the composite
+        # run cost ~20 s more than the sum of its stages until the
+        # shared inputs were pinned eagerly)
+        .localCheckpoint(eager=True)
     )
-    qm = member.join(q, member[id_col] == q["id"]).select("centroid_id", "id", "qv")
     counts = qm.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
     qm = (
         qm.join(counts, "centroid_id")
         .withColumn("nsub", F.greatest(F.ceil(F.col("cnt") / tile_rows), F.lit(1)))
         .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("nsub")))
     )
+    # Tiles are BINARY-PACKED (ids as int64 bytes, qv as int8 bytes),
+    # not array<struct<id, qv>>: the struct encoding turns every tile
+    # element into Python objects at each Arrow boundary — measured as
+    # ~2/3 of the 1M-run wall (ROUND_NOTES r6 candidate #6) — and
+    # shuffles an int64 slot per value that fits a byte.  np.stack over
+    # Arrow list rows packs without per-element objects; np.frombuffer
+    # unpacks for free; the tile shuffle shrinks ~8×.
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        Q, nz = int8_quantize_rows(np.stack(pdf["vec"].to_numpy()))
+        ids, M = ids[nz], Q[nz].astype(np.int8)
+        if not len(ids):  # all-zero-vector tile: nothing to compare
+            return pd.DataFrame(
+                {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
+            )
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "blk": [int(pdf["blk"].iloc[0])],
+                "n": [len(ids)],
+                "ids": [ids.tobytes()],
+                "qvb": [M.tobytes()],
+            }
+        )
+
     packed = (
         qm.groupBy("centroid_id", "blk")
-        .agg(F.collect_list(F.struct("id", "qv")).alias("chunk"))
-        .localCheckpoint(eager=False)  # pack once; both join sides reuse it
+        .applyInPandas(
+            pack, schema="centroid_id long, blk long, n int, ids binary, qvb binary"
+        )
+        .localCheckpoint(eager=True)  # pack once; both join sides reuse it
     )
-    x = packed.select("centroid_id", F.col("blk").alias("bx"), F.col("chunk").alias("cx"))
-    y = packed.select("centroid_id", F.col("blk").alias("by"), F.col("chunk").alias("cy"))
-    # within-bucket sub-tile pairs; ~n_buckets rows when buckets fit one
-    # tile. Hash-repartition spreads tile payloads so one Arrow batch
-    # holds a handful of block pairs, not hundreds (the same bounded-
-    # batch reasoning as int8_cosine_pairs_gemm's one-tile-per-partition)
+    x = packed.select(
+        "centroid_id", F.col("blk").alias("bx"),
+        F.col("n").alias("nx"), F.col("ids").alias("ix"), F.col("qvb").alias("cx"),
+    )
+    y = packed.select(
+        "centroid_id", F.col("blk").alias("by"),
+        F.col("n").alias("ny"), F.col("ids").alias("iy"), F.col("qvb").alias("cy"),
+    )
+    # ~2× cluster parallelism: each mapInPandas task carries ~1 s of
+    # fixed Arrow/worker overhead, so one-block-pair tasks are pure
+    # overhead (512 tasks measured 6.3 s where 64 took 2.8 s for the
+    # same data); a small multiple of the core count balances skew
+    # without breaking the two-tiles-per-GEMM memory bound (tiles are
+    # decoded one block pair at a time inside the generator)
+    n_tasks = 2 * corpus.sparkSession.sparkContext.defaultParallelism
     block_pairs = (
         x.join(y, ["centroid_id"])
         .filter(F.col("bx") <= F.col("by"))
-        .repartition(max(64, min(2048, n_buckets)), "centroid_id", "bx", "by")
+        .repartition(n_tasks, "centroid_id", "bx", "by")
     )
     tn2, td2 = t_num * t_num, t_den * t_den
 
-    def unpack(cell):
-        ids = np.fromiter((e["id"] for e in cell), dtype=np.int64, count=len(cell))
-        M = np.stack([np.asarray(e["qv"], dtype=np.int64) for e in cell])
-        return ids, M, (M * M).sum(axis=1)
+    def unpack(n, ids_b, qv_b):
+        ids = np.frombuffer(ids_b, dtype=np.int64)
+        # float64 GEMM, EXACT integers: every product is |a·b| <= 127²
+        # and every partial sum <= d·127² ≈ 1e6 << 2^53, so the BLAS
+        # result is the same integer the int64 loop computes — while
+        # numpy's integer matmul (a non-BLAS gufunc loop) was measured
+        # as ~2/3 of the 1M wall.  The threshold test itself stays in
+        # int64 after an exact cast.
+        M = np.frombuffer(qv_b, dtype=np.int8).reshape(n, -1).astype(np.float64)
+        return ids, M, (M * M).sum(axis=1).astype(np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for bx, by, cx, cy in zip(b["bx"], b["by"], b["cx"], b["cy"]):
-                ids_x, X, nx2 = unpack(cx)
+            for bx, by, nx, ix, cx, ny, iy, cy in zip(
+                b["bx"], b["by"], b["nx"], b["ix"], b["cx"],
+                b["ny"], b["iy"], b["cy"],
+            ):
+                ids_x, X, nx2 = unpack(nx, ix, cx)
                 if bx == by:
                     ids_y, Y, ny2 = ids_x, X, nx2
                 else:
-                    ids_y, Y, ny2 = unpack(cy)
-                D = X @ Y.T
+                    ids_y, Y, ny2 = unpack(ny, iy, cy)
+                D = (X @ Y.T).astype(np.int64)  # exact: see unpack()
                 ok = (D >= 0) & (td2 * D * D >= tn2 * nx2[:, None] * ny2[None, :])
                 lt = ok & (ids_x[:, None] < ids_y[None, :])
                 ii, jj = np.nonzero(lt)
@@ -305,7 +430,7 @@ def int8_cosine_pairs_bucketed_gemm(
                 if len(a):
                     yield pd.DataFrame({"id_a": a, "id_b": np.concatenate(out_b)})
 
-    pairs = block_pairs.select("bx", "by", "cx", "cy").mapInPandas(
+    pairs = block_pairs.drop("centroid_id").mapInPandas(
         gen, schema="id_a long, id_b long"
     )
     # multi-probe puts a vector in `probes` buckets; a pair sharing two

@@ -180,3 +180,29 @@ def test_centroid_collect_cap_raises(spark):
             AS.centroid_matrix(cents)
     finally:
         mod.CENTROID_CAP = old
+
+
+def test_numpy_quantization_parity_with_jvm(spark, sf_dir):
+    """int8_quantize_rows (the pack-step quantizer) must produce the
+    SAME integers as the JVM int8_quantized for every vector — on the
+    driver fixture and on 20k synth vectors — or the bucketed path's
+    subset-of-exact proof would silently stop holding."""
+    import numpy as np
+
+    for corpus in (
+        load_table(spark, sf_dir, "embeddings"),
+        synth_embeddings(spark, 20_000, dup_every=100),
+    ):
+        jvm = {
+            r["id"]: r["qv"]
+            for r in S.int8_quantized(corpus).collect()
+        }
+        rows = corpus.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        X = np.array([r["embedding"] for r in rows], dtype=np.float32)
+        Q, nz = AS.int8_quantize_rows(X)
+        for i, vid in enumerate(ids):
+            if not nz[i]:
+                assert all(v is None for v in jvm[vid])
+            else:
+                assert jvm[vid] == list(Q[i]), f"vec {vid}"
