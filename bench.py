@@ -208,10 +208,199 @@ def time_cdc_restart(spark, sf_dir: str) -> float:
     return dt
 
 
+# ---------------------------------------------------------------------------
+# 1M-vector ANN probes (VERDICT r6 #1): the driver fixtures pin
+# embeddings at 500 rows at every sf, so the ANN/PQ/semantic-dedup
+# designs had no measured point above toy size.  These entries run on a
+# deterministic synthetic corpus (sources/synth_vectors.py — seeded,
+# bit-reproducible, planted near-dup ground truth) that is generated
+# once per host and cached; derived state (built semantic index, PQ
+# codes) is likewise built once and cached, so the timed sections
+# measure the OPERATION — one-shot dedup pair scan + clustering, delta
+# admission into a 1M index, ADC top-k over 1M codes — not fixture
+# construction.  Corpus size is fixed (not sf-scaled): the point is a
+# mid-scale measurement, comparable round over round.
+
+ANN_N = 1_000_000
+ANN_BUCKETS = 2048
+ANN_T = (4, 5)  # cosine >= 0.8: planted dups ~0.999, random 64-dim ~N(0, 1/8)
+
+
+def _ann_corpus(spark):
+    from cdc_demo_spark.sources.synth_vectors import ensure_synth_corpus
+
+    return spark.read.parquet(ensure_synth_corpus(spark, ANN_N))
+
+
+def _ensure_built(tag: str, build):
+    """Generic build-once cache under tempdir: build(stage_dir) then
+    atomic-rename publish (same pattern as the synth corpus)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}")
+    marker = os.path.join(path, "_BUILT")
+    if os.path.exists(marker):
+        return path
+    stage = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    build(stage)
+    with open(os.path.join(stage, "_BUILT"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, path)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def time_ann_semantic_dedup_1m(spark) -> float:
+    """One-shot SemDeDup at 1M×64: sampled k-means training, GEMM
+    multi-probe assignment, bucketed int8-GEMM pair scan (integer-exact
+    admission), star-contraction clustering. Asserts the planted
+    ground truth was actually found — a fast-but-wrong run must not
+    record a time."""
+    from cdc_demo_spark.operators.ann_scale import semantic_dedup_ann_gemm
+    from cdc_demo_spark.sources.synth_vectors import planted_pairs
+
+    corpus = _ann_corpus(spark)
+    t0 = time.perf_counter()
+    out = semantic_dedup_ann_gemm(
+        corpus, t_num=ANN_T[0], t_den=ANN_T[1],
+        n_buckets=ANN_BUCKETS, probes=2,
+    )
+    n_clustered = out.count()
+    dt = round(time.perf_counter() - t0, 3)
+    n_planted_members = 2 * len(planted_pairs(ANN_N, 100))
+    assert n_clustered >= 0.99 * n_planted_members, (
+        f"dedup found {n_clustered} clustered vectors; "
+        f"expected ~{n_planted_members}"
+    )
+    return dt
+
+
+def _semantic_index_path(spark) -> str:
+    from cdc_demo_spark.operators.ann_scale import train_centroids_sampled
+    from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+
+    def build(stage: str) -> None:
+        corpus = _ann_corpus(spark)
+        idx = SemanticIndex(
+            spark, os.path.join(stage, "idx"),
+            t_num=ANN_T[0], t_den=ANN_T[1],
+            n_buckets=ANN_BUCKETS, probes=2, arrow=True,
+        )
+        cents = train_centroids_sampled(corpus, ANN_BUCKETS).localCheckpoint()
+        idx.build(corpus, centroids=cents)
+
+    return _ensure_built(f"semidx_v1_n{ANN_N}_b{ANN_BUCKETS}", build)
+
+
+def time_ann_index_append_1m(spark) -> float:
+    """Delta admission into a 1M-vector incremental semantic index:
+    probe 10k new vectors against stored members through the frozen
+    centroids, verify integer-exact, commit the batch.  The cached
+    built index is copied fresh per run (append mutates state); the
+    copy is excluded from the timing."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+    from cdc_demo_spark.sources.synth_vectors import synth_embeddings
+
+    built = _semantic_index_path(spark)
+    work = os.path.join(tempfile.gettempdir(), f"semidx_run_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(os.path.join(built, "idx"), work)
+    try:
+        idx = SemanticIndex(
+            spark, work, t_num=ANN_T[0], t_den=ANN_T[1],
+            n_buckets=ANN_BUCKETS, probes=2, arrow=True,
+        )
+        delta = synth_embeddings(spark, 10_000, start=ANN_N)
+        t0 = time.perf_counter()
+        pairs = idx.append_batch(delta)
+        n_pairs = pairs.count()
+        dt = round(time.perf_counter() - t0, 3)
+        # the delta's internal planted dups (one per dup_every block)
+        # must have been admitted — correctness gates the timing
+        assert n_pairs >= 90, f"delta admission found only {n_pairs} pairs"
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def time_ann_pq_topk_1m(spark) -> float:
+    """ADC top-k over 1M PQ codes for 16 queries: numpy gather scoring
+    + per-query top-k window; codes + codebooks built once and cached.
+    Recall is pq's pytest contract; here a sanity floor (each query's
+    own vector must rank in its top-k) gates the timing."""
+    import numpy as np
+    from pyspark.sql.functions import col as F_col
+
+    from cdc_demo_spark.operators import pq as PQ
+    from cdc_demo_spark.sources.synth_vectors import synth_embeddings
+
+    def build(stage: str) -> None:
+        # widen: the corpus parquet coalesces to ~3 scan partitions,
+        # which would serialize the Arrow encode pass
+        corpus = _ann_corpus(spark).repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint()
+        books = PQ.train_codebooks(corpus, m=16, ksub=64, sample=4096)
+        np.save(os.path.join(stage, "books.npy"), books)
+        codes = PQ.encode(corpus, books)
+        codes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
+
+    path = _ensure_built(f"pqcodes_v1_n{ANN_N}", build)
+    books = np.load(os.path.join(path, "books.npy"))
+    codes = spark.read.parquet(os.path.join(path, "codes")).repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint()
+    queries = synth_embeddings(spark, 16, start=500_000).select(
+        F_col("vec_id").alias("query_id"), F_col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    top = PQ.pq_topk(codes, queries, books, k=10)
+    rows = top.collect()
+    dt = round(time.perf_counter() - t0, 3)
+    hits = {(r["query_id"], r["vec_id"]) for r in rows}
+    self_hits = sum((q, q) in hits for q in range(500_000, 500_016))
+    assert self_hits >= 14, f"only {self_hits}/16 queries rank themselves top-k"
+    return dt
+
+
+def _wait_for_quiet_host() -> bool:
+    """VERDICT r6 #3: every committed bench so far was captured under
+    load (r6: loadavg 11.5 on 32 cpus — ~15% contention noise in the
+    round-over-round deltas).  Act on the loadavg field instead of
+    just recording it: wait up to SPARK_GRAFT_LOAD_WAIT seconds
+    (default 120) for the 1-minute load to drop below
+    SPARK_GRAFT_MAX_LOAD (default 4.0), then proceed either way and
+    flag the artifact with load_warning so a noisy capture is
+    self-describing rather than silently contaminated."""
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    while os.getloadavg()[0] > max_load:
+        if time.time() >= deadline:
+            print(
+                f"WARNING: benching under load (loadavg {os.getloadavg()[0]:.1f} "
+                f"> {max_load}); timings will carry contention noise",
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(5)
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    quiet = _wait_for_quiet_host()
     spark = get_spark("cdc-demo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -279,6 +468,19 @@ def main() -> None:
             prev = timings.get(name, dt)
             timings[name] = min(prev, dt) if isinstance(prev, float) else dt
 
+    # 1M-vector ANN probes: single pass — at 10-30 s each the fixed
+    # scheduling noise is proportionally small, the heavy fixtures are
+    # cached, and each entry gates its timing on a correctness assert.
+    for name, fn in (
+        ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
+        ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
+        ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
+    ):
+        try:
+            timings[name] = fn()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}
     total = round(sum(ok.values()), 3)
     # Host-load indicator (round-5 VERDICT #3): the 1/5/15-minute load
@@ -292,6 +494,7 @@ def main() -> None:
         "timed_entries": len(ok),
         "errored_entries": len(timings) - len(ok),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "load_warning": not quiet,
         "sf": sf,
     }))
 

@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.similarity import int8_quantized
 
+TILE_SCHEMA = "centroid_id long, blk long, n int, ids binary, qvb binary"
+
 # Driver-side bound for the centroid collect (K vectors of d floats).
 # K beyond this is not an IVF layout anymore — it's a second corpus.
 CENTROID_CAP = 1 << 17
@@ -274,76 +276,30 @@ def int8_threshold_filter_arrow(
     )
 
 
-def int8_cosine_pairs_bucketed_gemm(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    t_num: int = 2,
-    t_den: int = 5,
-    n_buckets: int = 1024,
-    probes: int = 2,
-    centroids: DataFrame | None = None,
-    sample: int = 65536,
-    train_iters: int = 4,
-    tile_rows: int = 8192,
-) -> DataFrame:
-    """The ANN pair scan restructured as WITHIN-BUCKET integer GEMM —
-    ``int8_cosine_pairs_ann``'s scale twin.  Instead of materializing
-    (id_a, id_b) candidate rows and verifying each through a joined
-    filter (the candidate set is ~probes²/n_buckets of n² — billions
-    of rows at 1M vectors), quantized vectors are packed into per-
-    (bucket, sub-tile) blocks and each block pair is verified as one
-    int64 GEMM, the same kernel as ``int8_cosine_pairs_gemm`` — a
-    failing pair costs 2d integer ops inside numpy and never exists
-    as a row.
+def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
+    """(centroid_id, id, vec) membership rows -> BINARY-PACKED tiles
+    (centroid_id, blk, n, ids, qvb): per (bucket, sub-tile), ids as
+    int64 bytes and int8-quantized vectors as raw bytes.
 
-    Admission is the identical integer threshold test, so the output
-    is a strict subset of the exact pair graph (zero false positives);
-    recall = the bucketing's miss rate, measured against planted
-    duplicates (tests/test_ann_scale.py) exactly like the candidate-
-    row path's recall gate.
+    Why binary, not array<struct<id, qv>>: the struct encoding turns
+    every tile element into Python objects at each Arrow boundary —
+    measured as ~2/3 of the 1M-run wall (ROUND_NOTES r6 candidate #6)
+    — and shuffles an int64 slot per value that fits a byte.  np.stack
+    over Arrow list rows packs without per-element objects;
+    np.frombuffer unpacks for free; the tile shuffle shrinks ~8×.
 
-    Per-task memory: two sub-tiles (2·tile_rows·d int64), constant in
-    corpus size; sub-tile counts come from an exact per-bucket count,
-    so skew splits hot buckets into more tasks."""
-    # one widening shuffle up front: assignment, quantization, and the
-    # membership join all inherit full-width partitions from it
-    # (eager — both the member and the vecs branch read it)
-    corpus = _widen(corpus.select(id_col, vec_col)).localCheckpoint(eager=True)
-    if centroids is None:
-        centroids = train_centroids_sampled(
-            corpus, n_buckets, sample, train_iters, vec_col, id_col
-        )
-    member = assign_multiprobe_arrow(corpus, centroids, probes, id_col, vec_col)
-    # quantization happens INSIDE the numpy pack step (int8_quantize_
-    # rows) — the JVM HOF quantizer costs ~29 s alone at 1M×64, and
-    # shipping raw float32 embeddings to the packer is SMALLER than
-    # shipping array<bigint> qv (256 B vs 512 B per row)
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    qm = (
-        member.join(vecs, member[id_col] == vecs["id"])
-        .select("centroid_id", "id", "vec")
-        # materialize once, EAGERLY: the per-bucket counts and the
-        # packing both read qm, and the x/y tile join both reads
-        # packed — a lazy checkpoint shared by two branches of the
-        # same job can still compute twice (measured: the composite
-        # run cost ~20 s more than the sum of its stages until the
-        # shared inputs were pinned eagerly)
-        .localCheckpoint(eager=True)
-    )
+    Sub-tile counts come from an exact per-bucket count, so a skewed
+    bucket splits into more tiles (more tasks), never a bigger task.
+    Quantization happens here (int8_quantize_rows — the JVM HOF
+    quantizer costs ~29 s alone at 1M×64); zero vectors drop out, as
+    in every quantized path."""
     counts = qm.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
     qm = (
         qm.join(counts, "centroid_id")
         .withColumn("nsub", F.greatest(F.ceil(F.col("cnt") / tile_rows), F.lit(1)))
         .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("nsub")))
     )
-    # Tiles are BINARY-PACKED (ids as int64 bytes, qv as int8 bytes),
-    # not array<struct<id, qv>>: the struct encoding turns every tile
-    # element into Python objects at each Arrow boundary — measured as
-    # ~2/3 of the 1M-run wall (ROUND_NOTES r6 candidate #6) — and
-    # shuffles an int64 slot per value that fits a byte.  np.stack over
-    # Arrow list rows packs without per-element objects; np.frombuffer
-    # unpacks for free; the tile shuffle shrinks ~8×.
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
         Q, nz = int8_quantize_rows(np.stack(pdf["vec"].to_numpy()))
@@ -362,45 +318,51 @@ def int8_cosine_pairs_bucketed_gemm(
             }
         )
 
-    packed = (
-        qm.groupBy("centroid_id", "blk")
-        .applyInPandas(
-            pack, schema="centroid_id long, blk long, n int, ids binary, qvb binary"
-        )
-        .localCheckpoint(eager=True)  # pack once; both join sides reuse it
-    )
-    x = packed.select(
-        "centroid_id", F.col("blk").alias("bx"),
-        F.col("n").alias("nx"), F.col("ids").alias("ix"), F.col("qvb").alias("cx"),
-    )
-    y = packed.select(
-        "centroid_id", F.col("blk").alias("by"),
-        F.col("n").alias("ny"), F.col("ids").alias("iy"), F.col("qvb").alias("cy"),
-    )
+    return qm.groupBy("centroid_id", "blk").applyInPandas(pack, schema=TILE_SCHEMA)
+
+
+def _unpack_tile(n, ids_b, qv_b):
+    ids = np.frombuffer(ids_b, dtype=np.int64)
+    # float64 GEMM, EXACT integers: every product is |a·b| <= 127² and
+    # every partial sum <= d·127² ≈ 1e6 << 2^53, so the BLAS result is
+    # the same integer the int64 loop computes — while numpy's integer
+    # matmul (a non-BLAS gufunc loop) was measured as ~2/3 of the 1M
+    # wall.  The threshold test itself stays in int64 after the exact
+    # cast.
+    M = np.frombuffer(qv_b, dtype=np.int8).reshape(n, -1).astype(np.float64)
+    return ids, M, (M * M).sum(axis=1).astype(np.int64)
+
+
+def _gemm_tasks(df: DataFrame) -> int:
     # ~2× cluster parallelism: each mapInPandas task carries ~1 s of
     # fixed Arrow/worker overhead, so one-block-pair tasks are pure
     # overhead (512 tasks measured 6.3 s where 64 took 2.8 s for the
     # same data); a small multiple of the core count balances skew
     # without breaking the two-tiles-per-GEMM memory bound (tiles are
-    # decoded one block pair at a time inside the generator)
-    n_tasks = 2 * corpus.sparkSession.sparkContext.defaultParallelism
+    # decoded one block pair at a time inside the generator).
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
+def tile_self_pairs(tiles: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """All within-bucket pairs (id_a < id_b) of ONE tile set passing
+    the int8 cosine threshold — each (sub-tile × sub-tile) block pair
+    verified as one exact GEMM. Pairs sharing several buckets emerge
+    once per bucket; callers dropDuplicates after unioning sources."""
+    tiles = tiles.localCheckpoint(eager=True)  # both join sides read it
+    x = tiles.select(
+        "centroid_id", F.col("blk").alias("bx"),
+        F.col("n").alias("nx"), F.col("ids").alias("ix"), F.col("qvb").alias("cx"),
+    )
+    y = tiles.select(
+        "centroid_id", F.col("blk").alias("by"),
+        F.col("n").alias("ny"), F.col("ids").alias("iy"), F.col("qvb").alias("cy"),
+    )
     block_pairs = (
         x.join(y, ["centroid_id"])
         .filter(F.col("bx") <= F.col("by"))
-        .repartition(n_tasks, "centroid_id", "bx", "by")
+        .repartition(_gemm_tasks(tiles), "centroid_id", "bx", "by")
     )
     tn2, td2 = t_num * t_num, t_den * t_den
-
-    def unpack(n, ids_b, qv_b):
-        ids = np.frombuffer(ids_b, dtype=np.int64)
-        # float64 GEMM, EXACT integers: every product is |a·b| <= 127²
-        # and every partial sum <= d·127² ≈ 1e6 << 2^53, so the BLAS
-        # result is the same integer the int64 loop computes — while
-        # numpy's integer matmul (a non-BLAS gufunc loop) was measured
-        # as ~2/3 of the 1M wall.  The threshold test itself stays in
-        # int64 after an exact cast.
-        M = np.frombuffer(qv_b, dtype=np.int8).reshape(n, -1).astype(np.float64)
-        return ids, M, (M * M).sum(axis=1).astype(np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -408,12 +370,12 @@ def int8_cosine_pairs_bucketed_gemm(
                 b["bx"], b["by"], b["nx"], b["ix"], b["cx"],
                 b["ny"], b["iy"], b["cy"],
             ):
-                ids_x, X, nx2 = unpack(nx, ix, cx)
+                ids_x, X, nx2 = _unpack_tile(nx, ix, cx)
                 if bx == by:
                     ids_y, Y, ny2 = ids_x, X, nx2
                 else:
-                    ids_y, Y, ny2 = unpack(ny, iy, cy)
-                D = (X @ Y.T).astype(np.int64)  # exact: see unpack()
+                    ids_y, Y, ny2 = _unpack_tile(ny, iy, cy)
+                D = (X @ Y.T).astype(np.int64)  # exact: see _unpack_tile
                 ok = (D >= 0) & (td2 * D * D >= tn2 * nx2[:, None] * ny2[None, :])
                 lt = ok & (ids_x[:, None] < ids_y[None, :])
                 ii, jj = np.nonzero(lt)
@@ -430,9 +392,106 @@ def int8_cosine_pairs_bucketed_gemm(
                 if len(a):
                     yield pd.DataFrame({"id_a": a, "id_b": np.concatenate(out_b)})
 
-    pairs = block_pairs.drop("centroid_id").mapInPandas(
+    return block_pairs.drop("centroid_id").mapInPandas(
         gen, schema="id_a long, id_b long"
     )
+
+
+def tile_cross_pairs(
+    new_tiles: DataFrame, stored_tiles: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """All same-bucket pairs BETWEEN two tile sets with disjoint id
+    sets (a new batch probing stored state), canonical (id_a < id_b)
+    orientation, threshold-verified by the same exact GEMM.  This is
+    the incremental index's probe path: candidate pairs never exist
+    as rows — a failing pair costs 2d numpy ops inside a tile GEMM —
+    where the row-materializing probe join was ~occupancy·|batch|
+    rows (measured out past 10 minutes at 1M stored × 10k batch)."""
+    x = new_tiles.select(
+        "centroid_id", F.col("blk").alias("bx"),
+        F.col("n").alias("nx"), F.col("ids").alias("ix"), F.col("qvb").alias("cx"),
+    )
+    y = stored_tiles.select(
+        "centroid_id", F.col("blk").alias("by"),
+        F.col("n").alias("ny"), F.col("ids").alias("iy"), F.col("qvb").alias("cy"),
+    )
+    block_pairs = x.join(y, ["centroid_id"]).repartition(
+        _gemm_tasks(new_tiles), "centroid_id", "bx", "by"
+    )
+    tn2, td2 = t_num * t_num, t_den * t_den
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for nx, ix, cx, ny, iy, cy in zip(
+                b["nx"], b["ix"], b["cx"], b["ny"], b["iy"], b["cy"]
+            ):
+                ids_x, X, nx2 = _unpack_tile(nx, ix, cx)
+                ids_y, Y, ny2 = _unpack_tile(ny, iy, cy)
+                D = (X @ Y.T).astype(np.int64)
+                ok = (D >= 0) & (td2 * D * D >= tn2 * nx2[:, None] * ny2[None, :])
+                ii, jj = np.nonzero(ok)
+                if len(ii):
+                    a, c = ids_x[ii], ids_y[jj]
+                    yield pd.DataFrame(
+                        {"id_a": np.minimum(a, c), "id_b": np.maximum(a, c)}
+                    )
+
+    return block_pairs.select("nx", "ix", "cx", "ny", "iy", "cy").mapInPandas(
+        gen, schema="id_a long, id_b long"
+    )
+
+
+def int8_cosine_pairs_bucketed_gemm(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t_num: int = 2,
+    t_den: int = 5,
+    n_buckets: int = 1024,
+    probes: int = 2,
+    centroids: DataFrame | None = None,
+    sample: int = 65536,
+    train_iters: int = 4,
+    tile_rows: int = 8192,
+) -> DataFrame:
+    """The ANN pair scan restructured as WITHIN-BUCKET integer GEMM —
+    ``int8_cosine_pairs_ann``'s scale twin.  Instead of materializing
+    (id_a, id_b) candidate rows and verifying each through a joined
+    filter (the candidate set is ~probes²/n_buckets of n² — billions
+    of rows at 1M vectors), quantized vectors are packed into per-
+    (bucket, sub-tile) blocks (pack_tiles) and each block pair is
+    verified as one exact GEMM (tile_self_pairs) — a failing pair
+    costs 2d integer ops inside numpy and never exists as a row.
+
+    Admission is the identical integer threshold test, so the output
+    is a strict subset of the exact pair graph (zero false positives);
+    recall = the bucketing's miss rate, measured against planted
+    duplicates (tests/test_ann_scale.py) exactly like the candidate-
+    row path's recall gate.
+
+    Per-task memory: two sub-tiles (2·tile_rows·d int64), constant in
+    corpus size."""
+    # one widening shuffle up front: assignment, quantization, and the
+    # membership join all inherit full-width partitions from it
+    # (eager — both the member and the vecs branch read it)
+    corpus = _widen(corpus.select(id_col, vec_col)).localCheckpoint(eager=True)
+    if centroids is None:
+        centroids = train_centroids_sampled(
+            corpus, n_buckets, sample, train_iters, vec_col, id_col
+        )
+    member = assign_multiprobe_arrow(corpus, centroids, probes, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qm = (
+        member.join(vecs, member[id_col] == vecs["id"])
+        .select("centroid_id", "id", "vec")
+        # materialize once, EAGERLY: the per-bucket counts and the
+        # packing both read qm — a lazy checkpoint shared by two
+        # branches of the same job can still compute twice (measured:
+        # the composite run cost ~20 s more than the sum of its
+        # stages until the shared inputs were pinned eagerly)
+        .localCheckpoint(eager=True)
+    )
+    pairs = tile_self_pairs(pack_tiles(qm, tile_rows), t_num, t_den)
     # multi-probe puts a vector in `probes` buckets; a pair sharing two
     # buckets is found twice — same dedup as centroid_candidate_pairs
     return pairs.dropDuplicates(["id_a", "id_b"])

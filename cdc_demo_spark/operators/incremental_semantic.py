@@ -210,40 +210,63 @@ class SemanticIndex:
         unique across batches (caller's contract)."""
         base = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        )
+        ).localCheckpoint(eager=True)
         member_new = self._assign(base).localCheckpoint(eager=True)
         q_new = int8_quantized(base, "vec_id", "embedding").localCheckpoint(eager=True)
 
-        member_old = self._read("members", "id long, centroid_id long")
-        member_all = member_old.unionByName(member_new)
-        cand = (
-            member_new.withColumnRenamed("id", "pid")
-            .join(member_all, "centroid_id")
-            .filter(F.col("pid") != F.col("id"))
-            .select(
-                F.least("pid", "id").alias("id_a"),
-                F.greatest("pid", "id").alias("id_b"),
-            )
-            .distinct()
-        )
-        q_all = self._read("quantized", "id long, qv array<bigint>").unionByName(q_new)
-        qa = q_all.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
-        qb = q_all.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
-        joined = cand.join(qa, "id_a").join(qb, "id_b")
+        tiles_new = None
         if self.arrow:
-            # same int64 test vectorized (order-independent integer
-            # math — exactly the HOF filter's pair set, Arrow speed).
-            # Zero vectors quantize to null qv and fail the HOF filter
-            # via null comparison; the arrow kernel wants them gone
-            # up-front (JVM-side, same surviving pair set).
-            from cdc_demo_spark.operators.ann_scale import int8_threshold_filter_arrow
-
-            joined = joined.filter(
-                ~F.exists("qa", lambda x: x.isNull())
-                & ~F.exists("qb", lambda x: x.isNull())
+            # Tile-GEMM probe (ann_scale): the batch's membership rows
+            # pack into binary per-(bucket, sub-tile) blocks; batch-
+            # internal pairs come from the self tile scan, batch ×
+            # stored pairs from the cross tile scan against the
+            # COMMITTED tile state — the same exact integer admission
+            # as the HOF path, but a failing candidate never exists as
+            # a row.  The row-materializing probe join below builds
+            # ~|batch| × bucket-occupancy candidate rows; at 1M stored
+            # vectors that is ~2·10⁹ rows for a batch-0 build
+            # (measured out past 10 minutes), where the tile path is
+            # the same ~20 s bucketed scan bench.py measures one-shot.
+            from cdc_demo_spark.operators.ann_scale import (
+                TILE_SCHEMA,
+                pack_tiles,
+                tile_cross_pairs,
+                tile_self_pairs,
             )
-            verified = int8_threshold_filter_arrow(joined, self.t_num, self.t_den)
+
+            qm = (
+                member_new.join(
+                    base.select(
+                        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+                    ),
+                    "id",
+                )
+                .select("centroid_id", "id", "vec")
+            )
+            tiles_new = pack_tiles(qm).localCheckpoint(eager=True)
+            stored = self._read("tiles", TILE_SCHEMA)
+            verified = tile_self_pairs(tiles_new, self.t_num, self.t_den).unionByName(
+                tile_cross_pairs(tiles_new, stored, self.t_num, self.t_den)
+            ).dropDuplicates(["id_a", "id_b"])
         else:
+            member_old = self._read("members", "id long, centroid_id long")
+            member_all = member_old.unionByName(member_new)
+            cand = (
+                member_new.withColumnRenamed("id", "pid")
+                .join(member_all, "centroid_id")
+                .filter(F.col("pid") != F.col("id"))
+                .select(
+                    F.least("pid", "id").alias("id_a"),
+                    F.greatest("pid", "id").alias("id_b"),
+                )
+                .distinct()
+            )
+            q_all = self._read(
+                "quantized", "id long, qv array<bigint>"
+            ).unionByName(q_new)
+            qa = q_all.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+            qb = q_all.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+            joined = cand.join(qa, "id_a").join(qb, "id_b")
             verified = _int8_threshold_filter(joined, self.t_num, self.t_den)
         pairs = verified.localCheckpoint(eager=True)  # materialize before admitting state
 
@@ -251,7 +274,13 @@ class SemanticIndex:
 
         n = self._next_batch_id()
         uid = uuid.uuid4().hex[:8]
-        for table, df in (("members", member_new), ("quantized", q_new)):
+        state = [("members", member_new), ("quantized", q_new)]
+        if tiles_new is not None:
+            # tiles are derived state (re-derivable from members +
+            # quantized) but commit under the same marker so a probe
+            # never sees a batch's members without its tiles
+            state.append(("tiles", tiles_new))
+        for table, df in state:
             df.write.mode("overwrite").parquet(
                 os.path.join(self.path, table, f"batch={n}-{uid}")
             )

@@ -91,10 +91,14 @@ def synth_embeddings(
     dup_every: int = 100,
     noise: float = 0.05,
     parts: int = 32,
+    start: int = 0,
 ) -> DataFrame:
     """(vec_id long, embedding array<float>) — n deterministic vectors
     with planted near-duplicate pairs (vec_id k·dup_every-1 ≈ its
-    predecessor). Generated partition-side; safe at any n."""
+    predecessor). Generated partition-side; safe at any n.  ``start``
+    offsets the id range: vectors are a pure function of vec_id, so
+    ``start=N`` generates exactly the rows a bigger corpus would have
+    had there — the incremental-index bench uses this for deltas."""
 
     def gen(batches):
         for pdf in batches:
@@ -102,7 +106,7 @@ def synth_embeddings(
             vecs = _vectors_for_ids(ids, dim, seed, dup_every, noise)
             yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
 
-    return spark.range(n, numPartitions=parts).mapInPandas(
+    return spark.range(start, start + n, numPartitions=parts).mapInPandas(
         gen, schema="vec_id long, embedding array<float>"
     )
 
