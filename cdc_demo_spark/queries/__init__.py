@@ -36,69 +36,67 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-6 window head.  Standing policy: a new query always enters
-    # the head the round it lands; earlier-round green rows keep their
-    # records.  After r5 the union(r1..r5) covers ALL registered
-    # queries (oracle + rows-only), so this round's head is (a) the
-    # thirteen queries NEW in r6 — all oracle-backed — then (b) the 35
-    # queries whose newest green record is r2/r3 (the staleness-
-    # ceiling rotation: after this round no record is older than r4),
-    # then (c) the remaining slots refreshing r4-green oracle records
-    # alphabetically from the top.
-    #
-    # (a) new in r6:
-    "q_simhash_hamming_pairs",      # SimHash family's first value-exact gate
-    "q_minhash_signatures_md5",     # MinHash family's first value-exact gate
-    "q_minhash_near_dups_md5",      # full LSH pipeline, value-exact end-to-end
-    "q_containment_pairs",          # near-containment dedup (RefinedWeb shape)
-    "q_dup_ngram_fraction",         # duplicate-5-gram corpus metric
-    "q_linear_quality_score",       # hashed-linear (fastText-shape) scorer
-    "q_bm25_topk",                  # lexical retrieval scoring (BM25)
-    "q_winsorize",                  # outlier clipping with audit counts
-    "q_mad_outliers",               # robust modified z-score (MAD)
-    "q_train_val_test_split",       # leak-proof deterministic split census
-    "q_pii_mask",
-    "q_day_partition_pruning",      # asserts PartitionFilters in its own plan
-    "q_hot_key_salted_join",        # oracle = unsalted join (equality proof)
-    # (b) newest-green r2/r3 refreshes:
-    "q_bpe_merge_candidates",
-    "q_dedup_cluster_survivors",
-    "q_disjunctive_filters",
-    "q_dormant_rich_customers",
-    "q_embedding_quantize_int8",
-    "q_forecast_revenue",
-    "q_large_volume_customers",
-    "q_local_supplier_volume",
-    "q_min_cost_supplier",
-    "q_mixture_sample",
-    "q_nation_market_share",
-    "q_nation_volume_shipping",
-    "q_order_count_distribution",
-    "q_percentiles",
-    "q_pivot",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_quality_filter",
-    "q_rate_anomaly",
-    "q_referential_integrity",
-    "q_repetition_ratio",
-    "q_scalar_subquery",
-    "q_signup_purchase_funnel",
-    "q_sliding_window",
-    "q_small_qty_revenue",
-    "q_sole_returning_suppliers",
-    "q_supplier_part_counts",
-    "q_text_normalize",
-    "q_top_supplier",
-    "q_training_shards",
-    "q_unigram_logprob",
-    "q_unpivot",
-    "q_value_histogram",
-    "q_weekly_retention",
-    "q_window_navigation",
-    # (c) r4-green oracle refreshes:
-    "q_allpairs_jaccard",
-    "q_benchmark_contamination",
+    # Round-7 window head.  Standing policy: new queries enter the
+    # head the round they land; earlier-round green rows keep their
+    # records.  r7 registers NO new driver queries (the round's new
+    # surface — ann_scale tile GEMM, arrow SemanticIndex, synth
+    # corpus — is measured by the 1M bench entries and pytest
+    # equality/recall gates; its toy-scale twins q_semantic_dedup_ann
+    # / q_semantic_dedup_int8 already carry the driver records), so
+    # the whole 50-slot window refreshes stale records: the 46 oracle
+    # queries whose newest driver-green is r4 (computed from the
+    # CORRECTNESS_r01..r06 union), then the 4 alphabetically-first
+    # r5-green ones.  Post-r7 staleness ceiling: r5.
+    "q_anti_join",
+    "q_asof_join",
+    "q_case_when",
+    "q_collect_names",
+    "q_cosine_topk",
+    "q_count_distinct",
+    "q_cross_join",
+    "q_cube",
+    "q_curriculum_buckets",
+    "q_date_functions",
+    "q_dedup_clusters",
+    "q_except",
+    "q_filter_predicates",
+    "q_full_outer_join",
+    "q_fuzzy_name_pairs_d2",
+    "q_grouped_median",
+    "q_having",
+    "q_intersect",
+    "q_json_extract",
+    "q_lag_lead",
+    "q_latest_order_per_customer",
+    "q_moment_stats",
+    "q_multimodal_join",
+    "q_ntile_percent_rank",
+    "q_outer_join",
+    "q_packed_census",
+    "q_pricing_summary",
+    "q_project_compute",
+    "q_range_join",
+    "q_rank_parts",
+    "q_returned_items",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_running_sum",
+    "q_salted_skew_join",
+    "q_self_join",
+    "q_semantic_dedup_int8",
+    "q_semi_join",
+    "q_shipping_priority",
+    "q_string_functions",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_top_orders",
+    "q_tumbling_window",
+    "q_union_all",
+    "q_user_sessions",
+    "q_array_functions",
+    "q_bpe_token_count",
+    "q_context_length_histogram",
+    "q_context_windows",
 ]
 
 
