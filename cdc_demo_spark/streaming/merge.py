@@ -207,6 +207,24 @@ def _bucket_paths(silver_path: str, manifest: dict, buckets=None) -> list[str]:
 # --------------------------------------------------------------------------
 
 
+# Plan observability for the foreachBatch merge path (VERDICT r6 #7):
+# batch queries are audited by tools/audit_plans.py through their
+# returned DataFrames, but the merge executes inside actions THIS
+# module owns, invisible to that capture.  Install a list here and
+# every merge appends (label, physical plan) for its two actions —
+# the touched-bucket probe and the state rewrite — so the audit can
+# hold the CDC path to the same no-python/pushdown facts.  None
+# (the default) costs nothing.
+PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def _capture_plan(label: str, df: DataFrame) -> None:
+    if PLAN_CAPTURE is not None:
+        from cdc_demo_spark.plans import physical_plan
+
+        PLAN_CAPTURE.append((label, physical_plan(df)))
+
+
 def merge_into_silver(
     spark: SparkSession,
     batch: DataFrame,
@@ -259,6 +277,7 @@ def merge_into_silver(
     incoming = _align_row_struct(incoming, union_schema)
 
     incoming = incoming.cache()  # two consumers: touched-bucket list + merge
+    _capture_plan("merge_touched_probe", incoming.select("__bucket").distinct())
     touched = [int(r["__bucket"]) for r in incoming.select("__bucket").distinct().collect()]
     if not touched:
         incoming.unpersist()
@@ -290,6 +309,7 @@ def merge_into_silver(
 
     # Stage new bucket versions (immutable dirs), then commit the manifest.
     stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
+    _capture_plan("merge_state_rewrite", new_state)
     new_state.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     incoming.unpersist()
 
