@@ -42,15 +42,12 @@ more tasks, not a bigger task.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from cdc_demo_spark.operators.similarity import int8_quantized
 
 TILE_SCHEMA = "centroid_id long, blk long, n int, ids binary, qvb binary"
 
@@ -159,8 +156,8 @@ def train_centroids_sampled(
             if len(members):
                 C[k] = members.mean(axis=0)
             else:
-                # deterministic re-seed: the sample row furthest into
-                # the list not already a seed (stable, data-dependent)
+                # deterministic re-seed: fall back to the cluster's
+                # original spread-seed row (stable, data-dependent)
                 C[k] = x[seed_idx[k % len(seed_idx)]]
     out = [
         (int(k), [float(v) for v in C[k]]) for k in range(n_centroids)
@@ -186,6 +183,8 @@ def assign_multiprobe_arrow(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # empty partition: np.stack needs >= 1 row
+                continue
             ids = pdf[id_col].to_numpy()
             # np.stack over the Arrow-native ndarray rows — .tolist()
             # would materialize every element as a Python float (64M

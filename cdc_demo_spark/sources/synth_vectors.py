@@ -61,12 +61,16 @@ def _vectors_for_ids(ids: np.ndarray, dim: int, seed: int,
     is built around.  Planted dups: id % dup_every == dup_every-1 takes
     id-1's base vector + noise * perturbation(id)."""
     ids = ids.astype(np.uint64)
-    base_id = np.where(
-        (dup_every > 0) & (ids % np.uint64(dup_every) == np.uint64(dup_every - 1))
-        & (ids > 0),
-        ids - np.uint64(1),
-        ids,
-    )
+    if dup_every > 0:
+        # (guard, not np.where over a dup_every=0 branch: an eager
+        # `ids % 0` would warn/poison even when unselected)
+        base_id = np.where(
+            (ids % np.uint64(dup_every) == np.uint64(dup_every - 1)) & (ids > 0),
+            ids - np.uint64(1),
+            ids,
+        )
+    else:
+        base_id = ids
     cols = np.arange(dim, dtype=np.uint64)[None, :]
     salt = np.uint64((seed * 0xD6E8FEB86659FD93) % (1 << 64))
     with np.errstate(over="ignore"):
