@@ -449,6 +449,85 @@ def _wait_for_quiet_host() -> bool:
     return True
 
 
+# Text-dedup mid-scale probes: the documents fixture is 500 rows at
+# every sf, so the MinHash/LSH stack had the same unmeasured-above-toy
+# gap the vector stack had.  Same recipe: deterministic synthetic
+# corpus (sources/synth_docs.py — planted near-dups at shingle-Jaccard
+# ≈0.8-0.95 over a 50k-word vocabulary), cached parquet, correctness-
+# gated timings.
+
+DOC_N = 200_000
+
+
+def _doc_corpus(spark):
+    from cdc_demo_spark.sources.synth_docs import ensure_synth_docs
+
+    return spark.read.parquet(ensure_synth_docs(spark, DOC_N))
+
+
+def time_minhash_near_dups_200k(spark) -> float:
+    """Full MinHash-LSH near-dup pipeline (signatures → banded buckets
+    → exact-Jaccard verification) at 200k docs / ~35M shingles — 400×
+    the driver fixture. Gate: planted recall ≥ 0.99 with zero false
+    positives (verification is exact Jaccard, so extras would mean the
+    generator's background collided — a corpus bug, not noise)."""
+    from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+    from cdc_demo_spark.sources.synth_docs import planted_doc_pairs
+
+    docs = _doc_corpus(spark)
+    t0 = time.perf_counter()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    dt = round(time.perf_counter() - t0, 3)
+    planted = set(planted_doc_pairs(DOC_N))
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.99, f"planted recall {recall:.4f}"
+    assert not (got - planted), f"{len(got - planted)} non-planted pairs"
+    return dt
+
+
+def _minhash_index_path(spark) -> str:
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+
+    def build(stage: str) -> None:
+        idx = MinHashIndex(spark, os.path.join(stage, "idx"))
+        idx.append_batch(_doc_corpus(spark)).count()
+
+    return _ensure_built(f"mhidx_v1_n{DOC_N}", build)
+
+
+def time_minhash_index_append_200k(spark) -> float:
+    """Delta admission into a 200k-doc incremental MinHash index: 5k
+    new docs probe the stored banded buckets, verified by exact
+    Jaccard, committed as a batch. Copy of the cached index excluded
+    from the timing (append mutates state)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+    from cdc_demo_spark.sources.synth_docs import synth_documents
+
+    built = _minhash_index_path(spark)
+    work = os.path.join(tempfile.gettempdir(), f"mhidx_run_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(os.path.join(built, "idx"), work)
+    try:
+        idx = MinHashIndex(spark, work)
+        delta = synth_documents(spark, 5_000, start=DOC_N)
+        t0 = time.perf_counter()
+        n_pairs = idx.append_batch(delta).count()
+        dt = round(time.perf_counter() - t0, 3)
+        # the delta's internal planted dups (~100) must be admitted
+        assert n_pairs >= 90, f"delta admission found only {n_pairs} pairs"
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -530,6 +609,8 @@ def main() -> None:
         ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
         ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
+        ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
+        ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
     ):
         try:
             timings[name] = fn()
