@@ -528,6 +528,34 @@ def time_minhash_index_append_200k(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def time_span_dedup_200k(spark) -> float:
+    """Passage-level dedup detection (operators/spans.py, hashed scale
+    path) at 200k docs / ~35M positional 5-grams.  Gate: every planted
+    near-dup doc AND its base carry a duplicated span; essentially no
+    unrelated doc does (50k-word vocabulary — a background duplicated
+    5-gram would be a generator bug)."""
+    from cdc_demo_spark.operators.spans import duplicated_spans
+    from cdc_demo_spark.sources.synth_docs import planted_doc_pairs
+
+    docs = _doc_corpus(spark)
+    t0 = time.perf_counter()
+    spanned = {
+        r["id"]
+        for r in duplicated_spans(docs, "doc_id", "text", n=5, hashed=True)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    dt = round(time.perf_counter() - t0, 3)
+    planted = planted_doc_pairs(DOC_N)
+    expected = {a for a, _ in planted} | {b for _, b in planted}
+    missing = expected - spanned
+    assert not missing, f"{len(missing)} planted docs without spans"
+    extras = len(spanned - expected)
+    assert extras <= DOC_N // 1000, f"{extras} unexpected spanned docs"
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -611,6 +639,7 @@ def main() -> None:
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
+        ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
     ):
         try:
             timings[name] = fn()

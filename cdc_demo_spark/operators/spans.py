@@ -1,0 +1,185 @@
+"""Cross-document duplicated-SPAN detection and removal — passage-level
+dedup, the level below the doc-level MinHash/SimHash family.
+
+Doc-level dedup keeps two documents that share a 200-token boilerplate
+header but differ elsewhere; span-level dedup finds the shared passage
+itself.  This is the "exact substring deduplication" stage of modern
+LLM corpus pipelines (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022 — public paper), re-expressed in
+DataFrame algebra instead of a suffix array:
+
+1. every token position contributes its length-``n`` gram
+   (positional n-grams, NOT the distinct shingle set dedup uses);
+2. a gram occurring at >= 2 sites (across docs OR repeated within one
+   doc) marks all its positions as duplicated;
+3. per document, overlapping/adjacent duplicated positions merge into
+   maximal spans (gaps-and-islands over token positions);
+4. removal keeps the gram's globally-first site (min (doc_id, pos)) so
+   exactly one copy of every duplicated passage survives the corpus —
+   the Lee-et-al. policy — and every other covered token is cut.
+
+Scale shape (100 TB): the only wide stages shuffle (gram, doc, pos)
+rows — positional grams are O(total tokens), never O(pairs); the gram
+aggregate partial-aggregates; span merging is a per-doc window (hash
+shuffle on doc_id, spillable sort).  Nothing materializes a document
+pair, so boilerplate shared by a million documents costs a million
+gram rows, not a trillion pair rows.  Grams stay strings here for
+oracle portability; the production variant would xxhash64 them like
+the shingle operators (collision risk 2^-64-scale, same trade the
+MinHash family documents).
+
+Reference parity note: the reference system (tiny-tinker/cdc-demo) has
+no text operators at all — this family is part of the
+training-data-pipeline surface the task brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ngram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, hashed: bool = False
+) -> DataFrame:
+    """(id, pos, gram): the length-``n`` token gram starting at each
+    1-based token position.  Single-space tokenization — exact parity
+    with the DuckDB oracles (see q_dup_ngram_fraction's note).
+
+    ``hashed`` replaces the gram string with xxhash64 of it — the
+    scale path (the wide shuffle carries 8-byte longs instead of
+    ~n·word strings; 2⁻⁶⁴-scale collision risk, the same trade the
+    hashed-shingle operators document).  Equality of the two paths is
+    pytest-pinned on the planted corpus."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda j: F.struct(j.alias("pos"), F.concat_ws(" ", F.slice(toks, j, n)).alias("gram")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    e = F.explode(grams).alias("g")
+    gram = F.xxhash64(F.col("g.gram")) if hashed else F.col("g.gram")
+    return df.select(F.col(id_col).alias("id"), e).select(
+        "id", F.col("g.pos").alias("pos"), gram.alias("gram")
+    )
+
+
+def duplicated_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    keep_first: bool = False,
+    hashed: bool = False,
+) -> DataFrame:
+    """(id, pos) sites whose gram occurs at >= 2 sites corpus-wide.
+    With ``keep_first`` the globally-first site per gram
+    (min (id, pos)) is EXCLUDED — those are the copies removal
+    preserves."""
+    g = ngram_positions(df, id_col, text_col, n, hashed)
+    # One gram-partitioned window, not aggregate-then-join-back: both
+    # shuffle all ~O(tokens) site rows once, but the join-back variant
+    # RECOMPUTES the tokenize/gram/hash pass for the probe side and (at
+    # measured scale) planned a second sort-merge shuffle instead of
+    # broadcasting the duplicated-gram table — 107 s vs 30 s at 200k
+    # docs / 35M sites.  The window's per-partition sort is on hashed
+    # longs and spillable; occ and the keep-first rank come out of the
+    # same sorted pass for free.
+    w = Window.partitionBy("gram")
+    marked = g.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("occ"),
+        F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+    ).filter(F.col("occ") >= 2)
+    if keep_first:
+        marked = marked.filter(F.col("rn") > 1)
+    return marked.select("id", "pos")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    keep_first: bool = False,
+    hashed: bool = False,
+) -> DataFrame:
+    """Maximal duplicated spans per document: (id, span_start,
+    span_end, span_tokens) over 1-based token indices.  A duplicated
+    position ``j`` covers tokens [j, j+n-1]; spans merge while the
+    next start is inside-or-adjacent to the running span
+    (gaps-and-islands: new island iff pos - prev_pos > n)."""
+    dup = duplicated_positions(df, id_col, text_col, n, keep_first, hashed)
+    wd = Window.partitionBy("id").orderBy("pos")
+    island = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(wd) > n, 1).otherwise(0)
+    ).over(wd)
+    return (
+        dup.withColumn("island", island)
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, hashed: bool = False
+) -> DataFrame:
+    """Cut every duplicated passage except its globally-first
+    occurrence (Lee et al.'s keep-one policy): tokens covered by any
+    non-first duplicated gram site are dropped, the rest re-join in
+    order.  Returns (id, clean_text, n_tokens, n_removed).
+
+    The covered-index set is built by exploding each removable
+    position into its n token indices — O(n · removable sites) rows,
+    output-bound; the rebuild is one per-doc aggregate (array_sort on
+    (idx, token) structs, so order restoration never relies on
+    collect_list's nondeterministic ordering)."""
+    removable = duplicated_positions(df, id_col, text_col, n, keep_first=True, hashed=hashed)
+    covered = (
+        removable.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
+        )
+        .distinct()
+        .withColumn("cut", F.lit(True))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("idx0", "tok"),
+    ).select("id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = toks.join(covered, ["id", "idx"], "left").filter(F.col("cut").isNull())
+    return (
+        toks.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(
+            kept.groupBy("id").agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                ).alias("clean_text"),
+                F.count(F.lit(1)).alias("n_kept"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

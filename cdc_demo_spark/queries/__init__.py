@@ -38,15 +38,16 @@ from cdc_demo_spark.queries import stats  # noqa: F401,E402
 _DRIVER_WINDOW_FIRST = [
     # Round-7 window head.  Standing policy: new queries enter the
     # head the round they land; earlier-round green rows keep their
-    # records.  r7 registers NO new driver queries (the round's new
-    # surface — ann_scale tile GEMM, arrow SemanticIndex, synth
-    # corpus — is measured by the 1M bench entries and pytest
-    # equality/recall gates; its toy-scale twins q_semantic_dedup_ann
-    # / q_semantic_dedup_int8 already carry the driver records), so
-    # the whole 50-slot window refreshes stale records: the 46 oracle
+    # records.  Most r7 surface (ann_scale tile GEMM, arrow
+    # SemanticIndex, synth corpora) is measured by the 1M/200k bench
+    # entries and pytest equality/recall gates; its toy-scale twins
+    # q_semantic_dedup_ann / q_semantic_dedup_int8 already carry the
+    # driver records.  The window therefore holds: the 46 oracle
     # queries whose newest driver-green is r4 (computed from the
-    # CORRECTNESS_r01..r06 union), then the 4 alphabetically-first
-    # r5-green ones.  Post-r7 staleness ceiling: r5.
+    # CORRECTNESS_r01..r06 union), two alphabetically-first r5-green
+    # refreshes, and the round's TWO new oracle queries (the
+    # passage-level span-dedup pair, at the end).  Post-r7 staleness
+    # ceiling: r5.
     "q_anti_join",
     "q_asof_join",
     "q_case_when",
@@ -95,8 +96,8 @@ _DRIVER_WINDOW_FIRST = [
     "q_user_sessions",
     "q_array_functions",
     "q_bpe_token_count",
-    "q_context_length_histogram",
-    "q_context_windows",
+    "q_duplicated_spans",
+    "q_remove_duplicated_spans",
 ]
 
 

@@ -747,3 +747,135 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q_duplicated_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.j + 1 AS INTEGER) AS pos,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] || ' ' ||
+         toks[u.j + 4] || ' ' || toks[u.j + 5] AS gram
+  FROM t, UNNEST(range(greatest(len(toks) - 4, 0))) AS u(j)
+),
+m AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS occ FROM g
+),
+d AS (SELECT doc_id, pos FROM m WHERE occ >= 2),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev_pos > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""",
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup, detection side (Lee et al. ACL'22 exact
+    substring dedup re-expressed as DataFrame algebra — see
+    operators/spans.py): maximal per-document token spans covered by a
+    5-gram that occurs at >= 2 sites corpus-wide (cross-doc shares AND
+    within-doc repetition both count).  Finds the shared boilerplate
+    passage doc-level dedup leaves behind.  Scale shape: one explode
+    to positional (gram, doc, pos) rows — O(total tokens), never
+    O(pairs) — a gram-key window, then a per-doc gaps-and-islands
+    window; no document pair ever materializes."""
+    from cdc_demo_spark.operators.spans import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, "doc_id", "text", n=5)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "q_remove_duplicated_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.j + 1 AS INTEGER) AS pos,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] || ' ' ||
+         toks[u.j + 4] || ' ' || toks[u.j + 5] AS gram
+  FROM t, UNNEST(range(greatest(len(toks) - 4, 0))) AS u(j)
+),
+m AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+rem AS (SELECT doc_id, pos FROM m WHERE occ >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + CAST(u.k AS INTEGER) AS idx
+  FROM rem, UNNEST(range(5)) AS u(k)
+),
+tok AS (
+  SELECT doc_id, CAST(u.i + 1 AS INTEGER) AS idx, toks[u.i + 1] AS tok
+  FROM t, UNNEST(range(len(toks))) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.idx, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+  WHERE cov.idx IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+SELECT nt.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       nt.n_tokens,
+       CAST(nt.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM nt LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup, removal side: cut every duplicated 5-gram
+    passage except its globally-first occurrence (min (doc_id, pos)
+    per gram — the Lee et al. keep-one policy), so exactly one copy of
+    each shared passage survives the corpus.  Value-exact on the
+    rebuilt text: the oracle reproduces the cover-and-cut token
+    arithmetic independently in DuckDB.  Scale shape: covered indexes
+    are an O(n · removable-sites) explode (output-bound); the text
+    rebuild is one per-doc aggregate with array_sort-ed (idx, token)
+    structs, immune to collect_list ordering."""
+    from cdc_demo_spark.operators.spans import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        remove_duplicated_spans(docs, "doc_id", "text", n=5)
+        .select(
+            F.col("id").alias("doc_id"),
+            "clean_text",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
