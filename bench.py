@@ -51,6 +51,9 @@ HEADLINE = [
     # in its own plan; the derived layout is built once on the warm-up
     # pass, so steady passes time the pruned scan, not the write)
     "q_day_partition_pruning",
+    # round-7: passage-level span dedup (fixture grain here; the real
+    # measurement is the 200k-doc spans_200k_detect entry)
+    "q_duplicated_spans",
 ]
 
 

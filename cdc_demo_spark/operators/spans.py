@@ -14,9 +14,12 @@ DataFrame algebra instead of a suffix array:
    doc) marks all its positions as duplicated;
 3. per document, overlapping/adjacent duplicated positions merge into
    maximal spans (gaps-and-islands over token positions);
-4. removal keeps the gram's globally-first site (min (doc_id, pos)) so
-   exactly one copy of every duplicated passage survives the corpus —
-   the Lee-et-al. policy — and every other covered token is cut.
+4. removal keeps the gram's globally-first site (min (doc_id, pos)) —
+   the Lee-et-al. keep-one policy — and cuts every other covered
+   token.  When two DIFFERENT duplicated passages overlap, the kept
+   site of one can still lose tokens to the other's cut (same
+   behavior as suffix-array-based removal); a passage that overlaps
+   no other duplication survives in exactly one copy.
 
 Scale shape (100 TB): the only wide stages shuffle (gram, doc, pos)
 rows — positional grams are O(total tokens), never O(pairs); the gram
@@ -139,7 +142,8 @@ def remove_duplicated_spans(
     """Cut every duplicated passage except its globally-first
     occurrence (Lee et al.'s keep-one policy): tokens covered by any
     non-first duplicated gram site are dropped, the rest re-join in
-    order.  Returns (id, clean_text, n_tokens, n_removed).
+    order.  Returns (id, clean_text, n_tokens, n_removed).  See the
+    module docstring for the overlapping-passages caveat.
 
     The covered-index set is built by exploding each removable
     position into its n token indices — O(n · removable sites) rows,
