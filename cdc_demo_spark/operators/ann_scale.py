@@ -190,20 +190,8 @@ def assign_multiprobe_arrow(
             # would materialize every element as a Python float (64M
             # objects at 1M×64, measured as most of the stage's wall)
             X = _norm_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            S = X @ Cn  # (n, K)
-            # top-`probes` per row by (sim desc, centroid_id asc) as
-            # `probes` in-place argmax scans: argmax takes the FIRST
-            # max, i.e. the lowest centroid_id on exact ties — the
-            # identical tie rule as the HOF window, at O(n·K) per
-            # probe (measured 75× faster than a stable argsort of the
-            # full score matrix, which dominated the 1M assignment)
+            top = _topk_centroids(X, Cn, probes)
             n = len(ids)
-            rows = np.arange(n)
-            top = np.empty((n, probes), dtype=np.int64)
-            for p in range(probes):
-                t = S.argmax(axis=1)
-                top[:, p] = t
-                S[rows, t] = -np.inf
             yield pd.DataFrame(
                 {
                     "id": np.repeat(ids, probes),
@@ -215,6 +203,92 @@ def assign_multiprobe_arrow(
         gen, schema="id long, centroid_id long"
     )
     return out.withColumnRenamed("id", id_col) if id_col != "id" else out
+
+
+_SCORE_CHUNK = 2048
+
+
+def _topk_centroids(X: np.ndarray, Cn: np.ndarray, probes: int) -> np.ndarray:
+    """top-``probes`` centroid column indices per row of ``X @ Cn``,
+    ranked by (score desc, index asc).
+
+    The score GEMM runs in ROW CHUNKS so the score matrix stays
+    ~_SCORE_CHUNK×K (≈32 MB at K=2048) instead of the full Arrow
+    batch (31k rows → 512 MB per task; 32 concurrent tasks pushed
+    ~16 GB/pass through memory and the assignment stage measured 75 s
+    wall where the same flops in-cache take ~5 s — this host is
+    bandwidth-bound long before it is flops-bound).  argmax takes the
+    FIRST max, i.e. the lowest centroid id on exact ties — the
+    identical tie rule as the HOF window, at O(n·K) per probe
+    (measured 75× faster than a stable argsort of the full matrix)."""
+    n = len(X)
+    top = np.empty((n, probes), dtype=np.int64)
+    for s in range(0, n, _SCORE_CHUNK):
+        S = X[s : s + _SCORE_CHUNK] @ Cn
+        rows = np.arange(len(S))
+        for p in range(probes):
+            t = S.argmax(axis=1)
+            top[s : s + len(S), p] = t
+            S[rows, t] = -np.inf
+    return top
+
+
+def assign_quantized_multiprobe(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, id, qv binary): multi-probe assignment FUSED with
+    int8 quantization — one Arrow pass emits the tile-pack input
+    directly.
+
+    Why this exists: ``assign_multiprobe_arrow`` drops the vector
+    column and every tile caller re-joined it by id — and that join
+    re-shuffles the 512-byte float arrays of the whole corpus through
+    a sort-merge (measured 50 s of the 79 s one-shot 1M pair scan,
+    r7).  The assignment pass already holds the vectors; emitting the
+    64-byte int8 form instead costs nothing and the join disappears.
+
+    Parity: scores, probe ranking and tie rule are computed exactly as
+    ``assign_multiprobe_arrow`` (same float64 normalize, same argmax
+    scans), and qv bytes are ``int8_quantize_rows`` output — the
+    elementwise JVM-parity-pinned quantizer.  Zero vectors are dropped
+    here (their qv is NULL in the JVM path and they match nothing);
+    membership state that must include them keeps using the unfused
+    assignment."""
+    cids, C = centroid_matrix(centroids)
+    Cn = _norm_rows(C).T  # (d, K)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q, nz = int8_quantize_rows(V)
+            ids, V, Q = ids[nz], V[nz], Q[nz]
+            if not len(ids):
+                continue
+            X = _norm_rows(V)
+            top = _topk_centroids(X, Cn, probes)
+            n = len(ids)
+            M = Q.astype(np.int8)
+            qv = np.empty(n, dtype=object)
+            for i in range(n):
+                qv[i] = M[i].tobytes()
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids[top].reshape(n * probes),
+                    "id": np.repeat(ids, probes),
+                    "qv": np.repeat(qv, probes),
+                }
+            )
+
+    return _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, schema="centroid_id long, id long, qv binary"
+    )
 
 
 def int8_quantize_rows(X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -276,9 +350,13 @@ def int8_threshold_filter_arrow(
 
 
 def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
-    """(centroid_id, id, vec) membership rows -> BINARY-PACKED tiles
-    (centroid_id, blk, n, ids, qvb): per (bucket, sub-tile), ids as
-    int64 bytes and int8-quantized vectors as raw bytes.
+    """Membership rows -> BINARY-PACKED tiles (centroid_id, blk, n,
+    ids, qvb): per (bucket, sub-tile), ids as int64 bytes and
+    int8-quantized vectors as raw bytes.  Accepts either
+    (centroid_id, id, vec) rows — quantization happens in the pack —
+    or (centroid_id, id, qv binary) rows straight from
+    ``assign_quantized_multiprobe``, where the pack is a pure byte
+    concatenation (the scale path: nothing float-sized ever shuffles).
 
     Why binary, not array<struct<id, qv>>: the struct encoding turns
     every tile element into Python objects at each Arrow boundary —
@@ -292,6 +370,7 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
     Quantization happens here (int8_quantize_rows — the JVM HOF
     quantizer costs ~29 s alone at 1M×64); zero vectors drop out, as
     in every quantized path."""
+    has_qv = "qv" in qm.columns
     counts = qm.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
     qm = (
         qm.join(counts, "centroid_id")
@@ -301,19 +380,23 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
-        Q, nz = int8_quantize_rows(np.stack(pdf["vec"].to_numpy()))
-        ids, M = ids[nz], Q[nz].astype(np.int8)
-        if not len(ids):  # all-zero-vector tile: nothing to compare
-            return pd.DataFrame(
-                {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
-            )
+        if has_qv:  # pre-quantized bytes (zero vectors already dropped)
+            qvb = b"".join(pdf["qv"])
+        else:
+            Q, nz = int8_quantize_rows(np.stack(pdf["vec"].to_numpy()))
+            ids, M = ids[nz], Q[nz].astype(np.int8)
+            if not len(ids):  # all-zero-vector tile: nothing to compare
+                return pd.DataFrame(
+                    {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
+                )
+            qvb = M.tobytes()
         return pd.DataFrame(
             {
                 "centroid_id": [int(pdf["centroid_id"].iloc[0])],
                 "blk": [int(pdf["blk"].iloc[0])],
                 "n": [len(ids)],
                 "ids": [ids.tobytes()],
-                "qvb": [M.tobytes()],
+                "qvb": [qvb],
             }
         )
 
@@ -470,19 +553,19 @@ def int8_cosine_pairs_bucketed_gemm(
 
     Per-task memory: two sub-tiles (2·tile_rows·d int64), constant in
     corpus size."""
-    # one widening shuffle up front: assignment, quantization, and the
-    # membership join all inherit full-width partitions from it
-    # (eager — both the member and the vecs branch read it)
+    # one widening shuffle up front: training and the fused
+    # assignment+quantization pass both read it (eager — shared input)
     corpus = _widen(corpus.select(id_col, vec_col)).localCheckpoint(eager=True)
     if centroids is None:
         centroids = train_centroids_sampled(
             corpus, n_buckets, sample, train_iters, vec_col, id_col
         )
-    member = assign_multiprobe_arrow(corpus, centroids, probes, id_col, vec_col)
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # fused pass: membership + 64-byte qv in one Arrow sweep.  The
+    # previous shape (assign ids-only, then rejoin the embedding table
+    # by id) sort-merged 512-byte float arrays across the whole corpus
+    # — measured 50 s of a 79 s one-shot 1M scan (r7); fused: ~8 s.
     qm = (
-        member.join(vecs, member[id_col] == vecs["id"])
-        .select("centroid_id", "id", "vec")
+        assign_quantized_multiprobe(corpus, centroids, probes, id_col, vec_col)
         # materialize once, EAGERLY: the per-bucket counts and the
         # packing both read qm — a lazy checkpoint shared by two
         # branches of the same job can still compute twice (measured:

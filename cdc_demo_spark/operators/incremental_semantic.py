@@ -229,19 +229,20 @@ class SemanticIndex:
             # the same ~20 s bucketed scan bench.py measures one-shot.
             from cdc_demo_spark.operators.ann_scale import (
                 TILE_SCHEMA,
+                assign_quantized_multiprobe,
                 pack_tiles,
                 tile_cross_pairs,
                 tile_self_pairs,
             )
 
-            qm = (
-                member_new.join(
-                    base.select(
-                        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
-                    ),
-                    "id",
-                )
-                .select("centroid_id", "id", "vec")
+            # Fused assignment+quantization (r7): re-running the GEMM
+            # assignment costs ~batch-size Arrow work, where joining
+            # member_new back to the embedding table re-shuffled the
+            # float arrays (50 s at a 1M batch 0).  member_new (above)
+            # still feeds the membership state unchanged, so the
+            # incremental == one-shot membership invariant is untouched.
+            qm = assign_quantized_multiprobe(
+                base, self.centroids(), self.probes, "vec_id", "embedding"
             )
             tiles_new = pack_tiles(qm).localCheckpoint(eager=True)
             stored = self._read("tiles", TILE_SCHEMA)
