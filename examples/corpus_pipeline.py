@@ -7,6 +7,7 @@ a 100 TB pretraining-data run executes, demonstrated at sf scale:
       2. exact dedup       (digest groupBy — min-id survivor)
       3. near-dup clusters (Jaccard pairs -> connected components)
       3b. decontamination  (drop docs overlapping the held-out eval set)
+      3b2. passage dedup   (duplicated-span keep-one removal)
       3c. weighted selection (A-ES race on n_chars — quality-weighted
           corpus cap, deterministic across cluster sizes)
       4. chunk             (64-token windows, stride 48)
@@ -88,6 +89,23 @@ def main() -> None:
     survivors = survivors.join(clean_ids, "doc_id", "left_semi")
     n3b = survivors.count()
 
+    # 3b2. passage-level dedup: cut duplicated 5-gram passages that
+    # survive doc-level dedup (shared boilerplate headers/footers),
+    # keeping each passage's globally-first occurrence (Lee et al.
+    # ACL'22 keep-one policy; operators/spans.py)
+    from cdc_demo_spark.operators.spans import remove_duplicated_spans
+
+    cleaned = remove_duplicated_spans(survivors, "doc_id", "text", n=5).filter(
+        F.length("clean_text") > 0
+    )
+    survivors = (
+        survivors.drop("text", "n_chars")
+        .join(cleaned.select(F.col("id").alias("doc_id"),
+                             F.col("clean_text").alias("text")), "doc_id")
+        .withColumn("n_chars", F.length("text"))
+    )
+    n_spans_cut = cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+
     # 3c. quality-weighted corpus cap: keep 90%, racing on n_chars so
     # longer documents win proportionally more often (deterministic
     # A-ES — same survivors on any cluster size or rerun)
@@ -124,7 +142,8 @@ def main() -> None:
     ).write.mode("overwrite").partitionBy("shard").parquet(os.path.join(out, "blocks"))
     print(
         f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
-        f"near-dup survivors {n3} -> decontaminated {n3b} -> "
+        f"near-dup survivors {n3} -> decontaminated {n3b} "
+        f"(span-cut {n_spans_cut} tokens) -> "
         f"weighted-cap {n3c} -> {n_blocks} blocks -> sampled {n_sampled} "
         f"-> {out}/blocks (16-way sharded)"
     )
