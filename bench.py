@@ -548,35 +548,39 @@ def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
     env = _events_envelope(spark, sf_dir).localCheckpoint(eager=True)
     n = env.count()
     base = tempfile.mkdtemp()
-    sink = JdbcUpsertSink(
-        spark,
-        f"jdbc:derby:{base}/wh;create=true",
-        "events_serving",
-        driver="org.apache.derby.jdbc.EmbeddedDriver",
-    )
-    t0 = time.perf_counter()
-    for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))):
-        sink.process_batch(
-            env.filter((F.col("seq") >= lo) & (F.col("seq") < hi)), i
+    try:
+        sink = JdbcUpsertSink(
+            spark,
+            f"jdbc:derby:{base}/wh;create=true",
+            "events_serving",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
         )
-    dt = round(time.perf_counter() - t0, 3)
-    served = {
-        (r["user_id"], r["event_type"], r["value"])
-        for r in sink.read_target().collect()
-    }
-    w_expected = F.max_by(
-        F.struct("after.user_id", "after.event_type", "after.value"),
-        F.struct("ts", "seq"),
-    )
-    expected = {
-        (r["img"]["user_id"], r["img"]["event_type"], r["img"]["value"])
-        for r in env.groupBy("key").agg(w_expected.alias("img")).collect()
-    }
-    assert served == expected, (
-        f"warehouse diverged: {len(served)} served vs {len(expected)} expected"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    return dt
+        t0 = time.perf_counter()
+        for i, (lo, hi) in enumerate(
+            ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1))
+        ):
+            sink.process_batch(
+                env.filter((F.col("seq") >= lo) & (F.col("seq") < hi)), i
+            )
+        dt = round(time.perf_counter() - t0, 3)
+        served = {
+            (r["user_id"], r["event_type"], r["value"])
+            for r in sink.read_target().collect()
+        }
+        w_expected = F.max_by(
+            F.struct("after.user_id", "after.event_type", "after.value"),
+            F.struct("ts", "seq"),
+        )
+        expected = {
+            (r["img"]["user_id"], r["img"]["event_type"], r["img"]["value"])
+            for r in env.groupBy("key").agg(w_expected.alias("img")).collect()
+        }
+        assert served == expected, (
+            f"warehouse diverged: {len(served)} served vs {len(expected)} expected"
+        )
+        return dt
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def time_span_dedup_200k(spark) -> float:
@@ -612,6 +616,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     quiet = _wait_for_quiet_host()
+    # Captured BEFORE the run: the end-of-run loadavg is dominated by
+    # the bench's own 32 threads (r7 observed [27.8, ...] on a host
+    # that was at 1.8 when the run began), so only the start value can
+    # answer "was the host quiet", which is what the r6 verdict used
+    # the field for.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("cdc-demo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -683,9 +693,13 @@ def main() -> None:
             prev = timings.get(name, dt)
             timings[name] = min(prev, dt) if isinstance(prev, float) else dt
 
-    # 1M-vector ANN probes: single pass — at 10-30 s each the fixed
-    # scheduling noise is proportionally small, the heavy fixtures are
-    # cached, and each entry gates its timing on a correctness assert.
+    # Mid-scale probes (1M vectors / 200k docs): min of two passes.
+    # These were single-pass until r7's full-suite run showed the first
+    # pass paying 2-4x in whole-stage-codegen/JIT for their plan shapes
+    # (minhash_200k_near_dups: 66 s first, 15.7 s steady measured in
+    # isolation) — the same resident-engine rationale as the query
+    # loop's steady passes.  Heavy fixtures are cached; every entry
+    # gates its timing on a correctness assert.
     for name, fn in (
         ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
         ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
@@ -694,10 +708,15 @@ def main() -> None:
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
     ):
-        try:
-            timings[name] = fn()
-        except Exception as exc:  # noqa: BLE001
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        for _pass in range(2):
+            try:
+                dt = fn()
+            except Exception as exc:  # noqa: BLE001
+                if not isinstance(timings.get(name), float):
+                    timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+                continue
+            prev = timings.get(name, dt)
+            timings[name] = min(prev, dt) if isinstance(prev, float) else dt
 
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}
     total = round(sum(ok.values()), 3)
@@ -711,7 +730,8 @@ def main() -> None:
         "queries": timings,
         "timed_entries": len(ok),
         "errored_entries": len(timings) - len(ok),
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "load_warning": not quiet,
         "sf": sf,
     }))

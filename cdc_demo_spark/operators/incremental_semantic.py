@@ -241,9 +241,12 @@ class SemanticIndex:
             # float arrays (50 s at a 1M batch 0).  member_new (above)
             # still feeds the membership state unchanged, so the
             # incremental == one-shot membership invariant is untouched.
+            # eager pin: pack_tiles reads qm in two branches of one job
+            # (per-centroid counts + the pack side) — a lazy input
+            # computes the fused GEMM twice (ann_scale's measured rule)
             qm = assign_quantized_multiprobe(
                 base, self.centroids(), self.probes, "vec_id", "embedding"
-            )
+            ).localCheckpoint(eager=True)
             tiles_new = pack_tiles(qm).localCheckpoint(eager=True)
             stored = self._read("tiles", TILE_SCHEMA)
             verified = tile_self_pairs(tiles_new, self.t_num, self.t_den).unionByName(

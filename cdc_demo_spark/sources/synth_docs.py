@@ -62,6 +62,11 @@ def _docs_for_ids(
     """Deterministic token text per id; planted near-dups copy the
     predecessor's tokens with ~1/sub_every positions substituted."""
     ids = ids.astype(np.uint64)
+    if dup_every == 1:
+        # every doc would copy its predecessor's BASE tokens while the
+        # predecessor's own text is itself substituted — chained copies
+        # would make planted_doc_pairs a false oracle
+        raise ValueError("dup_every=1 (chained copies) is not supported")
     if dup_every > 0:
         is_dup = (ids % np.uint64(dup_every) == np.uint64(dup_every - 1)) & (ids > 0)
         base_id = np.where(is_dup, ids - np.uint64(1), ids)

@@ -95,16 +95,19 @@ def main() -> None:
     # ACL'22 keep-one policy; operators/spans.py)
     from cdc_demo_spark.operators.spans import remove_duplicated_spans
 
-    cleaned = remove_duplicated_spans(survivors, "doc_id", "text", n=5).filter(
-        F.length("clean_text") > 0
-    )
+    removed = remove_duplicated_spans(
+        survivors, "doc_id", "text", n=5
+    ).localCheckpoint(eager=True)  # two wide gram shuffles; pin once,
+    # every downstream count/write reads the result, not the plan
+    n_spans_cut = removed.agg(F.sum("n_removed")).collect()[0][0] or 0
+    cleaned = removed.filter(F.length("clean_text") > 0)
     survivors = (
         survivors.drop("text", "n_chars")
         .join(cleaned.select(F.col("id").alias("doc_id"),
                              F.col("clean_text").alias("text")), "doc_id")
         .withColumn("n_chars", F.length("text"))
     )
-    n_spans_cut = cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+    n3b2 = survivors.count()
 
     # 3c. quality-weighted corpus cap: keep 90%, racing on n_chars so
     # longer documents win proportionally more often (deterministic
@@ -112,7 +115,7 @@ def main() -> None:
     from cdc_demo_spark.operators.sampling import weighted_sample
 
     survivors = weighted_sample(
-        survivors, "doc_id", "n_chars", k=max(1, int(n3b * 0.9)), salt="corpus_v1"
+        survivors, "doc_id", "n_chars", k=max(1, int(n3b2 * 0.9)), salt="corpus_v1"
     ).drop("_key")
     n3c = survivors.count()
 
@@ -142,8 +145,8 @@ def main() -> None:
     ).write.mode("overwrite").partitionBy("shard").parquet(os.path.join(out, "blocks"))
     print(
         f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
-        f"near-dup survivors {n3} -> decontaminated {n3b} "
-        f"(span-cut {n_spans_cut} tokens) -> "
+        f"near-dup survivors {n3} -> decontaminated {n3b} -> "
+        f"span-dedup {n3b2} (cut {n_spans_cut} tokens) -> "
         f"weighted-cap {n3c} -> {n_blocks} blocks -> sampled {n_sampled} "
         f"-> {out}/blocks (16-way sharded)"
     )
