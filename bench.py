@@ -583,6 +583,123 @@ def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+MERGE_KEYS = 1_000_000
+
+
+def _merge_envelope(spark, lo: int, hi: int, seq0: int, ts0: int):
+    """Deterministic CDC envelope rows: keys lo..hi (as strings), seq
+    monotone from seq0 — same shape as _events_envelope."""
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi, numPartitions=32).select(
+        F.lit("u").alias("op"),
+        F.timestamp_seconds(F.lit(ts0)).alias("ts"),
+        (F.col("id") - lo + seq0).alias("seq"),
+        F.lit("events").alias("table"),
+        F.col("id").cast("string").alias("key"),
+        F.lit(None)
+        .cast("struct<user_id:bigint,event_type:string,value:double>")
+        .alias("before"),
+        F.struct(
+            F.col("id").alias("user_id"),
+            F.lit("synth").alias("event_type"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        ).alias("after"),
+    )
+
+
+def _silver_1m_path(spark) -> str:
+    from cdc_demo_spark.streaming.merge import merge_into_silver
+
+    def build(stage: str) -> None:
+        merge_into_silver(
+            spark,
+            _merge_envelope(spark, 0, MERGE_KEYS, 0, 1_700_000_000),
+            os.path.join(stage, "s"),
+            "events",
+            expected_state_bytes=MERGE_KEYS * 100,
+        )
+
+    return _ensure_built(f"silver1m_v1_k{MERGE_KEYS}", build)
+
+
+def time_cdc_merge_1m_create(spark) -> float:
+    """Silver state creation at 1M distinct keys — the bulk-load end
+    of the merge's cost curve (every bucket written once).  Gate:
+    exactly MERGE_KEYS state rows and hash-balanced buckets."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver_state
+
+    tmp = tempfile.mkdtemp()
+    try:
+        t0 = time.perf_counter()
+        merge_into_silver(
+            spark,
+            _merge_envelope(spark, 0, MERGE_KEYS, 0, 1_700_000_000),
+            tmp + "/s",
+            "events",
+            expected_state_bytes=MERGE_KEYS * 100,
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        per_bucket = (
+            read_silver_state(spark, tmp + "/s").groupBy("__bucket").count().collect()
+        )
+        counts = [r["count"] for r in per_bucket]
+        assert sum(counts) == MERGE_KEYS, f"state rows {sum(counts)}"
+        assert max(counts) <= 2 * (sum(counts) / len(counts)), "bucket imbalance"
+        return dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def time_cdc_merge_1m_trickle(spark) -> float:
+    """A 10k-update trickle batch into the committed 1M-key table —
+    the steady-state CDC cost the bucketed O(touched) design exists
+    for.  State is copied out of the build-once cache (merge mutates
+    it).  Gate: key count unchanged, updated keys serve new images."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.streaming.merge import merge_into_silver, read_silver
+
+    built = _silver_1m_path(spark)
+    work = os.path.join(tempfile.gettempdir(), f"silver1m_run_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(os.path.join(built, "s"), work)
+    try:
+        # every 100th key: 10k updates spread across the key space
+        delta = spark.range(0, MERGE_KEYS // 100, numPartitions=32).select(
+            F.lit("u").alias("op"),
+            F.timestamp_seconds(F.lit(1_700_000_100)).alias("ts"),
+            (F.col("id") + MERGE_KEYS).alias("seq"),
+            F.lit("events").alias("table"),
+            (F.col("id") * 100).cast("string").alias("key"),
+            F.lit(None)
+            .cast("struct<user_id:bigint,event_type:string,value:double>")
+            .alias("before"),
+            F.struct(
+                (F.col("id") * 100).alias("user_id"),
+                F.lit("updated").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+            ).alias("after"),
+        )
+        t0 = time.perf_counter()
+        merge_into_silver(spark, delta, work, "events")
+        dt = round(time.perf_counter() - t0, 3)
+        served = read_silver(spark, work)
+        n = served.count()
+        assert n == MERGE_KEYS, f"served rows {n}"
+        n_upd = served.filter(F.col("event_type") == "updated").count()
+        assert n_upd == MERGE_KEYS // 100, f"updated rows {n_upd}"
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def time_span_dedup_200k(spark) -> float:
     """Passage-level dedup detection (operators/spans.py, hashed scale
     path) at 200k docs / ~35M positional 5-grams.  Gate: every planted
@@ -707,6 +824,8 @@ def main() -> None:
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
+        ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
+        ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
     ):
         for _pass in range(2):
             try:
