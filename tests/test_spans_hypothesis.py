@@ -1,0 +1,120 @@
+"""Hypothesis-driven passage-dedup equivalence: arbitrary tiny corpora
+over a 5-word vocabulary (dense gram collisions by construction) — the
+DataFrame span operators must equal a direct Python reference on every
+draw, for both plans, detection and removal (SURVEY.md §5
+property-based variant, same style as the CDC merge properties)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.spans import (
+    duplicated_positions,
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+
+VOCAB = ["a", "b", "c", "d", "e"]
+N = 3  # gram length: small so short random docs actually collide
+
+
+@st.composite
+def corpora(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=5))
+    docs = {}
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10))
+        docs[i] = " ".join(toks) if toks else ""
+    return docs
+
+
+def _ref_sites(docs: dict[int, str], keep_first: bool) -> set[tuple[int, int]]:
+    sites: dict[str, list[tuple[int, int]]] = {}
+    for i, text in docs.items():
+        toks = text.split(" ")
+        for j in range(len(toks) - N + 1):
+            sites.setdefault(" ".join(toks[j : j + N]), []).append((i, j + 1))
+    out: set[tuple[int, int]] = set()
+    for s in sites.values():
+        if len(s) >= 2:
+            out.update(sorted(s)[1:] if keep_first else s)
+    return out
+
+
+def _ref_removal(docs: dict[int, str]) -> dict[int, tuple[str, int]]:
+    removable = _ref_sites(docs, keep_first=True)
+    out = {}
+    for i, text in docs.items():
+        toks = text.split(" ")
+        covered = set()
+        for rid, pos in removable:
+            if rid == i:
+                covered.update(range(pos, pos + N))
+        kept = [t for j, t in enumerate(toks, start=1) if j not in covered]
+        out[i] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora())
+def test_positions_equal_reference_both_plans(spark, docs):
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for keep_first in (False, True):
+        want = _ref_sites(docs, keep_first)
+        for plan in ("window", "join"):
+            got = {
+                (r["id"], r["pos"])
+                for r in duplicated_positions(
+                    df, "doc_id", "text", n=N, keep_first=keep_first, plan=plan
+                ).collect()
+            }
+            assert got == want, f"plan={plan} keep_first={keep_first}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora())
+def test_removal_equals_reference(spark, docs):
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=N).collect()
+    }
+    assert got == _ref_removal(docs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora())
+def test_spans_cover_exactly_the_duplicated_positions(spark, docs):
+    """Span rows are the gaps-and-islands closure of the duplicated
+    positions: every duplicated position falls inside some span of its
+    doc, span bounds are themselves derived from duplicated positions,
+    and spans within a doc never overlap."""
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    pos = _ref_sites(docs, keep_first=False)
+    spans = duplicated_spans(df, "doc_id", "text", n=N).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        by_doc.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    for i, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 < s2, f"overlapping spans in doc {i}"
+    for i, p in pos:
+        assert any(s <= p <= e for s, e in by_doc.get(i, [])), (i, p)
+    for r in spans:
+        assert (r["id"], r["span_start"]) in pos
+        assert (r["id"], r["span_end"] - (N - 1)) in pos
