@@ -216,10 +216,25 @@ class MinHashIndex:
                 F.greatest("a.id", "b.id").alias("id_b"),
             )
             .distinct()
+            # materialized: read three times below (id set + two joins) —
+            # lazy, each would re-run the LSH bucket join
+            .localCheckpoint(eager=True)
         )
 
+        # Verification touches only candidate ids — restrict the stored
+        # shingle scan FIRST.  cand_ids is tiny (bounded by the bucket
+        # cap) and materialized, so AQE converts this into a broadcast
+        # join: the 35M-row (at 200k docs) stored table is scanned once
+        # map-side and never shuffled.  Without the restriction, the
+        # sizes aggregate and both verification joins each shuffled the
+        # FULL corpus shingle table per batch — measured as most of the
+        # 5k-delta append's wall at the 200k grain (minhash_200k_
+        # index_append bench entry).
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
         sh_old = self._read("shingles", "id long, h64 long")
-        sh_all = sh_old.unionByName(sh_new)
+        sh_all = sh_old.unionByName(sh_new).join(cand_ids, "id")
         sizes = sh_all.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh_all.alias("a"), sh_all.alias("b")
         inter = (
