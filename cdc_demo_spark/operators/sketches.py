@@ -1,0 +1,199 @@
+"""Distributed probabilistic sketches: Bloom filter and Count-Min.
+
+Reference scope: the reference stack (tiny-tinker/cdc-demo) outsources
+membership and frequency questions to its provisioned warehouses
+(reference README.md "analytics" section); at 100 TB those questions
+need sub-linear STATE, not sub-linear scans.  Two classic sketches,
+built as plain DataFrame algebra so they shuffle their own size — never
+the corpus:
+
+- **Bloom filter** (Bloom CACM'70): membership of a 10B-element set in
+  ~GBs of bits.  The pipeline use is cross-corpus decontamination — "was
+  this shingle in ANY earlier crawl?" — where joining raw digests means
+  shuffling the historical corpus per batch, but probing a bloom built
+  once means a map-side join against a table of packed words whose size
+  is the BIT BUDGET, independent of corpus size.
+- **Count-Min** (Cormode & Muthukrishnan J.Alg'05): frequency estimates
+  (always over-, never under-) in depth × width cells.  The pipeline use
+  is heavy-hitter n-gram / boilerplate detection under a fixed memory
+  budget; the exact groupBy it replaces holds one cell per DISTINCT
+  n-gram, which at web scale is the corpus again.
+
+Spark already exposes driver-side sketches (``df.stat.countMinSketch``,
+``stat.bloomFilter``) — those collect the sketch TO THE DRIVER and are
+build-only (no relational probe).  These stay distributed end-to-end:
+build is a groupBy onto the sketch's own key space (word / (row, col)),
+probe is an equi-join keyed the same way, so Catalyst co-partitions
+probe and sketch and AQE broadcasts the sketch when it fits.
+
+Hashing is the house md5 scheme (``md5(i || ':' || value)`` → first 15
+hex digits → BIGINT), the same engine-portable construction as
+q_minhash_signatures_md5: 60-bit positive values that DuckDB reproduces
+bit-for-bit, so every derived query is value-exact oracle-checkable —
+including the sketches' deliberate errors (Bloom false positives,
+Count-Min overestimates), which are deterministic functions of the
+data, not noise.  xxhash64 would be ~3× cheaper per call; at the
+sketch-build grain (one pass at ingest) portability buys a hard oracle
+for the whole family and the cost stays a rounding error next to the
+shingle explode.
+
+Packing: Bloom words carry **63 bits per long** (bit index 0..62).
+Using all 64 would make the top bit the sign bit — Java wraps
+``1L << 63`` negative while DuckDB raises an overflow error, so 63
+keeps every packed word positive and portable.  The 1.6% space tax is
+irrelevant at any budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_WORD = 63
+
+
+def md5_position(value: Column, i: Column | int, modulus: int) -> Column:
+    """Hash ``i``'s position of ``value`` in ``[0, modulus)`` — the
+    engine-portable permutation family.  Value must be a string column;
+    the 15-hex-digit prefix is < 2^60 so the modulo is of a positive
+    long in both engines."""
+    i_col = F.lit(i) if isinstance(i, int) else i
+    h = F.conv(
+        F.substring(F.md5(F.concat(i_col.cast("string"), F.lit(":"), value)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(modulus)
+
+
+def _positions(df: DataFrame, value_col: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """One row per (input row, hash i) with the bit position.  Keeps
+    every other input column (callers group back by their own id)."""
+    return df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).withColumn("pos", md5_position(F.col(value_col), F.col("i"), num_bits))
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, num_bits: int, num_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over ``df[value_col]`` (strings) as a packed
+    table ``(word long, bits long)`` with ≤ ceil(num_bits / 63) rows.
+
+    One explode (k rows per value) and ONE shuffle — the groupBy onto
+    word ids, whose cardinality is the bit budget / 63, not the corpus.
+    Duplicate values cost duplicate map-side rows but partial
+    aggregation (bit_or is associative) collapses them before the
+    exchange, so the shuffle writes at most the sketch size per task.
+    At 100 TB you persist this table once per corpus generation and
+    every later batch probes it map-side (AQE broadcasts it up to the
+    configured threshold; beyond that the word-key equi-join
+    co-partitions probe positions against it)."""
+    return (
+        _positions(df.select(F.col(value_col)), value_col, num_bits, num_hashes)
+        .select(
+            (F.col("pos") / BITS_PER_WORD).cast("long").alias("word"),
+            # expr: PySpark's shiftleft() only takes a literal shift
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Membership test: ``probe`` columns + boolean ``bloom_member``.
+
+    A value is a member iff ALL of its k DISTINCT positions have their
+    bit set (two hash functions may collide on one position — counting
+    that position twice would let k-1 set bits pass, so distinct
+    first).  No false negatives by construction; false positives at the
+    classical (1 - e^{-kn/m})^k rate, deterministically — the same
+    value always probes the same bits.
+
+    Plan shape: positions LEFT JOIN bloom on word (bloom side is
+    sketch-sized → broadcast), then a groupBy back onto the probe row's
+    own columns.  The probe table itself is never shuffled wider than
+    its distinct (row, position) explode."""
+    cols = probe.columns
+    pos = (
+        _positions(probe, value_col, num_bits, num_hashes)
+        .select(*cols, "pos")
+        .distinct()
+        .withColumn("word", (F.col("pos") / BITS_PER_WORD).cast("long"))
+    )
+    hit = F.expr(
+        f"if((shiftright(coalesce(bits, cast(0 as bigint)), "
+        f"cast(pos % {BITS_PER_WORD} as int)) & 1) = 1, 1, 0)"
+    )
+    return (
+        pos.join(bloom, "word", "left")
+        .select(*cols, hit.alias("hit"))
+        .groupBy(*cols)
+        .agg((F.min("hit") == 1).alias("bloom_member"))
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch over ``df[value_col]`` as a table
+    ``(j int, cell long, cnt long)`` with ≤ depth × width rows.
+
+    Each input row adds its weight (default 1) to one cell per row j;
+    the groupBy onto (j, cell) is the only shuffle and its key space is
+    the sketch grid.  Absent cells are zero (probe coalesces), so the
+    stored table is at most grid-sized however large the corpus."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.select(F.col(value_col), w.alias("w"))
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        )
+        .withColumn("cell", md5_position(F.col(value_col), F.col("j"), width))
+        .groupBy("j", "cell")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    values: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated count per input row: ``values`` columns + ``est``.
+
+    est = min over rows j of the cell the value hashes to — ≥ the true
+    count always (every occurrence landed in all of its cells), and
+    within εN of it with probability 1 − δ for width = ⌈e/ε⌉, depth =
+    ⌈ln 1/δ⌉ (Cormode & Muthukrishnan J.Alg'05, Thm 1).  The estimate
+    is a pure function of (value, sketch), so downstream filters
+    (heavy hitters) are deterministic and oracle-checkable.
+
+    Plan: explode depth rows per value, equi-join (j, cell) against the
+    grid-sized sketch (broadcast in practice), min back per row."""
+    cols = values.columns
+    return (
+        values.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+        )
+        .withColumn("cell", md5_position(F.col(value_col), F.col("j"), width))
+        .join(cms, ["j", "cell"], "left")
+        .select(*cols, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(*cols)
+        .agg(F.min("cnt").alias("est"))
+    )

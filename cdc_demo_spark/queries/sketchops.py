@@ -1,0 +1,206 @@
+"""Sketch-backed query surface: Bloom-filter decontamination and
+Count-Min heavy hitters (operators/sketches.py).
+
+Both sketches use the engine-portable md5 position family, so their
+OUTPUTS — including the deliberate, deterministic sketch errors (Bloom
+false positives, Count-Min overestimates) — are value-exact
+reproducible in DuckDB.  The oracles below replicate every stage
+(hash → pack → probe), making the driver's hash gate cover the sketch
+math end-to-end, in the same spirit as the md5 MinHash/SimHash twins
+(queries/dedup.py).
+
+Sketch parameters are deliberately TIGHT at fixture scale (m = 4096
+bits against ~400 benchmark shingles; a 4×1024 Count-Min grid against
+~16k distinct 3-grams) so the error paths actually execute: a
+comfortably over-provisioned sketch would make every false-positive
+branch dead code at test scale.  A real deployment sizes m ≈ 1.44 ·
+n · log2(1/fp) and width ≈ e/ε to its OWN n — the point of a sketch is
+that those budgets are chosen, not corpus-proportional.
+tests/test_sketches.py pins the one-sided guarantees (no Bloom false
+negatives; Count-Min never underestimates) against exact references.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import sketches as SK
+from cdc_demo_spark.queries.registry import register
+from cdc_demo_spark.sources.tables import load_table
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _string_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles as STRINGS per doc, single-space
+    tokenized for exact parity with the oracle's string_split (the
+    production paths hash shingles — operators/dedup.hashed_shingles;
+    sketches need the portable string so DuckDB can re-hash it)."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    arr = F.array_distinct(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k))))
+    return docs.select("doc_id", F.explode(arr).alias("sh"))
+
+
+# The oracle's shingle CTEs, shared by both bloom stages.
+_ORACLE_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents {where}) t,
+       UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+"""
+
+
+@register(
+    "q_bloom_decontamination",
+    oracle=f"""
+WITH bsh AS (
+  SELECT DISTINCT sh FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 = 0")})
+),
+bpos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
+      % {BLOOM_BITS} AS pos
+  FROM bsh CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
+),
+bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+  FROM bpos GROUP BY pos // 63
+),
+cpos AS (
+  SELECT DISTINCT doc_id, sh,
+    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
+      % {BLOOM_BITS} AS pos
+  FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 <> 0")})
+  CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
+),
+member AS (
+  SELECT doc_id, sh,
+         MIN(CASE WHEN ((COALESCE(bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS m
+  FROM cpos LEFT JOIN bloom ON pos // 63 = word
+  GROUP BY doc_id, sh
+)
+SELECT doc_id,
+       COUNT(*) AS n_sh,
+       CAST(SUM(m) AS BIGINT) AS n_hits,
+       ROUND(SUM(m) * 1.0 / COUNT(*), 6) AS hit_frac
+FROM member
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination through a Bloom filter: every 50th
+    doc stands in for the historical/eval corpus, a 16384-bit k=4 bloom
+    is built over its distinct 3-token shingles, and every OTHER doc
+    reports what fraction of its shingles the bloom claims to have seen.
+
+    Contrast with q_benchmark_contamination (exact, broadcast shingle
+    join): exact needs the eval SHINGLES shipped to every task — fine
+    for a benchmark suite, impossible when "the other side" is last
+    year's 100 TB crawl.  The bloom is a fixed-budget stand-in whose
+    probe cost is independent of the historical corpus size; the price
+    is deterministic false positives (m deliberately tight here so they
+    occur at fixture scale), which for decontamination is the SAFE
+    direction — you only over-quarantine.  No false negatives by
+    construction (tests/test_sketches.py pins both properties against
+    the exact join).  Docs shorter than 3 tokens emit no shingles and
+    no row (the shingle contract, operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = _string_shingles(docs.filter(F.col("doc_id") % 50 == 0)).select("sh").distinct()
+    bloom = SK.bloom_build(bench_sh, "sh", BLOOM_BITS, BLOOM_HASHES)
+    corpus_sh = _string_shingles(docs.filter(F.col("doc_id") % 50 != 0))
+    probed = SK.bloom_probe(corpus_sh, "sh", bloom, BLOOM_BITS, BLOOM_HASHES)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.col("bloom_member").cast("long")).alias("n_hits"),
+        )
+        .withColumn("hit_frac", F.round(F.col("n_hits") / F.col("n_sh"), 6))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_countmin_heavy_hitters",
+    oracle=f"""
+WITH g AS (
+  SELECT toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents) t,
+       UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+cells AS (
+  SELECT ii.j AS j,
+    CAST('0x' || substr(md5(CAST(ii.j AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
+      % {CMS_WIDTH} AS cell,
+    COUNT(*) AS cnt
+  FROM g CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) ii
+  GROUP BY 1, 2
+),
+exact AS (SELECT sh, COUNT(*) AS exact_cnt FROM g GROUP BY sh),
+est AS (
+  SELECT e.sh, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+  FROM exact e
+  CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) ii
+  LEFT JOIN cells c
+    ON c.j = ii.j
+   AND c.cell = CAST('0x' || substr(md5(CAST(ii.j AS VARCHAR) || ':' || e.sh), 1, 15)
+                 AS BIGINT) % {CMS_WIDTH}
+  GROUP BY e.sh
+)
+SELECT e.sh, e.est, x.exact_cnt,
+       e.est - x.exact_cnt AS overcount
+FROM est e JOIN exact x USING (sh)
+ORDER BY e.est DESC, e.sh
+LIMIT 40
+""",
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter 3-grams (boilerplate phrases) via a Count-Min
+    sketch, with the exact count alongside so the sketch's one-sided
+    error is visible in the output: ``est ≥ exact_cnt`` for every row
+    (never under — each occurrence incremented all of its cells), and
+    the 4×1024 grid is deliberately small against ~16k distinct fixture
+    3-grams so collisions produce real nonzero ``overcount`` rows for
+    the oracle to reproduce.  Occurrences count positionally (no
+    per-doc distinct) — frequency, not document frequency.
+
+    At 100 TB the exact side of this query is the thing you CANNOT
+    compute cheaply (a groupBy holding one cell per distinct n-gram is
+    the corpus again); the sketch build is one pass shuffling at most
+    depth × width cells, and the heavy-hitter probe touches only the
+    candidate set.  Here the fixture corpus is small enough to carry
+    the exact twin in-query, which turns the usual "trust the bound"
+    into a checked equality per row.  Top-40 by (est desc, sh) is
+    deterministic — the pair is unique per 3-gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.explode(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, 3)))).alias("sh")
+    )
+    cms = SK.countmin_build(grams, "sh", CMS_DEPTH, CMS_WIDTH)
+    exact = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.countmin_estimate(exact.select("sh"), "sh", cms, CMS_DEPTH, CMS_WIDTH)
+    return (
+        est.join(exact, "sh")
+        .select(
+            "sh",
+            "est",
+            "exact_cnt",
+            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), "sh")
+        .limit(40)
+    )

@@ -59,8 +59,12 @@ def main() -> None:
     )
     n1 = quality.count()
 
-    # 2. exact dedup on normalized text digest
-    exact = exact_dedup(quality, ["text"], "doc_id")
+    # 2. exact dedup on normalized text digest.  Each stage below is
+    # pinned (localCheckpoint eager) before its count: the counts exist
+    # for the report, and without pins every count() re-executes the
+    # whole upstream chain — ~5 redundant stage recomputes end-to-end
+    # (the span stage learned this first; now uniform).
+    exact = exact_dedup(quality, ["text"], "doc_id").localCheckpoint(eager=True)
     n2 = exact.count()
 
     # 3. near-dup clusters -> keep min-id survivor per cluster
@@ -72,7 +76,7 @@ def main() -> None:
         comps.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
         "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=True)
     n3 = survivors.count()
 
     # 3b. decontamination: every 50th doc stands in for the eval set;
@@ -86,7 +90,9 @@ def main() -> None:
     clean_ids = contam.filter(F.col("contamination") < 0.2).select(
         F.col("id").alias("doc_id")
     )
-    survivors = survivors.join(clean_ids, "doc_id", "left_semi")
+    survivors = survivors.join(clean_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     n3b = survivors.count()
 
     # 3b2. passage-level dedup: cut duplicated 5-gram passages that
@@ -106,7 +112,7 @@ def main() -> None:
         .join(cleaned.select(F.col("id").alias("doc_id"),
                              F.col("clean_text").alias("text")), "doc_id")
         .withColumn("n_chars", F.length("text"))
-    )
+    ).localCheckpoint(eager=True)
     n3b2 = survivors.count()
 
     # 3c. quality-weighted corpus cap: keep 90%, racing on n_chars so
@@ -114,16 +120,20 @@ def main() -> None:
     # A-ES — same survivors on any cluster size or rerun)
     from cdc_demo_spark.operators.sampling import weighted_sample
 
-    survivors = weighted_sample(
-        survivors, "doc_id", "n_chars", k=max(1, int(n3b2 * 0.9)), salt="corpus_v1"
-    ).drop("_key")
+    survivors = (
+        weighted_sample(
+            survivors, "doc_id", "n_chars", k=max(1, int(n3b2 * 0.9)), salt="corpus_v1"
+        )
+        .drop("_key")
+        .localCheckpoint(eager=True)
+    )
     n3c = survivors.count()
 
     # 4-5. chunk + pack into training blocks
     chunks = chunk_documents(survivors, chunk_tokens=64, stride=48).join(
         survivors.select("doc_id", F.col("source").alias("group")), "doc_id"
     )
-    blocks = pack_chunks(chunks, "group", block_tokens=256)
+    blocks = pack_chunks(chunks, "group", block_tokens=256).localCheckpoint(eager=True)
     n_blocks = blocks.count()
 
     # 6. deterministic 30% sample of blocks (resumable across runs/clusters)

@@ -1,0 +1,105 @@
+"""Sketch guarantees (operators/sketches.py) pinned against exact
+references: Bloom one-sided membership, Count-Min one-sided counts.
+
+The derived queries are value-exact oracle-checked (queries/
+sketchops.py) — these tests pin the PROPERTIES the oracle equality
+alone doesn't state: which side the deterministic errors fall on, and
+that they stay within the published bounds at the chosen parameters.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 600 member strings + 400 non-members, disjoint by construction.
+    members = spark.range(600).select(F.concat(F.lit("in-"), "id").alias("v"))
+    probes = spark.range(400).select(F.concat(F.lit("out-"), "id").alias("v"))
+    return members, probes
+
+
+def test_bloom_no_false_negatives(spark, values):
+    members, _ = values
+    bloom = SK.bloom_build(members, "v", num_bits=8192, num_hashes=4)
+    probed = SK.bloom_probe(members, "v", bloom, num_bits=8192, num_hashes=4)
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_false_positive_rate_within_bound(spark, values):
+    import math
+
+    members, probes = values
+    m, k, n = 8192, 4, 600
+    bloom = SK.bloom_build(members, "v", num_bits=m, num_hashes=k)
+    probed = SK.bloom_probe(probes, "v", bloom, num_bits=m, num_hashes=k)
+    fp = probed.filter(F.col("bloom_member")).count()
+    # classical rate (1 - e^{-kn/m})^k ~ 0.0046 here -> ~1.8 expected of
+    # 400; allow generous slack (the rate is an expectation, the draw is
+    # deterministic but fixed by the hash family)
+    expected = 400 * (1 - math.exp(-k * n / m)) ** k
+    assert fp <= max(10 * expected, 10), f"fp={fp}, expected~{expected:.2f}"
+
+
+def test_bloom_word_table_bounded_by_bit_budget(spark, values):
+    members, _ = values
+    bloom = SK.bloom_build(members, "v", num_bits=1024, num_hashes=4)
+    rows = bloom.collect()
+    assert len(rows) <= 1024 // 63 + 1
+    assert all(r.bits > 0 for r in rows)  # 63-bit packing: always positive
+
+
+def test_bloom_saturated_filter_flags_everything(spark, values):
+    # degenerate budget: every bit set -> all probes positive (the
+    # documented failure mode when m is not sized to n; deterministic,
+    # not an error)
+    members, probes = values
+    bloom = SK.bloom_build(members, "v", num_bits=64, num_hashes=4)
+    probed = SK.bloom_probe(probes, "v", bloom, num_bits=64, num_hashes=4)
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_countmin_never_underestimates_and_is_exact_when_wide(spark):
+    # skewed multiset: value i appears (i % 7) + 1 times
+    base = spark.range(200).select(
+        F.concat(F.lit("t-"), "id").alias("v"), ((F.col("id") % 7) + 1).alias("w")
+    )
+    occurrences = base.select(
+        F.expr("explode(array_repeat(v, cast(w as int)))").alias("v")
+    )
+    exact = occurrences.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+
+    # tight grid: overestimates happen, never under
+    cms = SK.countmin_build(occurrences, "v", depth=3, width=64)
+    est = SK.countmin_estimate(exact.select("v"), "v", cms, depth=3, width=64)
+    joined = est.join(exact, "v").collect()
+    assert all(r.est >= r.c for r in joined)
+    assert any(r.est > r.c for r in joined), "width=64 on 200 keys must collide"
+
+    # wide grid: no collisions in any row -> estimates exact
+    cms_w = SK.countmin_build(occurrences, "v", depth=4, width=1 << 16)
+    est_w = SK.countmin_estimate(exact.select("v"), "v", cms_w, depth=4, width=1 << 16)
+    assert est_w.join(exact, "v").filter(F.col("est") != F.col("c")).count() == 0
+
+
+def test_countmin_weighted_build_matches_repeated_rows(spark):
+    base = spark.range(100).select(
+        F.concat(F.lit("w-"), "id").alias("v"), ((F.col("id") % 5) + 1).alias("w")
+    )
+    repeated = base.select(F.expr("explode(array_repeat(v, cast(w as int)))").alias("v"))
+    a = SK.countmin_build(repeated, "v", depth=3, width=128)
+    b = SK.countmin_build(base, "v", depth=3, width=128, weight_col="w")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_countmin_unseen_value_estimates_from_collisions_only(spark):
+    occurrences = spark.range(50).select(F.concat(F.lit("seen-"), "id").alias("v"))
+    cms = SK.countmin_build(occurrences, "v", depth=4, width=1 << 16)
+    unseen = spark.createDataFrame([("never-seen",)], "v string")
+    est = SK.countmin_estimate(unseen, "v", cms, depth=4, width=1 << 16).collect()
+    # wide grid -> almost surely no collision on all 4 rows -> 0
+    assert est[0].est == 0
