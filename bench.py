@@ -520,7 +520,11 @@ def time_minhash_index_append_200k(spark) -> float:
     shutil.copytree(os.path.join(built, "idx"), work)
     try:
         idx = MinHashIndex(spark, work)
-        delta = synth_documents(spark, 5_000, start=DOC_N)
+        # pinned BEFORE the clock: a real append reads its batch from
+        # landed storage — regenerating the synthetic delta (Python
+        # mapInPandas) is fixture cost, not append cost, same contract
+        # as excluding the state copy above
+        delta = synth_documents(spark, 5_000, start=DOC_N).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         n_pairs = idx.append_batch(delta).count()
         dt = round(time.perf_counter() - t0, 3)

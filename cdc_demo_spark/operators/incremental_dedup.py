@@ -190,17 +190,32 @@ class MinHashIndex:
         new_buckets = self._band_buckets(sigs).cache()
         old_buckets = self._read("buckets", "id long, band int, bucket long")
 
-        all_buckets = old_buckets.unionByName(new_buckets)
+        # Everything below only matters for (band, bucket) keys the NEW
+        # batch lands in: an untouched bucket can produce no candidate
+        # pair, and the skew cap only gates rows through joins with
+        # probe rows.  Restricting the stored side FIRST (broadcast
+        # semi-join on the batch's ~|batch|·bands keys) turns both the
+        # occupancy aggregate and the candidate join's build side from
+        # full-corpus shuffles (O(corpus·bands) rows per append — the
+        # dominant cost of the 200k-grain bench entry) into map-side
+        # filtered scans whose surviving rows are proportional to the
+        # probed buckets' occupancy.  Combined counts are unchanged:
+        # the semi-join keeps EVERY stored row of a probed bucket.
+        probe_keys = new_buckets.select("band", "bucket").distinct()
+        relevant_old = old_buckets.join(
+            F.broadcast(probe_keys), ["band", "bucket"], "left_semi"
+        )
+        relevant = relevant_old.unionByName(new_buckets)
         # skew guard over the COMBINED occupancy (a bucket that was fine
         # at batch 0 can be degenerate by batch 40)
         oversized = (
-            all_buckets.groupBy("band", "bucket")
+            relevant.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("bsz"))
             .filter(F.col("bsz") > self.max_bucket)
             .select("band", "bucket")
         )
         probe = new_buckets.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
-        build = all_buckets.join(
+        build = relevant.join(
             F.broadcast(oversized), ["band", "bucket"], "left_anti"
         )
         cands = (
@@ -234,7 +249,15 @@ class MinHashIndex:
             F.explode(F.array("id_a", "id_b")).alias("id")
         ).distinct()
         sh_old = self._read("shingles", "id long, h64 long")
-        sh_all = sh_old.unionByName(sh_new).join(cand_ids, "id")
+        # Materialized: three consumers below (sizes + both sides of the
+        # intersection join) — without the pin each one re-runs the
+        # union and re-scans the FULL stored shingle table (3× the
+        # O(corpus) scan; measured as the dominant cost of the 200k
+        # bench append).  After the cand_ids restriction this is
+        # |candidate ids| × shingles-per-doc rows — tiny.
+        sh_all = (
+            sh_old.unionByName(sh_new).join(cand_ids, "id").localCheckpoint(eager=True)
+        )
         sizes = sh_all.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh_all.alias("a"), sh_all.alias("b")
         inter = (
