@@ -21,8 +21,12 @@ pointers), not in-place retraining — retraining would silently strand
 already-bucketed vectors. ``centroid_drift`` measures it (mean cosine
 of a batch to its nearest centroid) so operators can alarm on decay.
 
-Same durability contract as the MinHash index: batches commit with a
-``_COMMITTED`` marker; readers ignore orphans from crashed appends.
+Same durability contract as the MinHash/Semantic indexes: batches are
+published via the shared BatchCommitLog (storage.py — uuid-staged dirs
++ put-if-absent marker; upgraded in round 7 from the older in-place
+``_COMMITTED`` scheme, which let a racing loser's mode-overwrite write
+clobber a winner's committed files before its own claim failed.
+Legacy ``_COMMITTED`` batch dirs remain readable).
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from cdc_demo_spark.operators.similarity import (
     choose_centroids,
     refine_centroids,
 )
+from cdc_demo_spark.storage import DEFAULT_BACKEND, BatchCommitLog, CommitBackend
 
 
 class IvfIndex:
@@ -49,21 +54,22 @@ class IvfIndex:
         n_centroids: int = 16,
         nprobe: int = 4,
         refine_iters: int = 2,
+        backend: CommitBackend = DEFAULT_BACKEND,
     ) -> None:
         self.spark = spark
         self.path = path
+        self.backend = backend
+        self._log = BatchCommitLog(path, backend)
         meta_path = os.path.join(path, "_meta.json")
         meta = {"n_centroids": n_centroids, "nprobe": nprobe, "refine_iters": refine_iters}
-        if os.path.exists(meta_path):
-            stored = json.load(open(meta_path))
+        # put-if-absent then verify: racing creators with identical
+        # params both succeed; a param mismatch raises for the loser.
+        if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
+            stored = json.loads(backend.read(meta_path))
             if stored != meta:
                 raise ValueError(
                     f"index at {path} was built with {stored}, opened with {meta}"
                 )
-        else:
-            os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
         self.n_centroids, self.nprobe, self.refine_iters = (
             n_centroids,
             nprobe,
@@ -77,15 +83,20 @@ class IvfIndex:
         return os.path.join(self.path, "centroids")
 
     def _committed_batches(self) -> list[str]:
+        """Marker-published batch dirs, plus legacy ``_COMMITTED``
+        dirs for indexes written before the scheme."""
+        out = self._log.committed_batches("vectors")
         root = os.path.join(self.path, "vectors")
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch=")
-            and os.path.exists(os.path.join(root, d, "_COMMITTED"))
-        )
+        if os.path.isdir(root):  # legacy layout
+            out += [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("batch=")
+                and "-" not in d
+                and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+                and os.path.join(root, d) not in out
+            ]
+        return sorted(out)
 
     def centroids(self) -> DataFrame:
         if not os.path.isdir(self._centroids_path):
@@ -106,18 +117,14 @@ class IvfIndex:
             .select("vec_id", "embedding", F.col("centroid_id").cast("long").alias("centroid_id"))
         )
 
-    def _next_batch_id(self) -> int:
-        root = os.path.join(self.path, "vectors")
-        if not os.path.isdir(root):
-            return 0
-        ids = [int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("batch=")]
-        return max(ids, default=-1) + 1
-
     def _write_batch(self, assigned: DataFrame) -> None:
-        n = self._next_batch_id()
-        dst = os.path.join(self.path, "vectors", f"batch={n}")
+        import uuid
+
+        n = self._log.next_batch_id("vectors")
+        uid = uuid.uuid4().hex[:8]
+        dst = os.path.join(self.path, "vectors", f"batch={n}-{uid}")
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dst)
-        open(os.path.join(dst, "_COMMITTED"), "w").close()
+        self._log.claim(n, uid)
 
     # -- the operator -------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""Incremental Bloom membership state — the cross-crawl dedup ledger.
+
+The one-shot bloom (operators/sketches.bloom_build) answers "is this
+value in THAT corpus"; operations need "has ANY earlier crawl seen this
+value", a question whose state must survive across batches and grow by
+deltas.  This module persists the bloom as parquet word tables under
+the shared BatchCommitLog protocol (storage.py) and ORs them together
+at read time:
+
+- append cost: one pass over the batch, shuffling ≤ bit-budget/63
+  rows — independent of how many batches precede it;
+- read-side merge is a groupBy(word).bit_or over Σ batch word tables,
+  bounded by batches × m/63 rows (``compact()`` collapses the history
+  back to ≤ m/63 under the same marker protocol when that sum grows);
+- because bit_or is associative and commutative, **incremental ==
+  one-shot EXACTLY** — not "superset under a cap caveat" like the
+  MinHash index, but bit-identical state for any batch split
+  (tests/test_incremental_bloom.py pins it) — so probe results are
+  exactly the one-shot bloom's, false positives included.
+
+The filter only grows (no deletes): that is the Bloom contract, and
+for its pipeline use — "quarantine what any earlier crawl contained" —
+monotone is correct.  Erasure of a KEY from the corpus doesn't require
+unseeing its membership; if it ever did, rebuild from the surviving
+corpus (the build is one pass).
+
+Parameters (num_bits, num_hashes) are frozen into ``_meta.json``;
+probing with different parameters than the stored words would silently
+produce garbage, so mismatches raise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.sketches import bloom_build, bloom_probe
+from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
+    DEFAULT_BACKEND,
+    BatchCommitLog,
+    CommitBackend,
+    ConcurrentAppendError,
+)
+
+
+class BloomIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_bits: int = 1 << 20,
+        num_hashes: int = 4,
+        backend: CommitBackend = DEFAULT_BACKEND,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.backend = backend
+        self._log = BatchCommitLog(path, backend)
+        meta_path = os.path.join(path, "_meta.json")
+        meta = {"num_bits": num_bits, "num_hashes": num_hashes}
+        if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
+            stored = json.loads(backend.read(meta_path))
+            if stored != meta:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, probed with {meta}"
+                )
+        self.num_bits, self.num_hashes = num_bits, num_hashes
+
+    # -- storage ------------------------------------------------------
+
+    def words(self) -> DataFrame:
+        """The merged filter: (word long, bits long), ≤ num_bits/63
+        rows.  OR-merge across committed batch tables; an empty index
+        is an empty frame (every probe misses)."""
+        dirs = self._log.committed_batches("words")
+        if not dirs:
+            return self.spark.createDataFrame([], "word long, bits long")
+        return (
+            self.spark.read.parquet(*dirs)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
+    # -- the operator -------------------------------------------------
+
+    def append_batch(self, df: DataFrame, value_col: str) -> None:
+        """Admit a batch's values.  Idempotent in CONTENT (OR-ing the
+        same values twice is a no-op) but not in storage (a retried
+        append lands a second word table; compact() reclaims it)."""
+        import uuid
+
+        batch_words = bloom_build(df, value_col, self.num_bits, self.num_hashes)
+        n = self._log.next_batch_id("words")
+        uid = uuid.uuid4().hex[:8]
+        batch_words.write.mode("overwrite").parquet(
+            os.path.join(self.path, "words", f"batch={n}-{uid}")
+        )
+        self._log.claim(n, uid)
+
+    def probe(self, df: DataFrame, value_col: str) -> DataFrame:
+        """`df` + boolean ``bloom_member`` — exactly the one-shot
+        bloom's answer over the union of all admitted batches."""
+        return bloom_probe(df, value_col, self.words(), self.num_bits, self.num_hashes)
+
+    def compact(self) -> None:
+        """Collapse the committed history into one merged word table,
+        admitted as a NEW batch under the same marker protocol.  Old
+        batch tables stay referenced (readers started before the
+        compaction still see consistent state; bit_or re-merging them
+        with the compacted table is a no-op), so compaction is safe at
+        any time; reclaiming the superseded dirs is a separate GC
+        decision once no pre-compaction reader can remain."""
+        import uuid
+
+        merged = self.words().localCheckpoint(eager=True)
+        if not merged.take(1):
+            return
+        n = self._log.next_batch_id("words")
+        uid = uuid.uuid4().hex[:8]
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.path, "words", f"batch={n}-{uid}")
+        )
+        self._log.claim(n, uid, what="compaction")

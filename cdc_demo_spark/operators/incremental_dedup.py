@@ -50,6 +50,7 @@ from cdc_demo_spark.operators.dedup import (
 )
 from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     DEFAULT_BACKEND,
+    BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
 )
@@ -70,6 +71,7 @@ class MinHashIndex:
         self.spark = spark
         self.path = path
         self.backend = backend
+        self._log = BatchCommitLog(path, backend)
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "k": k,
@@ -91,25 +93,15 @@ class MinHashIndex:
         self.threshold, self.max_bucket = threshold, max_bucket
 
     # -- storage ------------------------------------------------------
-
-    def _commit_marker(self, n: int) -> str:
-        return os.path.join(self.path, "commits", str(n))
+    # Batch publication delegates to the shared BatchCommitLog
+    # (storage.py); only the legacy pre-marker ``_COMMITTED`` layout is
+    # index-specific.
 
     def _committed_batches(self, table: str) -> list[str]:
-        """Batch dirs PUBLISHED BY a batch-level marker whose content
-        names the uuid-staged dir (see incremental_semantic.py — a
-        racing loser's dirs are never read or overwritten). Legacy
-        per-table ``_COMMITTED`` files are honored for indexes written
-        before the marker scheme."""
+        """Marker-published batch dirs, plus legacy per-table
+        ``_COMMITTED`` dirs for indexes written before the scheme."""
+        out = self._log.committed_batches(table)
         root = os.path.join(self.path, table)
-        out = []
-        for m in self.backend.list_dir(os.path.join(self.path, "commits")):
-            if not m.isdigit():
-                continue
-            uid = self.backend.read(self._commit_marker(int(m))).decode()
-            d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
-            if os.path.isdir(d):
-                out.append(d)
         if os.path.isdir(root):  # legacy layout
             out += [
                 os.path.join(root, d)
@@ -126,25 +118,6 @@ class MinHashIndex:
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
-
-    def _next_batch_id(self) -> int:
-        """max over data dirs (a crashed append's id is never reused)
-        and committed markers (a marker store that outlives data dirs
-        still advances)."""
-        root = os.path.join(self.path, "buckets")
-        ids = [-1]
-        if os.path.isdir(root):
-            ids += [
-                int(d.split("=")[1].split("-")[0])
-                for d in os.listdir(root)
-                if d.startswith("batch=")
-            ]
-        ids += [
-            int(m)
-            for m in self.backend.list_dir(os.path.join(self.path, "commits"))
-            if m.isdigit()
-        ]
-        return max(ids) + 1
 
     # -- the operator -------------------------------------------------
 
@@ -288,19 +261,13 @@ class MinHashIndex:
 
         import uuid
 
-        n = self._next_batch_id()
+        n = self._log.next_batch_id("buckets")
         uid = uuid.uuid4().hex[:8]
         for table, df in (("buckets", new_buckets), ("shingles", sh_new)):
             dst = os.path.join(self.path, table, f"batch={n}-{uid}")
             df.write.mode("overwrite").parquet(dst)
-        # ONE marker after BOTH tables land; its content publishes the
-        # uuid-staged dirs, so a racing loser both fails loudly AND
-        # could never have touched the winner's files
-        if not self.backend.put_if_absent(self._commit_marker(n), uid.encode()):
-            raise ConcurrentAppendError(
-                f"batch {n} at {self.path} was committed by another writer; "
-                "this append's staged dirs are unreferenced — retry"
-            )
+        # ONE marker after BOTH tables land (BatchCommitLog protocol)
+        self._log.claim(n, uid)
         sh_new.unpersist()
         new_buckets.unpersist()
         return pairs

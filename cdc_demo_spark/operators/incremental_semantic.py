@@ -56,6 +56,7 @@ from cdc_demo_spark.operators.similarity import (
 )
 from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     DEFAULT_BACKEND,
+    BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
 )
@@ -77,6 +78,7 @@ class SemanticIndex:
         self.spark = spark
         self.path = path
         self.backend = backend
+        self._log = BatchCommitLog(path, backend)
         self.arrow = arrow
         meta_path = os.path.join(path, "_meta.json")
         meta = {
@@ -110,57 +112,19 @@ class SemanticIndex:
             raise RuntimeError(f"index at {self.path} has no centroids; call build()")
         return self.spark.read.parquet(self._centroids_path)
 
-    def _commit_marker(self, n: int) -> str:
-        return os.path.join(self.path, "commits", str(n))
-
     def _committed_batches(self, table: str) -> list[str]:
-        """Batch dirs PUBLISHED BY a batch-level commit marker. One
-        marker spans both state tables (per-table markers would let a
-        crash between the members commit and the quantized write leave
-        a half-visible batch whose ids generate candidates but have no
-        vectors to verify against — silently dropping pairs forever),
-        and the marker's CONTENT names the uuid-staged dir it commits:
-        the data dirs are write-once garbage until a marker points at
-        them, so a racing loser's dirs are never read OR overwritten
-        (the r6 review found mode-overwrite staging into the final
-        batch={n} path let a loser clobber the winner's committed
-        files before its own marker claim failed)."""
-        root = os.path.join(self.path, table)
-        out = []
-        for m in self.backend.list_dir(os.path.join(self.path, "commits")):
-            if not m.isdigit():
-                continue
-            uid = self.backend.read(self._commit_marker(int(m))).decode()
-            d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
-            if os.path.isdir(d):
-                out.append(d)
-        return sorted(out)
+        """Batch dirs published by the shared BatchCommitLog
+        (storage.py — one marker spans ALL of a batch's state tables:
+        per-table markers would let a crash between the members commit
+        and the quantized write leave a half-visible batch whose ids
+        generate candidates but have no vectors to verify against)."""
+        return self._log.committed_batches(table)
 
     def _read(self, table: str, schema: str) -> DataFrame:
         dirs = self._committed_batches(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
-
-    def _next_batch_id(self) -> int:
-        """max over BOTH data dirs (so a crashed, uncommitted append's
-        id is never reused — its garbage dirs stay invisible) and
-        committed markers (so a backend whose marker store outlives the
-        data dirs still advances)."""
-        root = os.path.join(self.path, "members")
-        ids = [-1]
-        if os.path.isdir(root):
-            ids += [
-                int(d.split("=")[1].split("-")[0])
-                for d in os.listdir(root)
-                if d.startswith("batch=")
-            ]
-        ids += [
-            int(m)
-            for m in self.backend.list_dir(os.path.join(self.path, "commits"))
-            if m.isdigit()
-        ]
-        return max(ids) + 1
 
     # -- the operator -------------------------------------------------
 
@@ -276,7 +240,7 @@ class SemanticIndex:
 
         import uuid
 
-        n = self._next_batch_id()
+        n = self._log.next_batch_id("members")
         uid = uuid.uuid4().hex[:8]
         state = [("members", member_new), ("quantized", q_new)]
         if tiles_new is not None:
@@ -288,17 +252,10 @@ class SemanticIndex:
             df.write.mode("overwrite").parquet(
                 os.path.join(self.path, table, f"batch={n}-{uid}")
             )
-        # the single marker lands only after BOTH tables are fully
-        # written — a crash anywhere above leaves invisible garbage.
-        # The marker's content PUBLISHES this append's uuid-staged dirs;
-        # a racing same-id writer staged under a different uuid, so the
-        # loser fails loudly here and its dirs stay unreferenced — it
-        # can never have touched the winner's files.
-        if not self.backend.put_if_absent(self._commit_marker(n), uid.encode()):
-            raise ConcurrentAppendError(
-                f"batch {n} at {self.path} was committed by another writer; "
-                "this append's staged dirs are unreferenced — retry"
-            )
+        # the single marker lands only after ALL tables are fully
+        # written — a crash anywhere above leaves invisible garbage
+        # (BatchCommitLog protocol).
+        self._log.claim(n, uid)
         return pairs
 
     def centroid_drift(

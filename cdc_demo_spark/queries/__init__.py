@@ -61,7 +61,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_date_functions",
     "q_dedup_clusters",
     "q_except",
-    "q_filter_predicates",
     "q_full_outer_join",
     "q_fuzzy_name_pairs_d2",
     "q_grouped_median",
@@ -96,12 +95,14 @@ _DRIVER_WINDOW_FIRST = [
     "q_union_all",
     "q_user_sessions",
     # The session-3 sketch queries displace the last two r5 refreshes
-    # (q_array_functions, q_bpe_token_count keep their r5 records;
-    # they return in the r8 rotation with the rest of the r5 cohort).
+    # (q_array_functions, q_bpe_token_count keep their r5 records)
+    # and one r4 refresh (q_filter_predicates); the displaced return
+    # in the r8 rotation with the rest of their cohorts.
     "q_duplicated_spans",
     "q_remove_duplicated_spans",
     "q_bloom_decontamination",
     "q_countmin_heavy_hitters",
+    "q_incremental_bloom",
 ]
 
 

@@ -22,6 +22,8 @@ negatives; Count-Min never underestimates) against exact references.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,7 +101,7 @@ ORDER BY doc_id
 )
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination through a Bloom filter: every 50th
-    doc stands in for the historical/eval corpus, a 16384-bit k=4 bloom
+    doc stands in for the historical/eval corpus, a 4096-bit k=4 bloom
     is built over its distinct 3-token shingles, and every OTHER doc
     reports what fraction of its shingles the bloom claims to have seen.
 
@@ -204,3 +206,87 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), "sh")
         .limit(40)
     )
+
+
+@register(
+    "q_incremental_bloom",
+    # SAME oracle as q_bloom_decontamination: the index admits the
+    # benchmark set in TWO batches, and bit_or associativity makes the
+    # merged state BIT-IDENTICAL to the one-shot build — so a stateful
+    # incremental operator gets a full value-exact oracle, not the
+    # usual rows-only record (contrast q_incremental_minhash, whose
+    # equality carries a bucket-cap caveat and stays pytest-proven).
+    oracle=f"""
+WITH bsh AS (
+  SELECT DISTINCT sh FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 = 0")})
+),
+bpos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
+      % {BLOOM_BITS} AS pos
+  FROM bsh CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
+),
+bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+  FROM bpos GROUP BY pos // 63
+),
+cpos AS (
+  SELECT DISTINCT doc_id, sh,
+    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
+      % {BLOOM_BITS} AS pos
+  FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 <> 0")})
+  CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
+),
+member AS (
+  SELECT doc_id, sh,
+         MIN(CASE WHEN ((COALESCE(bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS m
+  FROM cpos LEFT JOIN bloom ON pos // 63 = word
+  GROUP BY doc_id, sh
+)
+SELECT doc_id,
+       COUNT(*) AS n_sh,
+       CAST(SUM(m) AS BIGINT) AS n_hits,
+       ROUND(SUM(m) * 1.0 / COUNT(*), 6) AS hit_frac
+FROM member
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl decontamination against a PERSISTED, batch-grown
+    Bloom ledger (operators/incremental_bloom.BloomIndex): the
+    benchmark set lands in two appends (doc_id % 100 == 0, then == 50),
+    the corpus probes the merged state.  Output — and oracle — are
+    q_bloom_decontamination's exactly, because OR-merged batch words
+    are bit-identical to the one-shot build; the driver's hash gate
+    therefore covers the incremental state machinery end-to-end."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_bloom import BloomIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bloom_index_")
+    try:
+        idx = BloomIndex(spark, os.path.join(tmp, "idx"), BLOOM_BITS, BLOOM_HASHES)
+        bench_sh = _string_shingles(docs.filter(F.col("doc_id") % 50 == 0))
+        idx.append_batch(bench_sh.filter(F.col("doc_id") % 100 == 0), "sh")
+        idx.append_batch(bench_sh.filter(F.col("doc_id") % 100 == 50), "sh")
+        corpus_sh = _string_shingles(docs.filter(F.col("doc_id") % 50 != 0))
+        probed = idx.probe(corpus_sh, "sh")
+        return (
+            probed.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.sum(F.col("bloom_member").cast("long")).alias("n_hits"),
+            )
+            .withColumn("hit_frac", F.round(F.col("n_hits") / F.col("n_sh"), 6))
+            .orderBy("doc_id")
+            # pinned: the temp index dir is deleted on return; the
+            # driver collects AFTER that
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

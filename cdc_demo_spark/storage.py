@@ -237,3 +237,70 @@ class InMemoryCommitBackend(CommitBackend):
     def delete(self, path: str) -> None:
         with self._lock:
             self._objects.pop(path, None)
+
+
+class BatchCommitLog:
+    """The incremental indexes' shared batch-publication protocol
+    (MinHashIndex, SemanticIndex, IvfIndex, BloomIndex), extracted in
+    round 7 from three per-class copies.
+
+    Protocol: an append stages every state table under uuid-suffixed
+    ``<table>/batch=<n>-<uid>/`` dirs (write-once garbage until
+    published), then claims ONE marker ``commits/<n>`` whose CONTENT is
+    the uid.  One marker spans ALL of a batch's tables — per-table
+    markers could expose a batch's ids without the rows needed to
+    verify them after a crash between two table writes.  The marker is
+    claimed with the backend's put-if-absent, so two appends racing to
+    one batch id fail loudly (ConcurrentAppendError) and the loser's
+    staged dirs are never read OR overwritten (the uid in the winner's
+    marker names the winner's dirs).  Concurrency contract: one writer
+    at a time; the marker enforces it."""
+
+    def __init__(self, path: str, backend: CommitBackend = DEFAULT_BACKEND) -> None:
+        self.path = path
+        self.backend = backend
+
+    def marker(self, n: int) -> str:
+        return os.path.join(self.path, "commits", str(n))
+
+    def committed_batches(self, table: str) -> list[str]:
+        """Batch dirs of `table` published by a commit marker."""
+        root = os.path.join(self.path, table)
+        out = []
+        for m in self.backend.list_dir(os.path.join(self.path, "commits")):
+            if not m.isdigit():
+                continue
+            uid = self.backend.read(self.marker(int(m))).decode()
+            d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
+            if os.path.isdir(d):
+                out.append(d)
+        return sorted(out)
+
+    def next_batch_id(self, table: str) -> int:
+        """max over BOTH `table`'s data dirs (a crashed, uncommitted
+        append's id is never reused — its garbage dirs stay invisible)
+        and committed markers (a marker store that outlives the data
+        dirs still advances)."""
+        root = os.path.join(self.path, table)
+        ids = [-1]
+        if os.path.isdir(root):
+            ids += [
+                int(d.split("=")[1].split("-")[0])
+                for d in os.listdir(root)
+                if d.startswith("batch=")
+            ]
+        ids += [
+            int(m)
+            for m in self.backend.list_dir(os.path.join(self.path, "commits"))
+            if m.isdigit()
+        ]
+        return max(ids) + 1
+
+    def claim(self, n: int, uid: str, what: str = "batch") -> None:
+        """Publish batch `n`'s staged `-<uid>` dirs; raises for the
+        loser of a concurrent race (its dirs are unreferenced — retry)."""
+        if not self.backend.put_if_absent(self.marker(n), uid.encode()):
+            raise ConcurrentAppendError(
+                f"{what} {n} at {self.path} was committed by another writer; "
+                "this append's staged dirs are unreferenced — retry"
+            )

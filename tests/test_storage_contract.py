@@ -150,8 +150,8 @@ class TestIndexesOnFake:
         # lands first.  Pin our id computation to model the interleaving
         # (in real time the rival commits between our _next_batch_id and
         # our put_if_absent).
-        assert be.put_if_absent(idx._commit_marker(1), b"")
-        idx._next_batch_id = lambda: 1
+        assert be.put_if_absent(idx._log.marker(1), b"")
+        idx._log.next_batch_id = lambda table: 1
         with pytest.raises(ConcurrentAppendError):
             idx.append_batch(
                 emb.withColumn("vec_id", F.col("vec_id") + 10_000)
@@ -167,8 +167,8 @@ class TestIndexesOnFake:
         assert be.list_dir(str(tmp_path / "mh" / "commits")) == ["0"]
         # rival's marker for id 1 lands between our id computation and
         # our commit -> loud failure, no interleaving
-        assert be.put_if_absent(idx._commit_marker(1), b"")
-        idx._next_batch_id = lambda: 1
+        assert be.put_if_absent(idx._log.marker(1), b"")
+        idx._log.next_batch_id = lambda table: 1
         with pytest.raises(ConcurrentAppendError):
             idx.append_batch(
                 docs.withColumn("doc_id", F.col("doc_id") + 10_000)
@@ -193,12 +193,12 @@ class TestIndexesOnFake:
         n_committed = sh.count()
         for table in ("buckets", "shingles"):
             (tmp_path / "mh" / table / "batch=1").mkdir(parents=True, exist_ok=True)
-        assert idx._next_batch_id() == 2  # dir present -> id burned
+        assert idx._log.next_batch_id("buckets") == 2  # dir present -> id burned
         assert (
             idx._read("shingles", "id long, h64 long").count() == n_committed
         ), "uncommitted batch leaked into reads"
         idx.append_batch(crashed).count()
-        assert be.exists(idx._commit_marker(2))
+        assert be.exists(idx._log.marker(2))
 
 
 class TestMergeRetry:
