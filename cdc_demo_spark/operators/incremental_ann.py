@@ -84,19 +84,9 @@ class IvfIndex:
 
     def _committed_batches(self) -> list[str]:
         """Marker-published batch dirs, plus legacy ``_COMMITTED``
-        dirs for indexes written before the scheme."""
-        out = self._log.committed_batches("vectors")
-        root = os.path.join(self.path, "vectors")
-        if os.path.isdir(root):  # legacy layout
-            out += [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith("batch=")
-                and "-" not in d
-                and os.path.exists(os.path.join(root, d, "_COMMITTED"))
-                and os.path.join(root, d) not in out
-            ]
-        return sorted(out)
+        dirs for indexes written before the scheme (legacy filter
+        shared on BatchCommitLog with MinHashIndex)."""
+        return self._log.committed_batches("vectors", include_legacy=True)
 
     def centroids(self) -> DataFrame:
         if not os.path.isdir(self._centroids_path):

@@ -99,19 +99,10 @@ class MinHashIndex:
 
     def _committed_batches(self, table: str) -> list[str]:
         """Marker-published batch dirs, plus legacy per-table
-        ``_COMMITTED`` dirs for indexes written before the scheme."""
-        out = self._log.committed_batches(table)
-        root = os.path.join(self.path, table)
-        if os.path.isdir(root):  # legacy layout
-            out += [
-                os.path.join(root, d)
-                for d in os.listdir(root)
-                if d.startswith("batch=")
-                and "-" not in d
-                and os.path.exists(os.path.join(root, d, "_COMMITTED"))
-                and os.path.join(root, d) not in out
-            ]
-        return sorted(out)
+        ``_COMMITTED`` dirs for indexes written before the scheme
+        (the legacy filter lives on BatchCommitLog, shared with
+        IvfIndex)."""
+        return self._log.committed_batches(table, include_legacy=True)
 
     def _read(self, table: str, schema: str) -> DataFrame:
         dirs = self._committed_batches(table)
@@ -175,9 +166,18 @@ class MinHashIndex:
         # probed buckets' occupancy.  Combined counts are unchanged:
         # the semi-join keeps EVERY stored row of a probed bucket.
         probe_keys = new_buckets.select("band", "bucket").distinct()
-        relevant_old = old_buckets.join(
-            F.broadcast(probe_keys), ["band", "bucket"], "left_semi"
-        )
+        # The broadcast hint bypasses Spark's size guard, so gate it on
+        # the batch's actual key volume: |new_buckets| = |batch|·bands
+        # (cached above, so the count is cheap) bounds the distinct key
+        # set.  A typical delta (5k docs × 16 bands = 80k keys) rides
+        # the map-side semi-join; a huge batch (multi-million docs)
+        # falls back to a plain semi-join — slower but shuffle-planned,
+        # instead of forcing a multi-GB broadcast that would exceed the
+        # 8 GB hard limit or OOM the driver.  AQE can still promote the
+        # fallback to broadcast at runtime if stats allow.
+        if new_buckets.count() <= 4_000_000:
+            probe_keys = F.broadcast(probe_keys)
+        relevant_old = old_buckets.join(probe_keys, ["band", "bucket"], "left_semi")
         relevant = relevant_old.unionByName(new_buckets)
         # skew guard over the COMBINED occupancy (a bucket that was fine
         # at batch 0 can be degenerate by batch 40)

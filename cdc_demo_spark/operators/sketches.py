@@ -89,9 +89,17 @@ def bloom_build(
     At 100 TB you persist this table once per corpus generation and
     every later batch probes it map-side (AQE broadcasts it up to the
     configured threshold; beyond that the word-key equi-join
-    co-partitions probe positions against it)."""
+    co-partitions probe positions against it).
+
+    NULL values are dropped — md5(NULL) is NULL, which would persist a
+    junk (word=NULL, bits=NULL) row violating the packed-word contract
+    (every stored word positive, every bits non-null).  The membership
+    semantics are "NULL is never a member"; probe mirrors this."""
     return (
-        _positions(df.select(F.col(value_col)), value_col, num_bits, num_hashes)
+        _positions(
+            df.select(F.col(value_col)).filter(F.col(value_col).isNotNull()),
+            value_col, num_bits, num_hashes,
+        )
         .select(
             (F.col("pos") / BITS_PER_WORD).cast("long").alias("word"),
             # expr: PySpark's shiftleft() only takes a literal shift
@@ -119,14 +127,22 @@ def bloom_probe(
     value always probes the same bits.
 
     Plan shape: positions LEFT JOIN bloom on word (bloom side is
-    sketch-sized → broadcast), then a groupBy back onto the probe row's
-    own columns.  The probe table itself is never shuffled wider than
-    its distinct (row, position) explode."""
+    sketch-sized → broadcast), then a groupBy back onto a synthetic
+    per-row id, so DUPLICATE probe rows stay duplicates — output is
+    exactly one row per input row (a caller probing per-occurrence
+    rows keeps its multiplicities; earlier revisions grouped by the
+    probe columns and silently collapsed them).  The probe table
+    itself is never shuffled wider than its per-row distinct-position
+    explode.  A NULL value hashes nowhere and reports
+    ``bloom_member = false`` (mirrors build, which never admits
+    NULL)."""
     cols = probe.columns
+    rid = "__bloom_probe_rid"
     pos = (
-        _positions(probe, value_col, num_bits, num_hashes)
-        .select(*cols, "pos")
-        .distinct()
+        _positions(probe.withColumn(rid, F.monotonically_increasing_id()),
+                   value_col, num_bits, num_hashes)
+        .select(rid, *cols, "pos")
+        .distinct()  # per-ROW distinct positions (rid keeps rows apart)
         .withColumn("word", (F.col("pos") / BITS_PER_WORD).cast("long"))
     )
     hit = F.expr(
@@ -135,9 +151,10 @@ def bloom_probe(
     )
     return (
         pos.join(bloom, "word", "left")
-        .select(*cols, hit.alias("hit"))
-        .groupBy(*cols)
-        .agg((F.min("hit") == 1).alias("bloom_member"))
+        .select(rid, *cols, hit.alias("hit"))
+        .groupBy(rid, *cols)
+        .agg(F.coalesce(F.min("hit") == 1, F.lit(False)).alias("bloom_member"))
+        .drop(rid)
     )
 
 
@@ -154,10 +171,14 @@ def countmin_build(
     Each input row adds its weight (default 1) to one cell per row j;
     the groupBy onto (j, cell) is the only shuffle and its key space is
     the sketch grid.  Absent cells are zero (probe coalesces), so the
-    stored table is at most grid-sized however large the corpus."""
+    stored table is at most grid-sized however large the corpus.
+    NULL values are dropped (a NULL hashes to cell NULL — a junk grid
+    row); the frequency semantics are "NULL is never counted", and
+    estimate mirrors this with est = 0 for NULL probes."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     return (
         df.select(F.col(value_col), w.alias("w"))
+        .filter(F.col(value_col).isNotNull())
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
@@ -185,15 +206,22 @@ def countmin_estimate(
     (heavy hitters) are deterministic and oracle-checkable.
 
     Plan: explode depth rows per value, equi-join (j, cell) against the
-    grid-sized sketch (broadcast in practice), min back per row."""
+    grid-sized sketch (broadcast in practice), min back per row — the
+    group key is a synthetic per-row id, so duplicate input rows each
+    get their own output row (multiplicity preserved; see bloom_probe).
+    A NULL value hashes nowhere and estimates 0 (mirrors build, which
+    never counts NULL)."""
     cols = values.columns
+    rid = "__cms_probe_rid"
     return (
-        values.select(
+        values.withColumn(rid, F.monotonically_increasing_id())
+        .select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
         )
         .withColumn("cell", md5_position(F.col(value_col), F.col("j"), width))
         .join(cms, ["j", "cell"], "left")
-        .select(*cols, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
-        .groupBy(*cols)
+        .select(rid, *cols, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(rid, *cols)
         .agg(F.min("cnt").alias("est"))
+        .drop(rid)
     )

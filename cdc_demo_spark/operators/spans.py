@@ -76,30 +76,60 @@ def duplicated_positions(
     n: int = 5,
     keep_first: bool = False,
     hashed: bool = False,
+    plan: str = "window",
 ) -> DataFrame:
     """(id, pos) sites whose gram occurs at >= 2 sites corpus-wide.
     With ``keep_first`` the globally-first site per gram
     (min (id, pos)) is EXCLUDED — those are the copies removal
-    preserves."""
+    preserves.
+
+    Two physical plans compute the same answer (equality
+    hypothesis-pinned in tests/test_spans_hypothesis.py):
+
+    - ``plan="window"`` (default): ONE gram-partitioned window pass —
+      both occ and the keep-first rank come out of one shuffle + one
+      spillable sort of ~O(tokens) hashed-long rows.  Measured 30 s vs
+      107 s at 200k docs / 35M sites, because the join-back variant
+      recomputed the tokenize/gram/hash pass for its probe side and
+      planned a second sort-merge shuffle.  Its weakness: a window
+      partition is AQE-UNSPLITTABLE, so one viral boilerplate gram
+      (millions of sites) is a straggler task.
+    - ``plan="join"``: aggregate the duplicated-gram table (partial
+      aggregation collapses a hot gram map-side), then join it back to
+      the site rows.  Costs the recomputation above, but the join's
+      partitions CAN be split/broadcast by AQE, so it degrades
+      gracefully on skewed corpora.  The 100 TB hybrid — route hot
+      grams to the join plan, cold ones to the window — is documented
+      in SCALE.md; at fixture grains either plan alone is exact.
+    """
     g = ngram_positions(df, id_col, text_col, n, hashed)
-    # One gram-partitioned window, not aggregate-then-join-back: both
-    # shuffle all ~O(tokens) site rows once, but the join-back variant
-    # RECOMPUTES the tokenize/gram/hash pass for the probe side and (at
-    # measured scale) planned a second sort-merge shuffle instead of
-    # broadcasting the duplicated-gram table — 107 s vs 30 s at 200k
-    # docs / 35M sites.  The window's per-partition sort is on hashed
-    # longs and spillable; occ and the keep-first rank come out of the
-    # same sorted pass for free.
-    w = Window.partitionBy("gram")
-    marked = g.select(
-        "id",
-        "pos",
-        F.count(F.lit(1)).over(w).alias("occ"),
-        F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
-    ).filter(F.col("occ") >= 2)
-    if keep_first:
-        marked = marked.filter(F.col("rn") > 1)
-    return marked.select("id", "pos")
+    if plan == "window":
+        w = Window.partitionBy("gram")
+        marked = g.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("occ"),
+            F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+        ).filter(F.col("occ") >= 2)
+        if keep_first:
+            marked = marked.filter(F.col("rn") > 1)
+        return marked.select("id", "pos")
+    if plan == "join":
+        dup = (
+            g.groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.min(F.struct("id", "pos")).alias("first"),
+            )
+            .filter(F.col("occ") >= 2)
+        )
+        marked = g.join(dup, "gram")
+        if keep_first:
+            marked = marked.filter(
+                (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+            )
+        return marked.select("id", "pos")
+    raise ValueError(f"unknown plan {plan!r}; expected 'window' or 'join'")
 
 
 def duplicated_spans(
@@ -109,13 +139,14 @@ def duplicated_spans(
     n: int = 5,
     keep_first: bool = False,
     hashed: bool = False,
+    plan: str = "window",
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start,
     span_end, span_tokens) over 1-based token indices.  A duplicated
     position ``j`` covers tokens [j, j+n-1]; spans merge while the
     next start is inside-or-adjacent to the running span
     (gaps-and-islands: new island iff pos - prev_pos > n)."""
-    dup = duplicated_positions(df, id_col, text_col, n, keep_first, hashed)
+    dup = duplicated_positions(df, id_col, text_col, n, keep_first, hashed, plan)
     wd = Window.partitionBy("id").orderBy("pos")
     island = F.sum(
         F.when(F.col("pos") - F.lag("pos").over(wd) > n, 1).otherwise(0)
@@ -137,7 +168,12 @@ def duplicated_spans(
 
 
 def remove_duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, hashed: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    hashed: bool = False,
+    plan: str = "window",
 ) -> DataFrame:
     """Cut every duplicated passage except its globally-first
     occurrence (Lee et al.'s keep-one policy): tokens covered by any
@@ -150,7 +186,9 @@ def remove_duplicated_spans(
     output-bound; the rebuild is one per-doc aggregate (array_sort on
     (idx, token) structs, so order restoration never relies on
     collect_list's nondeterministic ordering)."""
-    removable = duplicated_positions(df, id_col, text_col, n, keep_first=True, hashed=hashed)
+    removable = duplicated_positions(
+        df, id_col, text_col, n, keep_first=True, hashed=hashed, plan=plan
+    )
     covered = (
         removable.select(
             "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")

@@ -59,9 +59,12 @@ _ORACLE_SHINGLES = """
 """
 
 
-@register(
-    "q_bloom_decontamination",
-    oracle=f"""
+# ONE oracle text for both bloom queries: q_incremental_bloom's merged
+# two-batch state is bit-identical to the one-shot build (bit_or
+# associativity), so both Spark paths must hash-match the SAME SQL —
+# sharing the constant keeps any future tweak atomically consistent
+# across the pair.
+_BLOOM_ORACLE = f"""
 WITH bsh AS (
   SELECT DISTINCT sh FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 = 0")})
 ),
@@ -97,8 +100,10 @@ SELECT doc_id,
 FROM member
 GROUP BY doc_id
 ORDER BY doc_id
-""",
-)
+"""
+
+
+@register("q_bloom_decontamination", oracle=_BLOOM_ORACLE)
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination through a Bloom filter: every 50th
     doc stands in for the historical/eval corpus, a 4096-bit k=4 bloom
@@ -210,49 +215,14 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_incremental_bloom",
-    # SAME oracle as q_bloom_decontamination: the index admits the
-    # benchmark set in TWO batches, and bit_or associativity makes the
-    # merged state BIT-IDENTICAL to the one-shot build — so a stateful
-    # incremental operator gets a full value-exact oracle, not the
-    # usual rows-only record (contrast q_incremental_minhash, whose
-    # equality carries a bucket-cap caveat and stays pytest-proven).
-    oracle=f"""
-WITH bsh AS (
-  SELECT DISTINCT sh FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 = 0")})
-),
-bpos AS (
-  SELECT DISTINCT
-    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
-      % {BLOOM_BITS} AS pos
-  FROM bsh CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
-),
-bloom AS (
-  SELECT pos // 63 AS word,
-         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
-  FROM bpos GROUP BY pos // 63
-),
-cpos AS (
-  SELECT DISTINCT doc_id, sh,
-    CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT)
-      % {BLOOM_BITS} AS pos
-  FROM ({_ORACLE_SHINGLES.format(where="WHERE doc_id % 50 <> 0")})
-  CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) ii
-),
-member AS (
-  SELECT doc_id, sh,
-         MIN(CASE WHEN ((COALESCE(bits, 0) >> CAST(pos % 63 AS INTEGER)) & 1) = 1
-                  THEN 1 ELSE 0 END) AS m
-  FROM cpos LEFT JOIN bloom ON pos // 63 = word
-  GROUP BY doc_id, sh
-)
-SELECT doc_id,
-       COUNT(*) AS n_sh,
-       CAST(SUM(m) AS BIGINT) AS n_hits,
-       ROUND(SUM(m) * 1.0 / COUNT(*), 6) AS hit_frac
-FROM member
-GROUP BY doc_id
-ORDER BY doc_id
-""",
+    # SAME oracle as q_bloom_decontamination (shared constant): the
+    # index admits the benchmark set in TWO batches, and bit_or
+    # associativity makes the merged state BIT-IDENTICAL to the
+    # one-shot build — so a stateful incremental operator gets a full
+    # value-exact oracle, not the usual rows-only record (contrast
+    # q_incremental_minhash, whose equality carries a bucket-cap
+    # caveat and stays pytest-proven).
+    oracle=_BLOOM_ORACLE,
 )
 def q_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-crawl decontamination against a PERSISTED, batch-grown

@@ -263,8 +263,12 @@ class BatchCommitLog:
     def marker(self, n: int) -> str:
         return os.path.join(self.path, "commits", str(n))
 
-    def committed_batches(self, table: str) -> list[str]:
-        """Batch dirs of `table` published by a commit marker."""
+    def committed_batches(self, table: str, include_legacy: bool = False) -> list[str]:
+        """Batch dirs of `table` published by a commit marker.  With
+        ``include_legacy``, also pre-marker ``batch=<n>/_COMMITTED``
+        dirs (indexes written before the marker scheme) — the filter
+        lives HERE, once, so the readers that accept old layouts
+        (MinHashIndex, IvfIndex) can't drift apart."""
         root = os.path.join(self.path, table)
         out = []
         for m in self.backend.list_dir(os.path.join(self.path, "commits")):
@@ -274,6 +278,15 @@ class BatchCommitLog:
             d = os.path.join(root, f"batch={m}-{uid}" if uid else f"batch={m}")
             if os.path.isdir(d):
                 out.append(d)
+        if include_legacy and os.path.isdir(root):
+            out += [
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("batch=")
+                and "-" not in d  # uuid-staged dirs are marker-published only
+                and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+                and os.path.join(root, d) not in out
+            ]
         return sorted(out)
 
     def next_batch_id(self, table: str) -> int:

@@ -103,3 +103,44 @@ def test_countmin_unseen_value_estimates_from_collisions_only(spark):
     est = SK.countmin_estimate(unseen, "v", cms, depth=4, width=1 << 16).collect()
     # wide grid -> almost surely no collision on all 4 rows -> 0
     assert est[0].est == 0
+
+
+def test_probes_preserve_duplicate_input_rows(spark, values):
+    # a caller probing per-OCCURRENCE rows must get one output row per
+    # input row, duplicates included (earlier revisions grouped by the
+    # probe columns and silently collapsed multiplicity)
+    members, _ = values
+    dup = spark.createDataFrame([("in-1",), ("in-1",), ("in-1",), ("out-x",)], "v string")
+    bloom = SK.bloom_build(members, "v", num_bits=8192, num_hashes=4)
+    probed = SK.bloom_probe(dup, "v", bloom, num_bits=8192, num_hashes=4).collect()
+    assert len(probed) == 4
+    assert sum(r.bloom_member for r in probed if r.v == "in-1") == 3
+
+    cms = SK.countmin_build(members, "v", depth=3, width=1 << 14)
+    est = SK.countmin_estimate(dup, "v", cms, depth=3, width=1 << 14).collect()
+    assert len(est) == 4
+    assert all(r.est == 1 for r in est if r.v == "in-1")
+
+
+def test_null_values_never_stored_never_members(spark, values):
+    # NULL drops at build (no junk word=NULL rows; packed-word contract
+    # holds) and probes as not-a-member / est=0
+    members, _ = values
+    with_null = members.unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    bloom = SK.bloom_build(with_null, "v", num_bits=8192, num_hashes=4)
+    assert bloom.filter(F.col("word").isNull() | F.col("bits").isNull()).count() == 0
+    probed = SK.bloom_probe(
+        spark.createDataFrame([(None,), ("in-1",)], "v string"),
+        "v", bloom, num_bits=8192, num_hashes=4,
+    ).collect()
+    by_v = {r.v: r.bloom_member for r in probed}
+    assert by_v[None] is False and by_v["in-1"] is True
+
+    cms = SK.countmin_build(with_null, "v", depth=3, width=1 << 14)
+    assert cms.filter(F.col("cell").isNull()).count() == 0
+    est = SK.countmin_estimate(
+        spark.createDataFrame([(None,)], "v string"), "v", cms, depth=3, width=1 << 14
+    ).collect()
+    assert est[0].est == 0
