@@ -137,9 +137,11 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_countmin_heavy_hitters",
-    oracle=f"""
+# Shared by q_countmin_heavy_hitters and q_incremental_countmin: cell
+# counts SUM-merge over a disjoint batch split, so the index's merged
+# grid is bit-identical to the one-shot build and both queries must
+# hash-match the same SQL.
+_CMS_ORACLE = f"""
 WITH g AS (
   SELECT toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
   FROM (SELECT string_split(text, ' ') AS toks FROM documents) t,
@@ -169,8 +171,10 @@ SELECT e.sh, e.est, x.exact_cnt,
 FROM est e JOIN exact x USING (sh)
 ORDER BY e.est DESC, e.sh
 LIMIT 40
-""",
-)
+"""
+
+
+@register("q_countmin_heavy_hitters", oracle=_CMS_ORACLE)
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter 3-grams (boilerplate phrases) via a Count-Min
     sketch, with the exact count alongside so the sketch's one-sided
@@ -190,14 +194,27 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a checked equality per row.  Top-40 by (est desc, sh) is
     deterministic — the pair is unique per 3-gram."""
     docs = load_table(spark, sf_dir, "documents")
+    grams = _positional_grams(docs)
+    cms = SK.countmin_build(grams, "sh", CMS_DEPTH, CMS_WIDTH)
+    return _heavy_hitters_vs_exact(grams, cms)
+
+
+def _positional_grams(docs: DataFrame) -> DataFrame:
+    """Positional (non-distinct) 3-grams with doc_id — occurrences,
+    the frequency grain Count-Min counts."""
     toks = F.split(F.col("text"), " ")
     idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = docs.select(
-        F.explode(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, 3)))).alias("sh")
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, 3)))).alias("sh"),
     )
-    cms = SK.countmin_build(grams, "sh", CMS_DEPTH, CMS_WIDTH)
+
+
+def _heavy_hitters_vs_exact(grams: DataFrame, cms: DataFrame) -> DataFrame:
+    """Top-40 (est desc, sh) with the exact count alongside — shared
+    output stage of both Count-Min queries."""
     exact = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = SK.countmin_estimate(exact.select("sh"), "sh", cms, CMS_DEPTH, CMS_WIDTH)
     return (
@@ -258,5 +275,42 @@ def q_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             # driver collects AFTER that
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_incremental_countmin",
+    # SAME oracle as q_countmin_heavy_hitters (shared constant): the
+    # index admits the corpus occurrences in TWO batches (doc parity),
+    # and SUM associativity over the disjoint split makes the merged
+    # grid BIT-IDENTICAL to the one-shot build — the second stateful
+    # sketch (after q_incremental_bloom) whose incremental machinery
+    # gets a full value-exact oracle.  A compact() between the probe
+    # and nothing else would change nothing (superseding checkpoint;
+    # tests/test_incremental_countmin.py pins that separately).
+    oracle=_CMS_ORACLE,
+)
+def q_incremental_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter 3-grams against a PERSISTED, batch-grown Count-Min
+    ledger (operators/incremental_countmin.CountMinIndex): occurrences
+    land in two appends split by doc_id parity, the distinct grams
+    probe the merged state.  Output — and oracle — are
+    q_countmin_heavy_hitters's exactly."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_countmin import CountMinIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _positional_grams(docs)
+    tmp = tempfile.mkdtemp(prefix="cms_index_")
+    try:
+        idx = CountMinIndex(spark, os.path.join(tmp, "idx"), CMS_DEPTH, CMS_WIDTH)
+        idx.append_batch(grams.filter(F.col("doc_id") % 2 == 0), "sh")
+        idx.append_batch(grams.filter(F.col("doc_id") % 2 == 1), "sh")
+        # pinned: the temp index dir is deleted on return; the driver
+        # collects AFTER that
+        return _heavy_hitters_vs_exact(grams, idx.cells()).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,164 @@
+"""CountMinIndex (operators/incremental_countmin.py): incremental ==
+one-shot EXACTLY (cell counts add over a disjoint batch split), and —
+the part that differs from BloomIndex — compaction must SUPERSEDE the
+history it merges, because SUM-merging a checkpoint with its own
+inputs double-counts.  Both storage backends.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.incremental_countmin import CountMinIndex
+from cdc_demo_spark.operators.sketches import countmin_build, countmin_estimate
+from cdc_demo_spark.storage import (
+    DEFAULT_BACKEND,
+    ConcurrentAppendError,
+    InMemoryCommitBackend,
+)
+
+DEPTH, WIDTH = 3, 256
+
+
+def _occurrences(spark, start, n):
+    # value i appears (i % 5) + 1 times — multiplicities matter for SUM
+    return (
+        spark.range(start, start + n)
+        .select(
+            F.concat(F.lit("v-"), "id").alias("v"),
+            ((F.col("id") % 5) + 1).cast("int").alias("w"),
+        )
+        .select(F.expr("explode(array_repeat(v, w))").alias("v"))
+    )
+
+
+def _distinct(spark, start, n):
+    return spark.range(start, start + n).select(F.concat(F.lit("v-"), "id").alias("v"))
+
+
+@pytest.fixture(params=["posix", "memory"])
+def be(request):
+    return DEFAULT_BACKEND if request.param == "posix" else InMemoryCommitBackend()
+
+
+def _assert_equals_one_shot(spark, idx, start, n):
+    one_shot = countmin_build(_occurrences(spark, start, n), "v", DEPTH, WIDTH)
+    merged = idx.cells()
+    assert merged.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(merged).count() == 0
+    got = idx.estimate(_distinct(spark, start, n), "v")
+    want = countmin_estimate(_distinct(spark, start, n), "v", one_shot, DEPTH, WIDTH)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_incremental_equals_one_shot_exact(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 120), "v")
+    idx.append_batch(_occurrences(spark, 120, 80), "v")
+    _assert_equals_one_shot(spark, idx, 0, 200)
+
+
+def test_estimates_never_underestimate_across_batches(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 100), "v")
+    idx.append_batch(_occurrences(spark, 100, 100), "v")
+    exact = _occurrences(spark, 0, 200).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    est = idx.estimate(exact.select("v"), "v")
+    assert est.join(exact, "v").filter(F.col("est") < F.col("c")).count() == 0
+
+
+def test_weighted_append_matches_repeated_rows(spark, tmp_path, be):
+    a = CountMinIndex(spark, str(tmp_path / "a"), DEPTH, WIDTH, backend=be)
+    a.append_batch(_occurrences(spark, 0, 100), "v")
+    b = CountMinIndex(spark, str(tmp_path / "b"), DEPTH, WIDTH, backend=be)
+    b.append_batch(
+        spark.range(100).select(
+            F.concat(F.lit("v-"), "id").alias("v"), ((F.col("id") % 5) + 1).alias("w")
+        ),
+        "v",
+        weight_col="w",
+    )
+    assert a.cells().exceptAll(b.cells()).count() == 0
+    assert b.cells().exceptAll(a.cells()).count() == 0
+
+
+def test_empty_index_estimates_zero(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    est = idx.estimate(_distinct(spark, 0, 20), "v").collect()
+    assert all(r.est == 0 for r in est)
+
+
+def test_compact_supersedes_no_double_count(spark, tmp_path, be):
+    # THE CountMin-specific hazard: after compaction the superseded
+    # batch tables still exist on disk — a reader that merged them with
+    # the checkpoint would double every count
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 100), "v")
+    idx.append_batch(_occurrences(spark, 100, 100), "v")
+    before = sorted(map(tuple, idx.cells().collect()))
+    idx.compact()
+    assert sorted(map(tuple, idx.cells().collect())) == before
+    assert len(before) <= DEPTH * WIDTH
+    _assert_equals_one_shot(spark, idx, 0, 200)
+
+
+def test_append_after_compact_sums_on_top(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 100), "v")
+    idx.compact()
+    idx.append_batch(_occurrences(spark, 100, 100), "v")
+    _assert_equals_one_shot(spark, idx, 0, 200)
+    idx.compact()  # second checkpoint covers the post-compact batch
+    _assert_equals_one_shot(spark, idx, 0, 200)
+
+
+def test_compact_with_nothing_new_is_noop(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.compact()  # empty index: no checkpoint claimed
+    assert idx._checkpoint() == (-1, None)
+    idx.append_batch(_occurrences(spark, 0, 50), "v")
+    idx.compact()
+    through, _ = idx._checkpoint()
+    idx.compact()  # same coverage: returns, does not raise
+    assert idx._checkpoint()[0] == through
+
+
+def test_crashed_append_invisible_and_id_burned(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 50), "v")
+    n_cells = idx.cells().count()
+    (tmp_path / "cm" / "cells" / "batch=1").mkdir(parents=True)
+    assert idx.cells().count() == n_cells, "uncommitted batch leaked"
+    assert idx._log.next_batch_id("cells") == 2
+    idx.append_batch(_occurrences(spark, 50, 50), "v")
+    assert idx.backend.exists(idx._log.marker(2))
+
+
+def test_concurrent_same_coverage_compactors_lose_loudly(spark, tmp_path, be):
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 50), "v")
+    # rival claims checkpoint 0 between our listing and our claim
+    import os
+
+    assert be.put_if_absent(os.path.join(idx.path, "checkpoints", "0"), b"dead")
+    with pytest.raises(ConcurrentAppendError):
+        idx.compact()
+
+
+def test_checkpoint_marker_without_data_dir_is_invalid(spark, tmp_path, be):
+    # crash model symmetry: our claim order (data THEN marker) makes
+    # this unreachable from CountMinIndex itself, but a valid reader
+    # must skip a poisoned marker rather than fail or read nothing
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 50), "v")
+    import os
+
+    assert be.put_if_absent(os.path.join(idx.path, "checkpoints", "0"), b"nodir")
+    _assert_equals_one_shot(spark, idx, 0, 50)  # falls back to the batch
+
+
+def test_param_mismatch_raises(spark, tmp_path, be):
+    CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    with pytest.raises(ValueError, match="built with"):
+        CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH * 2, backend=be)
