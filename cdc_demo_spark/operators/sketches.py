@@ -225,3 +225,78 @@ def countmin_estimate(
         .agg(F.min("cnt").alias("est"))
         .drop(rid)
     )
+
+
+def histogram_build(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_buckets: int
+) -> DataFrame:
+    """Fixed-grid equi-width histogram over ``df[value_col]`` as a
+    table ``(bucket int, cnt long)`` with ≤ n_buckets rows — the
+    QUANTILE member of the sketch family (membership=Bloom,
+    frequency=Count-Min, cardinality=HLL).
+
+    Counts merge by SUM, so per-partition/per-batch histograms combine
+    associatively — the engine-portable alternative to
+    ``approx_percentile``, whose t-digest/GK state is engine-specific
+    and therefore can never be oracle-checked (q_approx_percentiles is
+    rows-only for exactly that reason; q_histogram_quantiles is
+    value-exact).  Quantile error is bounded by one bucket width —
+    a CHOSEN budget, not corpus-proportional.
+
+    Values outside [lo, hi) clamp into the edge buckets (they shift
+    those buckets' interpolated estimates; callers pick bounds from
+    domain knowledge or a prior pass).  NULL values are dropped (same
+    contract as the other sketches: NULL is never counted)."""
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_buckets).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, n_buckets: int
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram: one row
+    ``(q double, est double)`` per requested quantile.
+
+    est = lo + (bucket + (q·N − cum_before) / cnt) · width for the
+    first bucket whose cumulative count reaches q·N — linear
+    interpolation inside the bucket, deterministic, and every
+    arithmetic step is engine-portable double math (the DuckDB oracle
+    reproduces it bit-for-bit before the round).  The CDF walk runs on
+    the GRID-sized table (≤ n_buckets rows), so the single-partition
+    ordered window is a driver-scale triviality, never a corpus
+    shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    targets = total.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "n"
+    ).withColumn("target", F.col("q") * F.col("n"))
+    width = float(hi - lo) / n_buckets
+    est = F.lit(float(lo)) + (
+        F.col("bucket") + (F.col("target") - F.col("cum_prev")) / F.col("cnt")
+    ) * F.lit(width)
+    return (
+        targets.join(
+            cum,
+            (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target")),
+        )
+        # no round: every input is an integer count or a literal, so the
+        # scalar double math is bit-identical across engines as-is
+        .select("q", est.alias("est"))
+    )

@@ -54,16 +54,17 @@ _DRIVER_WINDOW_FIRST = [
     # ceiling: r5.
     "q_anti_join",
     "q_asof_join",
-    # q_case_when's r4 refresh yields its slot to q_incremental_countmin
-    # (session-4 new query; standing policy: new queries enter the head
-    # the round they land) — it keeps its r4 record and returns in r8.
+    # q_case_when and q_date_functions yield their refresh slots to the
+    # session-4 new oracle queries q_incremental_countmin and
+    # q_histogram_quantiles (standing policy: new queries enter the
+    # head the round they land) — both keep their r4 records and
+    # return in r8.
     "q_collect_names",
     "q_cosine_topk",
     "q_count_distinct",
     "q_cross_join",
     "q_cube",
     "q_curriculum_buckets",
-    "q_date_functions",
     "q_dedup_clusters",
     "q_except",
     "q_full_outer_join",
@@ -109,6 +110,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_countmin_heavy_hitters",
     "q_incremental_bloom",
     "q_incremental_countmin",
+    "q_histogram_quantiles",
 ]
 
 

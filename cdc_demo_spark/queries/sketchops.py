@@ -314,3 +314,90 @@ def q_incremental_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _heavy_hitters_vs_exact(grams, idx.cells()).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 900.0, 105000.0, 128
+# width exact in binary: 104100 / 128 is a pure 2^-7 shift
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+
+@register(
+    "q_histogram_quantiles",
+    oracle=f"""
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {HIST_LO!r})
+                                   / {HIST_HI - HIST_LO!r} * {HIST_BUCKETS}) AS INTEGER),
+                        0), {HIST_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_prev
+  FROM hist
+),
+targets AS (
+  SELECT u.q AS q, u.q * (SELECT SUM(cnt) FROM hist) AS target
+  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q) u
+),
+est AS (
+  SELECT t.q,
+         {HIST_LO!r} + (c.bucket + (t.target - c.cum_prev) / c.cnt) * {_HIST_W!r} AS est
+  FROM targets t JOIN cum c ON c.cum >= t.target AND c.cum_prev < t.target
+),
+exact AS (
+  -- list-form quantile_cont (scalar params only); parallel unnest zips
+  SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q,
+         unnest(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                              [0.25, 0.5, 0.75, 0.95, 0.99])) AS exact
+  FROM lineitem
+)
+SELECT e.q, e.est, x.exact, ROUND(ABS(e.est - x.exact), 6) AS abs_err
+FROM est e JOIN exact x USING (q)
+ORDER BY e.q
+""",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles from a fixed-grid histogram
+    (operators/sketches.histogram_build/histogram_quantiles), with the
+    exact sorted-data quantile alongside so the one-bucket-width error
+    bound is VISIBLE per row (abs_err < width = 813.28 on a 128-bucket
+    grid over l_extendedprice's domain).
+
+    This is the oracle-checkable counterpart to q_approx_percentiles:
+    approx_percentile's t-digest/GK state is engine-specific, so that
+    query can only ever be rows-only — the histogram's state is plain
+    (bucket, cnt) rows that SUM-merge across partitions/batches, and
+    every estimate is deterministic double math DuckDB reproduces
+    bit-for-bit (no round needed: the CDF counts are integers, so
+    there is no accumulation-order drift).  At 100 TB the build is one
+    scan shuffling ≤ n_buckets rows; the quantile walk touches a
+    grid-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = SK.histogram_build(li, "l_extendedprice", HIST_LO, HIST_HI, HIST_BUCKETS)
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    est = SK.histogram_quantiles(hist, qs, HIST_LO, HIST_HI, HIST_BUCKETS)
+    # percentile's percentage must be foldable: one agg row with all
+    # five, unpivoted to (q, exact)
+    agg = li.agg(
+        *[
+            F.expr(f"percentile(cast(l_extendedprice as double), {q!r})").alias(f"p{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    exact = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(float(q)).alias("q"), F.col(f"p{i}").alias("exact"))
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    return (
+        est.join(exact, "q")
+        .select("q", "est", "exact", F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"))
+        .orderBy("q")
+    )

@@ -144,3 +144,40 @@ def test_null_values_never_stored_never_members(spark, values):
         spark.createDataFrame([(None,)], "v string"), "v", cms, depth=3, width=1 << 14
     ).collect()
     assert est[0].est == 0
+
+
+def test_histogram_merges_and_bounds_quantile_error(spark):
+    # the quantile member of the sketch family: per-split histograms
+    # SUM-merge to the one-shot grid, and every interpolated estimate
+    # is within one bucket width of the exact sorted-data quantile
+    lo, hi, nb = 0.0, 1000.0, 50
+    vals = spark.range(2000).select(((F.col("id") * 37) % 1000).cast("double").alias("v"))
+    one_shot = SK.histogram_build(vals, "v", lo, hi, nb)
+    parts = [
+        SK.histogram_build(vals.filter(F.col("v") % 2 == i), "v", lo, hi, nb)
+        for i in (0, 1)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1]).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(merged).count() == 0
+
+    qs = [0.1, 0.5, 0.9]
+    est = {r.q: r.est for r in SK.histogram_quantiles(one_shot, qs, lo, hi, nb).collect()}
+    exact = vals.agg(
+        *[F.expr(f"percentile(v, {q!r})").alias(f"p{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    width = (hi - lo) / nb
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[i]) <= width, (q, est[q], exact[i])
+
+
+def test_histogram_clamps_out_of_range_and_drops_null(spark):
+    lo, hi, nb = 0.0, 100.0, 10
+    vals = spark.createDataFrame(
+        [(-50.0,), (0.0,), (55.0,), (100.0,), (250.0,), (None,)], "v double"
+    )
+    hist = {r.bucket: r.cnt for r in SK.histogram_build(vals, "v", lo, hi, nb).collect()}
+    # -50 and 0 clamp into bucket 0; 100 and 250 into bucket 9; NULL gone
+    assert hist == {0: 2, 5: 1, 9: 2}
