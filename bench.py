@@ -535,6 +535,50 @@ def time_minhash_index_append_200k(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def time_bloom_200k_decontam(spark) -> float:
+    """Bloom decontamination at the 200k-doc grain — the sketch
+    family's mid-scale point (the oracle queries run on the 500-row
+    fixture): a 2^23-bit k=4 bloom built over the eval slice's distinct
+    3-gram shingles (every 50th doc, ~700k distinct — m sized ~1.44·n·
+    log2(1/fp) for fp≈1%), probed by a 20k-doc corpus slice (~3.5M
+    probe shingles).  Timed span = build + probe + both gate
+    aggregates.  Gates: ZERO false negatives (every eval shingle must
+    report member — the Bloom contract, not a tolerance) and the
+    corpus flagged fraction stays ≤5% (fp budget + the planted
+    near-dup overlap; an unsized or broken filter saturates to ~100%
+    and fails loudly rather than recording a fast-but-wrong time)."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.sketches import bloom_build, bloom_probe
+    from cdc_demo_spark.queries.sketchops import _string_shingles
+
+    m, k = 1 << 23, 4
+    docs = _doc_corpus(spark)
+    t0 = time.perf_counter()
+    eval_sh = (
+        _string_shingles(docs.filter(F.col("doc_id") % 50 == 0))
+        .select("sh").distinct().localCheckpoint(eager=True)  # shared: build + FN gate
+    )
+    bloom = bloom_build(eval_sh, "sh", m, k).localCheckpoint(eager=True)
+    n_fn = (
+        bloom_probe(eval_sh, "sh", bloom, m, k)
+        .filter(~F.col("bloom_member")).count()
+    )
+    corpus_sh = _string_shingles(
+        docs.filter((F.col("doc_id") % 50 != 0) & (F.col("doc_id") < 20_000))
+    )
+    probed = bloom_probe(corpus_sh, "sh", bloom, m, k)
+    agg = probed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bloom_member").cast("long")).alias("hits"),
+    ).collect()[0]
+    dt = round(time.perf_counter() - t0, 3)
+    assert n_fn == 0, f"{n_fn} false negatives — Bloom contract broken"
+    frac = agg["hits"] / agg["n"]
+    assert frac <= 0.05, f"flagged fraction {frac:.4f} exceeds the fp budget"
+    return dt
+
+
 def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
     """Exactly-once JDBC warehouse ingest (streaming/jdbc_sink.py)
     end-to-end against embedded Derby: the sf events envelope in 3
@@ -828,6 +872,7 @@ def main() -> None:
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
+        ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
         ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
         ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
     ):

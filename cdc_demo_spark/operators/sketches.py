@@ -119,12 +119,16 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test: ``probe`` columns + boolean ``bloom_member``.
 
-    A value is a member iff ALL of its k DISTINCT positions have their
-    bit set (two hash functions may collide on one position — counting
-    that position twice would let k-1 set bits pass, so distinct
-    first).  No false negatives by construction; false positives at the
-    classical (1 - e^{-kn/m})^k rate, deterministically — the same
-    value always probes the same bits.
+    A value is a member iff ALL of its k positions have their bit set,
+    tested as min(hit) == 1 — the min over the k probes equals the min
+    over their DISTINCT positions even when two hash functions collide
+    on one position, so no dedup pass is needed (a sum(hit) == k test
+    WOULD need one: counting a position twice would let k-1 set bits
+    pass.  An earlier revision paid a full-width distinct shuffle of
+    the exploded probe table for exactly that reason).  No false
+    negatives by construction; false positives at the classical
+    (1 - e^{-kn/m})^k rate, deterministically — the same value always
+    probes the same bits.
 
     Plan shape: positions LEFT JOIN bloom on word (bloom side is
     sketch-sized → broadcast), then a groupBy back onto a synthetic
@@ -142,7 +146,6 @@ def bloom_probe(
         _positions(probe.withColumn(rid, F.monotonically_increasing_id()),
                    value_col, num_bits, num_hashes)
         .select(rid, *cols, "pos")
-        .distinct()  # per-ROW distinct positions (rid keeps rows apart)
         .withColumn("word", (F.col("pos") / BITS_PER_WORD).cast("long"))
     )
     hit = F.expr(
