@@ -40,33 +40,34 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-7 window head.  Standing policy: new queries enter the
-    # head the round they land; earlier-round green rows keep their
-    # records.  Most r7 surface (ann_scale tile GEMM, arrow
-    # SemanticIndex, synth corpora) is measured by the 1M/200k bench
-    # entries and pytest equality/recall gates; its toy-scale twins
-    # q_semantic_dedup_ann / q_semantic_dedup_int8 already carry the
-    # driver records.  The window therefore holds: the 46 oracle
-    # queries whose newest driver-green is r4 (computed from the
-    # CORRECTNESS_r01..r06 union), two alphabetically-first r5-green
-    # refreshes, and the round's TWO new oracle queries (the
-    # passage-level span-dedup pair, at the end).  Post-r7 staleness
-    # ceiling: r5.
+    # Round-7 window head, final: computed by tools/window_staleness.py
+    # (stalest-first from the CORRECTNESS_r01..r06 union) — the 7
+    # never-driver-checked oracle queries this round added (span pair,
+    # bloom/cms sketches, incremental bloom/cms, histogram quantiles)
+    # followed by the 43 stalest r4-green refreshes.  Three r4-stale
+    # queries beyond the 50-slot cap and the displaced r5/r6-green
+    # anchors keep their records and rotate in r8 (the tool prints the
+    # suggested r8 head).
+    "q_bloom_decontamination",
+    "q_countmin_heavy_hitters",
+    "q_duplicated_spans",
+    "q_histogram_quantiles",
+    "q_incremental_bloom",
+    "q_incremental_countmin",
+    "q_remove_duplicated_spans",
     "q_anti_join",
     "q_asof_join",
-    # q_case_when and q_date_functions yield their refresh slots to the
-    # session-4 new oracle queries q_incremental_countmin and
-    # q_histogram_quantiles (standing policy: new queries enter the
-    # head the round they land) — both keep their r4 records and
-    # return in r8.
+    "q_case_when",
     "q_collect_names",
     "q_cosine_topk",
     "q_count_distinct",
     "q_cross_join",
     "q_cube",
     "q_curriculum_buckets",
+    "q_date_functions",
     "q_dedup_clusters",
     "q_except",
+    "q_filter_predicates",
     "q_full_outer_join",
     "q_fuzzy_name_pairs_d2",
     "q_grouped_median",
@@ -97,20 +98,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_text_quality",
     "q_tfidf_top_terms",
     "q_top_orders",
-    "q_tumbling_window",
-    "q_union_all",
-    "q_user_sessions",
-    # The session-3 sketch queries displace the last two r5 refreshes
-    # (q_array_functions, q_bpe_token_count keep their r5 records)
-    # and one r4 refresh (q_filter_predicates); the displaced return
-    # in the r8 rotation with the rest of their cohorts.
-    "q_duplicated_spans",
-    "q_remove_duplicated_spans",
-    "q_bloom_decontamination",
-    "q_countmin_heavy_hitters",
-    "q_incremental_bloom",
-    "q_incremental_countmin",
-    "q_histogram_quantiles",
 ]
 
 
