@@ -21,23 +21,28 @@ merged (re-ORing is a no-op).  SUM is not — a compacted table summed
 with its own inputs double-counts every cell.  So compaction here is a
 CHECKPOINT that supersedes coverage instead of joining it:
 
-- ``compact()`` merges batches 0..k into ``checkpoint_data/
-  through=<k>-<uid>`` and claims marker ``checkpoints/<k>`` via
-  put-if-absent (losers of a same-coverage race fail loudly and their
-  data dir is unreferenced garbage);
-- readers take the HIGHEST valid checkpoint plus only the cell batches
-  with id > its coverage — the superseded batch dirs stay on disk for
-  in-flight readers but are never merged with the checkpoint that
-  already contains them.  Reclaiming them is a separate GC decision
-  once no pre-compaction reader can remain (same contract as the
-  silver manifest's bucket-version GC, streaming/merge.py).
+- ``compact()`` merges one consistent listing of committed batches
+  into ``checkpoint_data/ckpt=<seq>-<uid>`` and claims marker
+  ``checkpoints/<seq>`` via put-if-absent, whose CONTENT records the
+  exact batch-id SET the checkpoint merged (losers of a same-seq race
+  fail loudly and their data dir is unreferenced garbage);
+- readers take the HIGHEST valid checkpoint plus every committed cell
+  batch OUTSIDE its covered set — the superseded batch dirs stay on
+  disk for in-flight readers but are never merged with the checkpoint
+  that already contains them.  Reclaiming them is a separate GC
+  decision once no pre-compaction reader can remain (same contract as
+  the silver manifest's bucket-version GC, streaming/merge.py).
 
-An append racing a compaction is safe by construction: the checkpoint
-claims exactly the coverage its read observed, so a batch landing
-between the compactor's read and its claim has an id above the
-coverage and stays visible.  Parameters (depth, width) are frozen into
-``_meta.json``; estimating with different parameters than the stored
-cells would silently produce garbage, so mismatches raise.
+Recording the covered SET (not a high-water id) is what makes any
+append/compaction interleaving lossless: a batch landing after the
+compactor's listing — including a STALLED appender claiming an id
+below the checkpoint's highest merged id (its id was burned by
+next_batch_id long before its claim) — is outside the set and stays
+readable.  A coverage-threshold design would drop that batch's counts
+silently, breaking the never-underestimate contract.  Parameters
+(depth, width) are frozen into ``_meta.json``; estimating with
+different parameters than the stored cells would silently produce
+garbage, so mismatches raise.
 """
 
 from __future__ import annotations
@@ -82,38 +87,60 @@ class CountMinIndex:
 
     # -- storage ------------------------------------------------------
 
-    def _checkpoint(self) -> tuple[int, str | None]:
-        """(coverage, data dir) of the highest valid checkpoint, or
-        (-1, None).  Valid = marker exists AND its uid-named data dir
-        does (a crashed compactor leaves neither or an unreferenced
-        dir — never a marker pointing at missing data, since the
-        marker is claimed last)."""
+    def _checkpoint(self) -> tuple[int, str | None, frozenset[int]]:
+        """(seq, data dir, covered batch ids) of the highest valid
+        checkpoint, or (-1, None, ∅).  Valid = marker exists AND its
+        uid-named data dir does (the marker is claimed after the data
+        write, so the class itself never produces a marker pointing at
+        missing data; an externally poisoned marker is skipped, never
+        fatal).
+
+        Checkpoints record the EXACT batch-id set they merged, not a
+        high-water coverage: a stalled appender can commit a batch id
+        BELOW a later checkpoint's high-water mark (its id was burned
+        by next_batch_id before it claimed), and a coverage-threshold
+        reader would silently drop those counts forever — breaking the
+        never-underestimate contract.  With the explicit set, any
+        committed batch the checkpoint did not merge stays readable,
+        whatever its id."""
         root = os.path.join(self.path, "checkpoints")
-        best, best_dir = -1, None
+        best, best_dir, covered = -1, None, frozenset()
         for m in self.backend.list_dir(root):
             if not m.isdigit() or int(m) <= best:
                 continue
-            uid = self.backend.read(os.path.join(root, m)).decode()
-            d = os.path.join(self.path, "checkpoint_data", f"through={m}-{uid}")
+            try:
+                meta = json.loads(self.backend.read(os.path.join(root, m)))
+                uid, ids = meta["uid"], frozenset(meta["covered"])
+            except (ValueError, KeyError, TypeError):
+                continue  # poisoned marker: skip (its seq stays burned)
+            d = os.path.join(self.path, "checkpoint_data", f"ckpt={m}-{uid}")
             if os.path.isdir(d):
-                best, best_dir = int(m), d
-        return best, best_dir
+                best, best_dir, covered = int(m), d, ids
+        return best, best_dir, covered
 
-    def _state_dirs(self) -> tuple[int, list[str]]:
-        """One consistent listing: (highest batch id observed, the
-        dirs that together hold the state) = newest checkpoint + cell
-        batches above its coverage.  compact() checkpoints FROM this
-        exact listing, so a batch landing after it stays out of both
-        the merged data and the claimed coverage."""
-        through, ckpt_dir = self._checkpoint()
-        top = through
+    def _next_checkpoint_seq(self) -> int:
+        """max over ALL digit-named markers (valid or poisoned — a
+        burned seq is never reused) + 1."""
+        root = os.path.join(self.path, "checkpoints")
+        seqs = [int(m) for m in self.backend.list_dir(root) if m.isdigit()]
+        return max(seqs, default=-1) + 1
+
+    def _state_dirs(self) -> tuple[list[str], frozenset[int], list[int]]:
+        """One consistent listing: (dirs that together hold the state,
+        the checkpoint's covered set, the uncovered committed batch
+        ids).  State = newest checkpoint + every committed batch NOT in
+        its covered set.  compact() checkpoints FROM this exact
+        listing, so a batch landing after it stays out of both the
+        merged data and the claimed covered set."""
+        _, ckpt_dir, covered = self._checkpoint()
         dirs = [] if ckpt_dir is None else [ckpt_dir]
+        fresh = []
         for d in self._log.committed_batches("cells"):
             n = int(os.path.basename(d).split("=")[1].split("-")[0])
-            if n > through:
+            if n not in covered:
                 dirs.append(d)
-                top = max(top, n)
-        return top, dirs
+                fresh.append(n)
+        return dirs, covered, fresh
 
     def _merged(self, dirs: list[str]) -> DataFrame:
         if not dirs:
@@ -126,10 +153,10 @@ class CountMinIndex:
 
     def cells(self) -> DataFrame:
         """The merged grid: (j int, cell long, cnt long), ≤ depth×width
-        rows.  SUM-merge of the newest checkpoint (if any) with the
-        cell batches ABOVE its coverage; an empty index is an empty
-        frame (every estimate is 0)."""
-        return self._merged(self._state_dirs()[1])
+        rows.  SUM-merge of the newest checkpoint (if any) with every
+        committed cell batch outside its covered set; an empty index is
+        an empty frame (every estimate is 0)."""
+        return self._merged(self._state_dirs()[0])
 
     # -- the operator -------------------------------------------------
 
@@ -157,28 +184,33 @@ class CountMinIndex:
         return countmin_estimate(df, value_col, self.cells(), self.depth, self.width)
 
     def compact(self) -> None:
-        """Checkpoint the merged state through the current highest
-        batch id, superseding (not joining) everything it covers — see
-        the module docstring for why SUM-merge forbids Bloom-style
-        additive compaction.  Same-coverage racers fail loudly."""
+        """Checkpoint the merged state, superseding (not joining) the
+        exact batch set it merged — see the module docstring for why
+        SUM-merge forbids Bloom-style additive compaction.  The claimed
+        marker records covered = previous covered ∪ the batches merged
+        from ONE consistent listing, so a batch committed after the
+        listing (or by a stalled appender, at any id) stays outside the
+        set and remains readable.  Racing compactors serialize on the
+        next marker seq: the loser raises and its data dir is
+        unreferenced garbage."""
         import uuid
 
-        through_old, _ = self._checkpoint()
-        through, dirs = self._state_dirs()
-        if through < 0 or through == through_old:
+        dirs, covered, fresh = self._state_dirs()
+        if not fresh:
             return  # nothing new to cover
         # merged over EXACTLY the listed dirs (not a re-list at action
-        # time), and pinned: a batch landing after this listing stays
-        # out of the checkpoint AND above its claimed coverage
+        # time) and pinned before the write
         merged = self._merged(dirs).localCheckpoint(eager=True)
+        seq = self._next_checkpoint_seq()
         uid = uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(
-            os.path.join(self.path, "checkpoint_data", f"through={through}-{uid}")
+            os.path.join(self.path, "checkpoint_data", f"ckpt={seq}-{uid}")
         )
+        meta = json.dumps({"uid": uid, "covered": sorted(covered | set(fresh))})
         if not self.backend.put_if_absent(
-            os.path.join(self.path, "checkpoints", str(through)), uid.encode()
+            os.path.join(self.path, "checkpoints", str(seq)), meta.encode()
         ):
             raise ConcurrentAppendError(
-                f"checkpoint through={through} at {self.path} was claimed by "
-                "another compactor; this one's data dir is unreferenced"
+                f"checkpoint seq={seq} at {self.path} was claimed by another "
+                "compactor; this one's data dir is unreferenced"
             )

@@ -248,9 +248,13 @@ def histogram_build(
 
     Values outside [lo, hi) clamp into the edge buckets (they shift
     those buckets' interpolated estimates; callers pick bounds from
-    domain knowledge or a prior pass).  NULL values are dropped (same
-    contract as the other sketches: NULL is never counted)."""
-    v = F.col(value_col).cast("double")
+    domain knowledge or a prior pass).  NULL, NaN, and non-castable
+    values are dropped (same contract as the other sketches: junk is
+    never counted — try_cast because ANSI mode makes plain cast THROW
+    on junk strings, and filtering the RAW column alone is not enough:
+    greatest(NULL, 0) skips nulls, so a failed cast or a NaN would
+    silently fold into bucket 0 and skew the low edge)."""
+    v = F.col(value_col).try_cast("double")
     b = F.least(
         F.greatest(
             F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_buckets).cast("int"),
@@ -259,8 +263,8 @@ def histogram_build(
         F.lit(n_buckets - 1),
     )
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(b.alias("bucket"))
+        df.select(v.alias("__v"), b.alias("bucket"))
+        .filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -279,7 +283,15 @@ def histogram_quantiles(
     reproduces it bit-for-bit before the round).  The CDF walk runs on
     the GRID-sized table (≤ n_buckets rows), so the single-partition
     ordered window is a driver-scale triviality, never a corpus
-    shuffle."""
+    shuffle.
+
+    Quantiles must satisfy 0 < q ≤ 1, validated loudly: q = 0's target
+    of 0 satisfies no (cum ≥ target AND cum_prev < target) bucket, so
+    its row would silently VANISH from the output and misalign any
+    caller zipping results to its request list."""
+    bad = [q for q in qs if not 0 < q <= 1]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1]: {bad}")
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

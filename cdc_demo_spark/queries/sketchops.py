@@ -201,14 +201,14 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _positional_grams(docs: DataFrame) -> DataFrame:
     """Positional (non-distinct) 3-grams with doc_id — occurrences,
-    the frequency grain Count-Min counts."""
-    toks = F.split(F.col("text"), " ")
-    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return docs.select(
-        "doc_id",
-        F.explode(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, 3)))).alias("sh"),
+    the frequency grain Count-Min counts.  Delegates to the span-dedup
+    module's gram extractor so the oracle-parity-critical tokenization
+    contract (single-space split, short-doc empty array) lives in ONE
+    place."""
+    from cdc_demo_spark.operators.spans import ngram_positions
+
+    return ngram_positions(docs, "doc_id", "text", n=3).select(
+        F.col("id").alias("doc_id"), F.col("gram").alias("sh")
     )
 
 

@@ -116,12 +116,12 @@ def test_append_after_compact_sums_on_top(spark, tmp_path, be):
 def test_compact_with_nothing_new_is_noop(spark, tmp_path, be):
     idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
     idx.compact()  # empty index: no checkpoint claimed
-    assert idx._checkpoint() == (-1, None)
+    assert idx._checkpoint() == (-1, None, frozenset())
     idx.append_batch(_occurrences(spark, 0, 50), "v")
     idx.compact()
-    through, _ = idx._checkpoint()
-    idx.compact()  # same coverage: returns, does not raise
-    assert idx._checkpoint()[0] == through
+    seq, _, covered = idx._checkpoint()
+    idx.compact()  # everything already covered: returns, does not raise
+    assert idx._checkpoint()[0] == seq and idx._checkpoint()[2] == covered
 
 
 def test_crashed_append_invisible_and_id_burned(spark, tmp_path, be):
@@ -135,27 +135,60 @@ def test_crashed_append_invisible_and_id_burned(spark, tmp_path, be):
     assert idx.backend.exists(idx._log.marker(2))
 
 
-def test_concurrent_same_coverage_compactors_lose_loudly(spark, tmp_path, be):
+def test_concurrent_same_seq_compactors_lose_loudly(spark, tmp_path, be):
     idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
     idx.append_batch(_occurrences(spark, 0, 50), "v")
-    # rival claims checkpoint 0 between our listing and our claim
+    # rival's marker lands between our seq computation and our claim
     import os
 
-    assert be.put_if_absent(os.path.join(idx.path, "checkpoints", "0"), b"dead")
+    assert be.put_if_absent(os.path.join(idx.path, "checkpoints", "0"), b"{}")
+    idx._next_checkpoint_seq = lambda: 0
     with pytest.raises(ConcurrentAppendError):
         idx.compact()
 
 
-def test_checkpoint_marker_without_data_dir_is_invalid(spark, tmp_path, be):
-    # crash model symmetry: our claim order (data THEN marker) makes
-    # this unreachable from CountMinIndex itself, but a valid reader
-    # must skip a poisoned marker rather than fail or read nothing
+def test_stalled_appender_below_checkpoint_seq_stays_readable(spark, tmp_path, be):
+    # THE hazard a coverage-threshold design has: appender stages
+    # batch 1 but stalls before claiming; batch 2 lands (id burned past
+    # 1); a checkpoint merges {0, 2}; the stalled appender then claims
+    # batch 1.  Its counts must still be served — the checkpoint's
+    # covered SET excludes it, whatever its id.
+    import os
+    import uuid
+
+    from cdc_demo_spark.operators.sketches import countmin_build
+
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 60), "v")  # batch 0
+    # zombie stages batch 1's data but has not claimed the marker yet
+    z_uid = uuid.uuid4().hex[:8]
+    countmin_build(_occurrences(spark, 60, 60), "v", DEPTH, WIDTH).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx.path, "cells", f"batch=1-{z_uid}"))
+    idx.append_batch(_occurrences(spark, 120, 80), "v")  # claims batch 2
+    idx.compact()  # covered = {0, 2}
+    assert idx._checkpoint()[2] == frozenset({0, 2})
+    idx._log.claim(1, z_uid)  # zombie wakes and commits
+    _assert_equals_one_shot(spark, idx, 0, 200)  # nothing lost
+    idx.compact()  # next checkpoint absorbs the late batch
+    assert idx._checkpoint()[2] == frozenset({0, 1, 2})
+    _assert_equals_one_shot(spark, idx, 0, 200)
+
+
+def test_poisoned_checkpoint_marker_skipped_and_seq_burned(spark, tmp_path, be):
+    # our claim order (data THEN marker) makes a dangling marker
+    # unreachable from CountMinIndex itself, but a reader must skip a
+    # poisoned one rather than fail or read nothing — and a later
+    # compaction must burn past its seq, not collide with it
     idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
     idx.append_batch(_occurrences(spark, 0, 50), "v")
     import os
 
     assert be.put_if_absent(os.path.join(idx.path, "checkpoints", "0"), b"nodir")
     _assert_equals_one_shot(spark, idx, 0, 50)  # falls back to the batch
+    idx.compact()  # claims seq 1, skipping the poisoned 0
+    assert idx._checkpoint()[0] == 1
+    _assert_equals_one_shot(spark, idx, 0, 50)
 
 
 def test_param_mismatch_raises(spark, tmp_path, be):

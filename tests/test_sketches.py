@@ -181,3 +181,32 @@ def test_histogram_clamps_out_of_range_and_drops_null(spark):
     hist = {r.bucket: r.cnt for r in SK.histogram_build(vals, "v", lo, hi, nb).collect()}
     # -50 and 0 clamp into bucket 0; 100 and 250 into bucket 9; NULL gone
     assert hist == {0: 2, 5: 1, 9: 2}
+
+
+def test_histogram_drops_nan_and_uncastable_junk(spark):
+    # greatest(NULL, 0) skips nulls, so without the post-cast filter a
+    # failed cast or a NaN would silently land in bucket 0
+    import math
+
+    nan_vals = spark.createDataFrame([(5.0,), (float("nan"),)], "v double")
+    hist = {r.bucket: r.cnt for r in SK.histogram_build(nan_vals, "v", 0.0, 100.0, 10).collect()}
+    assert hist == {0: 1}
+    junk = spark.createDataFrame([("5.0",), ("n/a",), (None,)], "v string")
+    hist2 = {r.bucket: r.cnt for r in SK.histogram_build(junk, "v", 0.0, 100.0, 10).collect()}
+    assert hist2 == {0: 1}
+    assert math.isfinite(5.0)  # silence unused-import pedantry
+
+
+def test_histogram_quantiles_rejects_out_of_range_q(spark):
+    hist = SK.histogram_build(
+        spark.range(10).select(F.col("id").cast("double").alias("v")), "v", 0.0, 10.0, 5
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        SK.histogram_quantiles(hist, [0.0, 0.5], 0.0, 10.0, 5)
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        SK.histogram_quantiles(hist, [1.5], 0.0, 10.0, 5)
+    # q = 1 is the supported maximum: upper edge of the last populated bucket
+    got = SK.histogram_quantiles(hist, [1.0], 0.0, 10.0, 5).collect()
+    assert got[0].est == 10.0
