@@ -54,6 +54,10 @@ HEADLINE = [
     # round-7: passage-level span dedup (fixture grain here; the real
     # measurement is the 200k-doc spans_200k_detect entry)
     "q_duplicated_spans",
+    # round-7: the sketch family's timed record (lineitem histogram +
+    # exact-quantile twin; the mid-scale sketch point is
+    # bloom_200k_decontam)
+    "q_histogram_quantiles",
 ]
 
 

@@ -378,19 +378,31 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = SK.histogram_build(li, "l_extendedprice", HIST_LO, HIST_HI, HIST_BUCKETS)
     qs = [0.25, 0.5, 0.75, 0.95, 0.99]
     est = SK.histogram_quantiles(hist, qs, HIST_LO, HIST_HI, HIST_BUCKETS)
-    # percentile's percentage must be foldable: one agg row with all
-    # five, unpivoted to (q, exact)
-    agg = li.agg(
-        *[
-            F.expr(f"percentile(cast(l_extendedprice as double), {q!r})").alias(f"p{i}")
-            for i, q in enumerate(qs)
-        ]
+    # percentile's percentage must be foldable; the ARRAY form computes
+    # all five from ONE aggregation buffer — five scalar calls each
+    # buffered the full 600k-value column and cost ~10 s at sf0.1
+    # (8.2 s of the first benched pass), vs ~1.5 s for the array form.
+    # Mirrors the oracle, which already uses DuckDB's list form.
+    arr = ", ".join(repr(q) for q in qs)
+    # widen first: the sf0.1 parquet scan coalesces to 3 partitions,
+    # serializing the percentile buffer build (2.3 -> 1.5 s measured;
+    # the exact twin is a fixture-scale demonstration — at 100 TB the
+    # histogram IS the percentile path and this aggregate is the thing
+    # you cannot afford)
+    wide = li.repartition(li.sparkSession.sparkContext.defaultParallelism)
+    agg = wide.agg(
+        F.expr(
+            f"percentile(cast(l_extendedprice as double), array({arr}))"
+        ).alias("ps")
     )
     exact = agg.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(float(q)).alias("q"), F.col(f"p{i}").alias("exact"))
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col("ps")[i].alias("exact"),
+                    )
                     for i, q in enumerate(qs)
                 ]
             )
