@@ -59,6 +59,11 @@ class BloomIndex:
         self.path = path
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
+        # compactions commit under their OWN log: they used to claim
+        # ids in the words batch space, where an epoch-keyed streaming
+        # append (batch_id=N) would find a compaction's marker at N
+        # claimed and silently skip that epoch's data
+        self._clog = BatchCommitLog(os.path.join(path, "compactions"), backend)
         meta_path = os.path.join(path, "_meta.json")
         meta = {"num_bits": num_bits, "num_hashes": num_hashes}
         if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
@@ -73,9 +78,12 @@ class BloomIndex:
 
     def words(self) -> DataFrame:
         """The merged filter: (word long, bits long), ≤ num_bits/63
-        rows.  OR-merge across committed batch tables; an empty index
-        is an empty frame (every probe misses)."""
-        dirs = self._log.committed_batches("words")
+        rows.  OR-merge across committed batch tables AND compaction
+        tables (separate log — see compact()); an empty index is an
+        empty frame (every probe misses)."""
+        dirs = self._log.committed_batches("words") + self._clog.committed_batches(
+            "words"
+        )
         if not dirs:
             return self.spark.createDataFrame([], "word long, bits long")
         return (
@@ -86,19 +94,42 @@ class BloomIndex:
 
     # -- the operator -------------------------------------------------
 
-    def append_batch(self, df: DataFrame, value_col: str) -> None:
+    def append_batch(
+        self, df: DataFrame, value_col: str, batch_id: int | None = None
+    ) -> bool:
         """Admit a batch's values.  Idempotent in CONTENT (OR-ing the
         same values twice is a no-op) but not in storage (a retried
-        append lands a second word table; compact() reclaims it)."""
+        append lands a second word table; compact() reclaims it).
+
+        ``batch_id`` keys the commit to a caller-owned epoch (e.g. a
+        foreachBatch batch id): a replayed epoch is skipped (returns
+        False), saving the redundant build + word table that plain
+        replay would land — for Bloom an efficiency, for the SUM-merged
+        CountMinIndex the same keying is a CORRECTNESS requirement
+        (see its append_batch).  Returns True iff this call committed.
+
+        Ownership contract: one index is EITHER stream-owned (every
+        append passes the stream's epoch id) or batch-owned (auto
+        ids), never both — an auto-id append claims max+1, which a
+        future epoch id can equal, making that epoch skip as a
+        \"replay\"."""
         import uuid
 
+        if batch_id is not None and self.backend.exists(self._log.marker(batch_id)):
+            return False  # epoch already committed — skip the rebuild
         batch_words = bloom_build(df, value_col, self.num_bits, self.num_hashes)
-        n = self._log.next_batch_id("words")
+        n = self._log.next_batch_id("words") if batch_id is None else int(batch_id)
         uid = uuid.uuid4().hex[:8]
         batch_words.write.mode("overwrite").parquet(
             os.path.join(self.path, "words", f"batch={n}-{uid}")
         )
-        self._log.claim(n, uid)
+        try:
+            self._log.claim(n, uid)
+        except ConcurrentAppendError:
+            if batch_id is None:
+                raise
+            return False  # epoch raced a replay; content is identical
+        return True
 
     def probe(self, df: DataFrame, value_col: str) -> DataFrame:
         """`df` + boolean ``bloom_member`` — exactly the one-shot
@@ -107,20 +138,36 @@ class BloomIndex:
 
     def compact(self) -> None:
         """Collapse the committed history into one merged word table,
-        admitted as a NEW batch under the same marker protocol.  Old
+        admitted under the compaction log's marker protocol.  Old
         batch tables stay referenced (readers started before the
         compaction still see consistent state; bit_or re-merging them
         with the compacted table is a no-op), so compaction is safe at
         any time; reclaiming the superseded dirs is a separate GC
-        decision once no pre-compaction reader can remain."""
+        decision once no pre-compaction reader can remain.  The
+        separate log keeps compaction ids out of the words batch
+        space, where they would collide with caller-owned epoch ids
+        (append_batch(batch_id=...)) and make a future epoch
+        silently skip."""
         import uuid
 
         merged = self.words().localCheckpoint(eager=True)
         if not merged.take(1):
             return
-        n = self._log.next_batch_id("words")
+        n = self._clog.next_batch_id("words")
         uid = uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(
-            os.path.join(self.path, "words", f"batch={n}-{uid}")
+            os.path.join(self.path, "compactions", "words", f"batch={n}-{uid}")
         )
-        self._log.claim(n, uid, what="compaction")
+        self._clog.claim(n, uid, what="compaction")
+
+
+def bloom_sink(index: BloomIndex, value_col: str):
+    """foreachBatch adapter: ``.writeStream.foreachBatch(bloom_sink(
+    idx, "sh"))`` grows the membership ledger from a stream; the batch
+    id keys each commit so at-least-once redelivery skips instead of
+    landing duplicate word tables."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index.append_batch(batch_df, value_col, batch_id=int(batch_id))
+
+    return process

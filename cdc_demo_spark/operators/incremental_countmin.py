@@ -161,22 +161,50 @@ class CountMinIndex:
     # -- the operator -------------------------------------------------
 
     def append_batch(
-        self, df: DataFrame, value_col: str, weight_col: str | None = None
-    ) -> None:
+        self,
+        df: DataFrame,
+        value_col: str,
+        weight_col: str | None = None,
+        batch_id: int | None = None,
+    ) -> bool:
         """Admit a batch's occurrences.  NOT idempotent in content
         (counts add — replaying a batch double-counts it), which is why
         the marker claim races loudly instead of best-effort: the
         caller retries with the NEXT id only for a batch that did not
-        land."""
+        land.
+
+        ``batch_id`` keys the commit to a CALLER-owned epoch (e.g. a
+        Structured Streaming foreachBatch batch id) and is what makes
+        an at-least-once stream feed this additive state exactly-once:
+        a replayed epoch finds its marker claimed and is SKIPPED
+        (returns False) instead of double-counted.  Caller contract:
+        one batch_id ↔ one logical batch content, which foreachBatch
+        guarantees under a LIVE checkpoint (deleting the checkpoint
+        re-epochs the stream and voids the mapping — then rebuild the
+        index too).  And one index is EITHER stream-owned (every
+        append passes the epoch id) or batch-owned (auto ids), never
+        both — an auto-id append claims max+1, which a future epoch id
+        can equal, making that epoch skip as a "replay" and lose its
+        counts.  (Compaction checkpoints live in their own seq
+        namespace and cannot collide.)  Returns True iff THIS call
+        committed."""
         import uuid
 
+        if batch_id is not None and self.backend.exists(self._log.marker(batch_id)):
+            return False  # epoch already committed — skip before the build
         batch_cells = countmin_build(df, value_col, self.depth, self.width, weight_col)
-        n = self._log.next_batch_id("cells")
+        n = self._log.next_batch_id("cells") if batch_id is None else int(batch_id)
         uid = uuid.uuid4().hex[:8]
         batch_cells.write.mode("overwrite").parquet(
             os.path.join(self.path, "cells", f"batch={n}-{uid}")
         )
-        self._log.claim(n, uid)
+        try:
+            self._log.claim(n, uid)
+        except ConcurrentAppendError:
+            if batch_id is None:
+                raise  # auto-id: a rival stole the id — caller retries
+            return False  # epoch raced a replay; the winner has this content
+        return True
 
     def estimate(self, df: DataFrame, value_col: str) -> DataFrame:
         """`df` + ``est`` — exactly the one-shot sketch's estimate over
@@ -214,3 +242,17 @@ class CountMinIndex:
                 f"checkpoint seq={seq} at {self.path} was claimed by another "
                 "compactor; this one's data dir is unreferenced"
             )
+
+
+def countmin_sink(index: CountMinIndex, value_col: str, weight_col: str | None = None):
+    """foreachBatch adapter: ``.writeStream.foreachBatch(countmin_sink(
+    idx, "sh"))`` maintains the frequency ledger from a stream with
+    exactly-once counts — the streaming batch id keys each commit, so
+    at-least-once redelivery is skipped, not double-counted (the
+    property OR-merged Bloom state gets for free and SUM-merged state
+    must engineer; see append_batch)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index.append_batch(batch_df, value_col, weight_col, batch_id=int(batch_id))
+
+    return process

@@ -92,3 +92,26 @@ def test_param_mismatch_raises(spark, tmp_path, be):
     BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
     with pytest.raises(ValueError, match="built with"):
         BloomIndex(spark, str(tmp_path / "bl"), BITS * 2, HASHES, backend=be)
+
+
+def test_epoch_keyed_replay_skipped(spark, tmp_path, be):
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    assert idx.append_batch(_values(spark, 0, 100), "v", batch_id=0) is True
+    n_batches = len(idx._log.committed_batches("words"))
+    # at-least-once redelivery of the same foreachBatch epoch
+    assert idx.append_batch(_values(spark, 0, 100), "v", batch_id=0) is False
+    assert len(idx._log.committed_batches("words")) == n_batches
+    assert idx.append_batch(_values(spark, 100, 100), "v", batch_id=1) is True
+
+
+def test_compaction_ids_cannot_shadow_future_epochs(spark, tmp_path, be):
+    # regression: compaction used to claim the next id in the words
+    # batch space — a stream-owned index would then SKIP the epoch
+    # carrying that id, silently losing its values
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    idx.append_batch(_values(spark, 0, 100), "v", batch_id=0)
+    idx.append_batch(_values(spark, 100, 100), "v", batch_id=1)
+    idx.compact()
+    assert idx.append_batch(_values(spark, 200, 100), "v", batch_id=2) is True
+    probed = idx.probe(_values(spark, 0, 300), "v")
+    assert probed.filter(~F.col("bloom_member")).count() == 0

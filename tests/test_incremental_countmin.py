@@ -195,3 +195,59 @@ def test_param_mismatch_raises(spark, tmp_path, be):
     CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
     with pytest.raises(ValueError, match="built with"):
         CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH * 2, backend=be)
+
+
+def test_epoch_keyed_replay_not_double_counted(spark, tmp_path, be):
+    # THE additive-state streaming hazard: foreachBatch is
+    # at-least-once, and replaying a batch into SUM-merged state
+    # double-counts.  Epoch-keyed commits skip the replay.
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    assert idx.append_batch(_occurrences(spark, 0, 100), "v", batch_id=0) is True
+    assert idx.append_batch(_occurrences(spark, 0, 100), "v", batch_id=0) is False
+    assert idx.append_batch(_occurrences(spark, 100, 100), "v", batch_id=1) is True
+    _assert_equals_one_shot(spark, idx, 0, 200)  # replay added nothing
+
+
+def test_countmin_sink_through_real_stream(spark, tmp_path, be):
+    """Drive the frequency ledger via an actual Structured Streaming
+    query (file source → foreachBatch(countmin_sink), availableNow) in
+    two waves under one checkpoint: merged state must equal the
+    one-shot sketch over everything ingested — the streaming epoch ids
+    key the commits, so re-listing cannot double-count."""
+    import os
+
+    from cdc_demo_spark.operators.incremental_countmin import countmin_sink
+
+    occ = _occurrences(spark, 0, 200).localCheckpoint(eager=True)
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+
+    def run_wave(pred, prefix):
+        occ.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{prefix}")
+        )
+        for i, name in enumerate(
+            f
+            for f in os.listdir(tmp_path / f"stage_{prefix}")
+            if f.endswith(".parquet")
+        ):
+            os.rename(
+                tmp_path / f"stage_{prefix}" / name, f"{land}/{prefix}-{i}.parquet"
+            )
+        (
+            spark.readStream.schema(occ.schema)
+            .parquet(land)
+            .writeStream.foreachBatch(countmin_sink(idx, "v"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    from pyspark.sql import functions as F2
+
+    run_wave(F2.length("v") % 2 == 0, "w1")
+    run_wave(F2.length("v") % 2 == 1, "w2")
+    _assert_equals_one_shot(spark, idx, 0, 200)
