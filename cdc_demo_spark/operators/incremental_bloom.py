@@ -142,23 +142,73 @@ class BloomIndex:
         batch tables stay referenced (readers started before the
         compaction still see consistent state; bit_or re-merging them
         with the compacted table is a no-op), so compaction is safe at
-        any time; reclaiming the superseded dirs is a separate GC
-        decision once no pre-compaction reader can remain.  The
-        separate log keeps compaction ids out of the words batch
-        space, where they would collide with caller-owned epoch ids
-        (append_batch(batch_id=...)) and make a future epoch
-        silently skip."""
+        any time; ``gc()`` reclaims the superseded dirs once no
+        pre-compaction reader can remain.  The separate log keeps
+        compaction ids out of the words batch space, where they would
+        collide with caller-owned epoch ids (append_batch(batch_id=
+        ...)) and make a future epoch silently skip.
+
+        The merge reads ONE consistent listing (not a re-list at
+        action time), and a ``covered/<n>`` sidecar records exactly
+        which dirs it absorbed — written BEFORE the marker claim, so a
+        committed compaction always has its sidecar and a crashed one
+        leaves only unreferenced garbage."""
         import uuid
 
-        merged = self.words().localCheckpoint(eager=True)
-        if not merged.take(1):
+        w_dirs = self._log.committed_batches("words")
+        c_dirs = self._clog.committed_batches("words")
+        if not w_dirs and not c_dirs:
             return
+        merged = (
+            self.spark.read.parquet(*w_dirs, *c_dirs)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+            .localCheckpoint(eager=True)
+        )
         n = self._clog.next_batch_id("words")
         uid = uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, "compactions", "words", f"batch={n}-{uid}")
         )
+        ids = lambda ds: sorted(  # noqa: E731
+            int(os.path.basename(d).split("=")[1].split("-")[0]) for d in ds
+        )
+        self.backend.put_if_absent(
+            os.path.join(self.path, "compactions", "covered", str(n)),
+            json.dumps({"words": ids(w_dirs), "compactions": ids(c_dirs)}).encode(),
+        )
         self._clog.claim(n, uid, what="compaction")
+
+    def gc(self) -> list[str]:
+        """Reclaim batch and older-compaction dirs the NEWEST committed
+        compaction has absorbed (its sidecar lists them; their bits are
+        all in its merged table).  Returns the removed paths.
+
+        Caller contract: no reader started before that compaction may
+        still be running (same quiesce contract as the silver
+        manifest's bucket-version GC).  Markers stay — ids remain
+        burned, and a replayed epoch whose word table was gc'd still
+        skips (its marker is its dedup identity, not its data)."""
+        import shutil
+
+        c_dirs = self._clog.committed_batches("words")
+        if not c_dirs:
+            return []
+        newest = max(
+            int(os.path.basename(d).split("=")[1].split("-")[0]) for d in c_dirs
+        )
+        sidecar = os.path.join(self.path, "compactions", "covered", str(newest))
+        if not self.backend.exists(sidecar):
+            return []  # pre-sidecar compaction: nothing provably absorbed
+        covered = json.loads(self.backend.read(sidecar))
+        removed = []
+        for log, key in ((self._log, "words"), (self._clog, "compactions")):
+            for d in log.committed_batches("words"):
+                n = int(os.path.basename(d).split("=")[1].split("-")[0])
+                if n in set(covered[key]):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        return removed
 
 
 def bloom_sink(index: BloomIndex, value_col: str):

@@ -244,6 +244,31 @@ class CountMinIndex:
             )
 
 
+    def gc(self) -> list[str]:
+        """Reclaim cell-batch dirs the newest checkpoint has superseded
+        (their counts live in its merged table; readers never merge
+        them with it).  Returns the removed paths.
+
+        Caller contract: no reader started BEFORE the checkpoint may
+        still be running — a pre-checkpoint reader could hold the old
+        dirs in an unexecuted plan (the same quiesce contract as the
+        silver manifest's bucket-version GC, streaming/merge.py).  The
+        batch MARKERS stay: their ids remain burned so next_batch_id
+        and the covered set keep their history."""
+        import shutil
+
+        _, ckpt_dir, covered = self._checkpoint()
+        if ckpt_dir is None:
+            return []
+        removed = []
+        for d in self._log.committed_batches("cells"):
+            n = int(os.path.basename(d).split("=")[1].split("-")[0])
+            if n in covered:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
+
+
 def countmin_sink(index: CountMinIndex, value_col: str, weight_col: str | None = None):
     """foreachBatch adapter: ``.writeStream.foreachBatch(countmin_sink(
     idx, "sh"))`` maintains the frequency ledger from a stream with

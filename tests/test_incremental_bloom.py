@@ -115,3 +115,26 @@ def test_compaction_ids_cannot_shadow_future_epochs(spark, tmp_path, be):
     assert idx.append_batch(_values(spark, 200, 100), "v", batch_id=2) is True
     probed = idx.probe(_values(spark, 0, 300), "v")
     assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_gc_reclaims_absorbed_dirs_probe_unchanged(spark, tmp_path, be):
+    import os
+
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    idx.append_batch(_values(spark, 0, 150), "v", batch_id=0)
+    idx.append_batch(_values(spark, 150, 150), "v", batch_id=1)
+    assert idx.gc() == []  # no compaction yet
+    before = sorted(map(tuple, idx.words().collect()))
+    idx.compact()
+    removed = idx.gc()
+    assert len(removed) == 2 and not any(os.path.isdir(d) for d in removed)
+    assert sorted(map(tuple, idx.words().collect())) == before
+    # a replayed epoch whose word table was gc'd still skips (marker is
+    # the dedup identity)
+    assert idx.append_batch(_values(spark, 0, 150), "v", batch_id=0) is False
+    # later life: new epoch, second compaction absorbs it + compaction 0
+    assert idx.append_batch(_values(spark, 300, 100), "v", batch_id=2) is True
+    idx.compact()
+    assert len(idx.gc()) == 2
+    probed = idx.probe(_values(spark, 0, 400), "v")
+    assert probed.filter(~F.col("bloom_member")).count() == 0

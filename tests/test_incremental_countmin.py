@@ -251,3 +251,22 @@ def test_countmin_sink_through_real_stream(spark, tmp_path, be):
     run_wave(F2.length("v") % 2 == 0, "w1")
     run_wave(F2.length("v") % 2 == 1, "w2")
     _assert_equals_one_shot(spark, idx, 0, 200)
+
+
+def test_gc_reclaims_covered_batches_state_unchanged(spark, tmp_path, be):
+    import os
+
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 100), "v")
+    idx.append_batch(_occurrences(spark, 100, 100), "v")
+    assert idx.gc() == []  # nothing checkpointed yet: nothing reclaimable
+    idx.compact()
+    removed = idx.gc()
+    assert len(removed) == 2 and not any(os.path.isdir(d) for d in removed)
+    _assert_equals_one_shot(spark, idx, 0, 200)  # checkpoint serves alone
+    # burned ids + later life continue unaffected
+    idx.append_batch(_occurrences(spark, 200, 50), "v")
+    _assert_equals_one_shot(spark, idx, 0, 250)
+    idx.compact()
+    assert len(idx.gc()) == 1  # the post-checkpoint batch, now absorbed
+    _assert_equals_one_shot(spark, idx, 0, 250)
