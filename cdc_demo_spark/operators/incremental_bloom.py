@@ -43,6 +43,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
+    claim_ownership_mode,
 )
 
 
@@ -76,20 +77,22 @@ class BloomIndex:
 
     # -- storage ------------------------------------------------------
 
-    def words(self) -> DataFrame:
-        """The merged filter: (word long, bits long), ≤ num_bits/63
-        rows.  OR-merge across committed batch tables AND compaction
-        tables (separate log — see compact()); an empty index is an
-        empty frame (every probe misses)."""
-        dirs = self._log.committed_batches("words") + self._clog.committed_batches(
-            "words"
-        )
+    def _or_merged(self, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self.spark.createDataFrame([], "word long, bits long")
         return (
             self.spark.read.parquet(*dirs)
             .groupBy("word")
             .agg(F.bit_or("bits").alias("bits"))
+        )
+
+    def words(self) -> DataFrame:
+        """The merged filter: (word long, bits long), ≤ num_bits/63
+        rows.  OR-merge across committed batch tables AND compaction
+        tables (separate log — see compact()); an empty index is an
+        empty frame (every probe misses)."""
+        return self._or_merged(
+            self._log.committed_batches("words") + self._clog.committed_batches("words")
         )
 
     # -- the operator -------------------------------------------------
@@ -112,9 +115,13 @@ class BloomIndex:
         append passes the stream's epoch id) or batch-owned (auto
         ids), never both — an auto-id append claims max+1, which a
         future epoch id can equal, making that epoch skip as a
-        \"replay\"."""
+        \"replay\".  ENFORCED: the first append records its mode and a
+        mixed-mode call raises (storage.claim_ownership_mode)."""
         import uuid
 
+        claim_ownership_mode(
+            self.backend, self.path, "auto" if batch_id is None else "epoch"
+        )
         if batch_id is not None and self.backend.exists(self._log.marker(batch_id)):
             return False  # epoch already committed — skip the rebuild
         batch_words = bloom_build(df, value_col, self.num_bits, self.num_hashes)
@@ -149,40 +156,45 @@ class BloomIndex:
         ...)) and make a future epoch silently skip.
 
         The merge reads ONE consistent listing (not a re-list at
-        action time), and a ``covered/<n>`` sidecar records exactly
-        which dirs it absorbed — written BEFORE the marker claim, so a
-        committed compaction always has its sidecar and a crashed one
-        leaves only unreferenced garbage."""
+        action time), and a ``covered/<n>-<uid>`` sidecar records
+        exactly which dirs it absorbed — written BEFORE the marker
+        claim and keyed by THIS attempt's uid, so the sidecar gc()
+        later trusts is always the one written by the compactor whose
+        marker actually won (an id-only sidecar could be a losing
+        rival's listing, crediting the winner with dirs its merged
+        table never absorbed — gc would then delete live bits and
+        manufacture false negatives).  A crashed or losing attempt
+        leaves only unreferenced garbage.  No-op when nothing has
+        landed since the last compaction."""
         import uuid
 
         w_dirs = self._log.committed_batches("words")
         c_dirs = self._clog.committed_batches("words")
-        if not w_dirs and not c_dirs:
-            return
-        merged = (
-            self.spark.read.parquet(*w_dirs, *c_dirs)
-            .groupBy("word")
-            .agg(F.bit_or("bits").alias("bits"))
-            .localCheckpoint(eager=True)
-        )
+        if not w_dirs and len(c_dirs) <= 1:
+            return  # nothing new to absorb — avoid a do-nothing rewrite
+        merged = self._or_merged(w_dirs + c_dirs).localCheckpoint(eager=True)
         n = self._clog.next_batch_id("words")
         uid = uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, "compactions", "words", f"batch={n}-{uid}")
         )
-        ids = lambda ds: sorted(  # noqa: E731
-            int(os.path.basename(d).split("=")[1].split("-")[0]) for d in ds
-        )
+        bid = BatchCommitLog.batch_id_of
         self.backend.put_if_absent(
-            os.path.join(self.path, "compactions", "covered", str(n)),
-            json.dumps({"words": ids(w_dirs), "compactions": ids(c_dirs)}).encode(),
+            os.path.join(self.path, "compactions", "covered", f"{n}-{uid}"),
+            json.dumps(
+                {
+                    "words": sorted(bid(d) for d in w_dirs),
+                    "compactions": sorted(bid(d) for d in c_dirs),
+                }
+            ).encode(),
         )
         self._clog.claim(n, uid, what="compaction")
 
     def gc(self) -> list[str]:
         """Reclaim batch and older-compaction dirs the NEWEST committed
-        compaction has absorbed (its sidecar lists them; their bits are
-        all in its merged table).  Returns the removed paths.
+        compaction has absorbed (its uid-keyed sidecar lists them;
+        their bits are all in its merged table).  Returns the removed
+        paths.
 
         Caller contract: no reader started before that compaction may
         still be running (same quiesce contract as the silver
@@ -191,21 +203,24 @@ class BloomIndex:
         skips (its marker is its dedup identity, not its data)."""
         import shutil
 
+        bid = BatchCommitLog.batch_id_of
         c_dirs = self._clog.committed_batches("words")
         if not c_dirs:
             return []
-        newest = max(
-            int(os.path.basename(d).split("=")[1].split("-")[0]) for d in c_dirs
+        newest = max(c_dirs, key=bid)
+        # sidecar key = the WINNER's (n, uid), read off its marker-published
+        # dir name — a losing rival's sidecar has a different uid
+        sidecar = os.path.join(
+            self.path, "compactions", "covered",
+            os.path.basename(newest).split("=")[1],
         )
-        sidecar = os.path.join(self.path, "compactions", "covered", str(newest))
         if not self.backend.exists(sidecar):
             return []  # pre-sidecar compaction: nothing provably absorbed
         covered = json.loads(self.backend.read(sidecar))
         removed = []
         for log, key in ((self._log, "words"), (self._clog, "compactions")):
             for d in log.committed_batches("words"):
-                n = int(os.path.basename(d).split("=")[1].split("-")[0])
-                if n in set(covered[key]):
+                if bid(d) in set(covered[key]):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(d)
         return removed

@@ -59,6 +59,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
+    claim_ownership_mode,
 )
 
 
@@ -136,7 +137,7 @@ class CountMinIndex:
         dirs = [] if ckpt_dir is None else [ckpt_dir]
         fresh = []
         for d in self._log.committed_batches("cells"):
-            n = int(os.path.basename(d).split("=")[1].split("-")[0])
+            n = BatchCommitLog.batch_id_of(d)
             if n not in covered:
                 dirs.append(d)
                 fresh.append(n)
@@ -186,10 +187,15 @@ class CountMinIndex:
         both — an auto-id append claims max+1, which a future epoch id
         can equal, making that epoch skip as a "replay" and lose its
         counts.  (Compaction checkpoints live in their own seq
-        namespace and cannot collide.)  Returns True iff THIS call
+        namespace and cannot collide.)  ENFORCED: the first append
+        records its mode and a mixed-mode call raises
+        (storage.claim_ownership_mode).  Returns True iff THIS call
         committed."""
         import uuid
 
+        claim_ownership_mode(
+            self.backend, self.path, "auto" if batch_id is None else "epoch"
+        )
         if batch_id is not None and self.backend.exists(self._log.marker(batch_id)):
             return False  # epoch already committed — skip before the build
         batch_cells = countmin_build(df, value_col, self.depth, self.width, weight_col)
@@ -245,27 +251,38 @@ class CountMinIndex:
 
 
     def gc(self) -> list[str]:
-        """Reclaim cell-batch dirs the newest checkpoint has superseded
-        (their counts live in its merged table; readers never merge
-        them with it).  Returns the removed paths.
+        """Reclaim what the newest checkpoint supersedes: cell-batch
+        dirs in its covered set AND older checkpoint dirs (each a full
+        depth×width table no reader can reach — without this arm,
+        routine compact()+gc() would leak one merged sketch per cycle
+        forever).  Returns the removed paths.
 
         Caller contract: no reader started BEFORE the checkpoint may
         still be running — a pre-checkpoint reader could hold the old
         dirs in an unexecuted plan (the same quiesce contract as the
         silver manifest's bucket-version GC, streaming/merge.py).  The
-        batch MARKERS stay: their ids remain burned so next_batch_id
-        and the covered set keep their history."""
+        batch MARKERS stay: their ids remain burned so next_batch_id,
+        the covered set, and epoch-replay dedup keep their history."""
         import shutil
 
-        _, ckpt_dir, covered = self._checkpoint()
+        seq, ckpt_dir, covered = self._checkpoint()
         if ckpt_dir is None:
             return []
         removed = []
         for d in self._log.committed_batches("cells"):
-            n = int(os.path.basename(d).split("=")[1].split("-")[0])
-            if n in covered:
+            if BatchCommitLog.batch_id_of(d) in covered:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d)
+        ckpt_root = os.path.join(self.path, "checkpoint_data")
+        for name in sorted(os.listdir(ckpt_root)) if os.path.isdir(ckpt_root) else []:
+            full = os.path.join(ckpt_root, name)
+            if (
+                name.startswith("ckpt=")
+                and os.path.isdir(full)
+                and BatchCommitLog.batch_id_of(full) < seq
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
         return removed
 
 

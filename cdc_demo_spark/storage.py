@@ -239,6 +239,25 @@ class InMemoryCommitBackend(CommitBackend):
             self._objects.pop(path, None)
 
 
+def claim_ownership_mode(backend: CommitBackend, path: str, mode: str) -> None:
+    """Record which id scheme owns an index's batch space — ``"epoch"``
+    (caller-passed stream epoch ids) or ``"auto"`` (next_batch_id) —
+    and raise on a mixed-mode append.  Mixing is SILENT data loss for
+    additive state: an auto-id append claims max+1, which a future
+    epoch id can equal, making that epoch skip as a "replay"; the
+    docstring contract alone could not detect the violation, this
+    turns it into a loud error on the first mixed call."""
+    p = os.path.join(path, "_ownership")
+    if not backend.put_if_absent(p, mode.encode()):
+        stored = backend.read(p).decode()
+        if stored != mode:
+            raise ValueError(
+                f"index at {path} is {stored}-owned; a {mode}-id append would "
+                "let auto ids shadow future epoch ids (silently skipped as "
+                "replays) — use one id scheme per index"
+            )
+
+
 class BatchCommitLog:
     """The incremental indexes' shared batch-publication protocol
     (MinHashIndex, SemanticIndex, IvfIndex, BloomIndex), extracted in
@@ -262,6 +281,13 @@ class BatchCommitLog:
 
     def marker(self, n: int) -> str:
         return os.path.join(self.path, "commits", str(n))
+
+    @staticmethod
+    def batch_id_of(path: str) -> int:
+        """Inverse of the ``batch=<n>[-<uid>]`` dir naming this class
+        owns — the ONE place the parse lives (gc/compaction logic in
+        the index classes keys decisions off it)."""
+        return int(os.path.basename(path).split("=")[1].split("-")[0])
 
     def committed_batches(self, table: str, include_legacy: bool = False) -> list[str]:
         """Batch dirs of `table` published by a commit marker.  With

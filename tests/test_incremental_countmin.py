@@ -268,5 +268,21 @@ def test_gc_reclaims_covered_batches_state_unchanged(spark, tmp_path, be):
     idx.append_batch(_occurrences(spark, 200, 50), "v")
     _assert_equals_one_shot(spark, idx, 0, 250)
     idx.compact()
-    assert len(idx.gc()) == 1  # the post-checkpoint batch, now absorbed
+    # absorbed batch + the SUPERSEDED checkpoint dir (each checkpoint
+    # is a full grid; leaking one per compact cycle defeats gc)
+    assert len(idx.gc()) == 2
     _assert_equals_one_shot(spark, idx, 0, 250)
+
+
+def test_mixed_id_modes_raise_loudly(spark, tmp_path, be):
+    # an auto-id append on a stream-owned index claims max+1, which a
+    # future epoch can equal — that epoch would skip as a "replay" and
+    # silently lose its counts; the mode guard makes it a loud error
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 30), "v", batch_id=0)
+    with pytest.raises(ValueError, match="epoch-owned"):
+        idx.append_batch(_occurrences(spark, 30, 30), "v")
+    idx2 = CountMinIndex(spark, str(tmp_path / "cm2"), DEPTH, WIDTH, backend=be)
+    idx2.append_batch(_occurrences(spark, 0, 30), "v")
+    with pytest.raises(ValueError, match="auto-owned"):
+        idx2.append_batch(_occurrences(spark, 30, 30), "v", batch_id=7)
