@@ -342,25 +342,26 @@ def time_ann_semantic_dedup_1m(spark) -> float:
     return dt
 
 
-def _semantic_index_path(spark) -> str:
+def _semantic_index_path(spark, n: int = ANN_N, n_buckets: int = ANN_BUCKETS) -> str:
     from cdc_demo_spark.operators.ann_scale import train_centroids_sampled
     from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
+    from cdc_demo_spark.sources.synth_vectors import ensure_synth_corpus
 
     def build(stage: str) -> None:
-        corpus = _ann_corpus(spark)
+        corpus = spark.read.parquet(ensure_synth_corpus(spark, n))
         idx = SemanticIndex(
             spark, os.path.join(stage, "idx"),
             t_num=ANN_T[0], t_den=ANN_T[1],
-            n_buckets=ANN_BUCKETS, probes=2, arrow=True,
+            n_buckets=n_buckets, probes=2, arrow=True,
         )
-        cents = train_centroids_sampled(corpus, ANN_BUCKETS).localCheckpoint()
+        cents = train_centroids_sampled(corpus, n_buckets).localCheckpoint()
         idx.build(corpus, centroids=cents)
 
-    return _ensure_built(f"semidx_v1_n{ANN_N}_b{ANN_BUCKETS}", build)
+    return _ensure_built(f"semidx_v1_n{n}_b{n_buckets}", build)
 
 
-def time_ann_index_append_1m(spark) -> float:
-    """Delta admission into a 1M-vector incremental semantic index:
+def _time_ann_index_append(spark, n: int, n_buckets: int) -> float:
+    """Delta admission into an n-vector incremental semantic index:
     probe 10k new vectors against stored members through the frozen
     centroids, verify integer-exact, commit the batch.  The cached
     built index is copied fresh per run (append mutates state); the
@@ -372,15 +373,15 @@ def time_ann_index_append_1m(spark) -> float:
     from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
     from cdc_demo_spark.sources.synth_vectors import synth_embeddings
 
-    built = _semantic_index_path(spark)
+    built = _semantic_index_path(spark, n, n_buckets)
     work = os.path.join(tempfile.gettempdir(), f"semidx_run_{uuid.uuid4().hex[:8]}")
     shutil.copytree(os.path.join(built, "idx"), work)
     try:
         idx = SemanticIndex(
             spark, work, t_num=ANN_T[0], t_den=ANN_T[1],
-            n_buckets=ANN_BUCKETS, probes=2, arrow=True,
+            n_buckets=n_buckets, probes=2, arrow=True,
         )
-        delta = synth_embeddings(spark, 10_000, start=ANN_N)
+        delta = synth_embeddings(spark, 10_000, start=n)
         t0 = time.perf_counter()
         pairs = idx.append_batch(delta)
         n_pairs = pairs.count()
@@ -391,6 +392,23 @@ def time_ann_index_append_1m(spark) -> float:
         return dt
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def time_ann_index_append_1m(spark) -> float:
+    return _time_ann_index_append(spark, ANN_N, ANN_BUCKETS)
+
+
+def time_ann_index_append_2m(spark) -> float:
+    """The slope probe for the semantic index: the SAME 10k delta
+    admitted into a DOUBLED (2M) stored corpus with DOUBLED bucket
+    count.  An IVF probe's inherent cost is O(|delta| × bucket
+    occupancy); the at-scale contract is that n_buckets grows with the
+    corpus so occupancy — and therefore append cost — stays constant.
+    This entry measures exactly that contract: 2M vectors / 4096
+    buckets holds per-bucket occupancy at the 1M/2048 level, so the
+    time should match ann_1m_index_append; a widening gap means some
+    stage is scaling with the corpus instead of the delta."""
+    return _time_ann_index_append(spark, 2 * ANN_N, 2 * ANN_BUCKETS)
 
 
 def time_ann_pq_topk_1m(spark) -> float:
@@ -497,18 +515,21 @@ def time_minhash_near_dups_200k(spark) -> float:
     return dt
 
 
-def _minhash_index_path(spark) -> str:
+def _minhash_index_path(spark, n_docs: int = DOC_N) -> str:
+    # v2: sharded stored-shingle layout (r8) — the slope the 400k
+    # variant measures depends on it
     from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+    from cdc_demo_spark.sources.synth_docs import ensure_synth_docs
 
     def build(stage: str) -> None:
         idx = MinHashIndex(spark, os.path.join(stage, "idx"))
-        idx.append_batch(_doc_corpus(spark)).count()
+        idx.append_batch(spark.read.parquet(ensure_synth_docs(spark, n_docs))).count()
 
-    return _ensure_built(f"mhidx_v1_n{DOC_N}", build)
+    return _ensure_built(f"mhidx_v2_n{n_docs}", build)
 
 
-def time_minhash_index_append_200k(spark) -> float:
-    """Delta admission into a 200k-doc incremental MinHash index: 5k
+def _time_minhash_index_append(spark, n_docs: int) -> float:
+    """Delta admission into an n_docs incremental MinHash index: 5k
     new docs probe the stored banded buckets, verified by exact
     Jaccard, committed as a batch. Copy of the cached index excluded
     from the timing (append mutates state)."""
@@ -519,7 +540,7 @@ def time_minhash_index_append_200k(spark) -> float:
     from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
     from cdc_demo_spark.sources.synth_docs import synth_documents
 
-    built = _minhash_index_path(spark)
+    built = _minhash_index_path(spark, n_docs)
     work = os.path.join(tempfile.gettempdir(), f"mhidx_run_{uuid.uuid4().hex[:8]}")
     shutil.copytree(os.path.join(built, "idx"), work)
     try:
@@ -528,7 +549,7 @@ def time_minhash_index_append_200k(spark) -> float:
         # landed storage — regenerating the synthetic delta (Python
         # mapInPandas) is fixture cost, not append cost, same contract
         # as excluding the state copy above
-        delta = synth_documents(spark, 5_000, start=DOC_N).localCheckpoint(eager=True)
+        delta = synth_documents(spark, 5_000, start=n_docs).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         n_pairs = idx.append_batch(delta).count()
         dt = round(time.perf_counter() - t0, 3)
@@ -537,6 +558,20 @@ def time_minhash_index_append_200k(spark) -> float:
         return dt
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def time_minhash_index_append_200k(spark) -> float:
+    return _time_minhash_index_append(spark, DOC_N)
+
+
+def time_minhash_index_append_400k(spark) -> float:
+    """The r7 verdict's slope probe: the SAME 5k-doc delta admitted
+    into a DOUBLED stored corpus.  With the r8 sharded shingle layout
+    the append's reads are ∝ candidate ids × shard size, so this entry
+    should match minhash_200k_index_append — an O(corpus) append
+    regression shows up here as a widening gap, not as noise in the
+    200k number."""
+    return _time_minhash_index_append(spark, 2 * DOC_N)
 
 
 def time_bloom_200k_decontam(spark) -> float:
@@ -872,9 +907,11 @@ def main() -> None:
     for name, fn in (
         ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
         ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
+        ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
+        ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
         ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
         ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),

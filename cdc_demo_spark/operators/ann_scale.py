@@ -369,8 +369,18 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
     bucket splits into more tiles (more tasks), never a bigger task.
     Quantization happens here (int8_quantize_rows — the JVM HOF
     quantizer costs ~29 s alone at 1M×64); zero vectors drop out, as
-    in every quantized path."""
+    in every quantized path.
+
+    Shape: one repartition on (centroid_id, blk) then a pandas groupby
+    INSIDE each partition (mapInPandas).  The groupBy().applyInPandas
+    it replaced paid a per-GROUP Arrow/pandas round-trip — at 2048
+    buckets that fixed overhead was ~5 s of a 10k-row delta append
+    (r8 profile) and the same ~5 s inside the 1M one-shot scan; the
+    in-partition groupby packs the identical tile set (byte-equal,
+    r8 digest check) at ~0.9 s.  Pair results never depend on row
+    order within a tile: the block GEMM scores every cross pair."""
     has_qv = "qv" in qm.columns
+    data_col = "qv" if has_qv else "vec"
     counts = qm.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
     qm = (
         qm.join(counts, "centroid_id")
@@ -378,29 +388,38 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
         .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("nsub")))
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        if has_qv:  # pre-quantized bytes (zero vectors already dropped)
-            qvb = b"".join(pdf["qv"])
-        else:
-            Q, nz = int8_quantize_rows(np.stack(pdf["vec"].to_numpy()))
-            ids, M = ids[nz], Q[nz].astype(np.int8)
-            if not len(ids):  # all-zero-vector tile: nothing to compare
-                return pd.DataFrame(
-                    {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
-                )
-            qvb = M.tobytes()
-        return pd.DataFrame(
-            {
-                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
-                "blk": [int(pdf["blk"].iloc[0])],
-                "n": [len(ids)],
-                "ids": [ids.tobytes()],
-                "qvb": [qvb],
-            }
-        )
+    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        # a group can span Arrow batches of one partition — concat
+        # before grouping (partition-level memory: tile bytes only)
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        out: dict[str, list] = {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
+        for (cid, blk), g in pdf.groupby(["centroid_id", "blk"], sort=False):
+            ids = g["id"].to_numpy(dtype=np.int64)
+            if has_qv:  # pre-quantized bytes (zero vectors already dropped)
+                qvb = b"".join(g["qv"])
+            else:
+                Q, nz = int8_quantize_rows(np.stack(g["vec"].to_numpy()))
+                ids, M = ids[nz], Q[nz].astype(np.int8)
+                if not len(ids):  # all-zero-vector tile: nothing to compare
+                    continue
+                qvb = M.tobytes()
+            out["centroid_id"].append(int(cid))
+            out["blk"].append(int(blk))
+            out["n"].append(len(ids))
+            out["ids"].append(ids.tobytes())
+            out["qvb"].append(qvb)
+        if out["n"]:
+            yield pd.DataFrame(out)
 
-    return qm.groupBy("centroid_id", "blk").applyInPandas(pack, schema=TILE_SCHEMA)
+    npart = qm.sparkSession.sparkContext.defaultParallelism
+    return (
+        qm.repartition(npart, "centroid_id", "blk")
+        .select("centroid_id", "blk", "id", data_col)
+        .mapInPandas(pack_partition, schema=TILE_SCHEMA)
+    )
 
 
 def _unpack_tile(n, ids_b, qv_b):

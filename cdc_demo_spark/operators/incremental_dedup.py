@@ -56,6 +56,32 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
 )
 
 
+# Stored-shingle shard layout (r8): verification fetches the shingles
+# of CANDIDATE ids only — a few hundred per typical delta — but r7 read
+# them by scanning every stored shingle row map-side (35M rows at the
+# 200k-doc grain, measured ~1.5 s/append and linear in corpus size).
+# Each batch dir now partitions its shingles by shard = pmod(id,
+# nshards), nshards sized so a shard holds ~_SHARD_ROWS rows, recorded
+# in a per-dir ``_nshards`` sidecar.  A probe collects its candidate
+# ids (cap-guarded), computes each dir's touched shards, and reads ONLY
+# those partitions — bytes ∝ |candidate ids| × shard size, FLAT in
+# corpus size (nshards grows with the batch instead of shard size).
+_SHARD_ROWS = 32_768
+_MAX_SHARDS = 2_048
+# Above this many candidate ids the isin-literal plan stops being a
+# win (every shard is touched anyway once |ids| ≫ nshards) — fall back
+# to the full-scan join, which is what r7 always did.
+_CAND_ID_CAP = 5_000
+
+
+def _shingle_shards(rows: int) -> int:
+    import math
+
+    if rows <= _SHARD_ROWS:
+        return 1
+    return min(_MAX_SHARDS, 1 << math.ceil(math.log2(rows / _SHARD_ROWS)))
+
+
 class MinHashIndex:
     def __init__(
         self,
@@ -109,6 +135,79 @@ class MinHashIndex:
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
+
+    def _nshards_of(self, batch_dir: str) -> int:
+        """Shard count recorded by the append that wrote ``batch_dir``;
+        0 for legacy unsharded dirs (pre-r8, or a backend that lost
+        the sidecar — both degrade to an unpruned filter, never to a
+        wrong answer)."""
+        p = os.path.join(batch_dir, "_nshards")
+        if self.backend.exists(p):
+            return int(self.backend.read(p).decode())
+        return 0
+
+    def _shard_files(self, d: str, shards: list[int] | None) -> list[str]:
+        """Data files of a sharded batch dir — only the given shards
+        when provided — listed DIRECTLY (the layout is this class's
+        own), with the result read under an explicit schema.  Handing
+        Spark the batch-dir root instead costs a full partition
+        discovery + footer-inference pass: measured 3 s per read at
+        2048 shard dirs, dwarfing the 0.15 s pruned scan it gates.
+        (Data files are filesystem-read here exactly as Spark itself
+        reads them; the CommitBackend seam covers markers/sidecars,
+        not parquet bytes.)"""
+        names = (
+            shards
+            if shards is not None
+            else [
+                int(x.split("=")[1])
+                for x in os.listdir(d)
+                if x.startswith("shard=")
+            ]
+        )
+        files = []
+        for s in names:
+            sd = os.path.join(d, f"shard={s}")
+            if not os.path.isdir(sd):
+                continue  # empty shard was never materialized
+            files += [
+                os.path.join(sd, f)
+                for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            ]
+        return files
+
+    def stored_shingles(self, cand_ids: list[int] | None = None) -> DataFrame:
+        """Stored (id, h64) rows across committed batches, restricted
+        to ``cand_ids`` when given.  Sharded batch dirs (see module
+        constants) are read per-dir so each prunes to the candidates'
+        OWN shard partitions under its own modulus — the bytes read
+        are ∝ |cand_ids| × shard size, not corpus size.  Dirs are
+        unioned (not multi-path read): batch dirs can mix shard
+        moduli and legacy unsharded layouts, which a single
+        partition-discovery pass would reject."""
+        dirs = self._committed_batches("shingles")
+        empty = self.spark.createDataFrame([], "id long, h64 long")
+        if not dirs:
+            return empty
+        out = None
+        for d in dirs:
+            ns = self._nshards_of(d)
+            if ns > 1:
+                shards = None
+                if cand_ids is not None:
+                    shards = sorted({(i % ns + ns) % ns for i in cand_ids})
+                files = self._shard_files(d, shards)
+                if not files:
+                    continue
+                sub = self.spark.read.schema("id long, h64 long").parquet(*files)
+            else:
+                sub = self.spark.read.schema("id long, h64 long").parquet(d)
+            if cand_ids is not None:
+                sub = sub.filter(F.col("id").isin(cand_ids))
+            sub = sub.select("id", "h64")
+            out = sub if out is None else out.unionByName(sub)
+        return out if out is not None else empty
 
     # -- the operator -------------------------------------------------
 
@@ -178,7 +277,11 @@ class MinHashIndex:
         if new_buckets.count() <= 4_000_000:
             probe_keys = F.broadcast(probe_keys)
         relevant_old = old_buckets.join(probe_keys, ["band", "bucket"], "left_semi")
-        relevant = relevant_old.unionByName(new_buckets)
+        # pinned: the occupancy aggregate AND the candidate join's
+        # build side both read it — lazy, each re-ran the O(corpus·
+        # bands) stored-bucket scan (the second scan measured ~0.4 s
+        # of the 200k append; survivors are O(probed occupancy))
+        relevant = relevant_old.unionByName(new_buckets).localCheckpoint(eager=True)
         # skew guard over the COMBINED occupancy (a bucket that was fine
         # at batch 0 can be degenerate by batch 40)
         oversized = (
@@ -209,28 +312,44 @@ class MinHashIndex:
             .localCheckpoint(eager=True)
         )
 
-        # Verification touches only candidate ids — restrict the stored
-        # shingle scan FIRST.  cand_ids is tiny (bounded by the bucket
-        # cap) and materialized, so AQE converts this into a broadcast
-        # join: the 35M-row (at 200k docs) stored table is scanned once
-        # map-side and never shuffled.  Without the restriction, the
-        # sizes aggregate and both verification joins each shuffled the
-        # FULL corpus shingle table per batch — measured as most of the
-        # 5k-delta append's wall at the 200k grain (minhash_200k_
-        # index_append bench entry).
-        cand_ids = cands.select(
-            F.explode(F.array("id_a", "id_b")).alias("id")
-        ).distinct()
-        sh_old = self._read("shingles", "id long, h64 long")
-        # Materialized: three consumers below (sizes + both sides of the
-        # intersection join) — without the pin each one re-runs the
-        # union and re-scans the FULL stored shingle table (3× the
-        # O(corpus) scan; measured as the dominant cost of the 200k
-        # bench append).  After the cand_ids restriction this is
-        # |candidate ids| × shingles-per-doc rows — tiny.
-        sh_all = (
-            sh_old.unionByName(sh_new).join(cand_ids, "id").localCheckpoint(eager=True)
+        # Verification touches only candidate ids.  The typical delta
+        # yields a few hundred of them, so collect the id list (cap-
+        # guarded) and push it INTO the stored-shingle read as shard +
+        # id filters: the sharded layout prunes the scan to the
+        # candidates' partitions, making bytes read ∝ |cand_ids| —
+        # r7's map-side join still SCANNED every stored shingle row
+        # (35M at 200k docs, ~1.5 s/append, linear in corpus).  A
+        # dirty batch past the cap falls back to that full-scan join
+        # (pruning is moot once |ids| ≫ nshards — every shard is hit).
+        cand_id_rows = (
+            cands.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+            .distinct()
+            .limit(_CAND_ID_CAP + 1)
+            .collect()
         )
+        ids = [r["id"] for r in cand_id_rows]
+        if not ids:
+            sh_all = self.spark.createDataFrame([], "id long, h64 long")
+        elif len(ids) > _CAND_ID_CAP:
+            cand_ids = cands.select(
+                F.explode(F.array("id_a", "id_b")).alias("id")
+            ).distinct()
+            sh_all = (
+                self.stored_shingles()
+                .unionByName(sh_new)
+                .join(cand_ids, "id")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # Materialized: three consumers below (sizes + both sides
+            # of the intersection join) — without the pin each re-runs
+            # the pruned scan.  After the restriction this is
+            # |candidate ids| × shingles-per-doc rows — tiny.
+            sh_all = (
+                self.stored_shingles(ids)
+                .unionByName(sh_new.filter(F.col("id").isin(ids)))
+                .localCheckpoint(eager=True)
+            )
         sizes = sh_all.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh_all.alias("a"), sh_all.alias("b")
         inter = (
@@ -263,9 +382,30 @@ class MinHashIndex:
 
         n = self._log.next_batch_id("buckets")
         uid = uuid.uuid4().hex[:8]
-        for table, df in (("buckets", new_buckets), ("shingles", sh_new)):
-            dst = os.path.join(self.path, table, f"batch={n}-{uid}")
-            df.write.mode("overwrite").parquet(dst)
+        new_buckets.write.mode("overwrite").parquet(
+            os.path.join(self.path, "buckets", f"batch={n}-{uid}")
+        )
+        # shingles land SHARDED by pmod(id, nshards): all of one doc's
+        # rows in one shard, nshards sized to the batch so shard files
+        # stay ~_SHARD_ROWS rows whatever the corpus grows to — the
+        # layout stored_shingles() prunes against.  The _nshards
+        # sidecar is written BEFORE the marker (readers only see
+        # committed dirs, and a committed dir always has its sidecar
+        # unless the backend is ephemeral — then reads degrade to
+        # unpruned, never wrong).
+        ns = _shingle_shards(sh_new.count())
+        sh_dst = os.path.join(self.path, "shingles", f"batch={n}-{uid}")
+        if ns > 1:
+            (
+                sh_new.withColumn("shard", F.pmod(F.col("id"), F.lit(ns)))
+                .repartition(ns, "shard")
+                .write.partitionBy("shard")
+                .mode("overwrite")
+                .parquet(sh_dst)
+            )
+        else:
+            sh_new.write.mode("overwrite").parquet(sh_dst)
+        self.backend.put_if_absent(os.path.join(sh_dst, "_nshards"), str(ns).encode())
         # ONE marker after BOTH tables land (BatchCommitLog protocol)
         self._log.claim(n, uid)
         sh_new.unpersist()

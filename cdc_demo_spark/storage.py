@@ -246,8 +246,32 @@ def claim_ownership_mode(backend: CommitBackend, path: str, mode: str) -> None:
     additive state: an auto-id append claims max+1, which a future
     epoch id can equal, making that epoch skip as a "replay"; the
     docstring contract alone could not detect the violation, this
-    turns it into a loud error on the first mixed call."""
+    turns it into a loud error on the first mixed call.
+
+    A PRE-EXISTING history without an ``_ownership`` file (written
+    before this guard, or by an older code version) must not be
+    adopted as epoch-owned: its burned ids came from next_batch_id,
+    so recording ``"epoch"`` over them would make stream epochs
+    0..max(burned id) skip as "replays" — exactly the loss the guard
+    exists to prevent, just laundered through the adoption step.  So
+    when the file is being CREATED with mode="epoch" and commit
+    markers already exist, refuse: the operator migrates explicitly
+    (rebuild into a fresh index dir, or keep feeding it auto ids)."""
     p = os.path.join(path, "_ownership")
+    if mode == "epoch" and not backend.exists(p):
+        burned = [
+            m
+            for m in backend.list_dir(os.path.join(path, "commits"))
+            if m.isdigit()
+        ]
+        if burned:
+            raise ValueError(
+                f"index at {path} has {len(burned)} committed batches but no "
+                "ownership record (pre-ownership history is auto-id); "
+                "claiming epoch ownership over it would silently skip stream "
+                f"epochs 0..{max(int(b) for b in burned)} as replays — "
+                "rebuild into a fresh index dir or keep using auto ids"
+            )
     if not backend.put_if_absent(p, mode.encode()):
         stored = backend.read(p).decode()
         if stored != mode:

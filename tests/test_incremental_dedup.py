@@ -94,3 +94,54 @@ def test_empty_index_first_batch_self_pairs(spark, tmp_path):
     idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.3)
     got = _pairs(idx.append_batch(df))
     assert {(x, y) for x, y, _ in got} == {(1, 2)}
+
+
+def test_sharded_layout_pruned_fetch_equals_full(spark, sf_dir, tmp_path, monkeypatch):
+    """r8 sharded stored-shingle layout: a batch past _SHARD_ROWS lands
+    partitioned by pmod(id, nshards) with an _nshards sidecar, and the
+    pruned candidate fetch returns EXACTLY the rows the unpruned scan
+    filters — across a MIX of sharded and unsharded batch dirs (the
+    legacy degradation path)."""
+    import cdc_demo_spark.operators.incremental_dedup as mod
+
+    monkeypatch.setattr(mod, "_SHARD_ROWS", 256)  # force ns > 1 at toy scale
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.filter(F.col("doc_id") < 400).localCheckpoint()
+    tiny = docs.filter(F.col("doc_id") >= 400).limit(3).localCheckpoint()
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.12)
+    idx.append_batch(big).count()
+    idx.append_batch(tiny).count()
+
+    d_big, d_tiny = idx._committed_batches("shingles")
+    assert idx._nshards_of(d_big) > 1, "big batch should have sharded"
+    assert idx._nshards_of(d_tiny) == 1, "3-doc batch should stay unsharded"
+
+    ids = [r["doc_id"] for r in big.limit(5).collect()] + [
+        r["doc_id"] for r in tiny.limit(1).collect()
+    ]
+    pruned = {(r["id"], r["h64"]) for r in idx.stored_shingles(ids).collect()}
+    full = {
+        (r["id"], r["h64"])
+        for r in idx.stored_shingles().filter(F.col("id").isin(ids)).collect()
+    }
+    assert pruned and pruned == full
+
+
+def test_sharded_append_equals_one_shot(spark, sf_dir, tmp_path, monkeypatch):
+    """The core incremental == one-shot invariant, re-pinned with the
+    stored side FORCED through the sharded layout + pruned fetch."""
+    import cdc_demo_spark.operators.incremental_dedup as mod
+
+    monkeypatch.setattr(mod, "_SHARD_ROWS", 256)
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter(F.col("doc_id") >= 300)
+    one_shot = minhash_near_duplicates(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.12)
+    p1 = idx.append_batch(a)
+    p2 = idx.append_batch(b)
+    assert idx._nshards_of(idx._committed_batches("shingles")[0]) > 1
+    assert _pairs(p1) | _pairs(p2) == _pairs(one_shot)
