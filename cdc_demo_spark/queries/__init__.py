@@ -40,64 +40,63 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-7 window head, final: computed by tools/window_staleness.py
-    # (stalest-first from the CORRECTNESS_r01..r06 union) — the 7
-    # never-driver-checked oracle queries this round added (span pair,
-    # bloom/cms sketches, incremental bloom/cms, histogram quantiles)
-    # followed by the 43 stalest r4-green refreshes.  Three r4-stale
-    # queries beyond the 50-slot cap and the displaced r5/r6-green
-    # anchors keep their records and rotate in r8 (the tool prints the
-    # suggested r8 head).
-    "q_bloom_decontamination",
-    "q_countmin_heavy_hitters",
-    "q_duplicated_spans",
-    "q_histogram_quantiles",
-    "q_incremental_bloom",
-    "q_incremental_countmin",
-    "q_remove_duplicated_spans",
-    "q_anti_join",
-    "q_asof_join",
-    "q_case_when",
-    "q_collect_names",
-    "q_cosine_topk",
-    "q_count_distinct",
-    "q_cross_join",
-    "q_cube",
-    "q_curriculum_buckets",
-    "q_date_functions",
-    "q_dedup_clusters",
-    "q_except",
-    "q_filter_predicates",
-    "q_full_outer_join",
-    "q_fuzzy_name_pairs_d2",
-    "q_grouped_median",
-    "q_having",
-    "q_intersect",
-    "q_json_extract",
-    "q_lag_lead",
-    "q_latest_order_per_customer",
-    "q_moment_stats",
-    "q_multimodal_join",
-    "q_ntile_percent_rank",
-    "q_outer_join",
-    "q_packed_census",
-    "q_pricing_summary",
-    "q_project_compute",
-    "q_range_join",
-    "q_rank_parts",
-    "q_returned_items",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_running_sum",
-    "q_salted_skew_join",
-    "q_self_join",
-    "q_semantic_dedup_int8",
-    "q_semi_join",
-    "q_shipping_priority",
-    "q_string_functions",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_top_orders",
+    # Round-9 window head: computed by tools/window_staleness.py
+    # (stalest-first from the CORRECTNESS_r01..r08 union) — this
+    # round's new oracle queries first (never driver-checked), then
+    # the 3 r4-stale refreshes, the 32 r5-stale ones, and r6 anchors
+    # to fill the 50-slot cap.  Displaced r6/r8-green anchors keep
+    # their records and rotate in r10 (the tool prints the suggested
+    # next head each round).
+    "q_linear_quality_score",
+    "q_tumbling_window",
+    "q_union_all",
+    "q_user_sessions",
+    "q_array_functions",
+    "q_bpe_token_count",
+    "q_context_length_histogram",
+    "q_context_windows",
+    "q_corpus_token_budget",
+    "q_correlated_exists",
+    "q_cosine_topk_arrow",
+    "q_data_quality",
+    "q_dedup_exact_keep",
+    "q_dedup_stats",
+    "q_document_chunks",
+    "q_events_per_day_spine",
+    "q_except_all",
+    "q_excess_part_suppliers",
+    "q_fingerprint",
+    "q_fuzzy_name_pairs",
+    "q_grouping_sets",
+    "q_important_supplier_value",
+    "q_incremental_rollup",
+    "q_intersect_all",
+    "q_lang_id",
+    "q_late_shipment_priority",
+    "q_latest_event_per_user",
+    "q_line_status_priority",
+    "q_math_functions",
+    "q_ngram_jaccard_pairs",
+    "q_null_functions",
+    "q_ohlc_bars",
+    "q_range_frame_sum",
+    "q_session_window",
+    "q_stratified_sample",
+    "q_token_stats",
+    "q_allpairs_jaccard",
+    "q_benchmark_contamination",
+    "q_bm25_topk",
+    "q_bpe_merge_candidates",
+    "q_containment_pairs",
+    "q_day_partition_pruning",
+    "q_dedup_cluster_survivors",
+    "q_disjunctive_filters",
+    "q_dormant_rich_customers",
+    "q_dup_ngram_fraction",
+    "q_embedding_quantize_int8",
+    "q_forecast_revenue",
+    "q_hot_key_salted_join",
+    "q_large_volume_customers",
 ]
 
 
