@@ -165,21 +165,38 @@ class BloomIndex:
         table never absorbed — gc would then delete live bits and
         manufacture false negatives).  A crashed or losing attempt
         leaves only unreferenced garbage.  No-op when nothing has
-        landed since the last compaction."""
+        landed since the last compaction — including BEFORE gc() has
+        reclaimed the absorbed dirs: the newest compaction's covered
+        sidecar is the freshness authority, so compact();compact()
+        without an intervening gc() does not rewrite the full merged
+        table again or burn a second compaction id (the CountMin
+        ledger got this check first; ADVICE r7)."""
         import uuid
 
         w_dirs = self._log.committed_batches("words")
         c_dirs = self._clog.committed_batches("words")
         if not w_dirs and len(c_dirs) <= 1:
             return  # nothing new to absorb — avoid a do-nothing rewrite
+        bid = BatchCommitLog.batch_id_of
+        if c_dirs:
+            newest = max(c_dirs, key=bid)
+            sidecar = os.path.join(
+                self.path, "compactions", "covered",
+                os.path.basename(newest).split("=")[1],
+            )
+            if self.backend.exists(sidecar):
+                cov = json.loads(self.backend.read(sidecar))
+                if {bid(d) for d in w_dirs} <= set(cov["words"]) and {
+                    bid(d) for d in c_dirs if d != newest
+                } <= set(cov["compactions"]):
+                    return  # newest compaction already absorbed all of this
         merged = self._or_merged(w_dirs + c_dirs).localCheckpoint(eager=True)
         n = self._clog.next_batch_id("words")
         uid = uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, "compactions", "words", f"batch={n}-{uid}")
         )
-        bid = BatchCommitLog.batch_id_of
-        self.backend.put_if_absent(
+        if not self.backend.put_if_absent(
             os.path.join(self.path, "compactions", "covered", f"{n}-{uid}"),
             json.dumps(
                 {
@@ -187,14 +204,33 @@ class BloomIndex:
                     "compactions": sorted(bid(d) for d in c_dirs),
                 }
             ).encode(),
-        )
+        ):
+            # the key embeds THIS attempt's fresh uid, so an occupant
+            # means backend corruption, not a race; committing without
+            # the sidecar would make gc() unable to prove absorption
+            # and compact() unable to prove freshness — fail loudly
+            raise ConcurrentAppendError(
+                f"covered sidecar {n}-{uid} at {self.path} already exists; "
+                "refusing to claim a compaction whose absorption set is lost"
+            )
         self._clog.claim(n, uid, what="compaction")
 
-    def gc(self) -> list[str]:
+    def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
         """Reclaim batch and older-compaction dirs the NEWEST committed
         compaction has absorbed (its uid-keyed sidecar lists them;
         their bits are all in its merged table).  Returns the removed
         paths.
+
+        With ``orphan_ttl_seconds``, ALSO sweeps never-published staged
+        dirs older than that horizon — crashed appenders' and losing
+        racers' ``batch=<n>-<uid>`` dirs in both the words and the
+        compactions batch spaces, plus losing compactors' covered
+        sidecars — which no marker references and the absorption path
+        above therefore never reclaims (they would otherwise leak
+        forever).  The horizon must exceed the longest possible
+        stage-to-claim gap of a LIVE appender; see
+        BatchCommitLog.orphan_batch_dirs.  Default None keeps gc purely
+        marker-driven (no wall-clock reasoning).
 
         Caller contract: no reader started before that compaction may
         still be running (same quiesce contract as the silver
@@ -204,9 +240,16 @@ class BloomIndex:
         import shutil
 
         bid = BatchCommitLog.batch_id_of
+        removed = []
+        if orphan_ttl_seconds is not None:
+            for log in (self._log, self._clog):
+                for d in log.orphan_batch_dirs("words", orphan_ttl_seconds):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+            removed += self._sweep_orphan_sidecars(orphan_ttl_seconds)
         c_dirs = self._clog.committed_batches("words")
         if not c_dirs:
-            return []
+            return removed
         newest = max(c_dirs, key=bid)
         # sidecar key = the WINNER's (n, uid), read off its marker-published
         # dir name — a losing rival's sidecar has a different uid
@@ -215,14 +258,42 @@ class BloomIndex:
             os.path.basename(newest).split("=")[1],
         )
         if not self.backend.exists(sidecar):
-            return []  # pre-sidecar compaction: nothing provably absorbed
+            return removed  # pre-sidecar compaction: nothing provably absorbed
         covered = json.loads(self.backend.read(sidecar))
-        removed = []
         for log, key in ((self._log, "words"), (self._clog, "compactions")):
             for d in log.committed_batches("words"):
                 if bid(d) in set(covered[key]):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(d)
+        return removed
+
+    def _sweep_orphan_sidecars(self, ttl: float) -> list[str]:
+        """Covered sidecars whose ``<n>-<uid>`` no compaction marker
+        publishes (the compactor crashed pre-claim or lost the claim
+        race), past the same age horizon as the dir sweep.  Sidecars
+        live in the backend, so age comes from the POSIX mtime when the
+        object is fs-backed; a backend with no fs footprint just keeps
+        them (bytes-sized, harmless)."""
+        import time
+
+        root = os.path.join(self.path, "compactions", "covered")
+        now = time.time()
+        removed = []
+        for name in self.backend.list_dir(root):
+            n, _, uid = name.partition("-")
+            if not n.isdigit() or not uid:
+                continue
+            marker = self._clog.marker(int(n))
+            if self.backend.exists(marker) and self.backend.read(marker).decode() == uid:
+                continue  # the winner's sidecar — load-bearing for gc
+            full = os.path.join(root, name)
+            try:
+                if now - os.path.getmtime(full) < ttl:
+                    continue
+            except OSError:
+                continue  # no fs footprint (in-memory backend): keep
+            self.backend.delete(full)
+            removed.append(full)
         return removed
 
 

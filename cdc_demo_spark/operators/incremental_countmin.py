@@ -250,12 +250,24 @@ class CountMinIndex:
             )
 
 
-    def gc(self) -> list[str]:
+    def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
         """Reclaim what the newest checkpoint supersedes: cell-batch
         dirs in its covered set AND older checkpoint dirs (each a full
         depth×width table no reader can reach — without this arm,
         routine compact()+gc() would leak one merged sketch per cycle
         forever).  Returns the removed paths.
+
+        With ``orphan_ttl_seconds``, ALSO sweeps never-published
+        garbage older than that horizon, which the marker-driven arms
+        above can never reach: crashed/losing appenders' staged
+        ``cells/batch=<n>-<uid>`` dirs (no marker, or the marker names
+        the winner's uid) and SAME-seq rival checkpoint dirs
+        ``ckpt=<seq>-<uid>`` whose marker records a different uid (the
+        ``< seq`` arm only catches older seqs, so a losing compactor's
+        full-grid table at the winning seq would leak forever).  The
+        horizon must exceed any live writer's stage-to-claim gap; see
+        BatchCommitLog.orphan_batch_dirs.  Default None keeps gc
+        purely marker-driven.
 
         Caller contract: no reader started BEFORE the checkpoint may
         still be running — a pre-checkpoint reader could hold the old
@@ -264,16 +276,41 @@ class CountMinIndex:
         batch MARKERS stay: their ids remain burned so next_batch_id,
         the covered set, and epoch-replay dedup keep their history."""
         import shutil
+        import time
 
-        seq, ckpt_dir, covered = self._checkpoint()
-        if ckpt_dir is None:
-            return []
         removed = []
+        if orphan_ttl_seconds is not None:
+            for d in self._log.orphan_batch_dirs("cells", orphan_ttl_seconds):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        seq, ckpt_dir, covered = self._checkpoint()
+        ckpt_root = os.path.join(self.path, "checkpoint_data")
+        if orphan_ttl_seconds is not None and os.path.isdir(ckpt_root):
+            now = time.time()
+            for name in sorted(os.listdir(ckpt_root)):
+                full = os.path.join(ckpt_root, name)
+                if not name.startswith("ckpt=") or not os.path.isdir(full):
+                    continue
+                m, _, uid = name.split("=", 1)[1].partition("-")
+                marker = os.path.join(self.path, "checkpoints", m)
+                try:
+                    meta = json.loads(self.backend.read(marker))
+                    published = meta.get("uid") == uid
+                except (OSError, ValueError, KeyError, TypeError):
+                    published = False  # no/poisoned marker: never readable
+                try:
+                    old = now - os.path.getmtime(full) >= orphan_ttl_seconds
+                except OSError:
+                    continue
+                if not published and old:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        if ckpt_dir is None:
+            return removed
         for d in self._log.committed_batches("cells"):
             if BatchCommitLog.batch_id_of(d) in covered:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d)
-        ckpt_root = os.path.join(self.path, "checkpoint_data")
         for name in sorted(os.listdir(ckpt_root)) if os.path.isdir(ckpt_root) else []:
             full = os.path.join(ckpt_root, name)
             if (

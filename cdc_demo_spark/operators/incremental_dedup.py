@@ -148,31 +148,30 @@ class MinHashIndex:
 
     def _shard_files(self, d: str, shards: list[int] | None) -> list[str]:
         """Data files of a sharded batch dir — only the given shards
-        when provided — listed DIRECTLY (the layout is this class's
-        own), with the result read under an explicit schema.  Handing
-        Spark the batch-dir root instead costs a full partition
-        discovery + footer-inference pass: measured 3 s per read at
-        2048 shard dirs, dwarfing the 0.15 s pruned scan it gates.
-        (Data files are filesystem-read here exactly as Spark itself
-        reads them; the CommitBackend seam covers markers/sidecars,
-        not parquet bytes.)"""
+        when provided — discovered through the backend's DATA-plane
+        listing seam (``CommitBackend.list_data_dir``; an object-store
+        port reroutes that one method), with the result read under an
+        explicit schema.  Handing Spark the batch-dir root instead
+        costs a full partition discovery + footer-inference pass:
+        measured 3 s per read at 2048 shard dirs, dwarfing the 0.15 s
+        pruned scan it gates.  (Parquet BYTES are still read by Spark's
+        own reader; only the listing goes through the seam.)"""
         names = (
             shards
             if shards is not None
             else [
                 int(x.split("=")[1])
-                for x in os.listdir(d)
+                for x in self.backend.list_data_dir(d)
                 if x.startswith("shard=")
             ]
         )
         files = []
         for s in names:
             sd = os.path.join(d, f"shard={s}")
-            if not os.path.isdir(sd):
-                continue  # empty shard was never materialized
+            # an empty shard was never materialized: listing is []
             files += [
                 os.path.join(sd, f)
-                for f in os.listdir(sd)
+                for f in self.backend.list_data_dir(sd)
                 if f.endswith(".parquet")
             ]
         return files
@@ -405,7 +404,18 @@ class MinHashIndex:
             )
         else:
             sh_new.write.mode("overwrite").parquet(sh_dst)
-        self.backend.put_if_absent(os.path.join(sh_dst, "_nshards"), str(ns).encode())
+        if not self.backend.put_if_absent(
+            os.path.join(sh_dst, "_nshards"), str(ns).encode()
+        ):
+            # the dir name embeds this attempt's fresh uid, so an
+            # occupant is backend corruption, not a race; committing
+            # without the sidecar would silently downgrade every future
+            # read of this batch to an unpruned full scan (correct but
+            # permanently loses the sharded-layout pruning) — refuse
+            raise ConcurrentAppendError(
+                f"_nshards sidecar at {sh_dst} already exists; refusing to "
+                "commit a sharded batch whose shard modulus is unrecorded"
+            )
         # ONE marker after BOTH tables land (BatchCommitLog protocol)
         self._log.claim(n, uid)
         sh_new.unpersist()

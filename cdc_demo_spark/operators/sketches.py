@@ -254,6 +254,10 @@ def histogram_build(
     on junk strings, and filtering the RAW column alone is not enough:
     greatest(NULL, 0) skips nulls, so a failed cast or a NaN would
     silently fold into bucket 0 and skew the low edge)."""
+    if not hi > lo:
+        raise ValueError(f"histogram bounds must satisfy lo < hi, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"histogram needs at least one bucket, got {n_buckets}")
     v = F.col(value_col).try_cast("double")
     b = F.least(
         F.greatest(
@@ -288,10 +292,21 @@ def histogram_quantiles(
     Quantiles must satisfy 0 < q ≤ 1, validated loudly: q = 0's target
     of 0 satisfies no (cum ≥ target AND cum_prev < target) bucket, so
     its row would silently VANISH from the output and misalign any
-    caller zipping results to its request list."""
+    caller zipping results to its request list.  An EMPTY histogram
+    (no counted values: SUM(cnt) is NULL) raises at EXECUTION time for
+    the same reason.  That check cannot live on an inner join's input
+    (empty-relation propagation — static or AQE — prunes the whole
+    join, and the assertion with it), so the CDF probe is a LEFT join:
+    the quantile rows always survive, and a row that matched no bucket
+    (⇔ empty histogram, since 0 < q ≤ 1 always hits a bucket of a
+    non-empty CDF) trips an assert embedded in the output column."""
     bad = [q for q in qs if not 0 < q <= 1]
     if bad:
         raise ValueError(f"quantiles must be in (0, 1]: {bad}")
+    if not hi > lo:
+        raise ValueError(f"histogram bounds must satisfy lo < hi, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"histogram needs at least one bucket, got {n_buckets}")
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
@@ -306,12 +321,24 @@ def histogram_quantiles(
     est = F.lit(float(lo)) + (
         F.col("bucket") + (F.col("target") - F.col("cum_prev")) / F.col("cnt")
     ) * F.lit(width)
+    # assert_true is NULL when its condition holds, so `when(assert IS
+    # NULL, est)` is est on the good path but forces the assertion to
+    # evaluate inside the output column — unprunable, since `est` IS
+    # the result
+    est_checked = F.when(
+        F.assert_true(
+            F.col("bucket").isNotNull(),
+            F.lit("histogram_quantiles: empty histogram (no counted values)"),
+        ).isNull(),
+        est,
+    )
     return (
         targets.join(
             cum,
             (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target")),
+            "left",
         )
         # no round: every input is an integer count or a literal, so the
         # scalar double math is bit-identical across engines as-is
-        .select("q", est.alias("est"))
+        .select("q", est_checked.alias("est"))
     )

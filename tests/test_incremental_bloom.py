@@ -138,3 +138,84 @@ def test_gc_reclaims_absorbed_dirs_probe_unchanged(spark, tmp_path, be):
     assert len(idx.gc()) == 2
     probed = idx.probe(_values(spark, 0, 400), "v")
     assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_repeat_compact_without_gc_is_noop(spark, tmp_path, be):
+    # regression (ADVICE r7): compact();compact() with no gc() between
+    # used to rewrite the full merged table and burn a compaction id
+    # per call — the covered sidecar is the freshness authority, not
+    # the still-on-disk absorbed dirs
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    idx.append_batch(_values(spark, 0, 150), "v")
+    idx.append_batch(_values(spark, 150, 150), "v")
+    idx.compact()
+    c_dirs = idx._clog.committed_batches("words")
+    assert len(c_dirs) == 1
+    idx.compact()  # nothing new landed, absorbed dirs NOT yet gc'd
+    assert idx._clog.committed_batches("words") == c_dirs, (
+        "fresh compaction must be a no-op before gc"
+    )
+    # a new batch makes it stale again
+    idx.append_batch(_values(spark, 300, 50), "v")
+    idx.compact()
+    assert len(idx._clog.committed_batches("words")) == 2
+    probed = idx.probe(_values(spark, 0, 350), "v")
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_gc_orphan_sweep_reclaims_unpublished_dirs(spark, tmp_path, be):
+    import os
+
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    idx.append_batch(_values(spark, 0, 100), "v")
+    before = sorted(map(tuple, idx.words().collect()))
+    # a crashed appender: staged words dir, marker never claimed
+    crashed = tmp_path / "bl" / "words" / "batch=7-deadbeef"
+    crashed.mkdir(parents=True)
+    (crashed / "part-0.parquet").write_bytes(b"junk")
+    # a losing racer: marker at 0 names the winner's uid, not this one
+    loser = tmp_path / "bl" / "words" / "batch=0-00000000"
+    loser.mkdir(parents=True)
+    # marker-driven gc never touches them
+    assert idx.gc() == []
+    assert crashed.is_dir() and loser.is_dir()
+    # young orphans survive a conservative horizon
+    assert idx.gc(orphan_ttl_seconds=3600) == []
+    # past the horizon both are swept; published state is untouched
+    removed = idx.gc(orphan_ttl_seconds=0)
+    assert {os.path.basename(d) for d in removed} == {
+        "batch=7-deadbeef",
+        "batch=0-00000000",
+    }
+    assert not crashed.is_dir() and not loser.is_dir()
+    assert sorted(map(tuple, idx.words().collect())) == before
+    # the crashed id stays burned (its dir is gone but ids come from
+    # markers too — and batch 0's marker still names the winner)
+    idx.append_batch(_values(spark, 100, 50), "v")
+    probed = idx.probe(_values(spark, 0, 150), "v")
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_gc_orphan_sweep_losing_compactor_sidecar(spark, tmp_path, be):
+    import os
+
+    if isinstance(be, InMemoryCommitBackend):
+        pytest.skip("sidecar age needs an fs footprint; in-memory keeps them")
+    idx = BloomIndex(spark, str(tmp_path / "bl"), BITS, HASHES, backend=be)
+    idx.append_batch(_values(spark, 0, 100), "v")
+    idx.compact()
+    idx.gc()  # drain the marker-driven arm (absorbed words batch)
+    # a compactor that wrote its sidecar but crashed before claiming:
+    # seq 9 was never claimed, so nothing publishes 9-feedface
+    orphan = os.path.join(str(tmp_path / "bl"), "compactions", "covered", "9-feedface")
+    assert be.put_if_absent(orphan, b'{"words": [], "compactions": []}')
+    winner = idx._clog.committed_batches("words")
+    sidecar_of_winner = os.path.basename(winner[0]).split("=")[1]
+    assert idx.gc(orphan_ttl_seconds=3600) == []  # too young
+    removed = idx.gc(orphan_ttl_seconds=0)
+    assert orphan in removed
+    assert not be.exists(orphan)
+    # the WINNER's sidecar is load-bearing and must survive any sweep
+    assert be.exists(
+        os.path.join(str(tmp_path / "bl"), "compactions", "covered", sidecar_of_winner)
+    )

@@ -286,3 +286,85 @@ def test_mixed_id_modes_raise_loudly(spark, tmp_path, be):
     idx2.append_batch(_occurrences(spark, 0, 30), "v")
     with pytest.raises(ValueError, match="auto-owned"):
         idx2.append_batch(_occurrences(spark, 30, 30), "v", batch_id=7)
+
+
+def test_gc_orphan_sweep_same_seq_rival_and_staged_cells(spark, tmp_path, be):
+    # the marker-driven gc arms can never reach: (a) a losing/crashed
+    # appender's staged cells dir, (b) a SAME-seq rival checkpoint dir
+    # (the `< seq` arm only catches older seqs) — both leaked forever
+    # before the orphan sweep (ADVICE r7)
+    import os
+
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 60), "v")
+    idx.compact()
+    idx.gc()  # drain the marker-driven arms (covered cells batch)
+    want = sorted(map(tuple, idx.cells().collect()))
+    # (a) crashed appender's staged dir — no marker will ever claim it
+    staged = tmp_path / "cm" / "cells" / "batch=9-deadbeef"
+    staged.mkdir(parents=True)
+    # (b) same-seq rival: checkpoint 0's marker records the winner's
+    # uid; the loser's full-grid data dir sits beside it
+    winner = [
+        d
+        for d in os.listdir(tmp_path / "cm" / "checkpoint_data")
+        if d.startswith("ckpt=0-")
+    ]
+    assert len(winner) == 1
+    rival = tmp_path / "cm" / "checkpoint_data" / "ckpt=0-00000000"
+    rival.mkdir(parents=True)
+    (rival / "part-0.parquet").write_bytes(b"junk")
+    assert idx.gc() == []  # marker-driven arms see nothing to do
+    assert staged.is_dir() and rival.is_dir()
+    assert idx.gc(orphan_ttl_seconds=3600) == []  # too young to condemn
+    removed = idx.gc(orphan_ttl_seconds=0)
+    assert {os.path.basename(d) for d in removed} == {
+        "batch=9-deadbeef",
+        "ckpt=0-00000000",
+    }
+    # the winner's checkpoint and the merged state are untouched
+    assert (tmp_path / "cm" / "checkpoint_data" / winner[0]).is_dir()
+    assert sorted(map(tuple, idx.cells().collect())) == want
+
+
+def test_epoch_adoption_over_unowned_history_refused(spark, tmp_path, be):
+    # r8 guard (storage.claim_ownership_mode): a pre-ownership history
+    # burned its ids via next_batch_id, so adopting it as epoch-owned
+    # would make stream epochs 0..max skip as "replays" — refuse and
+    # tell the operator to rebuild or stay auto
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    idx.append_batch(_occurrences(spark, 0, 40), "v")
+    idx.append_batch(_occurrences(spark, 40, 40), "v")
+    # simulate pre-guard history: the ownership record never existed
+    be.delete(str(tmp_path / "cm" / "_ownership"))
+    with pytest.raises(ValueError, match="burned batch ids"):
+        idx.append_batch(_occurrences(spark, 80, 40), "v", batch_id=0)
+    # auto-id appends remain welcome (the file is re-created as auto)
+    idx.append_batch(_occurrences(spark, 80, 40), "v")
+    _assert_equals_one_shot(spark, idx, 0, 120)
+
+
+def test_epoch_adoption_refused_for_legacy_markerless_layout(spark, tmp_path, be):
+    # ADVICE r8: a legacy pre-marker layout (batch=<n>, _COMMITTED, no
+    # markers) has burned ids through next_batch_id's data-dir scan —
+    # it must refuse epoch adoption exactly like a marker history
+    import os
+
+    path = tmp_path / "cm"
+    legacy = path / "cells" / "batch=3"
+    legacy.mkdir(parents=True)
+    (legacy / "_COMMITTED").write_bytes(b"")
+    idx = CountMinIndex(spark, str(path), DEPTH, WIDTH, backend=be)
+    with pytest.raises(ValueError, match="burned batch ids"):
+        idx.append_batch(_occurrences(spark, 0, 30), "v", batch_id=0)
+    assert not be.exists(os.path.join(str(path), "_ownership"))
+
+
+def test_epoch_ownership_clean_index_still_works(spark, tmp_path, be):
+    # the refusal must not touch the legitimate path: a FRESH index
+    # adopting epoch mode from its first append
+    idx = CountMinIndex(spark, str(tmp_path / "cm"), DEPTH, WIDTH, backend=be)
+    assert idx.append_batch(_occurrences(spark, 0, 50), "v", batch_id=0) is True
+    assert idx.append_batch(_occurrences(spark, 0, 50), "v", batch_id=0) is False
+    assert idx.append_batch(_occurrences(spark, 50, 50), "v", batch_id=1) is True
+    _assert_equals_one_shot(spark, idx, 0, 100)

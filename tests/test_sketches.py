@@ -210,3 +210,37 @@ def test_histogram_quantiles_rejects_out_of_range_q(spark):
     # q = 1 is the supported maximum: upper edge of the last populated bucket
     got = SK.histogram_quantiles(hist, [1.0], 0.0, 10.0, 5).collect()
     assert got[0].est == 10.0
+
+
+def test_histogram_build_rejects_bad_bounds_and_buckets(spark):
+    vals = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="lo < hi"):
+        SK.histogram_build(vals, "v", 10.0, 10.0, 5)
+    with pytest.raises(ValueError, match="lo < hi"):
+        SK.histogram_build(vals, "v", 10.0, 0.0, 5)
+    with pytest.raises(ValueError, match="at least one bucket"):
+        SK.histogram_build(vals, "v", 0.0, 10.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        SK.histogram_quantiles(
+            SK.histogram_build(vals, "v", 0.0, 10.0, 5), [0.5], 10.0, 0.0, 5
+        )
+
+
+def test_histogram_quantiles_empty_histogram_raises_loudly(spark):
+    # an empty histogram (no counted values) used to return ZERO rows
+    # silently — every quantile row vanished and a caller zipping
+    # results to its request list misaligned; now the check rides
+    # inside the `target` expression and fails at execution time
+    empty = spark.range(5).select(
+        F.col("id").cast("double").alias("v")
+    ).filter(F.col("v") < 0)
+    hist = SK.histogram_build(empty, "v", 0.0, 10.0, 5)
+    q = SK.histogram_quantiles(hist, [0.5], 0.0, 10.0, 5)
+    with pytest.raises(Exception, match="empty histogram"):
+        q.collect()
+    # NULL-only input builds an empty histogram too (junk is dropped)
+    nulls = spark.range(3).select(F.lit(None).cast("double").alias("v"))
+    with pytest.raises(Exception, match="empty histogram"):
+        SK.histogram_quantiles(
+            SK.histogram_build(nulls, "v", 0.0, 10.0, 5), [0.9], 0.0, 10.0, 5
+        ).collect()

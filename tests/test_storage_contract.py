@@ -344,3 +344,37 @@ class TestObjectStoreSemantics:
         assert be.list_dir(d) == ["a"]
         be.delete(d + "/a")
         assert be.list_dir(d) == []
+
+
+class TestShardedLayoutThroughSeam:
+    def test_sharded_pruned_fetch_roundtrip_on_object_store(
+        self, spark, sf_dir, tmp_path, be, monkeypatch
+    ):
+        """The r8 sharded stored-shingle layout discovers its shard
+        partitions through CommitBackend.list_data_dir (VERDICT r8 #4)
+        — this pins the full append → sidecar → pruned-fetch loop on
+        the non-POSIX backends, so an object-store port that reroutes
+        the one listing method inherits a proven path."""
+        import cdc_demo_spark.operators.incremental_dedup as mod
+        from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+        from cdc_demo_spark.sources.tables import load_table
+
+        monkeypatch.setattr(mod, "_SHARD_ROWS", 256)  # force nshards > 1
+        docs = load_table(spark, sf_dir, "documents")
+        big = docs.filter(F.col("doc_id") < 400).localCheckpoint()
+        idx = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.12, backend=be)
+        idx.append_batch(big).count()
+        (d,) = idx._committed_batches("shingles")
+        ns = idx._nshards_of(d)
+        assert ns > 1, "batch should have sharded"
+        ids = [r["doc_id"] for r in big.limit(6).collect()]
+        # the pruned fetch must touch only the candidates' shards ...
+        shards = sorted({(i % ns + ns) % ns for i in ids})
+        assert len(idx._shard_files(d, shards)) < len(idx._shard_files(d, None))
+        # ... and return exactly what the unpruned scan filters to
+        pruned = {(r["id"], r["h64"]) for r in idx.stored_shingles(ids).collect()}
+        full = {
+            (r["id"], r["h64"])
+            for r in idx.stored_shingles().filter(F.col("id").isin(ids)).collect()
+        }
+        assert pruned and pruned == full
