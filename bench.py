@@ -357,7 +357,7 @@ def _semantic_index_path(spark, n: int = ANN_N, n_buckets: int = ANN_BUCKETS) ->
         cents = train_centroids_sampled(corpus, n_buckets).localCheckpoint()
         idx.build(corpus, centroids=cents)
 
-    return _ensure_built(f"semidx_v1_n{n}_b{n_buckets}", build)
+    return _ensure_built(f"semidx_v2_n{n}_b{n_buckets}", build)
 
 
 def _time_ann_index_append(spark, n: int, n_buckets: int) -> float:

@@ -371,14 +371,21 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
     quantizer costs ~29 s alone at 1M×64); zero vectors drop out, as
     in every quantized path.
 
-    Shape: one repartition on (centroid_id, blk) then a pandas groupby
-    INSIDE each partition (mapInPandas).  The groupBy().applyInPandas
-    it replaced paid a per-GROUP Arrow/pandas round-trip — at 2048
-    buckets that fixed overhead was ~5 s of a 10k-row delta append
-    (r8 profile) and the same ~5 s inside the 1M one-shot scan; the
-    in-partition groupby packs the identical tile set (byte-equal,
-    r8 digest check) at ~0.9 s.  Pair results never depend on row
-    order within a tile: the block GEMM scores every cross pair."""
+    Shape: one repartition on (centroid_id, blk), a sort within each
+    partition on the same key, then a STREAMING pandas groupby over
+    the partition's Arrow batches (mapInPandas).  The groupBy().
+    applyInPandas it replaced paid a per-GROUP Arrow/pandas round-trip
+    — at 2048 buckets that fixed overhead was ~5 s of a 10k-row delta
+    append (r8 profile) and the same ~5 s inside the 1M one-shot scan.
+    The first mapInPandas cut (r8) concatenated the WHOLE partition
+    before grouping, so task memory scaled with corpus/|partitions| —
+    fine at the 1M bench grain, a regression risk at 100 TB (ADVICE
+    r8).  With the in-partition sort, groups arrive contiguous, so
+    each Arrow batch's complete groups pack immediately and only the
+    possibly-split trailing group carries over: task memory is one
+    Arrow batch + one tile, independent of corpus AND of partition
+    count.  Pair results never depend on row order within a tile: the
+    block GEMM scores every cross pair."""
     has_qv = "qv" in qm.columns
     data_col = "qv" if has_qv else "vec"
     counts = qm.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
@@ -389,12 +396,31 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
     )
 
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
-            return
-        # a group can span Arrow batches of one partition — concat
-        # before grouping (partition-level memory: tile bytes only)
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if not len(b):
+                continue
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+                carry = None
+            # rows are sorted by (centroid_id, blk), so the group that
+            # may continue into the next batch is exactly the suffix
+            # holding the LAST key — hold it back, pack the rest
+            last_cid = b["centroid_id"].iat[-1]
+            last_blk = b["blk"].iat[-1]
+            tail = (
+                (b["centroid_id"].to_numpy() == last_cid)
+                & (b["blk"].to_numpy() == last_blk)
+            )
+            start = int(np.argmax(tail))  # first index of the suffix
+            carry = b.iloc[start:]
+            head = b.iloc[:start]
+            if len(head):
+                yield from _pack_groups(head, has_qv)
+        if carry is not None and len(carry):
+            yield from _pack_groups(carry, has_qv)
+
+    def _pack_groups(pdf: pd.DataFrame, has_qv: bool) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"centroid_id": [], "blk": [], "n": [], "ids": [], "qvb": []}
         for (cid, blk), g in pdf.groupby(["centroid_id", "blk"], sort=False):
             ids = g["id"].to_numpy(dtype=np.int64)
@@ -414,10 +440,20 @@ def pack_tiles(qm: DataFrame, tile_rows: int = 8192) -> DataFrame:
         if out["n"]:
             yield pd.DataFrame(out)
 
-    npart = qm.sparkSession.sparkContext.defaultParallelism
+    # the streaming carry above makes task memory independent of
+    # partition sizing, so the count is purely a parallelism choice:
+    # honor the session's shuffle sizing when it asks for more than
+    # core count (the tuning knob a 100 TB run actually turns)
+    spark = qm.sparkSession
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = 0  # e.g. "auto" under some AQE configs
+    npart = max(spark.sparkContext.defaultParallelism, shuffle_parts)
     return (
         qm.repartition(npart, "centroid_id", "blk")
         .select("centroid_id", "blk", "id", data_col)
+        .sortWithinPartitions("centroid_id", "blk")
         .mapInPandas(pack_partition, schema=TILE_SCHEMA)
     )
 

@@ -88,6 +88,15 @@ class SemanticIndex:
             "probes": probes,
             "refine_iters": refine_iters,
             "arrow": arrow,
+            # On-disk STATE encoding, not a query param: v2 (r8's fused
+            # arrow path) stores the quantized sidecar's qv as packed
+            # int8 BYTES and excludes zero vectors from members; v1
+            # stored array<bigint> qv and kept zero vectors.  Mixing
+            # encodings inside one 'quantized' table would corrupt any
+            # future rebuild that reads all batch dirs at once, so a
+            # pre-version (or other-version) index refuses to open
+            # under this code — rebuild it (ADVICE r8).
+            "state_encoding": 2,
         }
         # put-if-absent then verify: two racing creators with identical
         # params both succeed (one writes, both compare); mismatched

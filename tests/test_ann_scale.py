@@ -206,3 +206,37 @@ def test_numpy_quantization_parity_with_jvm(spark, sf_dir):
                 assert all(v is None for v in jvm[vid])
             else:
                 assert jvm[vid] == list(Q[i]), f"vec {vid}"
+
+
+def test_pack_tiles_streaming_carry_packs_each_group_once(spark):
+    """pack_tiles streams a sorted partition batch-by-batch, carrying
+    only a possibly-split trailing group (ADVICE r8: the whole-
+    partition concat made task memory scale with corpus/npart).  With
+    Arrow batches forced far smaller than the groups, every group
+    spans batches — each must still land in EXACTLY one tile row with
+    its full membership."""
+    import numpy as np
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        corpus = synth_embeddings(spark, 2000, parts=8)
+        qm = corpus.select(
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("int").alias("centroid_id"),
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+        )
+        # tile_rows=150 also forces nsub > 1: multi-block buckets
+        tiles = AS.pack_tiles(qm, tile_rows=150).collect()
+        seen: dict[tuple, list] = {}
+        for r in tiles:
+            ids = np.frombuffer(r["ids"], dtype=np.int64)
+            assert r["n"] == len(ids)
+            k = (r["centroid_id"], r["blk"])
+            assert k not in seen, f"group {k} split across tile rows"
+            seen[k] = list(ids)
+        got = sorted(i for v in seen.values() for i in v)
+        assert got == sorted(range(2000)), "every id in exactly one tile"
+    finally:
+        spark.conf.set(key, old)

@@ -105,3 +105,29 @@ def test_crashed_append_is_invisible(spark, emb, frozen_centroids, tmp_path):
     solo = SemanticIndex(spark, str(tmp_path / "solo"), n_buckets=8)
     expected = _pairs(solo.build(second, centroids=frozen_centroids))
     assert _pairs(idx.append_batch(second)) == expected
+
+
+def test_state_encoding_mismatch_refuses_to_open(spark, tmp_path):
+    """ADVICE r8: the arrow-mode quantized sidecar changed encoding
+    (packed int8 bytes vs array<bigint>) — a pre-version index must
+    refuse to open under current code rather than accept appends that
+    mix encodings inside one table."""
+    import json
+
+    from cdc_demo_spark.storage import DEFAULT_BACKEND
+
+    path = str(tmp_path / "sem")
+    idx = SemanticIndex(spark, path, arrow=True)
+    meta_path = os.path.join(path, "_meta.json")
+    stored = json.loads(DEFAULT_BACKEND.read(meta_path))
+    assert stored["state_encoding"] == 2
+    # simulate a pre-version index: no state_encoding field at all
+    legacy = {k: v for k, v in stored.items() if k != "state_encoding"}
+    DEFAULT_BACKEND.delete(meta_path)
+    assert DEFAULT_BACKEND.put_if_absent(meta_path, json.dumps(legacy).encode())
+    with pytest.raises(ValueError, match="built with"):
+        SemanticIndex(spark, path, arrow=True)
+    # same params + same encoding still opens fine
+    DEFAULT_BACKEND.delete(meta_path)
+    assert DEFAULT_BACKEND.put_if_absent(meta_path, json.dumps(stored).encode())
+    SemanticIndex(spark, path, arrow=True)
