@@ -47,7 +47,7 @@ _DRIVER_WINDOW_FIRST = [
     # to fill the 50-slot cap.  Displaced r6/r8-green anchors keep
     # their records and rotate in r10 (the tool prints the suggested
     # next head each round).
-    "q_linear_quality_score",
+    "q_incremental_histogram",
     "q_tumbling_window",
     "q_union_all",
     "q_user_sessions",

@@ -413,3 +413,64 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "est", "exact", F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"))
         .orderBy("q")
     )
+
+
+@register(
+    "q_incremental_histogram",
+    # The hist CTE is q_histogram_quantiles' exactly: bucket counts
+    # merge by SUM over a disjoint split, so the two-batch ledger state
+    # is BIT-IDENTICAL to the one-shot build — the third stateful
+    # sketch (after bloom and count-min) whose incremental machinery
+    # gets a full value-exact oracle.  The running cum column makes the
+    # hash cover the merge ORDER-free but cumulative-sum exact.
+    oracle=f"""
+WITH hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {HIST_LO!r})
+                                   / {HIST_HI - HIST_LO!r} * {HIST_BUCKETS}) AS INTEGER),
+                        0), {HIST_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT bucket, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+FROM hist ORDER BY bucket
+""",
+)
+def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ledger (operators/incremental_histogram.
+    HistogramIndex — the AdditiveLedger protocol instantiated for the
+    quantile sketch): l_extendedprice lands in two appends split by
+    l_orderkey parity, a compact() checkpoints the first batch midway
+    (superseding, not double-counting), and the merged state must be
+    BIT-IDENTICAL to a one-shot histogram of the whole column — which
+    is exactly what the oracle builds.  The cumulative column is the
+    CDF the quantile walk reads (q_histogram_quantiles covers the walk
+    itself).  At 100 TB each append scans only its delta and shuffles
+    ≤ n_buckets rows; the ledger read is grid-sized."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cdc_demo_spark.operators.incremental_histogram import HistogramIndex
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="hist_index_")
+    try:
+        idx = HistogramIndex(
+            spark, os.path.join(tmp, "idx"), HIST_LO, HIST_HI, HIST_BUCKETS
+        )
+        idx.append_batch(li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice")
+        idx.compact()  # superseding checkpoint mid-history: must change nothing
+        idx.append_batch(li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice")
+        w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            idx.hist()
+            .select("bucket", "cnt", F.sum("cnt").over(w).alias("cum"))
+            .orderBy("bucket")
+            # pinned: the temp index dir is deleted on return; the
+            # driver collects AFTER that
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
