@@ -411,6 +411,17 @@ def time_ann_index_append_2m(spark) -> float:
     return _time_ann_index_append(spark, 2 * ANN_N, 2 * ANN_BUCKETS)
 
 
+def time_ann_index_append_4m(spark) -> float:
+    """Third slope point (r8 verdict stretch): 4M vectors / 8192
+    buckets, same 10k delta, same constant occupancy.  Two points can
+    hide a slow super-linear term that happens to cancel at one
+    doubling; three measured doublings (1M/2M/4M) pin the append as
+    flat-in-corpus or expose the curve.  The built index is cached
+    (semidx_v2_n4000000_b8192) so the 4M build cost is one-time, not
+    per-round."""
+    return _time_ann_index_append(spark, 4 * ANN_N, 4 * ANN_BUCKETS)
+
+
 def time_ann_pq_topk_1m(spark) -> float:
     """ADC top-k over 1M PQ codes for 16 queries: numpy gather scoring
     + per-query top-k window; codes + codebooks built once and cached.
@@ -908,6 +919,7 @@ def main() -> None:
         ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
         ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
         ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
+        ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),

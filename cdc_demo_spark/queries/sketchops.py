@@ -474,3 +474,51 @@ def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_incremental_token_counts",
+    # The merged ledger must equal a plain GROUP BY over the whole
+    # corpus — SUM associativity over the parity split, same argument
+    # as the other incremental oracles, but over EXACT vocabulary-
+    # sized state rather than a sketch grid (the AdditiveLedger
+    # protocol's first non-sketch member).
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 100
+""",
+)
+def q_incremental_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary ledger (operators/incremental_tokens.
+    TokenCountIndex): the corpus's whitespace tokens land in two
+    appends split by doc_id parity with a superseding compact between
+    them, and the top-100 of the merged state must be value-exact
+    against a one-shot GROUP BY — exact counts being the point (this
+    is the state a BPE trainer consumes; Count-Min's overestimates
+    are the fallback when the vocabulary is too hot to keep).  At
+    100 TB each append shuffles only its batch's distinct tokens and
+    the top-k is a per-partition heap (TakeOrderedAndProject)."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_tokens import TokenCountIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tmp = tempfile.mkdtemp(prefix="tok_index_")
+    try:
+        idx = TokenCountIndex(spark, os.path.join(tmp, "idx"))
+        idx.append_batch(toks.filter(F.col("doc_id") % 2 == 0), "token")
+        idx.compact()  # superseding checkpoint mid-history
+        idx.append_batch(toks.filter(F.col("doc_id") % 2 == 1), "token")
+        return idx.topk(100).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
