@@ -66,8 +66,14 @@ class AdditiveLedger:
     _TABLE: str = "state"
     #: empty-frame schema of one state table
     _SCHEMA: str = "cnt long"
-    #: groupBy keys of the SUM merge (every non-cnt column)
+    #: groupBy keys of the SUM merge
     _KEYS: tuple[str, ...] = ()
+    #: the SUM-merged value columns (one for counts-shaped state;
+    #: several for moment-sum state like MomentsIndex's n/s1/s2 —
+    #: each must be exactly summable: longs, or integer-scaled
+    #: DECIMAL(38,0), never raw doubles, whose addition order would
+    #: break incremental == one-shot bit-equality)
+    _VALUES: tuple[str, ...] = ("cnt",)
 
     def __init__(
         self,
@@ -156,7 +162,7 @@ class AdditiveLedger:
         return (
             self.spark.read.parquet(*dirs)
             .groupBy(*self._KEYS)
-            .agg(F.sum("cnt").alias("cnt"))
+            .agg(*[F.sum(c).alias(c) for c in self._VALUES])
         )
 
     def state(self) -> DataFrame:

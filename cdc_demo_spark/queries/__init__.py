@@ -48,6 +48,7 @@ _DRIVER_WINDOW_FIRST = [
     # their records and rotate in r10 (the tool prints the suggested
     # next head each round).
     "q_incremental_histogram",
+    "q_incremental_moments",
     "q_incremental_token_counts",
     "q_tumbling_window",
     "q_union_all",
@@ -96,7 +97,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_dup_ngram_fraction",
     "q_embedding_quantize_int8",
     "q_forecast_revenue",
-    "q_hot_key_salted_join",
 ]
 
 

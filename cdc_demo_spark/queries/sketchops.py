@@ -522,3 +522,66 @@ def q_incremental_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return idx.topk(100).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_incremental_moments",
+    # Integer-scaled DECIMAL(38,0) moment sums are exactly associative,
+    # so the two-batch ledger state equals a one-shot aggregation and
+    # the derived mean/stddev are deterministic doubles DuckDB
+    # reproduces token-for-token (same portability argument as
+    # q_moment_stats) — the fourth incremental ledger with a full
+    # value-exact oracle, and the one exercising multi-column SUM
+    # merge.
+    oracle="""
+WITH scaled AS (
+  SELECT l_returnflag AS grp, round(CAST(l_extendedprice AS DOUBLE) * 100) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT grp, COUNT(*) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS s1,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS s2
+  FROM scaled GROUP BY grp
+)
+SELECT grp, n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS stddev
+FROM m
+ORDER BY grp
+""",
+)
+def q_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift ledger (operators/incremental_moments.
+    MomentsIndex): per-return-flag price moments land in two appends
+    split by order-key parity with a superseding compact between
+    them, and mean/stddev derived from the merged integer-scaled sums
+    must be value-exact against a one-shot aggregation — the state a
+    100 TB pipeline keeps to answer "has this group's quality/price
+    distribution moved since crawl N" without rescanning history.
+    Each append shuffles ≤ |groups| rows."""
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.incremental_moments import MomentsIndex
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="mom_index_")
+    try:
+        idx = MomentsIndex(spark, os.path.join(tmp, "idx"), scale=100)
+        idx.append_batch(
+            li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag", "l_extendedprice"
+        )
+        idx.compact()  # superseding checkpoint mid-history
+        idx.append_batch(
+            li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag", "l_extendedprice"
+        )
+        return (
+            idx.stats()
+            .orderBy("grp")
+            .localCheckpoint(eager=True)  # temp dir deleted on return
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
