@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""The multi-crawl ledger story — what a 100 TB ingestion keeps BETWEEN
+corpus builds, demonstrated at sf scale.
+
+examples/corpus_pipeline.py is one corpus build; this example is the
+state that survives from crawl to crawl so the NEXT build never
+re-scans history.  Two simulated crawls (doc_id parity split) feed the
+persistent ledgers, and after each crawl the pipeline answers the
+questions an operations team actually asks:
+
+    crawl N ──┐
+              ├─> BloomIndex        "has ANY earlier crawl seen this
+              │                      shingle?" → quarantine before the
+              │                      expensive dedup even runs
+              ├─> CountMinIndex     "which boilerplate 3-grams are
+              │                      exploding across crawls?"
+              ├─> HistogramIndex    "is the document-length
+              │                      distribution drifting?"
+              ├─> MomentsIndex      "has mean/σ of the quality proxy
+              │                      moved since the last crawl?"
+              └─> TokenCountIndex   "exact vocabulary counts for the
+                                     BPE refresh"
+
+Every ledger appends O(its own state) per crawl — sketch grid, bucket
+grid, group sums, or batch vocabulary — never the corpus; each is
+exactly-once under streaming redelivery (epoch-keyed commits) and
+compactable without double-counting (covered-set checkpoints).  The
+script asserts the family contract as it goes: merged incremental
+state == a one-shot build over both crawls, value-exact.
+
+Run: python examples/crawl_ledgers.py [sf_dir] [state_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.incremental_bloom import BloomIndex
+from cdc_demo_spark.operators.incremental_countmin import CountMinIndex
+from cdc_demo_spark.operators.incremental_histogram import HistogramIndex
+from cdc_demo_spark.operators.incremental_moments import MomentsIndex
+from cdc_demo_spark.operators.incremental_tokens import TokenCountIndex
+from cdc_demo_spark.session import get_spark
+from cdc_demo_spark.sources.tables import load_table
+
+
+def shingles(docs, k=3):
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    arr = F.array_distinct(
+        F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k)))
+    )
+    return docs.select("doc_id", F.explode(arr).alias("sh"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    state = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="ledgers_")
+    spark = get_spark("crawl-ledgers")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    crawls = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+
+    bloom = BloomIndex(spark, os.path.join(state, "bloom"), 1 << 16, 4)
+    cms = CountMinIndex(spark, os.path.join(state, "cms"), 4, 1024)
+    hist = HistogramIndex(spark, os.path.join(state, "hist"), 0.0, 2000.0, 64)
+    mom = MomentsIndex(spark, os.path.join(state, "moments"), scale=100)
+    vocab = TokenCountIndex(spark, os.path.join(state, "vocab"))
+
+    for n, crawl in enumerate(crawls):
+        sh = shingles(crawl).localCheckpoint(eager=True)
+        # quarantine check BEFORE admitting: fraction of this crawl's
+        # shingles any EARLIER crawl already contains
+        probed = bloom.probe(sh, "sh")
+        frac = probed.agg(
+            F.avg(F.col("bloom_member").cast("double")).alias("f")
+        ).collect()[0]["f"]
+        bloom.append_batch(sh, "sh")
+        cms.append_batch(sh, "sh")
+        lens = crawl.select(
+            "doc_id",
+            F.length("text").cast("double").alias("n_chars"),
+            F.size(F.split("text", " ")).cast("double").alias("n_toks"),
+            "source",
+        )
+        hist.append_batch(lens, "n_chars")
+        mom.append_batch(lens, "source", "n_toks")
+        vocab.append_batch(
+            crawl.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+        )
+        # routine maintenance: fold history, reclaim superseded dirs
+        for ledger in (cms, hist, mom, vocab):
+            ledger.compact()
+            ledger.gc()
+        print(f"crawl {n}: {crawl.count()} docs, prior-crawl shingle overlap {frac:.3f}")
+
+    # the family contract, asserted over the union of both crawls
+    from cdc_demo_spark.operators.sketches import bloom_build, histogram_build
+
+    one_bloom = bloom_build(shingles(docs), "sh", 1 << 16, 4)
+    assert bloom.words().exceptAll(one_bloom).count() == 0
+    assert one_bloom.exceptAll(bloom.words()).count() == 0
+
+    one_hist = histogram_build(
+        docs.select(F.length("text").cast("double").alias("v")), "v", 0.0, 2000.0, 64
+    )
+    assert hist.hist().exceptAll(one_hist).count() == 0
+    assert one_hist.exceptAll(hist.hist()).count() == 0
+
+    one_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert vocab.counts().exceptAll(one_vocab).count() == 0
+    assert one_vocab.exceptAll(vocab.counts()).count() == 0
+
+    top = [(r["token"], r["cnt"]) for r in vocab.topk(5).collect()]
+    drift = {
+        r["grp"]: (round(r["mean"], 2), round(r["stddev"] or 0.0, 2))
+        for r in mom.stats().collect()
+    }
+    q50 = hist.quantiles([0.5]).collect()[0]["est"]
+    print(
+        f"ledgers at {state}: incremental == one-shot asserted; "
+        f"median doc length {q50:.0f} chars; vocab top-5 {top}; "
+        f"per-source token-count drift {drift}"
+    )
+
+
+if __name__ == "__main__":
+    main()
