@@ -129,3 +129,41 @@ def test_single_value_group_null_stddev(spark, tmp_path, be):
     idx.append_batch(df, "g", "v")
     (row,) = idx.stats().collect()
     assert row["n"] == 1 and row["mean"] == 5.0 and row["stddev"] is None
+
+
+def test_moments_sink_through_real_stream(spark, tmp_path, be):
+    """End-to-end: a file stream feeds the drift ledger via
+    foreachBatch; merged sums equal a one-shot aggregation of all
+    streamed rows (exactly-once under at-least-once delivery)."""
+    import json
+    import os
+
+    from cdc_demo_spark.operators.incremental_moments import moments_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (a, b) in enumerate([(0, 200), (200, 100)]):
+        rows = [
+            json.dumps(
+                {"g": "even" if x % 2 == 0 else "odd", "v": ((x * 73) % 1000) / 100.0}
+            )
+            for x in range(a, a + b)
+        ]
+        (src / f"f{i}.json").write_text("\n".join(rows))
+    idx = MomentsIndex(spark, str(tmp_path / "m"), SCALE, backend=be)
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(moments_sink(idx, "g", "v"))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["grp"], r["n"], r["s1"], r["s2"]) for r in idx.moments().collect()
+    }
+    assert got == _one_shot_state(spark, 0, 300)
