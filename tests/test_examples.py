@@ -1,0 +1,33 @@
+"""The examples are documentation that executes — run both end-to-end
+at fixture scale inside the suite's session so they cannot rot.
+(get_spark getOrCreate's into the active test session, so these add
+pipeline time, not JVM startup time.)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    from examples import corpus_pipeline
+
+    monkeypatch.setattr(
+        sys, "argv", ["corpus_pipeline.py", sf_dir, str(tmp_path / "out")]
+    )
+    corpus_pipeline.main()
+    out = capsys.readouterr().out
+    assert "corpus:" in out and "blocks" in out
+    assert (tmp_path / "out" / "blocks").is_dir()
+
+
+def test_crawl_ledgers_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    from examples import crawl_ledgers
+
+    monkeypatch.setattr(
+        sys, "argv", ["crawl_ledgers.py", sf_dir, str(tmp_path / "state")]
+    )
+    crawl_ledgers.main()  # the example asserts incremental == one-shot itself
+    out = capsys.readouterr().out
+    assert "incremental == one-shot asserted" in out
+    assert (tmp_path / "state" / "vocab").is_dir()
