@@ -357,7 +357,7 @@ def _semantic_index_path(spark, n: int = ANN_N, n_buckets: int = ANN_BUCKETS) ->
         cents = train_centroids_sampled(corpus, n_buckets).localCheckpoint()
         idx.build(corpus, centroids=cents)
 
-    return _ensure_built(f"semidx_v2_n{n}_b{n_buckets}", build)
+    return _ensure_built(f"semidx_v5_n{n}_b{n_buckets}", build)
 
 
 def _time_ann_index_append(spark, n: int, n_buckets: int) -> float:
@@ -417,8 +417,8 @@ def time_ann_index_append_4m(spark) -> float:
     hide a slow super-linear term that happens to cancel at one
     doubling; three measured doublings (1M/2M/4M) pin the append as
     flat-in-corpus or expose the curve.  The built index is cached
-    (semidx_v2_n4000000_b8192) so the 4M build cost is one-time, not
-    per-round."""
+    (under the current semidx cache tag) so the 4M build cost is
+    one-time, not per-round."""
     return _time_ann_index_append(spark, 4 * ANN_N, 4 * ANN_BUCKETS)
 
 

@@ -56,18 +56,26 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
 )
 
 
-# Stored-shingle shard layout (r8): verification fetches the shingles
+# Stored-shingle shard layout (r8, now the shared
+# operators/shard_layout helpers): verification fetches the shingles
 # of CANDIDATE ids only — a few hundred per typical delta — but r7 read
 # them by scanning every stored shingle row map-side (35M rows at the
 # 200k-doc grain, measured ~1.5 s/append and linear in corpus size).
-# Each batch dir now partitions its shingles by shard = pmod(id,
-# nshards), nshards sized so a shard holds ~_SHARD_ROWS rows, recorded
-# in a per-dir ``_nshards`` sidecar.  A probe collects its candidate
-# ids (cap-guarded), computes each dir's touched shards, and reads ONLY
+# Each batch dir partitions its shingles by shard = pmod(id, nshards),
+# nshards sized so a shard holds ~_SHARD_ROWS rows, recorded in a
+# per-dir ``_nshards`` sidecar.  A probe collects its candidate ids
+# (cap-guarded), computes each dir's touched shards, and reads ONLY
 # those partitions — bytes ∝ |candidate ids| × shard size, FLAT in
 # corpus size (nshards grows with the batch instead of shard size).
+from cdc_demo_spark.operators.shard_layout import (
+    n_shards,
+    nshards_of,
+    shard_files,
+    write_nshards_sidecar,
+    write_sharded,
+)
+
 _SHARD_ROWS = 32_768
-_MAX_SHARDS = 2_048
 # Above this many candidate ids the isin-literal plan stops being a
 # win (every shard is touched anyway once |ids| ≫ nshards) — fall back
 # to the full-scan join, which is what r7 always did.
@@ -75,11 +83,7 @@ _CAND_ID_CAP = 5_000
 
 
 def _shingle_shards(rows: int) -> int:
-    import math
-
-    if rows <= _SHARD_ROWS:
-        return 1
-    return min(_MAX_SHARDS, 1 << math.ceil(math.log2(rows / _SHARD_ROWS)))
+    return n_shards(rows, _SHARD_ROWS)
 
 
 class MinHashIndex:
@@ -137,44 +141,16 @@ class MinHashIndex:
         return self.spark.read.parquet(*dirs)
 
     def _nshards_of(self, batch_dir: str) -> int:
-        """Shard count recorded by the append that wrote ``batch_dir``;
-        0 for legacy unsharded dirs (pre-r8, or a backend that lost
-        the sidecar — both degrade to an unpruned filter, never to a
-        wrong answer)."""
-        p = os.path.join(batch_dir, "_nshards")
-        if self.backend.exists(p):
-            return int(self.backend.read(p).decode())
-        return 0
+        """Shared shard-layout sidecar read (operators/shard_layout)."""
+        return nshards_of(self.backend, batch_dir)
 
     def _shard_files(self, d: str, shards: list[int] | None) -> list[str]:
-        """Data files of a sharded batch dir — only the given shards
-        when provided — discovered through the backend's DATA-plane
-        listing seam (``CommitBackend.list_data_dir``; an object-store
-        port reroutes that one method), with the result read under an
-        explicit schema.  Handing Spark the batch-dir root instead
-        costs a full partition discovery + footer-inference pass:
-        measured 3 s per read at 2048 shard dirs, dwarfing the 0.15 s
-        pruned scan it gates.  (Parquet BYTES are still read by Spark's
-        own reader; only the listing goes through the seam.)"""
-        names = (
-            shards
-            if shards is not None
-            else [
-                int(x.split("=")[1])
-                for x in self.backend.list_data_dir(d)
-                if x.startswith("shard=")
-            ]
-        )
-        files = []
-        for s in names:
-            sd = os.path.join(d, f"shard={s}")
-            # an empty shard was never materialized: listing is []
-            files += [
-                os.path.join(sd, f)
-                for f in self.backend.list_data_dir(sd)
-                if f.endswith(".parquet")
-            ]
-        return files
+        """Shared shard-file discovery (operators/shard_layout) —
+        direct listing through the backend seam; handing Spark the
+        batch-dir root instead costs a full partition discovery +
+        footer-inference pass (measured 3 s per read at 2048 shard
+        dirs, dwarfing the 0.15 s pruned scan it gates)."""
+        return shard_files(self.backend, d, shards)
 
     def stored_shingles(self, cand_ids: list[int] | None = None) -> DataFrame:
         """Stored (id, h64) rows across committed batches, restricted
@@ -394,28 +370,8 @@ class MinHashIndex:
         # unpruned, never wrong).
         ns = _shingle_shards(sh_new.count())
         sh_dst = os.path.join(self.path, "shingles", f"batch={n}-{uid}")
-        if ns > 1:
-            (
-                sh_new.withColumn("shard", F.pmod(F.col("id"), F.lit(ns)))
-                .repartition(ns, "shard")
-                .write.partitionBy("shard")
-                .mode("overwrite")
-                .parquet(sh_dst)
-            )
-        else:
-            sh_new.write.mode("overwrite").parquet(sh_dst)
-        if not self.backend.put_if_absent(
-            os.path.join(sh_dst, "_nshards"), str(ns).encode()
-        ):
-            # the dir name embeds this attempt's fresh uid, so an
-            # occupant is backend corruption, not a race; committing
-            # without the sidecar would silently downgrade every future
-            # read of this batch to an unpruned full scan (correct but
-            # permanently loses the sharded-layout pruning) — refuse
-            raise ConcurrentAppendError(
-                f"_nshards sidecar at {sh_dst} already exists; refusing to "
-                "commit a sharded batch whose shard modulus is unrecorded"
-            )
+        write_sharded(sh_new, sh_dst, "id", ns)
+        write_nshards_sidecar(self.backend, sh_dst, ns)
         # ONE marker after BOTH tables land (BatchCommitLog protocol)
         self._log.claim(n, uid)
         sh_new.unpersist()

@@ -54,12 +54,43 @@ from cdc_demo_spark.operators.similarity import (
     int8_quantized,
     refine_centroids,
 )
+from cdc_demo_spark.operators.shard_layout import (
+    n_shards,
+    nshards_of,
+    shard_files,
+    write_nshards_sidecar,
+    write_sharded,
+)
 from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     DEFAULT_BACKEND,
     BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
 )
+
+# Stored-tile shard layout (r9, the shared operators/shard_layout
+# helpers): the cross-tile probe needs only the tiles of the buckets
+# the DELTA lands in, so tiles land sharded by pmod(centroid_id,
+# nshards) and the append prunes its stored-tile read to the probed
+# buckets' shards.  SIZING is a measured trade, not a free win
+# (ROUND_NOTES r9): pmod interleaves, so k probed buckets touch
+# ~ns·(1−(1−1/ns)^k) shards — pruning bites only when ns ≳ k — while
+# per-file scan overhead grows with ns (a fine 32-tiles/shard layout
+# measured +1.5 s on every bench-grain append, where the 10k×2-probe
+# delta touches every bucket and pruning CANNOT bite; a 128-of-8192-
+# bucket probe against the same layout read 41% of tile bytes).  The
+# default keeps shards coarse (~8 MB): neutral at bench grain, pruned
+# for bucket-concentrated probes (re-crawl of one domain, targeted
+# backfill).  A deployment whose deltas probe few buckets relative to
+# n_buckets turns this knob down toward ns ≈ expected probe count —
+# the mechanism (per-dir modulus sidecars, per-dir pruned listing,
+# unpruned fallback) is layout-compatible with ANY value per batch.
+_TILE_SHARD_ROWS = 256
+_TILE_MAX_SHARDS = 8_192
+# Driver-side probe-bucket collect bound: |distinct cids| ≤ min(2·
+# |delta|, n_buckets); past the cap pruning is moot (every shard
+# touched) and the read falls back to the full scan.
+_PROBE_CID_CAP = 65_536
 
 
 class SemanticIndex:
@@ -135,6 +166,38 @@ class SemanticIndex:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
 
+    def stored_tiles(self, probe_cids: list[int] | None = None) -> DataFrame:
+        """Committed tile state, pruned to ``probe_cids``'s shards when
+        given (see the module-level shard-layout note).  Dirs are read
+        individually — batch dirs can mix shard moduli and unsharded
+        (delta/legacy) layouts — under the explicit TILE_SCHEMA; a
+        missing sidecar degrades that dir to an unpruned read, never a
+        wrong answer.  Extra same-shard tiles survive the prune; the
+        cross-tile join on centroid_id drops them, so callers see
+        exactly the probed buckets' tiles either way."""
+        from cdc_demo_spark.operators.ann_scale import TILE_SCHEMA
+
+        dirs = self._committed_batches("tiles")
+        empty = self.spark.createDataFrame([], TILE_SCHEMA)
+        if not dirs:
+            return empty
+        out = None
+        for d in dirs:
+            ns = nshards_of(self.backend, d)
+            if ns > 1:
+                shards = None
+                if probe_cids is not None:
+                    shards = sorted({(c % ns + ns) % ns for c in probe_cids})
+                files = shard_files(self.backend, d, shards)
+                if not files:
+                    continue
+                sub = self.spark.read.schema(TILE_SCHEMA).parquet(*files)
+            else:
+                sub = self.spark.read.schema(TILE_SCHEMA).parquet(d)
+            sub = sub.select("centroid_id", "blk", "n", "ids", "qvb")
+            out = sub if out is None else out.unionByName(sub)
+        return out if out is not None else empty
+
     # -- the operator -------------------------------------------------
 
     def build(
@@ -199,7 +262,6 @@ class SemanticIndex:
             # (measured out past 10 minutes), where the tile path is
             # the same ~20 s bucketed scan bench.py measures one-shot.
             from cdc_demo_spark.operators.ann_scale import (
-                TILE_SCHEMA,
                 assign_quantized_multiprobe,
                 pack_tiles,
                 tile_cross_pairs,
@@ -230,7 +292,20 @@ class SemanticIndex:
             member_new = qm.select("id", "centroid_id")
             q_new = qm.dropDuplicates(["id"]).select("id", "qv")
             tiles_new = pack_tiles(qm).localCheckpoint(eager=True)
-            stored = self._read("tiles", TILE_SCHEMA)
+            # probed buckets (cap-guarded collect, ≤ min(2·|batch|,
+            # n_buckets) values) prune the stored-tile read to their
+            # shards; past the cap every shard is touched anyway and
+            # the read is the old full scan
+            cid_rows = (
+                member_new.select("centroid_id")
+                .distinct()
+                .limit(_PROBE_CID_CAP + 1)
+                .collect()
+            )
+            probe_cids = [r["centroid_id"] for r in cid_rows]
+            if len(probe_cids) > _PROBE_CID_CAP:
+                probe_cids = None
+            stored = self.stored_tiles(probe_cids)
             verified = tile_self_pairs(tiles_new, self.t_num, self.t_den).unionByName(
                 tile_cross_pairs(tiles_new, stored, self.t_num, self.t_den)
             ).dropDuplicates(["id_a", "id_b"])
@@ -264,16 +339,21 @@ class SemanticIndex:
 
         n = self._log.next_batch_id("members")
         uid = uuid.uuid4().hex[:8]
-        state = [("members", member_new), ("quantized", q_new)]
-        if tiles_new is not None:
-            # tiles are derived state (re-derivable from members +
-            # quantized) but commit under the same marker so a probe
-            # never sees a batch's members without its tiles
-            state.append(("tiles", tiles_new))
-        for table, df in state:
+        for table, df in (("members", member_new), ("quantized", q_new)):
             df.write.mode("overwrite").parquet(
                 os.path.join(self.path, table, f"batch={n}-{uid}")
             )
+        if tiles_new is not None:
+            # tiles are derived state (re-derivable from members +
+            # quantized) but commit under the same marker so a probe
+            # never sees a batch's members without its tiles.  They
+            # land SHARDED by pmod(centroid_id, nshards) so future
+            # appends prune their stored-tile read to probed buckets
+            # (module-level note); the sidecar precedes the marker.
+            ns = n_shards(tiles_new.count(), _TILE_SHARD_ROWS, _TILE_MAX_SHARDS)
+            dst = os.path.join(self.path, "tiles", f"batch={n}-{uid}")
+            write_sharded(tiles_new, dst, "centroid_id", ns)
+            write_nshards_sidecar(self.backend, dst, ns)
         # the single marker lands only after ALL tables are fully
         # written — a crash anywhere above leaves invisible garbage
         # (BatchCommitLog protocol).

@@ -240,3 +240,59 @@ def test_pack_tiles_streaming_carry_packs_each_group_once(spark):
         assert got == sorted(range(2000)), "every id in exactly one tile"
     finally:
         spark.conf.set(key, old)
+
+
+def test_arrow_index_sharded_tiles_two_batch_equals_one_shot(
+    spark, tmp_path, monkeypatch
+):
+    """r9 sharded stored-tile layout: with the shard threshold forced
+    below the bucket count, batch-0 tiles land partitioned by
+    pmod(centroid_id, nshards) and the delta append reads them through
+    the shard-pruned path — the core two-batch == one-shot invariant
+    must survive the layout, and the pruned fetch must equal the full
+    one after the probe's own filter."""
+    import cdc_demo_spark.operators.incremental_semantic as mod
+
+    monkeypatch.setattr(mod, "_TILE_SHARD_ROWS", 8)  # force ns > 1
+    n = 4000
+    corpus = synth_embeddings(spark, n, dup_every=100).cache()
+    cents = AS.train_centroids_sampled(corpus, 32, sample=2048, iters=3).cache()
+
+    one_shot = {
+        (r.id_a, r.id_b)
+        for r in AS.int8_cosine_pairs_bucketed_gemm(
+            corpus, t_num=4, t_den=5, n_buckets=32, probes=2, centroids=cents
+        ).collect()
+    }
+
+    first = corpus.filter(F.col("vec_id") < n // 2)
+    second = corpus.filter(F.col("vec_id") >= n // 2)
+    idx = SemanticIndex(
+        spark, str(tmp_path / "idx"), t_num=4, t_den=5,
+        n_buckets=32, probes=2, arrow=True,
+    )
+    p1 = {(r.id_a, r.id_b) for r in idx.build(first, centroids=cents).collect()}
+    (d0,) = idx._committed_batches("tiles")
+    from cdc_demo_spark.operators.shard_layout import nshards_of, shard_files
+
+    ns = nshards_of(idx.backend, d0)
+    assert ns > 1, "batch-0 tiles should have sharded"
+    p2 = {(r.id_a, r.id_b) for r in idx.append_batch(second).collect()}
+    assert p1 | p2 == one_shot
+    assert not (p1 & p2)
+
+    # pruned fetch: a few buckets' tiles, via their shards only
+    cids = [0, 5, 31]
+    shards = sorted({c % ns for c in cids})
+    assert len(shard_files(idx.backend, d0, shards)) < len(
+        shard_files(idx.backend, d0, None)
+    )
+    pruned = {
+        (r["centroid_id"], r["blk"])
+        for r in idx.stored_tiles(cids).filter(F.col("centroid_id").isin(cids)).collect()
+    }
+    full = {
+        (r["centroid_id"], r["blk"])
+        for r in idx.stored_tiles().filter(F.col("centroid_id").isin(cids)).collect()
+    }
+    assert pruned and pruned == full
