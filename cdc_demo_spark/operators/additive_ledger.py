@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from cdc_demo_spark.storage import (
     DEFAULT_BACKEND,
     BatchCommitLog,
+    CheckpointLog,
     CommitBackend,
     ConcurrentAppendError,
     claim_ownership_mode,
@@ -85,6 +86,7 @@ class AdditiveLedger:
         self.path = path
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
+        self._ckpt_log = CheckpointLog(path, backend)
 
     def _freeze_meta(self, meta: dict) -> None:
         """put-if-absent then verify: racing creators with identical
@@ -110,34 +112,23 @@ class AdditiveLedger:
         fatal).
 
         Checkpoints record the EXACT batch-id set they merged, not a
-        high-water coverage: a stalled appender can commit a batch id
-        BELOW a later checkpoint's high-water mark (its id was burned
-        by next_batch_id before it claimed), and a coverage-threshold
-        reader would silently drop those counts forever — breaking the
-        never-underestimate contract.  With the explicit set, any
-        committed batch the checkpoint did not merge stays readable,
-        whatever its id."""
-        root = os.path.join(self.path, "checkpoints")
-        best, best_dir, covered = -1, None, frozenset()
-        for m in self.backend.list_dir(root):
-            if not m.isdigit() or int(m) <= best:
-                continue
-            try:
-                meta = json.loads(self.backend.read(os.path.join(root, m)))
-                uid, ids = meta["uid"], frozenset(meta["covered"])
-            except (ValueError, KeyError, TypeError):
-                continue  # poisoned marker: skip (its seq stays burned)
-            d = os.path.join(self.path, "checkpoint_data", f"ckpt={m}-{uid}")
-            if os.path.isdir(d):
-                best, best_dir, covered = int(m), d, ids
-        return best, best_dir, covered
+        high-water coverage — the never-underestimate rationale lives
+        on storage.CheckpointLog, which owns the marker bookkeeping
+        (extracted r9 so the pair indexes' compaction shares it;
+        marker format unchanged, existing ledgers read as-is)."""
+
+        def valid(seq: int, uid: str) -> bool:
+            return os.path.isdir(self._ckpt_data_dir(seq, uid))
+
+        seq, uid, covered = self._ckpt_log.latest(valid)
+        d = None if uid is None else self._ckpt_data_dir(seq, uid)
+        return seq, d, covered
+
+    def _ckpt_data_dir(self, seq: int, uid: str) -> str:
+        return os.path.join(self.path, "checkpoint_data", f"ckpt={seq}-{uid}")
 
     def _next_checkpoint_seq(self) -> int:
-        """max over ALL digit-named markers (valid or poisoned — a
-        burned seq is never reused) + 1."""
-        root = os.path.join(self.path, "checkpoints")
-        seqs = [int(m) for m in self.backend.list_dir(root) if m.isdigit()]
-        return max(seqs, default=-1) + 1
+        return self._ckpt_log.next_seq()
 
     def _state_dirs(self) -> tuple[list[str], frozenset[int], list[int]]:
         """One consistent listing: (dirs that together hold the state,
@@ -227,17 +218,8 @@ class AdditiveLedger:
         merged = self._merged(dirs).localCheckpoint(eager=True)
         seq = self._next_checkpoint_seq()
         uid = uuid.uuid4().hex[:8]
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.path, "checkpoint_data", f"ckpt={seq}-{uid}")
-        )
-        meta = json.dumps({"uid": uid, "covered": sorted(covered | set(fresh))})
-        if not self.backend.put_if_absent(
-            os.path.join(self.path, "checkpoints", str(seq)), meta.encode()
-        ):
-            raise ConcurrentAppendError(
-                f"checkpoint seq={seq} at {self.path} was claimed by another "
-                "compactor; this one's data dir is unreferenced"
-            )
+        merged.write.mode("overwrite").parquet(self._ckpt_data_dir(seq, uid))
+        self._ckpt_log.claim(seq, uid, covered | set(fresh))
 
     def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
         """Reclaim what the newest checkpoint supersedes: batch dirs in
@@ -278,12 +260,7 @@ class AdditiveLedger:
                 if not name.startswith("ckpt=") or not os.path.isdir(full):
                     continue
                 m, _, uid = name.split("=", 1)[1].partition("-")
-                marker = os.path.join(self.path, "checkpoints", m)
-                try:
-                    meta = json.loads(self.backend.read(marker))
-                    published = meta.get("uid") == uid
-                except (OSError, ValueError, KeyError, TypeError):
-                    published = False  # no/poisoned marker: never readable
+                published = not self._ckpt_log.rival_uid(int(m), uid)
                 try:
                     old = now - os.path.getmtime(full) >= orphan_ttl_seconds
                 except OSError:

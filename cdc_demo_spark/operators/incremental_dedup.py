@@ -67,6 +67,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
 # (cap-guarded), computes each dir's touched shards, and reads ONLY
 # those partitions — bytes ∝ |candidate ids| × shard size, FLAT in
 # corpus size (nshards grows with the batch instead of shard size).
+from cdc_demo_spark.operators.compaction import TableCheckpoints
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -102,6 +103,11 @@ class MinHashIndex:
         self.path = path
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
+        self._ckpts = TableCheckpoints(
+            path, backend, self._log,
+            tables=("buckets", "shingles"), primary="buckets",
+            include_legacy=True,
+        )
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "k": k,
@@ -134,8 +140,14 @@ class MinHashIndex:
         IvfIndex)."""
         return self._log.committed_batches(table, include_legacy=True)
 
+    def _state_dirs(self, table: str) -> list[str]:
+        """The dirs that together hold `table`'s CURRENT state: the
+        newest compaction checkpoint (if any) + every committed batch
+        outside its covered set (operators/compaction.py)."""
+        return self._ckpts.state_dirs(table)
+
     def _read(self, table: str, schema: str) -> DataFrame:
-        dirs = self._committed_batches(table)
+        dirs = self._state_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
@@ -152,16 +164,23 @@ class MinHashIndex:
         dirs, dwarfing the 0.15 s pruned scan it gates)."""
         return shard_files(self.backend, d, shards)
 
-    def stored_shingles(self, cand_ids: list[int] | None = None) -> DataFrame:
-        """Stored (id, h64) rows across committed batches, restricted
-        to ``cand_ids`` when given.  Sharded batch dirs (see module
-        constants) are read per-dir so each prunes to the candidates'
-        OWN shard partitions under its own modulus — the bytes read
-        are ∝ |cand_ids| × shard size, not corpus size.  Dirs are
-        unioned (not multi-path read): batch dirs can mix shard
-        moduli and legacy unsharded layouts, which a single
-        partition-discovery pass would reject."""
-        dirs = self._committed_batches("shingles")
+    def stored_shingles(
+        self,
+        cand_ids: list[int] | None = None,
+        dirs: list[str] | None = None,
+    ) -> DataFrame:
+        """Stored (id, h64) rows across the current state dirs
+        (checkpoint + uncovered batches), restricted to ``cand_ids``
+        when given.  Sharded dirs (see module constants) are read
+        per-dir so each prunes to the candidates' OWN shard partitions
+        under its own modulus — the bytes read are ∝ |cand_ids| ×
+        shard size, not corpus size.  Dirs are unioned (not multi-path
+        read): dirs can mix shard moduli and legacy unsharded layouts,
+        which a single partition-discovery pass would reject.
+        ``dirs`` overrides the listing (compact()'s consistent
+        snapshot reads from exactly the dirs it will cover)."""
+        if dirs is None:
+            dirs = self._state_dirs("shingles")
         empty = self.spark.createDataFrame([], "id long, h64 long")
         if not dirs:
             return empty
@@ -377,3 +396,46 @@ class MinHashIndex:
         sh_new.unpersist()
         new_buckets.unpersist()
         return pairs
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold the current state (checkpoint + uncovered batches)
+        into ONE checkpoint per table, superseding the exact batch-id
+        set it merged (operators/compaction.py).  Read-side effect:
+        probes union O(1) dirs instead of O(appends).  The rewrite is
+        also a repair pass — shingles re-shard with nshards sized to
+        the FULL corpus (per-batch moduli were sized to their batch,
+        so a year of 10k deltas leaves a thicket of tiny layouts),
+        restoring the bytes-∝-|cand_ids| pruning bound at corpus
+        grain.  State ROWS are unchanged (disjoint append, no merge
+        semantics), so incremental == one-shot invariants survive
+        verbatim; a batch committed after the snapshot stays outside
+        the covered set and readable.  No-op when nothing new landed;
+        racing compactors serialize on the marker."""
+        import uuid
+
+        snap = self._ckpts.snapshot()
+        if not snap.fresh:
+            return
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        buckets = self.spark.read.schema("id long, band int, bucket long").parquet(
+            *snap.dirs["buckets"]
+        )
+        buckets.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("buckets", seq, uid)
+        )
+        shingles = self.stored_shingles(dirs=snap.dirs["shingles"])
+        ns = _shingle_shards(shingles.count())
+        dst = self._ckpts.ckpt_dir("shingles", seq, uid)
+        write_sharded(shingles, dst, "id", ns)
+        write_nshards_sidecar(self.backend, dst, ns)
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+
+    def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
+        """Reclaim covered batch dirs and superseded checkpoints; with
+        a TTL, also crashed appenders' staged dirs and rival same-seq
+        checkpoint dirs (operators/compaction.py holds the contract:
+        markers stay, quiesce before gc)."""
+        return self._ckpts.gc(orphan_ttl_seconds)

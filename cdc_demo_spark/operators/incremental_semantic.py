@@ -54,6 +54,7 @@ from cdc_demo_spark.operators.similarity import (
     int8_quantized,
     refine_centroids,
 )
+from cdc_demo_spark.operators.compaction import TableCheckpoints
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -111,6 +112,15 @@ class SemanticIndex:
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
         self.arrow = arrow
+        self._ckpts = TableCheckpoints(
+            path, backend, self._log,
+            tables=(
+                ("members", "quantized", "tiles")
+                if arrow
+                else ("members", "quantized")
+            ),
+            primary="members",
+        )
         meta_path = os.path.join(path, "_meta.json")
         meta = {
             "t_num": t_num,
@@ -160,24 +170,37 @@ class SemanticIndex:
         generate candidates but have no vectors to verify against)."""
         return self._log.committed_batches(table)
 
+    def _state_dirs(self, table: str) -> list[str]:
+        """The dirs that together hold `table`'s CURRENT state: the
+        newest compaction checkpoint (if any) + every committed batch
+        outside its covered set (operators/compaction.py)."""
+        return self._ckpts.state_dirs(table)
+
     def _read(self, table: str, schema: str) -> DataFrame:
-        dirs = self._committed_batches(table)
+        dirs = self._state_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
 
-    def stored_tiles(self, probe_cids: list[int] | None = None) -> DataFrame:
-        """Committed tile state, pruned to ``probe_cids``'s shards when
-        given (see the module-level shard-layout note).  Dirs are read
-        individually — batch dirs can mix shard moduli and unsharded
-        (delta/legacy) layouts — under the explicit TILE_SCHEMA; a
-        missing sidecar degrades that dir to an unpruned read, never a
-        wrong answer.  Extra same-shard tiles survive the prune; the
-        cross-tile join on centroid_id drops them, so callers see
-        exactly the probed buckets' tiles either way."""
+    def stored_tiles(
+        self,
+        probe_cids: list[int] | None = None,
+        dirs: list[str] | None = None,
+    ) -> DataFrame:
+        """Current tile state (checkpoint + uncovered batches), pruned
+        to ``probe_cids``'s shards when given (see the module-level
+        shard-layout note).  Dirs are read individually — they can mix
+        shard moduli and unsharded (delta/legacy) layouts — under the
+        explicit TILE_SCHEMA; a missing sidecar degrades that dir to
+        an unpruned read, never a wrong answer.  Extra same-shard
+        tiles survive the prune; the cross-tile join on centroid_id
+        drops them, so callers see exactly the probed buckets' tiles
+        either way.  ``dirs`` overrides the listing (compact()'s
+        consistent snapshot)."""
         from cdc_demo_spark.operators.ann_scale import TILE_SCHEMA
 
-        dirs = self._committed_batches("tiles")
+        if dirs is None:
+            dirs = self._state_dirs("tiles")
         empty = self.spark.createDataFrame([], TILE_SCHEMA)
         if not dirs:
             return empty
@@ -359,6 +382,67 @@ class SemanticIndex:
         # (BatchCommitLog protocol).
         self._log.claim(n, uid)
         return pairs
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold the current state (checkpoint + uncovered batches)
+        into ONE checkpoint per table, superseding the exact batch-id
+        set it merged (operators/compaction.py).  Read-side effect:
+        probes union O(1) dirs instead of O(appends).  In arrow mode
+        the rewrite is also a REPAIR pass: tiles re-derive from merged
+        members + quantized via pack_tiles, so the thicket of tiny
+        per-delta tiles (a 10k delta spread over 2048 buckets leaves
+        ~5-row tiles whose fixed per-tile GEMM cost dominates) re-packs
+        to full occupancy, and the tile shard modulus re-sizes to the
+        full corpus — post-compaction state quality equals a fresh
+        one-shot build's.  Pair semantics are untouched: candidates
+        depend on bucket MEMBERSHIP, never on tile packing (the block
+        GEMM scores every cross pair), so incremental == one-shot
+        invariants survive verbatim.  No-op when nothing new landed;
+        racing compactors serialize on the marker."""
+        import uuid
+
+        snap = self._ckpts.snapshot()
+        if not snap.fresh:
+            return
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        members = self.spark.read.schema("id long, centroid_id long").parquet(
+            *snap.dirs["members"]
+        )
+        q_schema = "id long, qv binary" if self.arrow else "id long, qv array<bigint>"
+        quantized = self.spark.read.schema(q_schema).parquet(*snap.dirs["quantized"])
+        if self.arrow:
+            # pinned: pack_tiles reads its input in two branches of one
+            # job (per-centroid counts + the pack side) — a lazy input
+            # would run the join twice (ann_scale's measured rule)
+            qm = (
+                members.join(quantized, "id")
+                .select("centroid_id", "id", "qv")
+                .localCheckpoint(eager=True)
+            )
+            from cdc_demo_spark.operators.ann_scale import pack_tiles
+
+            tiles = pack_tiles(qm).localCheckpoint(eager=True)
+            ns = n_shards(tiles.count(), _TILE_SHARD_ROWS, _TILE_MAX_SHARDS)
+            dst = self._ckpts.ckpt_dir("tiles", seq, uid)
+            write_sharded(tiles, dst, "centroid_id", ns)
+            write_nshards_sidecar(self.backend, dst, ns)
+        members.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("members", seq, uid)
+        )
+        quantized.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("quantized", seq, uid)
+        )
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+
+    def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
+        """Reclaim covered batch dirs and superseded checkpoints; with
+        a TTL, also crashed appenders' staged dirs and rival same-seq
+        checkpoint dirs (operators/compaction.py holds the contract:
+        markers stay, quiesce before gc)."""
+        return self._ckpts.gc(orphan_ttl_seconds)
 
     def centroid_drift(
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"

@@ -313,6 +313,87 @@ def claim_ownership_mode(backend: CommitBackend, path: str, mode: str) -> None:
             )
 
 
+class CheckpointLog:
+    """Covered-set checkpoint MARKERS: ``checkpoints/<seq>`` objects
+    whose JSON content records the uid of the checkpoint's data dirs
+    and the EXACT batch-id set the checkpoint supersedes.  Extracted
+    from AdditiveLedger (which pioneered the protocol for SUM-merged
+    state) so the pair indexes' multi-table compaction shares the
+    same bookkeeping and the same on-disk marker format.
+
+    Why an explicit covered SET and not a high-water id: a stalled
+    appender can commit a batch id BELOW a later checkpoint's
+    high-water mark (its id was burned by next_batch_id before it
+    claimed); a threshold reader would silently drop that batch
+    forever.  With the set, any committed batch the checkpoint did
+    not merge stays readable, whatever its id.
+
+    What counts as the checkpoint's DATA is the caller's business
+    (one dir for a ledger, one per state table for a pair index), so
+    ``latest`` takes a validity callback; a marker whose data fails
+    it is skipped — never fatal — and its seq stays burned."""
+
+    def __init__(self, path: str, backend: CommitBackend = DEFAULT_BACKEND) -> None:
+        self.path = path
+        self.backend = backend
+
+    def marker(self, seq: int) -> str:
+        return os.path.join(self.path, "checkpoints", str(seq))
+
+    def latest(self, valid) -> tuple[int, str | None, frozenset[int]]:
+        """(seq, uid, covered ids) of the highest checkpoint whose
+        marker parses AND whose data ``valid(seq, uid)`` accepts, or
+        (-1, None, frozenset()).  The marker is claimed after the data
+        write, so the protocol itself never produces a marker pointing
+        at missing data; an externally poisoned one is skipped."""
+        import json as _json
+
+        root = os.path.join(self.path, "checkpoints")
+        best, best_uid, covered = -1, None, frozenset()
+        for m in self.backend.list_dir(root):
+            if not m.isdigit() or int(m) <= best:
+                continue
+            try:
+                meta = _json.loads(self.backend.read(self.marker(int(m))))
+                uid, ids = meta["uid"], frozenset(meta["covered"])
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # poisoned marker: skip (its seq stays burned)
+            if valid(int(m), uid):
+                best, best_uid, covered = int(m), uid, ids
+        return best, best_uid, covered
+
+    def next_seq(self) -> int:
+        """max over ALL digit-named markers (valid or poisoned — a
+        burned seq is never reused) + 1."""
+        root = os.path.join(self.path, "checkpoints")
+        seqs = [int(m) for m in self.backend.list_dir(root) if m.isdigit()]
+        return max(seqs, default=-1) + 1
+
+    def claim(self, seq: int, uid: str, covered) -> None:
+        """Publish checkpoint ``seq``; racing compactors serialize on
+        the marker — the loser raises and its data dirs are
+        unreferenced garbage (a gc orphan sweep reclaims them)."""
+        import json as _json
+
+        meta = _json.dumps({"uid": uid, "covered": sorted(covered)})
+        if not self.backend.put_if_absent(self.marker(seq), meta.encode()):
+            raise ConcurrentAppendError(
+                f"checkpoint seq={seq} at {self.path} was claimed by another "
+                "compactor; this one's data dirs are unreferenced"
+            )
+
+    def rival_uid(self, seq: int, uid: str) -> bool:
+        """True when marker ``seq`` exists but records a DIFFERENT
+        uid — i.e. the dirs named ``-<uid>`` belong to the LOSER of a
+        claim race and can never be read (gc's same-seq orphan arm)."""
+        import json as _json
+
+        try:
+            return _json.loads(self.backend.read(self.marker(seq))).get("uid") != uid
+        except (OSError, ValueError, KeyError, TypeError):
+            return True  # no/poisoned marker: never readable either
+
+
 class BatchCommitLog:
     """The incremental indexes' shared batch-publication protocol
     (MinHashIndex, SemanticIndex, IvfIndex, BloomIndex), extracted in
