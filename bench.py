@@ -575,6 +575,38 @@ def time_minhash_index_append_200k(spark) -> float:
     return _time_minhash_index_append(spark, DOC_N)
 
 
+def time_minhash_index_compact_200k(spark) -> float:
+    """The index's maintenance op: fold the state into one checkpoint
+    per table under a covered-set marker, re-sharding the stored
+    shingles to a corpus-sized modulus (operators/compaction.py).
+    This is the op a daily-delta deployment runs to keep append cost
+    flat in n_appends — measured at the 200k grain: a 10-delta
+    fragmented index appended in ~10 s vs ~7.6 s after compaction
+    (ROUND_NOTES r9), so the rewrite pays for itself in ~7 appends.
+    The cached index is copied fresh per run (compact mutates state);
+    the copy is excluded from the timing.  Gates: exactly one state
+    dir per table afterwards."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+
+    built = _minhash_index_path(spark, DOC_N)
+    work = os.path.join(tempfile.gettempdir(), f"mhidx_cpt_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(os.path.join(built, "idx"), work)
+    try:
+        idx = MinHashIndex(spark, work)
+        t0 = time.perf_counter()
+        idx.compact()
+        dt = round(time.perf_counter() - t0, 3)
+        assert len(idx._state_dirs("shingles")) == 1
+        assert len(idx._state_dirs("buckets")) == 1
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def time_minhash_index_append_400k(spark) -> float:
     """The r7 verdict's slope probe: the SAME 5k-doc delta admitted
     into a DOUBLED stored corpus.  With the r8 sharded shingle layout
@@ -923,6 +955,7 @@ def main() -> None:
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
+        ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),
         ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
         ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),

@@ -43,6 +43,7 @@ from cdc_demo_spark.operators.similarity import (
     choose_centroids,
     refine_centroids,
 )
+from cdc_demo_spark.operators.compaction import TableCheckpoints
 from cdc_demo_spark.storage import DEFAULT_BACKEND, BatchCommitLog, CommitBackend
 
 
@@ -60,6 +61,11 @@ class IvfIndex:
         self.path = path
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
+        self._ckpts = TableCheckpoints(
+            path, backend, self._log,
+            tables=("vectors",), primary="vectors",
+            include_legacy=True,
+        )
         meta_path = os.path.join(path, "_meta.json")
         meta = {"n_centroids": n_centroids, "nprobe": nprobe, "refine_iters": refine_iters}
         # put-if-absent then verify: racing creators with identical
@@ -88,24 +94,43 @@ class IvfIndex:
         shared on BatchCommitLog with MinHashIndex)."""
         return self._log.committed_batches("vectors", include_legacy=True)
 
+    def _state_dirs(self) -> list[str]:
+        """The dirs that together hold the current vector state: the
+        newest compaction checkpoint (if any) + every committed batch
+        outside its covered set (operators/compaction.py)."""
+        return self._ckpts.state_dirs("vectors")
+
     def centroids(self) -> DataFrame:
         if not os.path.isdir(self._centroids_path):
             raise RuntimeError(f"index at {self.path} has no centroids; call build() first")
         return self.spark.read.parquet(self._centroids_path)
 
-    def _vectors(self) -> DataFrame:
-        dirs = self._committed_batches()
+    def _vectors(self, dirs: list[str] | None = None) -> DataFrame:
+        if dirs is None:
+            dirs = self._state_dirs()
         if not dirs:
             return self.spark.createDataFrame(
                 [], "vec_id long, embedding array<float>, centroid_id long"
             )
-        # basePath keeps the centroid_id= partition column visible while
-        # reading an explicit batch-dir subset
-        return (
-            self.spark.read.option("basePath", os.path.join(self.path, "vectors"))
-            .parquet(*dirs)
-            .select("vec_id", "embedding", F.col("centroid_id").cast("long").alias("centroid_id"))
-        )
+        # per-dir reads, each with ITSELF as basePath: keeps the
+        # centroid_id= partition column visible while letting batch=
+        # and ckpt= dirs coexist in one state listing (a single
+        # multi-path read would see them as conflicting partition
+        # columns); centroid_id stays a partition column in every
+        # sub-read, so topk's isin filter still statically prunes
+        out = None
+        for d in dirs:
+            sub = (
+                self.spark.read.option("basePath", d)
+                .parquet(d)
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                )
+            )
+            out = sub if out is None else out.unionByName(sub)
+        return out
 
     def _write_batch(self, assigned: DataFrame) -> None:
         import uuid
@@ -115,6 +140,41 @@ class IvfIndex:
         dst = os.path.join(self.path, "vectors", f"batch={n}-{uid}")
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dst)
         self._log.claim(n, uid)
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold the current state (checkpoint + uncovered batches)
+        into ONE ``centroid_id=``-partitioned checkpoint dir,
+        superseding the exact batch-id set it merged (operators/
+        compaction.py — same covered-set protocol as MinHashIndex and
+        SemanticIndex).  Read-side effect: topk's partition-pruned
+        scan touches nprobe dirs once instead of nprobe × n_appends,
+        and the per-bucket small files a year of deltas accretes
+        rewrite into full-sized ones.  Row-set unchanged; a batch
+        committed after the snapshot stays readable.  No-op when
+        nothing new landed; racing compactors serialize on the
+        marker."""
+        import uuid
+
+        snap = self._ckpts.snapshot()
+        if not snap.fresh:
+            return
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        self._vectors(dirs=snap.dirs["vectors"]).write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(
+            self._ckpts.ckpt_dir("vectors", seq, uid)
+        )
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+
+    def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
+        """Reclaim covered batch dirs and superseded checkpoints; with
+        a TTL, also crashed appenders' staged dirs and rival same-seq
+        checkpoint dirs (operators/compaction.py holds the contract:
+        markers stay, quiesce before gc)."""
+        return self._ckpts.gc(orphan_ttl_seconds)
 
     # -- the operator -------------------------------------------------
 

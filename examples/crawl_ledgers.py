@@ -18,8 +18,12 @@ questions an operations team actually asks:
               │                      distribution drifting?"
               ├─> MomentsIndex      "has mean/σ of the quality proxy
               │                      moved since the last crawl?"
-              └─> TokenCountIndex   "exact vocabulary counts for the
-                                     BPE refresh"
+              ├─> TokenCountIndex   "exact vocabulary counts for the
+              │                      BPE refresh"
+              └─> MinHashIndex      "which of this crawl's docs
+                                     near-duplicate ANY earlier
+                                     crawl's?" → the pairs, without
+                                     re-pairing history
 
 Every ledger appends O(its own state) per crawl — sketch grid, bucket
 grid, group sums, or batch vocabulary — never the corpus; each is
@@ -42,6 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.incremental_bloom import BloomIndex
+from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
 from cdc_demo_spark.operators.incremental_countmin import CountMinIndex
 from cdc_demo_spark.operators.incremental_histogram import HistogramIndex
 from cdc_demo_spark.operators.incremental_moments import MomentsIndex
@@ -78,7 +83,9 @@ def main() -> None:
     hist = HistogramIndex(spark, os.path.join(state, "hist"), 0.0, 2000.0, 64)
     mom = MomentsIndex(spark, os.path.join(state, "moments"), scale=100)
     vocab = TokenCountIndex(spark, os.path.join(state, "vocab"))
+    near = MinHashIndex(spark, os.path.join(state, "minhash"), k=3, threshold=0.12)
 
+    all_pairs = set()
     for n, crawl in enumerate(crawls):
         sh = shingles(crawl).localCheckpoint(eager=True)
         # quarantine check BEFORE admitting: fraction of this crawl's
@@ -100,11 +107,20 @@ def main() -> None:
         vocab.append_batch(
             crawl.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
         )
+        # near-dup pairs touching THIS crawl, probed against every
+        # earlier crawl's stored LSH state — never re-pairing history
+        pairs = near.append_batch(crawl)
+        all_pairs |= {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         # routine maintenance: fold history, reclaim superseded dirs
-        for ledger in (cms, hist, mom, vocab):
+        # (the pair index compacts too — its checkpoint re-shards the
+        # stored shingles and keeps append cost flat in crawl count)
+        for ledger in (cms, hist, mom, vocab, near):
             ledger.compact()
             ledger.gc()
-        print(f"crawl {n}: {crawl.count()} docs, prior-crawl shingle overlap {frac:.3f}")
+        print(
+            f"crawl {n}: {crawl.count()} docs, prior-crawl shingle overlap "
+            f"{frac:.3f}, near-dup pairs vs history {pairs.count()}"
+        )
 
     # the family contract, asserted over the union of both crawls
     from cdc_demo_spark.operators.sketches import bloom_build, histogram_build
@@ -126,6 +142,16 @@ def main() -> None:
     )
     assert vocab.counts().exceptAll(one_vocab).count() == 0
     assert one_vocab.exceptAll(vocab.counts()).count() == 0
+
+    from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+
+    one_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+        ).collect()
+    }
+    assert all_pairs == one_pairs, "incremental near-dup pairs != one-shot"
 
     top = [(r["token"], r["cnt"]) for r in vocab.topk(5).collect()]
     drift = {

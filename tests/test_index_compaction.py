@@ -186,6 +186,47 @@ def test_semantic_arrow_compact_repacks_tiles(spark, tmp_path, monkeypatch):
     assert member_set(idx) == member_set(twin)
 
 
+def test_ivf_compact_topk_parity(spark, tmp_path):
+    """IvfIndex compaction: the centroid_id=-partitioned checkpoint
+    answers topk exactly as the fragmented twin (copied pre-compact so
+    the frozen centroids are identical), the next append lands outside
+    the covered set, and gc reclaims only superseded dirs."""
+    import shutil
+
+    from cdc_demo_spark.operators.incremental_ann import IvfIndex
+
+    corpus = synth_embeddings(spark, 1200, dup_every=80).cache()
+    first = corpus.filter(F.col("vec_id") < 500)
+    second = corpus.filter((F.col("vec_id") >= 500) & (F.col("vec_id") < 900))
+    third = corpus.filter(F.col("vec_id") >= 900)
+    queries = corpus.filter(F.col("vec_id") % 300 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    idx = IvfIndex(spark, str(tmp_path / "idx"), n_centroids=8, nprobe=3)
+    idx.build(first)
+    idx.append_batch(second)
+    shutil.copytree(tmp_path / "idx", tmp_path / "twin")
+    twin = IvfIndex(spark, str(tmp_path / "twin"), n_centroids=8, nprobe=3)
+
+    def hits(i):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in i.topk(queries, k=5).collect()
+        }
+
+    idx.compact()
+    removed = idx.gc()
+    assert removed and all("batch=" in r for r in removed)
+    assert len(idx._state_dirs()) == 1
+    assert hits(idx) == hits(twin)
+
+    idx.append_batch(third)
+    twin.append_batch(third)
+    assert len(idx._state_dirs()) == 2  # new batch outside the covered set
+    assert hits(idx) == hits(twin)
+
+
 def test_semantic_hof_compact_append_parity(spark, tmp_path):
     n = 900
     corpus = synth_embeddings(spark, n, dup_every=60).cache()
