@@ -53,6 +53,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
+    claim_ownership_mode,
 )
 
 
@@ -221,14 +222,59 @@ class MinHashIndex:
             "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
         )
 
+    _PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
+
+    def _stored_pairs(self, n: int) -> DataFrame:
+        """The pairs batch ``n`` persisted under its commit marker
+        (``persist_pairs``), or an empty frame if that epoch kept its
+        pairs ephemeral — what a REPLAYED epoch returns, so a consumer
+        that persists sees replay-stable output."""
+        empty = self.spark.createDataFrame([], self._PAIRS_SCHEMA)
+        try:
+            uid = self.backend.read(self._log.marker(n)).decode()
+        except OSError:
+            return empty
+        d = os.path.join(self.path, "pairs", f"batch={n}-{uid}" if uid else f"batch={n}")
+        if self.backend.list_data_dir(d):
+            return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(d)
+        return empty
+
+    def stored_pairs(self) -> DataFrame:
+        """Every committed batch's persisted pairs (the exactly-once
+        output log of a stream-fed index)."""
+        dirs = self._log.committed_batches("pairs")
+        if not dirs:
+            return self.spark.createDataFrame([], self._PAIRS_SCHEMA)
+        return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(*dirs)
+
     def append_batch(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_id: int | None = None,
+        persist_pairs: bool = False,
     ) -> DataFrame:
         """Probe `docs` against the stored corpus AND each other, then
         admit them to the index. Returns verified near-dup pairs
         (id_a < id_b, jaccard) where at least one side is new. Ids must
         be globally unique across all batches (caller's contract —
         they're the dedup identity).
+
+        ``batch_id`` keys the commit to a CALLER-owned epoch (e.g. a
+        Structured Streaming foreachBatch batch id) — what makes an
+        at-least-once stream feed this index exactly-once: a replayed
+        epoch finds its marker claimed and is SKIPPED before the build
+        even runs (replaying would DOUBLE the epoch's shingle rows,
+        inflating every future Jaccard denominator — the pair-index
+        twin of the ledgers' double-count hazard).  The replay returns
+        the epoch's persisted pairs (``persist_pairs`` lands them
+        under ``pairs/batch=<n>-<uid>`` inside the same single-marker
+        commit) or an empty frame if the winner kept them ephemeral.
+        One index is EITHER stream-owned (every append passes the
+        epoch id) or batch-owned (auto ids), never both — enforced
+        loudly, including refusal to adopt a pre-ownership history as
+        epoch-owned (storage.claim_ownership_mode).
 
         Cap-crossing caveat: the ``max_bucket`` skew guard is evaluated
         against COMBINED occupancy at probe time. Pairs admitted while a
@@ -240,6 +286,14 @@ class MinHashIndex:
         its fixture); on a cap-crossing corpus the incremental result is
         a superset restricted to early-admitted pairs — still verified
         pairs, just not bit-identical to the one-shot pipeline."""
+        claim_ownership_mode(
+            self.backend, self.path, "auto" if batch_id is None else "epoch"
+        )
+        if batch_id is not None and self.backend.exists(
+            self._log.marker(int(batch_id))
+        ):
+            # replayed epoch: skip the whole build, not just the write
+            return self._stored_pairs(int(batch_id))
         sh_new = hashed_shingles(docs, id_col, text_col, self.k).cache()
         sigs = minhash_signatures(
             docs, id_col, text_col, self.k, self.num_hashes, shingles_df=sh_new
@@ -374,7 +428,7 @@ class MinHashIndex:
 
         import uuid
 
-        n = self._log.next_batch_id("buckets")
+        n = self._log.next_batch_id("buckets") if batch_id is None else int(batch_id)
         uid = uuid.uuid4().hex[:8]
         new_buckets.write.mode("overwrite").parquet(
             os.path.join(self.path, "buckets", f"batch={n}-{uid}")
@@ -391,8 +445,22 @@ class MinHashIndex:
         sh_dst = os.path.join(self.path, "shingles", f"batch={n}-{uid}")
         write_sharded(sh_new, sh_dst, "id", ns)
         write_nshards_sidecar(self.backend, sh_dst, ns)
-        # ONE marker after BOTH tables land (BatchCommitLog protocol)
-        self._log.claim(n, uid)
+        if persist_pairs:
+            # the epoch's OUTPUT, durable under the same marker as its
+            # state: a replay reads these instead of recomputing
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(self.path, "pairs", f"batch={n}-{uid}")
+            )
+        # ONE marker after ALL tables land (BatchCommitLog protocol)
+        try:
+            self._log.claim(n, uid)
+        except ConcurrentAppendError:
+            if batch_id is None:
+                raise  # auto id: a rival stole it — caller retries
+            # an epoch replay raced us; the winner committed identical
+            # content (one batch_id ↔ one logical batch), our staged
+            # dirs are orphan garbage for gc's TTL sweep
+            return self._stored_pairs(n)
         sh_new.unpersist()
         new_buckets.unpersist()
         return pairs
@@ -437,5 +505,32 @@ class MinHashIndex:
         """Reclaim covered batch dirs and superseded checkpoints; with
         a TTL, also crashed appenders' staged dirs and rival same-seq
         checkpoint dirs (operators/compaction.py holds the contract:
-        markers stay, quiesce before gc)."""
-        return self._ckpts.gc(orphan_ttl_seconds)
+        markers stay, quiesce before gc).  The pairs OUTPUT log is
+        never compacted or covered (it is results, not probe state),
+        but a losing epoch racer's unpublished pairs dir is orphan
+        garbage like any staged dir — the TTL arm sweeps it."""
+        import shutil
+
+        removed = self._ckpts.gc(orphan_ttl_seconds)
+        if orphan_ttl_seconds is not None:
+            for d in self._log.orphan_batch_dirs("pairs", orphan_ttl_seconds):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
+
+
+def minhash_sink(index: MinHashIndex, id_col: str = "doc_id", text_col: str = "text"):
+    """foreachBatch adapter: ``.writeStream.foreachBatch(minhash_sink(
+    idx))`` maintains the near-dup index from a document stream with
+    exactly-once state — the streaming batch id keys each commit, so
+    at-least-once redelivery is skipped, not double-shingled.  Each
+    epoch's verified pairs land durably under its commit marker
+    (``persist_pairs``), making ``index.stored_pairs()`` the stream's
+    exactly-once output log."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index.append_batch(
+            batch_df, id_col, text_col, batch_id=int(batch_id), persist_pairs=True
+        )
+
+    return process

@@ -67,6 +67,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
     BatchCommitLog,
     CommitBackend,
     ConcurrentAppendError,
+    claim_ownership_mode,
 )
 
 # Stored-tile shard layout (r9, the shared operators/shard_layout
@@ -223,6 +224,17 @@ class SemanticIndex:
 
     # -- the operator -------------------------------------------------
 
+    def freeze_centroids(self, centroids: DataFrame) -> None:
+        """Freeze a trained centroid set WITHOUT admitting any batch —
+        the setup step of a stream-owned index, where every batch
+        (initial corpus included) arrives through the epoch-keyed sink
+        and batch-owned build() would poison the id space (storage.
+        claim_ownership_mode).  Refuses a second freeze: the centroids
+        are the index's immutable physical layout."""
+        if os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} is already built")
+        centroids.write.mode("overwrite").parquet(self._centroids_path)
+
     def build(
         self,
         corpus: DataFrame,
@@ -259,14 +271,60 @@ class SemanticIndex:
         centroids.write.mode("overwrite").parquet(self._centroids_path)
         return self.append_batch(corpus, id_col, vec_col)
 
+    _PAIRS_SCHEMA = "id_a long, id_b long"
+
+    def _stored_pairs(self, n: int) -> DataFrame:
+        """The pairs batch ``n`` persisted under its commit marker
+        (``persist_pairs``), or an empty frame if that epoch kept its
+        pairs ephemeral — what a REPLAYED epoch returns."""
+        empty = self.spark.createDataFrame([], self._PAIRS_SCHEMA)
+        try:
+            uid = self.backend.read(self._log.marker(n)).decode()
+        except OSError:
+            return empty
+        d = os.path.join(self.path, "pairs", f"batch={n}-{uid}" if uid else f"batch={n}")
+        if self.backend.list_data_dir(d):
+            return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(d)
+        return empty
+
+    def stored_pairs(self) -> DataFrame:
+        """Every committed batch's persisted pairs (the exactly-once
+        output log of a stream-fed index)."""
+        dirs = self._log.committed_batches("pairs")
+        if not dirs:
+            return self.spark.createDataFrame([], self._PAIRS_SCHEMA)
+        return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(*dirs)
+
     def append_batch(
-        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: int | None = None,
+        persist_pairs: bool = False,
     ) -> DataFrame:
         """Probe `vectors` against the stored corpus AND each other
         through the frozen centroids, verify with the integer-exact
         int8 threshold, then admit the batch. Returns verified pairs
         (id_a < id_b) with at least one new side. Ids must be globally
-        unique across batches (caller's contract)."""
+        unique across batches (caller's contract).
+
+        ``batch_id`` keys the commit to a CALLER-owned epoch (see
+        MinHashIndex.append_batch — the contract is identical): a
+        replayed foreachBatch epoch is skipped BEFORE the probe runs
+        (replaying would duplicate the epoch's membership and tile
+        rows) and returns the epoch's persisted pairs
+        (``persist_pairs``) or an empty frame.  One index is either
+        stream-owned or batch-owned, never both; a stream-owned index
+        freezes its layout with ``freeze_centroids`` and takes every
+        batch through the sink."""
+        claim_ownership_mode(
+            self.backend, self.path, "auto" if batch_id is None else "epoch"
+        )
+        if batch_id is not None and self.backend.exists(
+            self._log.marker(int(batch_id))
+        ):
+            return self._stored_pairs(int(batch_id))
         base = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).localCheckpoint(eager=True)
@@ -360,7 +418,7 @@ class SemanticIndex:
 
         import uuid
 
-        n = self._log.next_batch_id("members")
+        n = self._log.next_batch_id("members") if batch_id is None else int(batch_id)
         uid = uuid.uuid4().hex[:8]
         for table, df in (("members", member_new), ("quantized", q_new)):
             df.write.mode("overwrite").parquet(
@@ -377,10 +435,23 @@ class SemanticIndex:
             dst = os.path.join(self.path, "tiles", f"batch={n}-{uid}")
             write_sharded(tiles_new, dst, "centroid_id", ns)
             write_nshards_sidecar(self.backend, dst, ns)
+        if persist_pairs:
+            # the epoch's OUTPUT, durable under the same marker as its
+            # state: a replay reads these instead of recomputing
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(self.path, "pairs", f"batch={n}-{uid}")
+            )
         # the single marker lands only after ALL tables are fully
         # written — a crash anywhere above leaves invisible garbage
         # (BatchCommitLog protocol).
-        self._log.claim(n, uid)
+        try:
+            self._log.claim(n, uid)
+        except ConcurrentAppendError:
+            if batch_id is None:
+                raise  # auto id: a rival stole it — caller retries
+            # an epoch replay raced us; the winner committed identical
+            # content, our staged dirs are orphan garbage for gc's TTL
+            return self._stored_pairs(n)
         return pairs
 
     # -- maintenance ---------------------------------------------------
@@ -441,8 +512,17 @@ class SemanticIndex:
         """Reclaim covered batch dirs and superseded checkpoints; with
         a TTL, also crashed appenders' staged dirs and rival same-seq
         checkpoint dirs (operators/compaction.py holds the contract:
-        markers stay, quiesce before gc)."""
-        return self._ckpts.gc(orphan_ttl_seconds)
+        markers stay, quiesce before gc).  The pairs OUTPUT log is
+        never compacted or covered (results, not probe state); the TTL
+        arm sweeps a losing racer's unpublished pairs dir."""
+        import shutil
+
+        removed = self._ckpts.gc(orphan_ttl_seconds)
+        if orphan_ttl_seconds is not None:
+            for d in self._log.orphan_batch_dirs("pairs", orphan_ttl_seconds):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def centroid_drift(
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -492,3 +572,24 @@ class SemanticIndex:
         return assign_multiprobe(
             base, self.centroids(), self.probes, "vec_id", "embedding"
         ).select(F.col("vec_id").alias("id"), "centroid_id")
+
+
+def semantic_sink(
+    index: SemanticIndex, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """foreachBatch adapter: ``.writeStream.foreachBatch(semantic_sink(
+    idx))`` maintains the semantic-dedup index from an embedding
+    stream with exactly-once state — the streaming batch id keys each
+    commit, so at-least-once redelivery is skipped, not re-admitted.
+    Setup contract: freeze the layout first (``idx.freeze_centroids``)
+    so EVERY batch, the initial corpus included, arrives through the
+    stream under epoch ids.  Each epoch's verified pairs land durably
+    under its commit marker; ``index.stored_pairs()`` is the stream's
+    exactly-once output log."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index.append_batch(
+            batch_df, id_col, vec_col, batch_id=int(batch_id), persist_pairs=True
+        )
+
+    return process
