@@ -44,7 +44,13 @@ from cdc_demo_spark.operators.similarity import (
     refine_centroids,
 )
 from cdc_demo_spark.operators.compaction import TableCheckpoints
-from cdc_demo_spark.storage import DEFAULT_BACKEND, BatchCommitLog, CommitBackend
+from cdc_demo_spark.storage import (
+    DEFAULT_BACKEND,
+    BatchCommitLog,
+    CommitBackend,
+    ConcurrentAppendError,
+    claim_ownership_mode,
+)
 
 
 class IvfIndex:
@@ -132,14 +138,21 @@ class IvfIndex:
             out = sub if out is None else out.unionByName(sub)
         return out
 
-    def _write_batch(self, assigned: DataFrame) -> None:
+    def _write_batch(self, assigned: DataFrame, batch_id: int | None = None) -> None:
         import uuid
 
-        n = self._log.next_batch_id("vectors")
+        n = self._log.next_batch_id("vectors") if batch_id is None else int(batch_id)
         uid = uuid.uuid4().hex[:8]
         dst = os.path.join(self.path, "vectors", f"batch={n}-{uid}")
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dst)
-        self._log.claim(n, uid)
+        try:
+            self._log.claim(n, uid)
+        except ConcurrentAppendError:
+            if batch_id is None:
+                raise  # auto id: a rival stole it — caller retries
+            # an epoch replay raced us; the winner's content is
+            # identical, our staged dir is orphan garbage for gc's TTL
+            return
 
     # -- maintenance ---------------------------------------------------
 
@@ -193,17 +206,48 @@ class IvfIndex:
         cents.write.mode("overwrite").parquet(self._centroids_path)
         self.append_batch(corpus, id_col, vec_col)
 
+    def freeze_centroids(self, centroids: DataFrame) -> None:
+        """Freeze a trained centroid set WITHOUT admitting any batch —
+        the setup step of a stream-owned index (every batch, the
+        initial corpus included, arrives through the epoch-keyed sink;
+        a batch-owned build would poison the epoch id space).  Refuses
+        a second freeze: the centroids are the table's immutable
+        physical layout."""
+        if os.path.isdir(self._centroids_path):
+            raise RuntimeError(f"index at {self.path} is already built")
+        centroids.write.mode("overwrite").parquet(self._centroids_path)
+
     def append_batch(
-        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-    ) -> None:
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        batch_id: int | None = None,
+    ) -> bool:
         """Assign `vectors` to the frozen centroids and commit them as a
-        new batch. Ids must be globally unique across batches."""
+        new batch. Ids must be globally unique across batches.
+
+        ``batch_id`` keys the commit to a CALLER-owned epoch (see
+        MinHashIndex.append_batch — identical contract): a replayed
+        foreachBatch epoch is skipped before the assignment runs
+        (replaying would double the stored vectors, duplicating every
+        future topk hit), and one index is either stream-owned or
+        batch-owned, never both (storage.claim_ownership_mode).
+        Returns True iff THIS call committed."""
+        claim_ownership_mode(
+            self.backend, self.path, "auto" if batch_id is None else "epoch"
+        )
+        if batch_id is not None and self.backend.exists(
+            self._log.marker(int(batch_id))
+        ):
+            return False  # replayed epoch: already admitted
         cents = self.centroids()
         assigned = assign_buckets(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
             cents,
         )
-        self._write_batch(assigned)
+        self._write_batch(assigned, batch_id)
+        return True
 
     def centroid_drift(
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -267,3 +311,18 @@ class IvfIndex:
                 F.col("rk").cast("long").alias("rk"),
             )
         )
+
+
+def ivf_sink(index: IvfIndex, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """foreachBatch adapter: ``.writeStream.foreachBatch(ivf_sink(
+    idx))`` maintains the IVF table from an embedding stream with
+    exactly-once state — the streaming batch id keys each commit, so
+    at-least-once redelivery is skipped, not re-admitted (a replayed
+    epoch would double its vectors and duplicate every future topk
+    hit).  Setup contract: ``idx.freeze_centroids`` first, so every
+    batch arrives through the stream under epoch ids."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index.append_batch(batch_df, id_col, vec_col, batch_id=int(batch_id))
+
+    return process

@@ -199,3 +199,33 @@ def test_semantic_sink_through_real_stream(spark, tmp_path):
         )
     )
     assert _pairs(idx.stored_pairs()) == one_shot
+
+
+def test_ivf_epoch_replay_skipped(spark, tmp_path):
+    """IvfIndex shares the epoch protocol: a replayed vector-ingest
+    epoch is skipped (replaying would double stored vectors and
+    duplicate every future topk hit) and a stream-owned index freezes
+    its layout first."""
+    from cdc_demo_spark.operators.incremental_ann import IvfIndex
+
+    corpus = synth_embeddings(spark, 1000, dup_every=80).cache()
+    cents = AS.train_centroids_sampled(corpus, 8, sample=512, iters=2).cache()
+    first = corpus.filter(F.col("vec_id") < 500)
+    second = corpus.filter(F.col("vec_id") >= 500)
+
+    idx = IvfIndex(spark, str(tmp_path / "idx"), n_centroids=8, nprobe=3)
+    idx.freeze_centroids(
+        cents.select(
+            F.col("centroid_id"), F.col("centroid_vec")
+        )
+    )
+    assert idx.append_batch(first, batch_id=0) is True
+    n0 = idx._vectors().count()
+    assert idx.append_batch(first, batch_id=0) is False  # replay: skipped
+    assert idx._vectors().count() == n0
+    assert idx.append_batch(second, batch_id=1) is True
+    vecs = idx._vectors()
+    assert vecs.count() == 1000
+    assert vecs.select("vec_id").distinct().count() == 1000  # no doubles
+    with pytest.raises(ValueError, match="epoch-owned"):
+        idx.append_batch(second)
