@@ -422,6 +422,93 @@ def time_ann_index_append_4m(spark) -> float:
     return _time_ann_index_append(spark, 4 * ANN_N, 4 * ANN_BUCKETS)
 
 
+_ASSIGN_64K: dict = {}
+
+
+def _assign_64k_fixture(spark):
+    """Deterministic clustered 64k-centroid assignment fixture (256
+    latent directions + noise — the IVF-realistic regime where trained
+    centroids sit near the data), built once per process.  64k buckets
+    is the grain where flat assignment's O(delta × K) GEMM stops being
+    ignorable and the two-level coarse quantizer is the documented
+    scale path (ann_scale.group_centroids)."""
+    if "cents" not in _ASSIGN_64K:
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        latent = rng.standard_normal((256, 64))
+        C = latent[rng.integers(0, 256, 65536)] + 0.3 * rng.standard_normal(
+            (65536, 64)
+        )
+        X = latent[rng.integers(0, 256, 10000)] + 0.3 * rng.standard_normal(
+            (10000, 64)
+        )
+        _ASSIGN_64K["cents"] = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "centroid_id": np.arange(65536),
+                    "centroid_vec": [r.astype("float32") for r in C],
+                }
+            )
+        ).localCheckpoint(eager=True)
+        _ASSIGN_64K["delta"] = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(10000),
+                    "embedding": [r.astype("float32") for r in X],
+                }
+            )
+        ).localCheckpoint(eager=True)
+    return _ASSIGN_64K["cents"], _ASSIGN_64K["delta"]
+
+
+def time_ann_assign_64k_flat(spark) -> float:
+    """Flat multi-probe assignment of a 10k delta against 64k frozen
+    centroids: the O(delta × K) baseline the grouped entry beats."""
+    from cdc_demo_spark.operators.ann_scale import assign_quantized_multiprobe
+
+    cents, delta = _assign_64k_fixture(spark)
+    t0 = time.perf_counter()
+    out = assign_quantized_multiprobe(delta, cents, 2)
+    rows = {(r["centroid_id"], r["id"]) for r in out.select("centroid_id", "id").collect()}
+    dt = round(time.perf_counter() - t0, 3)
+    assert len(rows) == 20_000
+    _ASSIGN_64K["flat_rows"] = rows  # the grouped entry's recall oracle
+    return dt
+
+
+def time_ann_assign_64k_grouped(spark) -> float:
+    """Two-level coarse-quantizer assignment at the same grain: score
+    256 group directions, explore 8 groups (~256 centroids each) —
+    O(G + gp·K/G) per row instead of O(K).  Correctness gates the
+    timing: ≥99% of (id, bucket) assignments must match the flat
+    baseline on this clustered fixture (approximation recall is the
+    price; on uniform vectors it honestly degrades — documented in
+    tests/test_ann_scale.py, not hidden here)."""
+    from cdc_demo_spark.operators.ann_scale import assign_quantized_multiprobe
+
+    cents, delta = _assign_64k_fixture(spark)
+    t0 = time.perf_counter()
+    out = assign_quantized_multiprobe(
+        delta, cents, 2, group_probes=8, n_groups=256
+    )
+    rows = {(r["centroid_id"], r["id"]) for r in out.select("centroid_id", "id").collect()}
+    dt = round(time.perf_counter() - t0, 3)
+    flat = _ASSIGN_64K.get("flat_rows")
+    if flat is None:
+        flat = {
+            (r["centroid_id"], r["id"])
+            for r in assign_quantized_multiprobe(delta, cents, 2)
+            .select("centroid_id", "id")
+            .collect()
+        }
+        _ASSIGN_64K["flat_rows"] = flat
+    recall = len(rows & flat) / len(flat)
+    assert recall >= 0.99, f"grouped assignment recall {recall:.4f} < 0.99"
+    return dt
+
+
 def time_ann_pq_topk_1m(spark) -> float:
     """ADC top-k over 1M PQ codes for 16 queries: numpy gather scoring
     + per-query top-k window; codes + codebooks built once and cached.
@@ -953,6 +1040,8 @@ def main() -> None:
         ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
         ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
+        ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
+        ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
         ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),

@@ -233,12 +233,116 @@ def _topk_centroids(X: np.ndarray, Cn: np.ndarray, probes: int) -> np.ndarray:
     return top
 
 
+def group_centroids(
+    Cn: np.ndarray, n_groups: int, iters: int = 8
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Deterministic spherical k-means over the CENTROIDS themselves:
+    returns (Gn float64[d, G] unit group directions, member
+    column-index arrays per group).  The two-level coarse quantizer's
+    upper level — recomputed on demand from the frozen centroid
+    matrix (K ≤ CENTROID_CAP rows driver-side, ~10⁸ flops at
+    K=8192/G=90: cheaper than storing + versioning group state, and
+    deterministic, so every caller of the same frozen centroids sees
+    the same grouping).  Seeds are evenly spaced centroid indices
+    (centroid_matrix sorts by centroid_id, so the seed — like every
+    argmax tie below — is id-order stable)."""
+    X = Cn.T  # (K, d), unit rows (callers pass _norm_rows output)
+    K = len(X)
+    if not 0 < n_groups <= K:
+        raise ValueError(f"n_groups must be in [1, {K}], got {n_groups}")
+    G = X[np.linspace(0, K - 1, n_groups).astype(int)].copy()
+    for _ in range(iters):
+        a = (X @ _norm_rows(G).T).argmax(axis=1)
+        for g in range(n_groups):
+            m = X[a == g]
+            if len(m):
+                G[g] = m.mean(axis=0)
+    Gn = _norm_rows(G)
+    a = (X @ Gn.T).argmax(axis=1)
+    members = [np.nonzero(a == g)[0] for g in range(n_groups)]
+    return Gn.T, members
+
+
+def _topk_centroids_grouped(
+    X: np.ndarray,
+    Cn: np.ndarray,
+    probes: int,
+    Gn: np.ndarray,
+    members: list[np.ndarray],
+    group_probes: int,
+) -> np.ndarray:
+    """``_topk_centroids`` through a two-level coarse quantizer: score
+    the G group directions, keep each row's top-``group_probes``
+    groups, and score ONLY their member centroids — O(G + gp·K/G) per
+    row instead of O(K), the at-scale assignment shape (at K=10⁶ flat
+    scoring is 100× the flops of G=√K=1000 two-level).  APPROXIMATE:
+    a row whose true nearest centroid lives outside its explored
+    groups picks its best explored one — recall is measured, not
+    assumed (tests + the ann_assign_64k bench pair).  With
+    group_probes == G every centroid is scored and the result matches
+    ``_topk_centroids`` exactly, including the (score desc, centroid
+    index asc) tie rule — the parity anchor the tests pin."""
+    n = len(X)
+    gp = min(group_probes, Gn.shape[1])
+    top = np.empty((n, probes), dtype=np.int64)
+    for s in range(0, n, _SCORE_CHUNK):
+        Xc = X[s : s + _SCORE_CHUNK]
+        m = len(Xc)
+        SG = Xc @ Gn  # (m, G)
+        rows = np.arange(m)
+        gsel = np.empty((m, gp), dtype=np.int64)
+        for p in range(gp):
+            t = SG.argmax(axis=1)
+            gsel[:, p] = t
+            SG[rows, t] = -np.inf
+        # per group: score its members for the rows that probe it and
+        # keep each row's top-`probes` WITHIN the group (argmax passes
+        # — a row's global top-p are each inside their group's top-p,
+        # so nothing is lost); then one small lexsort over ≤ gp·probes
+        # candidates per row picks the global winners under the flat
+        # path's exact tie rule (score desc, column index asc).  An
+        # earlier draft lexsorted EVERY (row, member) score — m·gp·K/G
+        # triples — and measured SLOWER than flat at K=64k; the
+        # truncated gather is what makes two-level win.
+        r_parts, s_parts, c_parts = [], [], []
+        for g in np.unique(gsel):
+            cols = members[g]
+            if not len(cols):
+                continue
+            rsel = np.nonzero((gsel == g).any(axis=1))[0]
+            Sg = Xc[rsel] @ Cn[:, cols]  # (|rsel|, |cols|)
+            rr = np.arange(len(rsel))
+            for _ in range(min(probes, len(cols))):
+                t = Sg.argmax(axis=1)
+                r_parts.append(rsel)
+                s_parts.append(Sg[rr, t])
+                c_parts.append(cols[t])
+                Sg[rr, t] = -np.inf
+        r = np.concatenate(r_parts)
+        sc = np.concatenate(s_parts)
+        c = np.concatenate(c_parts)
+        order = np.lexsort((c, -sc, r))  # row asc, score desc, col asc
+        r, c = r[order], c[order]
+        starts = np.searchsorted(r, np.arange(m), side="left")
+        ends = np.searchsorted(r, np.arange(m), side="right")
+        if np.any(ends - starts < probes):
+            raise ValueError(
+                "a row has fewer candidate centroids than `probes`; "
+                "raise group_probes or n_groups"
+            )
+        idx = starts[:, None] + np.arange(probes)[None, :]
+        top[s : s + m] = c[idx]
+    return top
+
+
 def assign_quantized_multiprobe(
     corpus: DataFrame,
     centroids: DataFrame,
     probes: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_probes: int | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """(centroid_id, id, qv binary): multi-probe assignment FUSED with
     int8 quantization — one Arrow pass emits the tile-pack input
@@ -257,9 +361,26 @@ def assign_quantized_multiprobe(
     elementwise JVM-parity-pinned quantizer.  Zero vectors are dropped
     here (their qv is NULL in the JVM path and they match nothing);
     membership state that must include them keeps using the unfused
-    assignment."""
+    assignment.
+
+    ``group_probes`` switches to the TWO-LEVEL coarse quantizer
+    (group_centroids + _topk_centroids_grouped): per row O(G +
+    group_probes·K/G) centroid scores instead of O(K) — the at-scale
+    path once K outgrows a few thousand (flat scoring of a 10k delta
+    is ~0.6 s per 4× bucket growth at the bench grain, and untenable
+    at K=10⁶).  ``n_groups`` defaults to ~√K.  The grouping derives
+    deterministically from the frozen centroids, so every batch of an
+    index sees the same grouping — a whole pipeline picks flat OR
+    grouped once (SemanticIndex freezes the choice in _meta.json) and
+    two-batch == one-shot holds within that choice."""
     cids, C = centroid_matrix(centroids)
     Cn = _norm_rows(C).T  # (d, K)
+    grouped = None
+    if group_probes is not None:
+        import math
+
+        g = n_groups or max(1, int(math.isqrt(Cn.shape[1])))
+        grouped = group_centroids(Cn, g)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -272,7 +393,12 @@ def assign_quantized_multiprobe(
             if not len(ids):
                 continue
             X = _norm_rows(V)
-            top = _topk_centroids(X, Cn, probes)
+            if grouped is not None:
+                top = _topk_centroids_grouped(
+                    X, Cn, probes, grouped[0], grouped[1], group_probes
+                )
+            else:
+                top = _topk_centroids(X, Cn, probes)
             n = len(ids)
             M = Q.astype(np.int8)
             qv = np.empty(n, dtype=object)

@@ -107,12 +107,19 @@ class SemanticIndex:
         refine_iters: int = 2,
         backend: CommitBackend = DEFAULT_BACKEND,
         arrow: bool = False,
+        group_probes: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.backend = backend
         self._log = BatchCommitLog(path, backend)
         self.arrow = arrow
+        if group_probes is not None and not arrow:
+            raise ValueError(
+                "group_probes is the arrow/tile path's scale knob; the HOF "
+                "path scores all centroids JVM-side (use arrow=True)"
+            )
+        self.group_probes = group_probes
         self._ckpts = TableCheckpoints(
             path, backend, self._log,
             tables=(
@@ -130,6 +137,17 @@ class SemanticIndex:
             "probes": probes,
             "refine_iters": refine_iters,
             "arrow": arrow,
+            # Two-level coarse-quantizer assignment (ann_scale.
+            # group_centroids): a QUERY-PATH choice that changes which
+            # buckets a vector probes, so it is frozen like every
+            # other probe parameter — an index is flat-assigned or
+            # grouped-assigned for life, and two-batch == one-shot
+            # holds within the choice.  None = flat (score all K
+            # centroids; right up to a few thousand buckets); an int
+            # = explore that many groups of ~√K centroids each
+            # (O(√K) per row — the at-scale path; 27× measured at
+            # K=64k, ROUND_NOTES r9).
+            "group_probes": group_probes,
             # On-disk STATE encoding, not a query param: v2 (r8's fused
             # arrow path) stores the quantized sidecar's qv as packed
             # int8 BYTES and excludes zero vectors from members; v1
@@ -145,6 +163,10 @@ class SemanticIndex:
         # params always raise for whichever lost the create.
         if not backend.put_if_absent(meta_path, json.dumps(meta).encode()):
             stored = json.loads(backend.read(meta_path))
+            # a pre-group_probes index IS a flat-assigned index: the
+            # key's absence means None, not a param change (unlike
+            # state_encoding, whose absence means incompatible bytes)
+            stored.setdefault("group_probes", None)
             if stored != meta:
                 raise ValueError(
                     f"index at {path} was built with {stored}, opened with {meta}"
@@ -368,7 +390,8 @@ class SemanticIndex:
             # (per-centroid counts + the pack side) — a lazy input
             # computes the fused GEMM twice (ann_scale's measured rule)
             qm = assign_quantized_multiprobe(
-                base, self.centroids(), self.probes, "vec_id", "embedding"
+                base, self.centroids(), self.probes, "vec_id", "embedding",
+                group_probes=self.group_probes,
             ).localCheckpoint(eager=True)
             member_new = qm.select("id", "centroid_id")
             q_new = qm.dropDuplicates(["id"]).select("id", "qv")
