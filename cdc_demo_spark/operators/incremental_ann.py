@@ -266,6 +266,31 @@ class IvfIndex:
         )
         return float(scored.collect()[0]["drift"])
 
+    def rebuild(self, new_path: str, n_centroids: int | None = None) -> "IvfIndex":
+        """The drift remedy this module's header promises: train FRESH
+        centroids from the CURRENT stored vectors and admit them as
+        batch 0 of a NEW index dir — never in-place retraining, which
+        would silently strand already-bucketed vectors under a layout
+        their ``centroid_id=`` partitions no longer match.  The caller
+        swaps its pointer to ``new_path`` when ready (and may gc the
+        old dir); readers of the old index are untouched throughout —
+        the same immutable-then-swap shape as the silver manifest's
+        version dirs.  The carried vectors are admitted as batch 0
+        under an auto id, so the new index is batch-owned like any
+        built index (a stream that fed the old one must re-checkpoint
+        against the new table either way — its epochs named the OLD
+        table's batches).  Cost: one full scan + shuffle of the stored
+        vectors — the operation is FOR the rare drift alarm, not
+        routine maintenance (that is compact())."""
+        n = n_centroids or self.n_centroids
+        new = IvfIndex(
+            self.spark, new_path, n_centroids=n,
+            nprobe=self.nprobe, refine_iters=self.refine_iters,
+            backend=self.backend,
+        )
+        new.build(self._vectors().select("vec_id", "embedding"))
+        return new
+
     def topk(
         self,
         queries: DataFrame,

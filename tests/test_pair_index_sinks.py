@@ -229,3 +229,34 @@ def test_ivf_epoch_replay_skipped(spark, tmp_path):
     assert vecs.select("vec_id").distinct().count() == 1000  # no doubles
     with pytest.raises(ValueError, match="epoch-owned"):
         idx.append_batch(second)
+
+
+def test_ivf_rebuild_fresh_layout(spark, tmp_path):
+    """The drift remedy: rebuild() trains fresh centroids from the
+    stored vectors into a NEW dir (old index untouched — immutable-
+    then-swap), carries every stored vector across, and the new index
+    answers topk at least as well as the drifted old one on
+    out-of-distribution queries."""
+    from cdc_demo_spark.operators.incremental_ann import IvfIndex
+
+    base = synth_embeddings(spark, 800, dup_every=80).cache()
+    drifted = synth_embeddings(spark, 800, start=100_000, dup_every=80).cache()
+
+    idx = IvfIndex(spark, str(tmp_path / "old"), n_centroids=8, nprobe=2)
+    idx.build(base)
+    idx.append_batch(drifted)
+
+    new = idx.rebuild(str(tmp_path / "new"))
+    assert new._vectors().count() == idx._vectors().count() == 1600
+    assert {r["vec_id"] for r in new._vectors().select("vec_id").collect()} == {
+        r["vec_id"] for r in idx._vectors().select("vec_id").collect()
+    }
+    # old index still fully readable (swap is the caller's move)
+    assert len(idx._state_dirs()) == 2
+    # fresh centroids fit the union at least as well as the frozen ones
+    probe = drifted.limit(200)
+    assert new.centroid_drift(probe) >= idx.centroid_drift(probe) - 1e-9
+    # the new table is batch-owned (build admits batch 0 under an
+    # auto id); further batch appends land normally
+    assert new.append_batch(synth_embeddings(spark, 50, start=200_000)) is True
+    assert new._vectors().count() == 1650
