@@ -47,11 +47,79 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.sql import DataFrame, SparkSession
+
 from cdc_demo_spark.storage import (
     BatchCommitLog,
     CheckpointLog,
     CommitBackend,
 )
+
+
+class PairsLog:
+    """The exactly-once OUTPUT log of a stream-fed pair index: each
+    epoch's verified pairs land under ``pairs/batch=<n>-<uid>`` inside
+    the SAME single-marker commit as the epoch's state, so a replayed
+    epoch reads its pairs back instead of recomputing — replay-stable
+    output.  Shared by MinHashIndex and SemanticIndex (one schema
+    parameter apart); the pairs table is results, not probe state, so
+    compaction never covers it and gc touches only a losing racer's
+    unpublished dirs (TTL orphan sweep)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        backend: CommitBackend,
+        log: BatchCommitLog,
+        schema: str,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.backend = backend
+        self._log = log
+        self.schema = schema
+
+    def write(self, pairs: DataFrame, n: int, uid: str) -> None:
+        """Stage epoch ``n``'s pairs; the caller claims the marker."""
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.path, "pairs", f"batch={n}-{uid}")
+        )
+
+    def batch(self, n: int) -> DataFrame:
+        """The pairs committed for batch ``n``, or an empty frame if
+        that epoch kept its pairs ephemeral — what a REPLAYED epoch
+        returns, so a consumer that persists sees replay-stable
+        output."""
+        empty = self.spark.createDataFrame([], self.schema)
+        try:
+            uid = self.backend.read(self._log.marker(n)).decode()
+        except OSError:
+            return empty
+        d = os.path.join(
+            self.path, "pairs", f"batch={n}-{uid}" if uid else f"batch={n}"
+        )
+        if self.backend.list_data_dir(d):
+            return self.spark.read.schema(self.schema).parquet(d)
+        return empty
+
+    def all(self) -> DataFrame:
+        """Every committed batch's persisted pairs."""
+        dirs = self._log.committed_batches("pairs")
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    def sweep_orphans(self, ttl_seconds: float) -> list[str]:
+        """A losing epoch racer's unpublished pairs dir is orphan
+        garbage like any staged dir; the TTL arm reclaims it."""
+        import shutil
+
+        removed = []
+        for d in self._log.orphan_batch_dirs("pairs", ttl_seconds):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+        return removed
 
 
 @dataclass
@@ -202,7 +270,24 @@ class TableCheckpoints:
             return removed
         for t in self.tables:
             for d in self._log.committed_batches(t, self.include_legacy):
-                if BatchCommitLog.batch_id_of(d) in covered:
-                    shutil.rmtree(d, ignore_errors=True)
-                    removed.append(d)
+                n = BatchCommitLog.batch_id_of(d)
+                if n not in covered:
+                    continue
+                if "-" not in os.path.basename(d):
+                    # LEGACY pre-marker dir: its id is burned only by
+                    # the dir itself (no marker in commits/), so
+                    # removing it would let next_batch_id REUSE the id
+                    # — and the covered set would then swallow the new
+                    # batch as superseded: committed-but-invisible,
+                    # silent data loss.  Burn the id with an empty-uid
+                    # marker BEFORE the rmtree; if a marker already
+                    # exists it must be a previous gc's burn (legacy
+                    # and marker ids are disjoint by next_batch_id) —
+                    # anything else is corruption, leave the dir.
+                    if not self.backend.put_if_absent(
+                        self._log.marker(n), b""
+                    ) and self.backend.read(self._log.marker(n)) != b"":
+                        continue
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
         return removed

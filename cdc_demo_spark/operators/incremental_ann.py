@@ -123,17 +123,22 @@ class IvfIndex:
         # and ckpt= dirs coexist in one state listing (a single
         # multi-path read would see them as conflicting partition
         # columns); centroid_id stays a partition column in every
-        # sub-read, so topk's isin filter still statically prunes
+        # sub-read, so topk's isin filter still statically prunes.
+        # The EXPLICIT schema is load-bearing, not style: a zero-row
+        # epoch (a quiet foreachBatch micro-batch) commits a batch dir
+        # holding only _SUCCESS, and a per-dir schema INFERENCE on it
+        # throws UNABLE_TO_INFER_SCHEMA — one empty epoch would brick
+        # every future read (the old multi-path read inferred from
+        # sibling dirs and masked this).
         out = None
         for d in dirs:
             sub = (
-                self.spark.read.option("basePath", d)
-                .parquet(d)
-                .select(
-                    "vec_id",
-                    "embedding",
-                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                self.spark.read.schema(
+                    "vec_id long, embedding array<float>, centroid_id long"
                 )
+                .option("basePath", d)
+                .parquet(d)
+                .select("vec_id", "embedding", "centroid_id")
             )
             out = sub if out is None else out.unionByName(sub)
         return out

@@ -68,7 +68,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
 # (cap-guarded), computes each dir's touched shards, and reads ONLY
 # those partitions — bytes ∝ |candidate ids| × shard size, FLAT in
 # corpus size (nshards grows with the batch instead of shard size).
-from cdc_demo_spark.operators.compaction import TableCheckpoints
+from cdc_demo_spark.operators.compaction import PairsLog, TableCheckpoints
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -151,7 +151,10 @@ class MinHashIndex:
         dirs = self._state_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*dirs)
+        # explicit schema: a zero-row epoch's batch dir holds only
+        # _SUCCESS, and inference over a dir set where EVERY dir is
+        # empty (first epoch quiet) throws UNABLE_TO_INFER_SCHEMA
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def _nshards_of(self, batch_dir: str) -> int:
         """Shared shard-layout sidecar read (operators/shard_layout)."""
@@ -224,28 +227,20 @@ class MinHashIndex:
 
     _PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
 
+    @property
+    def _pairs_log(self) -> PairsLog:
+        """Shared pairs-output-log machinery (operators/compaction.py)."""
+        return PairsLog(self.spark, self.path, self.backend, self._log, self._PAIRS_SCHEMA)
+
     def _stored_pairs(self, n: int) -> DataFrame:
         """The pairs batch ``n`` persisted under its commit marker
-        (``persist_pairs``), or an empty frame if that epoch kept its
-        pairs ephemeral — what a REPLAYED epoch returns, so a consumer
-        that persists sees replay-stable output."""
-        empty = self.spark.createDataFrame([], self._PAIRS_SCHEMA)
-        try:
-            uid = self.backend.read(self._log.marker(n)).decode()
-        except OSError:
-            return empty
-        d = os.path.join(self.path, "pairs", f"batch={n}-{uid}" if uid else f"batch={n}")
-        if self.backend.list_data_dir(d):
-            return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(d)
-        return empty
+        (``persist_pairs``) — what a REPLAYED epoch returns."""
+        return self._pairs_log.batch(n)
 
     def stored_pairs(self) -> DataFrame:
         """Every committed batch's persisted pairs (the exactly-once
         output log of a stream-fed index)."""
-        dirs = self._log.committed_batches("pairs")
-        if not dirs:
-            return self.spark.createDataFrame([], self._PAIRS_SCHEMA)
-        return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(*dirs)
+        return self._pairs_log.all()
 
     def append_batch(
         self,
@@ -448,10 +443,11 @@ class MinHashIndex:
         if persist_pairs:
             # the epoch's OUTPUT, durable under the same marker as its
             # state: a replay reads these instead of recomputing
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(self.path, "pairs", f"batch={n}-{uid}")
-            )
-        # ONE marker after ALL tables land (BatchCommitLog protocol)
+            self._pairs_log.write(pairs, n, uid)
+        # ONE marker after ALL tables land (BatchCommitLog protocol);
+        # the unpersists sit in a finally so no exit path — success,
+        # race-loser return, or raise — leaks the cached batch state
+        # into a long-running driver's storage memory
         try:
             self._log.claim(n, uid)
         except ConcurrentAppendError:
@@ -461,8 +457,9 @@ class MinHashIndex:
             # content (one batch_id ↔ one logical batch), our staged
             # dirs are orphan garbage for gc's TTL sweep
             return self._stored_pairs(n)
-        sh_new.unpersist()
-        new_buckets.unpersist()
+        finally:
+            sh_new.unpersist()
+            new_buckets.unpersist()
         return pairs
 
     # -- maintenance ---------------------------------------------------
@@ -509,13 +506,9 @@ class MinHashIndex:
         never compacted or covered (it is results, not probe state),
         but a losing epoch racer's unpublished pairs dir is orphan
         garbage like any staged dir — the TTL arm sweeps it."""
-        import shutil
-
         removed = self._ckpts.gc(orphan_ttl_seconds)
         if orphan_ttl_seconds is not None:
-            for d in self._log.orphan_batch_dirs("pairs", orphan_ttl_seconds):
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(d)
+            removed += self._pairs_log.sweep_orphans(orphan_ttl_seconds)
         return removed
 
 

@@ -23,10 +23,13 @@ pass) — the same erasure stance as the Bloom ledger.
 
 ``scale`` is frozen into ``_meta.json``: sums recorded under
 different scales are different units, so mixing raises.  Values are
-dropped (never counted) when NULL/NaN/uncastable, the family's junk
-policy; the scaled magnitude must keep n·y² inside DECIMAL(38,0) —
-the caller picks scale from domain knowledge, same as histogram
-bounds.
+dropped (never counted) when NULL/NaN/±Infinity/uncastable, the
+family's junk policy.  Exactness bounds, explicit: |y| must stay
+within 2^53 (y = round(value·scale) is computed as a double before
+the decimal cast) and n·y² inside DECIMAL(38,0) — the caller picks
+scale from domain knowledge, same as histogram bounds.  The square
+itself is decimal×decimal, so the 2^53 bound is the rounding's, not
+a double-multiplication artifact.
 """
 
 from __future__ import annotations
@@ -85,14 +88,28 @@ class MomentsIndex(AdditiveLedger):
             return False  # epoch already committed — skip before the build
         v = F.col(value_col).try_cast("double")
         y = F.round(v * F.lit(self.scale))
+        # ±Infinity is junk like NaN: counted-but-NULL-summed rows
+        # would skew mean/stddev silently (inf casts to NULL decimal
+        # under non-ANSI, F.sum skips it, F.count would not)
+        finite = (
+            F.col("v").isNotNull()
+            & ~F.isnan("v")
+            & (F.abs(F.col("v")) != F.lit(float("inf")))
+        )
+        # the square is DECIMAL×DECIMAL, not double×double: y is exact
+        # as a double up to 2^53, but y·y in doubles is exact only to
+        # y ≤ 2^26.5 ≈ 9.4e7 — squaring in decimal(19,0) (product
+        # precision 38) carries the bit-exact contract all the way to
+        # the 2^53 bound the rounding itself imposes
+        y19 = F.col("y").cast("decimal(19,0)")
         state = (
             df.select(F.col(group_col).cast("string").alias("grp"), v.alias("v"), y.alias("y"))
-            .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+            .filter(finite)
             .groupBy("grp")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("y").cast(_DEC0)).alias("s1"),
-                F.sum((F.col("y") * F.col("y")).cast(_DEC0)).alias("s2"),
+                F.sum((y19 * y19).cast(_DEC0)).alias("s2"),
             )
         )
         return self._append_state(state, batch_id)

@@ -54,7 +54,7 @@ from cdc_demo_spark.operators.similarity import (
     int8_quantized,
     refine_centroids,
 )
-from cdc_demo_spark.operators.compaction import TableCheckpoints
+from cdc_demo_spark.operators.compaction import PairsLog, TableCheckpoints
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -203,7 +203,10 @@ class SemanticIndex:
         dirs = self._state_dirs(table)
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*dirs)
+        # explicit schema: a zero-row epoch's batch dir holds only
+        # _SUCCESS, and inference over a dir set where EVERY dir is
+        # empty (first epoch quiet) throws UNABLE_TO_INFER_SCHEMA
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def stored_tiles(
         self,
@@ -295,27 +298,20 @@ class SemanticIndex:
 
     _PAIRS_SCHEMA = "id_a long, id_b long"
 
+    @property
+    def _pairs_log(self) -> PairsLog:
+        """Shared pairs-output-log machinery (operators/compaction.py)."""
+        return PairsLog(self.spark, self.path, self.backend, self._log, self._PAIRS_SCHEMA)
+
     def _stored_pairs(self, n: int) -> DataFrame:
         """The pairs batch ``n`` persisted under its commit marker
-        (``persist_pairs``), or an empty frame if that epoch kept its
-        pairs ephemeral — what a REPLAYED epoch returns."""
-        empty = self.spark.createDataFrame([], self._PAIRS_SCHEMA)
-        try:
-            uid = self.backend.read(self._log.marker(n)).decode()
-        except OSError:
-            return empty
-        d = os.path.join(self.path, "pairs", f"batch={n}-{uid}" if uid else f"batch={n}")
-        if self.backend.list_data_dir(d):
-            return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(d)
-        return empty
+        (``persist_pairs``) — what a REPLAYED epoch returns."""
+        return self._pairs_log.batch(n)
 
     def stored_pairs(self) -> DataFrame:
         """Every committed batch's persisted pairs (the exactly-once
         output log of a stream-fed index)."""
-        dirs = self._log.committed_batches("pairs")
-        if not dirs:
-            return self.spark.createDataFrame([], self._PAIRS_SCHEMA)
-        return self.spark.read.schema(self._PAIRS_SCHEMA).parquet(*dirs)
+        return self._pairs_log.all()
 
     def append_batch(
         self,
@@ -461,9 +457,7 @@ class SemanticIndex:
         if persist_pairs:
             # the epoch's OUTPUT, durable under the same marker as its
             # state: a replay reads these instead of recomputing
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(self.path, "pairs", f"batch={n}-{uid}")
-            )
+            self._pairs_log.write(pairs, n, uid)
         # the single marker lands only after ALL tables are fully
         # written — a crash anywhere above leaves invisible garbage
         # (BatchCommitLog protocol).
@@ -538,13 +532,9 @@ class SemanticIndex:
         markers stay, quiesce before gc).  The pairs OUTPUT log is
         never compacted or covered (results, not probe state); the TTL
         arm sweeps a losing racer's unpublished pairs dir."""
-        import shutil
-
         removed = self._ckpts.gc(orphan_ttl_seconds)
         if orphan_ttl_seconds is not None:
-            for d in self._log.orphan_batch_dirs("pairs", orphan_ttl_seconds):
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(d)
+            removed += self._pairs_log.sweep_orphans(orphan_ttl_seconds)
         return removed
 
     def centroid_drift(

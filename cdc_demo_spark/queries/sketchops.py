@@ -541,7 +541,8 @@ WITH scaled AS (
 m AS (
   SELECT grp, COUNT(*) AS n,
          sum(CAST(y AS DECIMAL(38,0))) AS s1,
-         sum(CAST(y * y AS DECIMAL(38,0))) AS s2
+         sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS s2
   FROM scaled GROUP BY grp
 )
 SELECT grp, n,

@@ -283,18 +283,20 @@ def claim_ownership_mode(backend: CommitBackend, path: str, mode: str) -> None:
         # markers are not the only burned history: a legacy pre-marker
         # layout (batch=<n>/_COMMITTED, no markers at all) and a crashed
         # appender's staged-but-unclaimed batch=<n>-<uid> dir both burn
-        # ids through next_batch_id, so either makes adoption unsafe
-        if os.path.isdir(path):
-            for t in sorted(os.listdir(path)):
-                sub = os.path.join(path, t)
-                if not os.path.isdir(sub):
-                    continue
-                burned += [
-                    int(d.split("=", 1)[1].partition("-")[0])
-                    for d in os.listdir(sub)
-                    if d.startswith("batch=")
-                    and d.split("=", 1)[1].partition("-")[0].isdigit()
-                ]
+        # ids through next_batch_id, so either makes adoption unsafe.
+        # The scan goes through the backend's data-plane listing seam
+        # (list_data_dir) for the same reason next_batch_id's does: an
+        # object-store port whose data dirs leave no POSIX footprint
+        # would otherwise see nothing here, pass the guard, and adopt
+        # epoch ownership over burned ids — the exact loss the guard
+        # refuses.
+        for t in sorted(backend.list_data_dir(path)):
+            burned += [
+                int(d.split("=", 1)[1].partition("-")[0])
+                for d in backend.list_data_dir(os.path.join(path, t))
+                if d.startswith("batch=")
+                and d.split("=", 1)[1].partition("-")[0].isdigit()
+            ]
         if burned:
             raise ValueError(
                 f"index at {path} has {len(burned)} burned batch ids but no "

@@ -167,3 +167,38 @@ def test_moments_sink_through_real_stream(spark, tmp_path, be):
         (r["grp"], r["n"], r["s1"], r["s2"]) for r in idx.moments().collect()
     }
     assert got == _one_shot_state(spark, 0, 300)
+
+
+def test_infinity_dropped_like_nan(spark, tmp_path):
+    """±Infinity is junk like NaN: dropped, NEVER counted.  The
+    pre-fix behavior counted the row in n while its NULL decimal sum
+    was skipped — n=3/s1=400 for {1, 3, inf} — silently skewing every
+    derived mean/stddev."""
+    idx = MomentsIndex(spark, str(tmp_path / "m"), scale=100)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", float("inf")), ("a", float("-inf"))],
+        "grp string, v double",
+    )
+    idx.append_batch(df, "grp", "v")
+    row = idx.stats().collect()[0]
+    assert row["n"] == 2
+    assert row["mean"] == 2.0
+
+
+def test_square_is_exact_past_double_precision(spark, tmp_path):
+    """The y² term squares in DECIMAL, not double: at y ≈ 1.2e8 the
+    square (≈1.5e16) exceeds 2^53 and a double multiply silently
+    rounds — the ledger's bit-exact contract must hold to the 2^53
+    bound on y itself."""
+    idx = MomentsIndex(spark, str(tmp_path / "m"), scale=1)
+    vals = [123_456_789.0, 123_456_791.0]
+    idx.append_batch(
+        spark.createDataFrame([("a", v) for v in vals], "grp string, v double"),
+        "grp",
+        "v",
+    )
+    row = idx.moments().collect()[0]
+    exact = sum(int(v) * int(v) for v in vals)
+    assert int(row["s2"]) == exact
+    # the double product differs — the assertion above is not vacuous
+    assert any(float(v) * float(v) != int(v) * int(v) for v in vals)

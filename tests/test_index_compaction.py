@@ -251,3 +251,75 @@ def test_semantic_hof_compact_append_parity(spark, tmp_path):
     idx.gc()
     assert len(idx._state_dirs("members")) == 1
     assert _pairs(idx.append_batch(second)) == _pairs(twin.append_batch(second))
+
+
+def test_gc_of_legacy_batch_keeps_id_burned(spark, tmp_path):
+    """Reclaiming a covered LEGACY (pre-marker) batch dir must not
+    un-burn its id: the dir was the only thing burning it, so gc
+    writes an empty-uid marker before the rmtree — otherwise the next
+    append reuses the id and the covered set swallows it as
+    superseded: committed-but-invisible, silent data loss."""
+    import shutil as _sh
+
+    from cdc_demo_spark.operators.incremental_ann import IvfIndex
+
+    corpus = synth_embeddings(spark, 100, dup_every=50).cache()
+    idx = IvfIndex(spark, str(tmp_path / "idx"), n_centroids=4, nprobe=2)
+    idx.build(corpus)
+    # devolve batch 0 into the legacy pre-marker layout
+    (d0,) = idx._committed_batches()
+    legacy = os.path.join(os.path.dirname(d0), "batch=0")
+    _sh.move(d0, legacy)
+    open(os.path.join(legacy, "_COMMITTED"), "w").write("")
+    idx.backend.delete(idx._log.marker(0))
+    assert idx._vectors().count() == 100
+
+    idx.compact()
+    removed = idx.gc()
+    assert legacy in removed
+    # the id stays burned: the next append must NOT land at 0
+    assert idx._log.next_batch_id("vectors") >= 1
+    assert idx.append_batch(synth_embeddings(spark, 50, start=1000)) is True
+    assert idx._vectors().count() == 150  # nothing swallowed
+
+
+def test_empty_epoch_does_not_brick_reads(spark, tmp_path):
+    """A zero-row epoch (a quiet foreachBatch micro-batch) commits a
+    batch dir holding only _SUCCESS; every later read must tolerate
+    it — per-dir schema inference on such a dir throws
+    UNABLE_TO_INFER_SCHEMA and one quiet epoch would brick the index
+    forever."""
+    from cdc_demo_spark.operators.incremental_ann import IvfIndex
+
+    corpus = synth_embeddings(spark, 500, dup_every=50).cache()
+    cents = AS.train_centroids_sampled(corpus, 4, sample=256, iters=2).cache()
+    empty = corpus.filter(F.col("vec_id") < 0)
+
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=4, nprobe=2)
+    ivf.freeze_centroids(cents.select("centroid_id", "centroid_vec"))
+    assert ivf.append_batch(corpus, batch_id=0) is True
+    assert ivf.append_batch(empty, batch_id=1) is True  # quiet epoch
+    assert ivf._vectors().count() == 500
+    q = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert ivf.topk(q, k=2).count() > 0
+    ivf.compact()
+    ivf.gc()
+    assert ivf._vectors().count() == 500
+
+    sem = SemanticIndex(
+        spark, str(tmp_path / "sem"), t_num=4, t_den=5,
+        n_buckets=4, probes=2, arrow=True,
+    )
+    sem.freeze_centroids(cents)
+    assert sem.append_batch(empty, batch_id=0).count() == 0  # FIRST epoch quiet
+    p = sem.append_batch(corpus, batch_id=1)
+    assert p.count() >= 0
+    assert sem._read("members", "id long, centroid_id long").count() > 0
+
+    mh = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.12)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    mh.append_batch(docs.filter(F.col("doc_id") < 0), batch_id=0)  # quiet
+    assert mh.append_batch(docs.limit(50), batch_id=1).count() >= 0
+    assert mh.stored_shingles().count() > 0
