@@ -60,8 +60,29 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_by_group(ev, "event_type", "value")
 
 
-@register("q_zscore_normalize")  # no oracle: sample-stddev tie-up in SQL is fragile
+@register(
+    "q_zscore_normalize",
+    oracle="""
+SELECT event_id, user_id, value,
+       ROUND((value - avg(value) OVER (PARTITION BY user_id)) /
+             (CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0
+                   THEN stddev_samp(value) OVER (PARTITION BY user_id)
+                   ELSE 1.0 END), 6) AS zscore
+FROM events
+""",
+)
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B49 — per-user z-score normalization via applyInPandas."""
+    """B49 — per-user z-score normalization via applyInPandas.
+    Oracle-backed (was rows-only through r9): pandas' groupwise
+    mean/std(ddof=1) and DuckDB's windowed avg/stddev_samp are the same
+    statistic up to summation order (measured max divergence 2.7e-15 at
+    sf0.001/sf0.01), so the registered query rounds the score to 6
+    decimals — 9 orders of magnitude of margin — making the comparison
+    engine-stable while the full-precision operator
+    (operators/pandas_udfs.zscore_per_group) stays untouched.  The
+    single-row/zero-variance guard (divide by 1.0) is mirrored in the
+    CASE."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return zscore_per_group(ev, "user_id", "value")
+    return zscore_per_group(ev, "user_id", "value").withColumn(
+        "zscore", F.round(F.col("zscore"), 6)
+    )

@@ -184,35 +184,13 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
-@register("q_packed_blocks")  # no oracle: greedy packing is an order-dependent fold
-def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk the corpus then greedily pack chunks into 256-token
-    training blocks per source shard (invariants — nothing lost, budget
-    kept, deterministic — asserted in tests/test_text.py). doc_ids is
-    serialized to a CSV string so every output column is scalar (the
-    driver's canonicalizer sorts columns and cannot hash arrays)."""
-    from cdc_demo_spark.operators.chunking import chunk_documents
-    from cdc_demo_spark.operators.packing import pack_chunks
-
-    docs = load_table(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
-        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
-    )
-    packed = pack_chunks(chunks, "group", block_tokens=256)
-    return packed.select(
-        "group",
-        "block_id",
-        "n_chunks",
-        "total_tokens",
-        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
-            "doc_ids_csv"
-        ),
-    )
-
-
-@register(
-    "q_packed_census",
-    oracle="""
+# The DuckDB twin of the deterministic greedy fold in
+# operators/packing.pack_chunks: the per-group (doc_id, chunk_id)
+# cumsum makes the order-dependent FFD SQL-expressible — each block's
+# end row is "count of rows with csum <= base + budget", clamped to at
+# least one chunk (exactly pack_chunks' searchsorted).  Shared by
+# q_packed_census (grp) and q_packed_blocks (aliased to "group").
+_PACKED_FOLD_SQL = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), meta AS (
@@ -267,7 +245,47 @@ SELECT b.grp, b.block_id,
 FROM blk b
 JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
 GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
-""",
+"""
+
+
+@register(
+    "q_packed_blocks",
+    oracle=(
+        'SELECT grp AS "group", block_id, n_chunks, total_tokens, doc_ids_csv '
+        "FROM (" + _PACKED_FOLD_SQL + ") AS census"
+    ),
+)
+def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus then greedily pack chunks into 256-token
+    training blocks per source shard (invariants — nothing lost, budget
+    kept, deterministic — asserted in tests/test_text.py). doc_ids is
+    serialized to a CSV string so every output column is scalar (the
+    driver's canonicalizer sorts columns and cannot hash arrays).
+    Oracle-backed (was rows-only through r9): adopts q_packed_census's
+    recursive-CTE replay of the same greedy fold (_PACKED_FOLD_SQL),
+    with grp aliased back to this query's "group" column."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    packed = pack_chunks(chunks, "group", block_tokens=256)
+    return packed.select(
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids_csv"
+        ),
+    )
+
+
+@register(
+    "q_packed_census",
+    oracle=_PACKED_FOLD_SQL,
 )
 def q_packed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packing pipeline's ORACLE-BACKED census: the same chunk ->
