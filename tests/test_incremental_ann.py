@@ -65,6 +65,40 @@ def test_recall_vs_brute_force(spark, sf_dir, tmp_path):
     assert len(approx & exact) / len(exact) >= 0.4
 
 
+def test_repeat_compact_without_gc_is_noop(spark, sf_dir, tmp_path):
+    # regression test for the guard at incremental_ann.IvfIndex.compact
+    # (snap.fresh check): compact();compact() with no gc() between must
+    # not rewrite the full vector table or burn a checkpoint id — the
+    # covered sidecar is the freshness authority, not the still-on-disk
+    # absorbed dirs (mirrors BloomIndex's test, VERDICT r9 #4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=8, nprobe=3)
+    idx.build(emb.filter(F.col("vec_id") >= 10))
+    idx.append_batch(emb.filter(F.col("vec_id") < 10))
+
+    idx.compact()
+    seq_before = idx._ckpts.latest()[0]
+    state_dirs = sorted(idx._ckpts.state_dirs("vectors"))
+    assert len(state_dirs) == 1 and "ckpt=" in state_dirs[0]
+
+    idx.compact()  # nothing new landed, absorbed dirs NOT yet gc'd
+    assert idx._ckpts.latest()[0] == seq_before, (
+        "fresh compaction must be a no-op before gc"
+    )
+    assert sorted(idx._ckpts.state_dirs("vectors")) == state_dirs
+
+    # a new batch makes it stale again; answers survive the second fold
+    extra = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    idx.append_batch(extra)
+    idx.compact()
+    assert idx._ckpts.latest()[0] == seq_before + 1
+    q = _queries(spark, emb, n=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in idx.topk(q, k=3).collect() if r["rk"] == 1}
+    assert all(top1[qid] == qid for qid in top1)
+
+
 def test_drift_metric_and_contracts(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     idx = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=8)
