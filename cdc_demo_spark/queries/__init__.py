@@ -40,63 +40,63 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-9 window head: computed by tools/window_staleness.py
-    # (stalest-first from the CORRECTNESS_r01..r08 union) — this
-    # round's new oracle queries first (never driver-checked), then
-    # the 3 r4-stale refreshes, the 32 r5-stale ones, and r6 anchors
-    # to fill the 50-slot cap.  Displaced r6/r8-green anchors keep
-    # their records and rotate in r10 (the tool prints the suggested
-    # next head each round).
-    "q_incremental_histogram",
-    "q_incremental_moments",
-    "q_incremental_token_counts",
-    "q_tumbling_window",
-    "q_union_all",
-    "q_user_sessions",
-    "q_array_functions",
-    "q_bpe_token_count",
-    "q_context_length_histogram",
-    "q_context_windows",
-    "q_corpus_token_budget",
-    "q_correlated_exists",
-    "q_cosine_topk_arrow",
-    "q_data_quality",
-    "q_dedup_exact_keep",
-    "q_dedup_stats",
-    "q_document_chunks",
-    "q_events_per_day_spine",
-    "q_except_all",
-    "q_excess_part_suppliers",
-    "q_fingerprint",
-    "q_fuzzy_name_pairs",
-    "q_grouping_sets",
-    "q_important_supplier_value",
-    "q_incremental_rollup",
-    "q_intersect_all",
-    "q_lang_id",
-    "q_late_shipment_priority",
-    "q_latest_event_per_user",
-    "q_line_status_priority",
-    "q_math_functions",
-    "q_ngram_jaccard_pairs",
-    "q_null_functions",
-    "q_ohlc_bars",
-    "q_range_frame_sum",
-    "q_session_window",
-    "q_stratified_sample",
-    "q_token_stats",
-    "q_allpairs_jaccard",
-    "q_benchmark_contamination",
-    "q_bm25_topk",
-    "q_bpe_merge_candidates",
-    "q_containment_pairs",
-    "q_day_partition_pruning",
-    "q_dedup_cluster_survivors",
-    "q_disjunctive_filters",
-    "q_dormant_rich_customers",
-    "q_dup_ngram_fraction",
-    "q_embedding_quantize_int8",
-    "q_forecast_revenue",
+    # Round-10 window head: computed by tools/window_staleness.py
+    # (stalest-first from the CORRECTNESS_r01..r09 union) — this
+    # round's 3 newly oracle-backed queries first (q_packed_blocks /
+    # q_weighted_sample / q_zscore_normalize, never driver-checked as
+    # oracle queries), then ALL 38 r6-stale refreshes, then the 9
+    # oldest r8 anchors to fill the 50-slot cap.  After this round no
+    # oracle-backed record is older than r8.
+    "q_packed_blocks",
+    "q_weighted_sample",
+    "q_zscore_normalize",
+    "q_hot_key_salted_join",
+    "q_large_volume_customers",
+    "q_linear_quality_score",
+    "q_local_supplier_volume",
+    "q_mad_outliers",
+    "q_min_cost_supplier",
+    "q_minhash_near_dups_md5",
+    "q_minhash_signatures_md5",
+    "q_mixture_sample",
+    "q_nation_market_share",
+    "q_nation_volume_shipping",
+    "q_order_count_distribution",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_quality_filter",
+    "q_rate_anomaly",
+    "q_referential_integrity",
+    "q_repetition_ratio",
+    "q_scalar_subquery",
+    "q_signup_purchase_funnel",
+    "q_simhash_hamming_pairs",
+    "q_sliding_window",
+    "q_small_qty_revenue",
+    "q_sole_returning_suppliers",
+    "q_supplier_part_counts",
+    "q_text_normalize",
+    "q_top_supplier",
+    "q_train_val_test_split",
+    "q_training_shards",
+    "q_unigram_logprob",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_weekly_retention",
+    "q_window_navigation",
+    "q_winsorize",
+    "q_anti_join",
+    "q_asof_join",
+    "q_bloom_decontamination",
+    "q_case_when",
+    "q_collect_names",
+    "q_cosine_topk",
+    "q_count_distinct",
+    "q_countmin_heavy_hitters",
+    "q_cross_join",
 ]
 
 
