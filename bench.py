@@ -549,6 +549,61 @@ def time_ann_pq_topk_1m(spark) -> float:
     return dt
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+_NCPU = os.cpu_count() or 1
+
+
+def _host_busy_ticks() -> int:
+    """Total non-idle CPU ticks across all cores (/proc/stat cpu line,
+    everything but idle+iowait)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+
+def _tree_cpu_ticks() -> int:
+    """utime+stime ticks of this process and every live descendant —
+    the PySpark JVM and its forked python workers.  (Reaped children
+    between samples are missed; the JVM and reused workers are
+    long-lived, so the error is negligible at entry grain.)"""
+    kids: dict[int, list[int]] = {}
+    ticks: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue  # raced a process exit
+        pid = int(d)
+        kids.setdefault(int(rest[1]), []).append(pid)
+        ticks[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += ticks.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total
+
+
+def _load_snap() -> tuple[float, int, int]:
+    return (time.perf_counter(), _host_busy_ticks(), _tree_cpu_ticks())
+
+
+def _external_cpu_share(a: tuple, b: tuple) -> float:
+    """Fraction of total host CPU capacity consumed by OTHER processes
+    between two snapshots.  This is the per-entry contention signal the
+    r9 verdict asked for: unlike loadavg — which the bench's own 32
+    threads dominate within minutes of starting — it subtracts our own
+    process tree, so a nonzero value really is a neighbor."""
+    dt = b[0] - a[0]
+    if dt <= 0:
+        return 0.0
+    ext = max(0, (b[1] - a[1]) - (b[2] - a[2]))
+    return min(1.0, ext / (_CLK_TCK * _NCPU * dt))
+
+
 def _wait_for_quiet_host() -> bool:
     """VERDICT r6 #3: every committed bench so far was captured under
     load (r6: loadavg 11.5 on 32 cpus — ~15% contention noise in the
@@ -766,6 +821,18 @@ def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
     n = env.count()
     base = tempfile.mkdtemp()
     try:
+        # Warm-up (VERDICT r9 #5 / ROUND_NOTES r9 candidate 5): the
+        # entry's 4.2-7.4 s run-to-run spread tracked Derby engine
+        # boot + class-loading/JIT, paid inside the timed window on
+        # whichever pass ran first.  Boot the engine against a
+        # throwaway database first so both timed passes measure the
+        # upsert path, not JVM warm-up.
+        JdbcUpsertSink(
+            spark,
+            f"jdbc:derby:{base}/warm;create=true",
+            "warmup_t",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        ).process_batch(env.limit(50), 0)
         sink = JdbcUpsertSink(
             spark,
             f"jdbc:derby:{base}/wh;create=true",
@@ -985,20 +1052,48 @@ def main() -> None:
     # pass failed (round-5 ADVICE: a warm-up hiccup must not cost the
     # timing a later pass would have produced).
     timings: dict[str, object] = {}
+    # Per-entry load trail (VERDICT r9 #5): for the attempt whose
+    # timing is the one recorded (the min), keep the 1/5-min loadavg at
+    # its start plus the measured external-CPU share DURING it, and
+    # flag the entry "loaded" past the gate — so one contended run is
+    # self-describing per entry instead of polluting the artifact of
+    # record silently.
+    entry_load: dict[str, dict] = {}
+    ext_gate = float(os.environ.get("SPARK_GRAFT_ENTRY_EXT_GATE", "0.10"))
+
+    def attempt(name: str, thunk, record: bool = True) -> None:
+        la = os.getloadavg()
+        snap0 = _load_snap()
+        try:
+            dt = thunk()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            if not isinstance(timings.get(name), float):  # keep a good pass
+                timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            return
+        if not record:  # warm-up pass: pays codegen, never recorded
+            return
+        prev = timings.get(name)
+        if not isinstance(prev, float) or dt < prev:
+            ext = _external_cpu_share(snap0, _load_snap())
+            timings[name] = dt
+            entry_load[name] = {
+                "la1": round(la[0], 2),
+                "la5": round(la[1], 2),
+                "ext_cpu": round(ext, 3),
+                "loaded": ext > ext_gate,
+            }
+
+    def timed_query(name: str):
+        def thunk() -> float:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        return thunk
+
     for _pass in range(3):
         for name in HEADLINE:
-            try:
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001 — record, keep benching
-                if not isinstance(timings.get(name), float):  # keep a good pass
-                    timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-                continue
-            if _pass == 0:
-                continue
-            prev = timings.get(name, dt)
-            timings[name] = min(prev, dt) if isinstance(prev, float) else dt
+            attempt(name, timed_query(name), record=_pass > 0)
 
     # CDC entries: min of two runs, same steady-state rationale as the
     # query loop (a single pass right after 60 query executions eats
@@ -1018,14 +1113,7 @@ def main() -> None:
         ("cdc_jdbc_warehouse_sink", lambda: time_jdbc_warehouse_sink(spark, sf_dir)),
     ):
         for _pass in range(2):
-            try:
-                dt = fn()
-            except Exception as exc:  # noqa: BLE001
-                if not isinstance(timings.get(name), float):
-                    timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-                continue
-            prev = timings.get(name, dt)
-            timings[name] = min(prev, dt) if isinstance(prev, float) else dt
+            attempt(name, fn)
 
     # Mid-scale probes (1M vectors / 200k docs): min of two passes.
     # These were single-pass until r7's full-suite run showed the first
@@ -1052,14 +1140,7 @@ def main() -> None:
         ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
     ):
         for _pass in range(2):
-            try:
-                dt = fn()
-            except Exception as exc:  # noqa: BLE001
-                if not isinstance(timings.get(name), float):
-                    timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-                continue
-            prev = timings.get(name, dt)
-            timings[name] = min(prev, dt) if isinstance(prev, float) else dt
+            attempt(name, fn)
 
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}
     total = round(sum(ok.values()), 3)
@@ -1076,6 +1157,11 @@ def main() -> None:
         "loadavg": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "load_warning": not quiet,
+        "entry_load": entry_load,
+        "loaded_entries": sorted(
+            n for n, v in entry_load.items() if v["loaded"]
+        ),
+        "ext_cpu_gate": ext_gate,
         "sf": sf,
     }))
 
