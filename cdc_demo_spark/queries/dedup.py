@@ -390,7 +390,58 @@ def q_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_neardup_centrality")  # no oracle: fp summation order in ranks
+@register(
+    "q_neardup_centrality",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.12
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), aug AS (
+  -- real edges carry 1/deg(src); a zero-weight self-edge per node
+  -- keeps every node present in each iteration's aggregate
+  SELECT e.src, e.dst, 1.0 / d.deg AS w FROM edges e JOIN deg d USING (src)
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents
+), pr(iter, nid, rank) AS (
+  SELECT 0, doc_id, 1.0 / (SELECT n FROM nn) FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, aug.dst,
+         0.15 / (SELECT n FROM nn) + 0.85 * sum(pr.rank * aug.w)
+  FROM pr JOIN aug ON pr.nid = aug.src
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, aug.dst
+)
+SELECT nid AS doc_id, ROUND(rank, 9) AS rank
+FROM pr WHERE iter = 10
+ORDER BY ROUND(rank, 9) DESC, nid ASC
+LIMIT 50
+""",
+)
 def q_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact near-dup pair graph (allpairs_jaccard
     at t=0.12) — the centrality-based alternative to min-id survivor
@@ -398,9 +449,14 @@ def q_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-connected (most canonical) copy, which is what you keep
     when near-dups are partial containments rather than exact copies.
     Iterative shape: driver FOR loop, one join + one agg per round,
-    lineage cut per round (operators/graph.pagerank).  Rows-only
-    (double summation order); the recurrence itself is replay-verified
-    in tests/test_graph_pagerank.py."""
+    lineage cut per round (operators/graph.pagerank).  Oracle-backed
+    (was rows-only through r10): the DuckDB twin replays the same
+    10-round power iteration as a recursive CTE (zero-weight self-edge
+    per node keeps isolated docs in the aggregate; the edge set is
+    q_allpairs_jaccard's oracle).  Summation-order divergence compounds
+    to ~1e-13 over 10 rounds; the round-9 output leaves 4 orders of
+    margin.  The recurrence is additionally replay-verified against
+    plain Python in tests/test_graph_pagerank.py."""
     from cdc_demo_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
