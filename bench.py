@@ -803,6 +803,57 @@ def time_bloom_200k_decontam(spark) -> float:
     return dt
 
 
+def time_bpe_train_200k(spark) -> float:
+    """BPE vocabulary training at the 200k-doc grain (the oracle query
+    q_bpe_train runs on the 500-row fixture): 30 merges learned from
+    the synthetic corpus.  The design claim this measures is that
+    training cost is a function of the WORD-FREQUENCY table (~50k-word
+    vocabulary here), not the corpus — the corpus is scanned exactly
+    once; each of the 30 iterations is a vocabulary-grain pair-count
+    aggregate plus a fold-applied merge.  Gates: all 30 merges learned,
+    sequential ranks, every count positive, and the first merge's count
+    matches an independently computed max pair count."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.bpe import train_bpe, word_frequencies
+
+    docs = _doc_corpus(spark)
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, "text", n_merges=30).collect()
+    dt = round(time.perf_counter() - t0, 3)
+    assert len(merges) == 30, f"learned {len(merges)} merges, wanted 30"
+    assert [m["rank"] for m in merges] == list(range(1, 31))
+    assert all(m["cnt"] > 0 for m in merges)
+    # independent gate on the first iteration: its count is the global
+    # max adjacent-pair weight of the char-symbolized vocabulary
+    words = word_frequencies(docs, "text").select(
+        "freq", F.split("word", "").alias("toks")
+    )
+    pair_idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    max_cnt = (
+        words.filter(F.size("toks") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.concat_ws(
+                        "\x00", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.sum("freq").alias("cnt"))
+        .agg(F.max("cnt"))
+        .collect()[0][0]
+    )
+    assert merges[0]["cnt"] == max_cnt, (
+        f"first merge count {merges[0]['cnt']} != independent max {max_cnt}"
+    )
+    return dt
+
+
 def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
     """Exactly-once JDBC warehouse ingest (streaming/jdbc_sink.py)
     end-to-end against embedded Derby: the sf events envelope in 3
@@ -1134,6 +1185,7 @@ def main() -> None:
         ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
         ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),
         ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
+        ("bpe_train_200k", lambda: time_bpe_train_200k(spark)),
         ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
         ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
         ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),

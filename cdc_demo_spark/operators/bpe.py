@@ -1,0 +1,157 @@
+"""Distributed BPE vocabulary training.
+
+q_bpe_merge_candidates (queries/corpusops.py) is the inner loop of
+byte-pair-encoding training; this module is the full trainer that
+iterates it.  The scalable formulation is the standard one (Sennrich,
+Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016): BPE statistics are a function of the WORD-FREQUENCY
+table, not the corpus — so the corpus is scanned exactly once
+(word -> occurrence count), and every training iteration runs at
+vocabulary grain.  At 100 TB the corpus is ~10^11 documents but the
+distinct-word table is ~10^7-10^9 rows; iterating over the latter is
+the difference between a tractable trainer and an untenable one.
+
+Per iteration (all JVM-side, zero Python UDFs):
+  1. pair counts: explode each word's adjacent symbol pairs weighted
+     by word frequency, partial-aggregate map-side, shuffle only the
+     pair-key space (bounded by the live vocabulary, never the corpus);
+  2. argmax pair: count desc, then (left, right) lexicographic — the
+     deterministic tie-break that makes training reproducible across
+     runs, engines, and cluster sizes;
+  3. merge application: a per-row ``F.aggregate`` fold over each
+     word's symbol array (greedy non-overlapping left-to-right, the
+     reference semantics).  No flag for "last element was just merged"
+     is needed: after a merge the accumulator tail is left||right,
+     which can never equal ``left`` again (right is non-empty), so the
+     fold provably equals positional greedy matching.
+
+The driver collects ONE row per iteration (the argmax pair) — the
+vocabulary table itself never leaves the executors; lineage is cut
+with localCheckpoint every iteration so the plan stays flat across
+the merge loop (same pattern as operators/graph.pagerank).
+
+Verified three ways: exact merge-list equality with a pure-Python
+Sennrich-style reference (tests/test_bpe.py), an unrolled-SQL DuckDB
+oracle replaying every iteration value-exactly (queries/textops.py::
+q_bpe_train), and re-tokenization invariants (concat(tokens) == word,
+token count shrinks by exactly the number of applied merges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the ONE corpus scan.  freq counts occurrences
+    (not documents); empty tokens from repeated separators drop."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_fold(toks: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping application of one merge
+    (left, right) -> left||right over a symbol array, as a fold."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), t)),
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, cnt) — adjacent-pair occurrences weighted by word
+    frequency; overlapping occurrences count (reference semantics:
+    [x,x,x] contributes (x,x) twice)."""
+    pair_idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    return (
+        words.filter(F.size("toks") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("left"),
+                        F.element_at("toks", i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 20
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge table (rank, left, right, merged, cnt) — the
+    artifact a tokenizer ships.  Stops early if the vocabulary runs
+    out of pairs.  Symbols start as single characters (no end-of-word
+    marker — merges apply within whitespace-delimited words; the
+    marker variant is a trivial symbolization change)."""
+    spark = docs.sparkSession
+    words = (
+        word_frequencies(docs, text_col)
+        .select("word", "freq", F.split("word", "").alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        # lazy checkpoint: the lineage cut registers now, the
+        # materialization rides the NEXT iteration's argmax job — one
+        # Spark job per merge instead of two
+        words = words.select(
+            "word", "freq", _merge_fold(F.col("toks"), left, right).alias("toks")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]], out_col: str = "tokens"
+) -> DataFrame:
+    """Apply a learned merge list (in rank order) to whitespace-split
+    words of ``text_col``; emits ``out_col`` as array<string> of
+    subword tokens in document order.  Pure column algebra: per word,
+    the same greedy fold the trainer used, chained per merge with the
+    plan kept flat via localCheckpoint every few rewrites."""
+    toks_per_word = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+        lambda w: F.split(w, ""),
+    )
+    out = df.withColumn(out_col, toks_per_word)
+    for i, (left, right) in enumerate(merges):
+        out = out.withColumn(
+            out_col,
+            F.transform(F.col(out_col), lambda toks: _merge_fold(toks, left, right)),
+        )
+        if (i + 1) % 4 == 0:  # bound expression-tree depth
+            out = out.localCheckpoint(eager=False)
+    return out.withColumn(out_col, F.flatten(F.col(out_col)))

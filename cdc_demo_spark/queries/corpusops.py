@@ -287,6 +287,87 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-SQL DuckDB twin of operators/bpe.train_bpe: every
+    training iteration is three mechanical CTE stages generated from
+    one template (the q_lang_id/_PACKED_FOLD_SQL idiom for making an
+    iterative recurrence oracle-checkable).  Per iteration i:
+    b{i} = the argmax pair of state s{i-1} (count desc, pair asc);
+    h{i}/a{i} = greedy non-overlapping match selection via
+    gaps-and-islands parity (a run of consecutive hit positions
+    alternates active/skip — exactly the trainer's fold semantics);
+    s{i} = the vocabulary re-tokenized through that merge."""
+    parts = ["""
+WITH s0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f""",
+b{i} AS MATERIALIZED (
+  SELECT s.toks[j] AS lhs, s.toks[j+1] AS rhs, sum(s.freq) AS cnt
+  FROM s{p} s, UNNEST(range(1, len(s.toks))) AS u(j)
+  WHERE len(s.toks) >= 2
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, lhs ASC, rhs ASC
+  LIMIT 1
+),
+h{i} AS (
+  SELECT s.word, s.freq, s.toks, j,
+         CASE WHEN s.toks[j] = (SELECT lhs FROM b{i})
+               AND s.toks[j+1] = (SELECT rhs FROM b{i}) THEN 1 ELSE 0 END AS hit
+  FROM s{p} s, UNNEST(range(1, len(s.toks) + 1)) AS u(j)
+),
+a{i} AS (
+  SELECT word, freq, toks, j, hit,
+         CASE WHEN hit = 1 AND (j - coalesce(max(CASE WHEN hit = 0 THEN j END)
+              OVER (PARTITION BY word ORDER BY j
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) % 2 = 1
+              THEN 1 ELSE 0 END AS active
+  FROM h{i}
+),
+s{i} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN active = 1 THEN toks[j] || toks[j+1]
+              ELSE toks[j] END ORDER BY j) AS toks
+  FROM (SELECT *, coalesce(lag(active) OVER (PARTITION BY word ORDER BY j), 0)
+               AS prev_active
+        FROM a{i})
+  WHERE prev_active = 0
+  GROUP BY word, freq
+)""")
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, "
+            f"CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+            for i in range(1, n_merges + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@register("q_bpe_train", oracle=_bpe_train_oracle(20))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE vocabulary trainer (operators/bpe.py) — 20 merges
+    learned from the documents corpus: one corpus scan to the
+    word-frequency table, then every iteration runs at vocabulary
+    grain (pair-count aggregate + argmax + fold-applied merge, all
+    JVM-side).  q_bpe_merge_candidates is this loop's first
+    iteration; this query is the whole loop, oracle-checked
+    value-exact against a DuckDB twin that replays all 20 iterations
+    as unrolled CTE stages.  Additionally pinned to a pure-Python
+    Sennrich-style reference in tests/test_bpe.py."""
+    from cdc_demo_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe(docs, "text", n_merges=20)
+
+
 @register(
     "q_bpe_merge_candidates",
     oracle="""

@@ -1,0 +1,147 @@
+"""BPE trainer: exact merge-list equality with a pure-Python
+Sennrich-style reference, fold-semantics unit cases, and tokenizer
+invariants.  (The third verification layer — the unrolled-SQL DuckDB
+oracle — lives on q_bpe_train in queries/corpusops.py.)"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.bpe import bpe_tokenize, train_bpe, word_frequencies
+from cdc_demo_spark.sources.tables import load_table
+
+
+def ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Sennrich et al. (ACL 2016) reference: greedy non-overlapping
+    left-to-right merge application, argmax = count desc then (lhs,
+    rhs) lexicographic."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += word_freqs[w]
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def ref_apply(word: str, merges) -> list[str]:
+    toks = list(word)
+    for _, lhs, rhs, _, _ in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def _corpus_word_freqs(spark, sf_dir) -> dict[str, int]:
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        r["word"]: r["freq"]
+        for r in word_frequencies(docs).collect()
+    }
+
+
+def test_train_bpe_equals_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["cnt"])
+        for r in train_bpe(docs, n_merges=20).collect()
+    ]
+    want = [
+        (r, l, rt, m, c) for r, l, rt, m, c in
+        ref_bpe(_corpus_word_freqs(spark, sf_dir), 20)
+    ]
+    assert got == want
+
+
+def test_merge_fold_unit_cases(spark):
+    # overlapping run: greedy left-to-right takes alternate positions
+    cases = [
+        ("aaa", ("a", "a"), ["aa", "a"]),
+        ("aaaa", ("a", "a"), ["aa", "aa"]),
+        ("abab", ("a", "b"), ["ab", "ab"]),
+        ("aab", ("a", "b"), ["a", "ab"]),
+        ("xyz", ("p", "q"), ["x", "y", "z"]),  # no match: unchanged
+    ]
+    df = spark.createDataFrame([(w,) for w, _, _ in cases], "text string")
+    for word, (lhs, rhs), want in cases:
+        got = (
+            bpe_tokenize(
+                spark.createDataFrame([(word,)], "text string"),
+                "text",
+                [(lhs, rhs)],
+            )
+            .collect()[0]["tokens"]
+        )
+        assert got == want, (word, lhs, rhs, got, want)
+
+
+def test_tokenize_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, n_merges=8).collect()
+    ]
+    out = bpe_tokenize(docs, "text", merges).select("doc_id", "text", "tokens")
+    for r in out.collect():
+        # lossless: concatenated tokens reconstruct the text minus spaces
+        assert "".join(r["tokens"]) == r["text"].replace(" ", "")
+        # reference agreement per word
+        want = []
+        for w in r["text"].split(" "):
+            if w:
+                want.extend(
+                    ref_apply(w, [(0, l, rt, l + rt, 0) for l, rt in merges])
+                )
+        assert r["tokens"] == want
+
+
+def test_early_stop_when_pairs_exhaust(spark):
+    # single-char words have no adjacent pairs at all: zero merges
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert train_bpe(df, n_merges=5).count() == 0
+    # two-char vocabulary exhausts after one merge per word shape
+    df2 = spark.createDataFrame([("ab ab cd",)], "text string")
+    got = train_bpe(df2, n_merges=5).collect()
+    assert [(r["rank"], r["merged"], r["cnt"]) for r in got] == [
+        (1, "ab", 2),
+        (2, "cd", 1),
+    ]
+
+
+def test_no_python_in_plan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_demo_spark.operators.bpe import _merge_fold, _pair_counts
+
+    words = word_frequencies(docs).select(
+        "word", "freq", F.split("word", "").alias("toks")
+    )
+    plan = _pair_counts(words)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan2 = (
+        words.select(_merge_fold(F.col("toks"), "a", "b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
