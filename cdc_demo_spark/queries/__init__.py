@@ -42,16 +42,16 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 _DRIVER_WINDOW_FIRST = [
     # Round-10 window head: computed by tools/window_staleness.py
     # (stalest-first from the CORRECTNESS_r01..r09 union) — this
-    # round's 5 new oracle queries first (q_packed_blocks /
-    # q_weighted_sample / q_zscore_normalize / q_neardup_centrality /
-    # q_bpe_train — never driver-checked as oracle queries), then ALL
-    # 38 r6-stale refreshes, then the 7 oldest r8 anchors to fill the
-    # 50-slot cap.  After this round no oracle record is older than r8.
+    # round's 6 new oracle queries first (never driver-checked as
+    # oracle queries), then ALL 38 r6-stale refreshes, then the 6
+    # oldest r8 anchors to fill the 50-slot cap.  After this round no
+    # oracle record is older than r8.
     "q_packed_blocks",
     "q_weighted_sample",
     "q_zscore_normalize",
     "q_neardup_centrality",
     "q_bpe_train",
+    "q_train_quality_classifier",
     "q_hot_key_salted_join",
     "q_large_volume_customers",
     "q_linear_quality_score",
