@@ -42,8 +42,8 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 _DRIVER_WINDOW_FIRST = [
     # Round-10 window head: computed by tools/window_staleness.py
     # (stalest-first from the CORRECTNESS_r01..r09 union) — this
-    # round's 6 new oracle queries first (never driver-checked as
-    # oracle queries), then ALL 38 r6-stale refreshes, then the 6
+    # round's 8 new oracle queries first (never driver-checked as
+    # oracle queries), then ALL 38 r6-stale refreshes, then the 4
     # oldest r8 anchors to fill the 50-slot cap.  After this round no
     # oracle record is older than r8.
     "q_packed_blocks",
@@ -52,6 +52,8 @@ _DRIVER_WINDOW_FIRST = [
     "q_neardup_centrality",
     "q_bpe_train",
     "q_train_quality_classifier",
+    "q_bigram_perplexity",
+    "q_embedding_covariance",
     "q_hot_key_salted_join",
     "q_large_volume_customers",
     "q_linear_quality_score",
@@ -96,7 +98,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_case_when",
     "q_collect_names",
     "q_cosine_topk",
-    "q_count_distinct",
 ]
 
 

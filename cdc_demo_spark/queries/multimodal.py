@@ -67,7 +67,7 @@ SELECT event_id, user_id, value,
        ROUND((value - avg(value) OVER (PARTITION BY user_id)) /
              (CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0
                    THEN stddev_samp(value) OVER (PARTITION BY user_id)
-                   ELSE 1.0 END), 6) AS zscore
+                   ELSE 1.0 END), 6) + 0.0 AS zscore
 FROM events
 """,
 )
@@ -83,6 +83,8 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row/zero-variance guard (divide by 1.0) is mirrored in the
     CASE."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # + 0.0 on both sides: scores that round to zero from below must
+    # not hash-mismatch on IEEE zero sign (-0.0 + 0.0 = +0.0)
     return zscore_per_group(ev, "user_id", "value").withColumn(
-        "zscore", F.round(F.col("zscore"), 6)
+        "zscore", F.round(F.col("zscore"), 6) + F.lit(0.0)
     )

@@ -106,9 +106,9 @@ b{i} AS MATERIALIZED (
   SELECT (SELECT b FROM b{p}) - {lr} * avg(p.p - p.y) AS b FROM p{i} p
 )""")
     parts.append(f"""
-SELECT bucket, ROUND(weight, 6) AS weight FROM w{iterations}
+SELECT bucket, ROUND(weight, 6) + 0.0 AS weight FROM w{iterations}
 UNION ALL
-SELECT CAST(-1 AS BIGINT) AS bucket, ROUND((SELECT b FROM b{iterations}), 6) AS weight
+SELECT CAST(-1 AS BIGINT) AS bucket, ROUND((SELECT b FROM b{iterations}), 6) + 0.0 AS weight
 """)
     return "".join(parts)
 
@@ -142,10 +142,12 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.split("text", " "), "spark").cast("double").alias("y"),
     )
     model = train_logreg(feats, labels, lr=0.5, iterations=12, l2=0.001)
-    weights = model.weights.select("bucket", F.round("weight", 6).alias("weight"))
+    weights = model.weights.select(
+        "bucket", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+    )
     # F.round (not Python round) so the bias gets the same HALF_UP
     # rule as the weight column and the DuckDB ROUND
     bias_row = spark.createDataFrame(
         [(-1, model.bias)], "bucket bigint, weight double"
-    ).select("bucket", F.round("weight", 6).alias("weight"))
+    ).select("bucket", (F.round("weight", 6) + F.lit(0.0)).alias("weight"))
     return weights.unionByName(bias_row)

@@ -292,3 +292,56 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_topk_rerank(
         codes, emb, _queries_df(emb), books, k=10, shortlist=50
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+WITH e AS (
+  SELECT embedding AS v FROM embeddings
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+), pairs AS (
+  SELECT ii.i AS i, jj.j AS j,
+         sum(CAST(v[ii.i] AS DOUBLE) * CAST(v[jj.j] AS DOUBLE)) AS sxy
+  FROM e, UNNEST(range(1, 65)) AS ii(i), UNNEST(range(1, 65)) AS jj(j)
+  WHERE jj.j >= ii.i
+  GROUP BY 1, 2
+), means AS (
+  SELECT ii.i AS i, sum(CAST(v[ii.i] AS DOUBLE)) AS sx
+  FROM e, UNNEST(range(1, 65)) AS ii(i)
+  GROUP BY 1
+)
+SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+       ROUND(p.sxy / nn.n - (mi.sx / nn.n) * (mj.sx / nn.n), 6) + 0.0 AS cov
+FROM pairs p
+JOIN means mi ON mi.i = p.i
+JOIN means mj ON mj.i = p.j
+CROSS JOIN nn
+""",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA (operators/pca.py — the OPQ-style
+    preprocessing step of a vector-search pipeline): the embedding
+    covariance matrix, computed as ONE Arrow-batched pass emitting
+    per-batch partial Grams (numpy X.T @ X) that the driver sums —
+    at any corpus size the shuffled/collected object is d², never n.
+    Output is the upper triangle (2080 entries at d=64), round-6;
+    the oracle recomputes it in DuckDB as an unnest-pair aggregate.
+    The non-SQL half (eigensolve + projection) is pinned by
+    tests/test_pca.py invariants instead."""
+    import numpy as np
+
+    from cdc_demo_spark.operators.pca import covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance(emb, "embedding")
+    d = cov.shape[0]
+    rows = [
+        (i, j, float(cov[i, j])) for i in range(d) for j in range(i, d)
+    ]
+    # + 0.0 on BOTH sides: IEEE says -0.0 + 0.0 = +0.0, so entries
+    # that round to zero from below can't hash-mismatch on zero sign
+    return spark.createDataFrame(rows, "i bigint, j bigint, cov double").select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
