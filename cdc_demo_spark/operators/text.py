@@ -116,3 +116,54 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", content_fingerprint(text_col))
         .withColumn("bpe_tokens", bpe_ish_token_count(text_col))
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, ppl) — per-document perplexity under the
+    corpus's own add-k-smoothed bigram model (the CCNet/KenLM-shaped
+    filter; q_bigram_perplexity is the oracle-checked registration).
+    P(b|a) = (c(a,b) + k) / (ctx(a) + k·V) with ctx(a) = Σ_b c(a,b)
+    and V the vocabulary size.  The LM tables join back at bigram-key
+    grain — broadcast when small, hash-partitioned when not; nothing
+    assumes they fit anywhere.  Documents with < 2 tokens have no
+    bigrams and drop out."""
+    toks = F.split(F.col(text_col), " ")
+    pair_idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda j: F.struct(
+                        F.element_at(toks, j).alias("a"),
+                        F.element_at(toks, j + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("id", "p.a", "p.b")
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("a").agg(F.sum("c").alias("ctx"))
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    logp = F.log((F.col("c") + F.lit(k)) / (F.col("ctx") + F.lit(k) * F.col("v")))
+    return (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.exp(-F.sum(logp) / F.count(F.lit(1))).alias("ppl"),
+        )
+    )

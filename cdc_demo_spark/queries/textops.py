@@ -843,48 +843,16 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram model — the CCNet/KenLM-shaped perplexity filter (documents
     whose text the corpus LM finds surprising are boilerplate,
     gibberish, or wrong-language; the filter drops the tail).  The
-    unigram half is q_unigram_logprob; this is the conditional model:
-    P(b|a) = (c(a,b) + k) / (ctx(a) + k·V) with k = 0.5 and ctx(a) =
-    Σ_b c(a,b) (exact normalization), V = vocabulary size.  One
-    explode to bigram grain, two count aggregates, the model joined
-    back at bigram-key grain (AQE broadcasts the LM tables at this
-    scale; at 100 TB the bigram table outgrows broadcast and the SAME
-    plan runs as a hash-partitioned join — nothing here assumes it
-    fits anywhere), one per-doc aggregate.  Documents with fewer than
-    two tokens have no bigrams and are excluded by construction."""
+    unigram half is q_unigram_logprob; the operator is
+    operators/text.bigram_perplexity — one explode to bigram grain,
+    two count aggregates, the model joined back at bigram-key grain
+    (AQE broadcasts the LM tables at this scale; at 100 TB the bigram
+    table outgrows broadcast and the SAME plan runs hash-partitioned),
+    one per-doc aggregate.  Documents with fewer than two tokens have
+    no bigrams and are excluded by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    pair_idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bg = (
-        docs.filter(F.size(toks) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    pair_idx,
-                    lambda j: F.struct(
-                        F.element_at(toks, j).alias("a"),
-                        F.element_at(toks, j + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.a", "p.b")
-    )
-    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
-    c1 = c2.groupBy("a").agg(F.sum("c").alias("ctx"))
-    vocab = (
-        docs.select(F.explode(toks).alias("w"))
-        .agg(F.countDistinct("w").cast("double").alias("v"))
-    )
-    logp = F.log((F.col("c") + F.lit(0.5)) / (F.col("ctx") + F.lit(0.5) * F.col("v")))
-    return (
-        bg.join(c2, ["a", "b"])
-        .join(c1, "a")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.exp(-F.sum(logp) / F.count(F.lit(1))), 6).alias("ppl"),
-        )
+    return T.bigram_perplexity(docs).select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("ppl", 6).alias("ppl"),
     )

@@ -4,6 +4,9 @@ a 100 TB pretraining-data run executes, demonstrated at sf scale:
 
     documents
       1. quality gate      (token count, repetition ratio, stopword mix)
+      1b. perplexity gate  (corpus-own bigram LM — drop the worst 5%)
+      1c. rule->model distillation (train the fastText-shaped quality
+          classifier on the gate's verdicts; assert it learned)
       2. exact dedup       (digest groupBy — min-id survivor)
       3. near-dup clusters (Jaccard pairs -> connected components)
       3b. decontamination  (drop docs overlapping the held-out eval set)
@@ -15,6 +18,8 @@ a 100 TB pretraining-data run executes, demonstrated at sf scale:
       6. deterministic sample (md5-threshold, resumable on any cluster)
       6b. training shards  (md5 epoch-salted 16-way shard assignment)
       7. write parquet partitioned by shard + a one-line corpus report
+      8. tokenizer artifact (BPE merge table trained on the final
+         survivors, lossless re-tokenization asserted, shipped parquet)
 
 Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -58,6 +63,56 @@ def main() -> None:
         (F.size(toks) >= 20) & (F.coalesce(rep_ratio, F.lit(0.0)) <= 0.6)
     )
     n1 = quality.count()
+
+    # 1b. perplexity filter (r10): score every survivor under the
+    # corpus's OWN add-k bigram LM and drop the most-surprising 5% —
+    # the CCNet/KenLM-shaped gate that catches gibberish and
+    # wrong-register text the rule gate can't
+    from cdc_demo_spark.operators.text import bigram_perplexity
+
+    ppl = bigram_perplexity(quality).localCheckpoint(eager=True)
+    ppl_cut = ppl.approxQuantile("ppl", [0.95], 0.0)[0]
+    keep_ids = ppl.filter(F.col("ppl") <= ppl_cut).select(
+        F.col("id").alias("doc_id")
+    )
+    quality = quality.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    n1b = quality.count()
+
+    # 1c. rule -> model distillation (r10): train the fastText-shaped
+    # quality classifier against the rule gate's own verdicts (exactly
+    # CCNet's move: distill a cheap ruleset into a model that
+    # generalizes past it), then assert the model actually separates
+    # the classes it was taught — a quality model whose loss never
+    # moved is a pipeline bug
+    from cdc_demo_spark.operators.quality_model import (
+        hashed_presence_features,
+        score_documents,
+        train_logreg,
+    )
+
+    labeled = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            (F.size(F.split("text", " ")) >= 20)
+            & (F.coalesce(rep_ratio, F.lit(0.0)) <= 0.6)
+        ).cast("double").alias("y"),
+    )
+    model = train_logreg(
+        hashed_presence_features(docs), labeled, lr=0.5, iterations=8
+    )
+    losses = [h["loss"] for h in model.history]
+    assert losses[-1] < losses[0], "quality model failed to learn the gate"
+    sep = (
+        score_documents(docs, model)
+        .join(labeled, "id")
+        .groupBy("y")
+        .agg(F.avg("p").alias("m"))
+        .collect()
+    )
+    means = {r["y"]: r["m"] for r in sep}
+    model_gap = means.get(1.0, 0.0) - means.get(0.0, 1.0)
 
     # 2. exact dedup on normalized text digest.  Each stage below is
     # pinned (localCheckpoint eager) before its count: the counts exist
@@ -153,12 +208,28 @@ def main() -> None:
     sharded.withColumn(
         "doc_ids", F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string")))
     ).write.mode("overwrite").partitionBy("shard").parquet(os.path.join(out, "blocks"))
+
+    # 8. tokenizer artifact (r10): train a BPE merge table on the FINAL
+    # survivors (the vocabulary the model will actually see), verify it
+    # re-tokenizes losslessly, and ship it next to the blocks
+    from cdc_demo_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    merges_df = train_bpe(survivors, "text", n_merges=16)
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.collect()]
+    tokenized = bpe_tokenize(survivors.limit(20), "text", merges)
+    for r in tokenized.select("text", "tokens").collect():
+        assert "".join(r["tokens"]) == r["text"].replace(" ", ""), "tokenizer lossy"
+    merges_df.write.mode("overwrite").parquet(os.path.join(out, "tokenizer_merges"))
+
+    gap_txt = f"{model_gap:.3f}" if 0.0 in means and 1.0 in means else "n/a (one class)"
     print(
-        f"corpus: {n0} docs -> quality {n1} -> exact-dedup {n2} -> "
+        f"corpus: {n0} docs -> quality {n1} -> ppl-gate {n1b} "
+        f"(cut at ppl {ppl_cut:.1f}) -> exact-dedup {n2} -> "
         f"near-dup survivors {n3} -> decontaminated {n3b} -> "
         f"span-dedup {n3b2} (cut {n_spans_cut} tokens) -> "
         f"weighted-cap {n3c} -> {n_blocks} blocks -> sampled {n_sampled} "
-        f"-> {out}/blocks (16-way sharded)"
+        f"-> {out}/blocks (16-way sharded); distilled quality model "
+        f"class gap {gap_txt}; tokenizer: {len(merges)} merges shipped"
     )
 
 
