@@ -39,6 +39,13 @@ Crash/concurrency properties:
   loser, which raises ConcurrentCommitError instead of silently
   discarding the winner's committed bucket versions (Delta/Iceberg
   commit protocol). Single-writer deployments never see it.
+- Time travel (r10): superseded bucket-version dirs are immutable and
+  survive as long as a retained manifest references them, so
+  read_silver(version=N) is a byte-identical historical read over the
+  retained window (trailing 5 manifests).  Space is reclaimed by
+  retention-aware sweeps (inline post-commit, grace-TTL-guarded) and
+  the explicit vacuum_silver — the Delta VACUUM analog, which also
+  shrinks the window.
 """
 
 from __future__ import annotations
@@ -47,6 +54,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -146,13 +154,32 @@ def _manifest_versions(
     return sorted(out)
 
 
+class SnapshotNotFound(LookupError):
+    """A time-travel read named a version outside the retained window
+    (the CAS commit keeps the trailing manifests; vacuum_silver can
+    shrink the window further)."""
+
+
 def _load_manifest(
-    silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+    silver_path: str,
+    backend: CommitBackend = DEFAULT_BACKEND,
+    version: int | None = None,
 ) -> dict | None:
-    """Resolve the current snapshot: highest numbered manifest wins;
-    falls back to the legacy single-file manifest (treated as version
-    0, so the first CAS commit supersedes it)."""
+    """Resolve a snapshot: highest numbered manifest wins; with
+    ``version``, that exact retained manifest (time travel) or
+    SnapshotNotFound.  Falls back to the legacy single-file manifest
+    (treated as version 0, so the first CAS commit supersedes it)."""
     versions = _manifest_versions(silver_path, backend)
+    if version is not None:
+        for n, path in versions:
+            if n == int(version):
+                manifest = json.loads(backend.read(path))
+                manifest["version"] = n
+                return manifest
+        raise SnapshotNotFound(
+            f"silver snapshot v{version} is not retained at {silver_path}; "
+            f"readable versions: {[n for n, _ in versions]}"
+        )
     if versions:
         n, path = versions[-1]
         manifest = json.loads(backend.read(path))
@@ -185,6 +212,98 @@ def _commit_manifest(
     # retention: keep a few trailing manifests for in-flight readers
     for n, path in _manifest_versions(silver_path, backend)[:-5]:
         backend.delete(path)
+
+
+# Superseded bucket-version dirs are NOT deleted at commit time (r10):
+# every manifest still on disk — the CAS commit retains the trailing 5 —
+# must stay readable, which is what makes read_silver(version=N) a real
+# time-travel read rather than a lucky one.  Space is reclaimed by the
+# retention-aware sweeps below: an inline one after each commit
+# (unreferenced-by-any-retained-manifest AND older than the grace TTL,
+# which protects a concurrent writer's staged-but-uncommitted rename —
+# the same quiesce-or-TTL contract as the pair indexes' gc), plus the
+# explicit vacuum_silver for operator-driven retention changes.
+SUPERSEDED_GRACE_SECONDS = 600.0
+
+
+def silver_versions(
+    silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+) -> list[int]:
+    """The snapshot versions currently readable — the time-travel
+    window (ascending)."""
+    return [n for n, _ in _manifest_versions(silver_path, backend)]
+
+
+def _referenced_dirs(silver_path: str, backend: CommitBackend) -> set[str]:
+    """Bucket-version dirs referenced by ANY manifest still on disk
+    (numbered + legacy) — the set a sweep must never touch."""
+    refs: set[str] = set()
+    manifests = [p for _, p in _manifest_versions(silver_path, backend)]
+    legacy = os.path.join(silver_path, MANIFEST)
+    if backend.exists(legacy):
+        manifests.append(legacy)
+    for path in manifests:
+        m = json.loads(backend.read(path))
+        for b, ver in m.get("buckets", {}).items():
+            refs.add(os.path.join(silver_path, "data", f"b{b}", ver))
+    return refs
+
+
+def _sweep_unreferenced(
+    silver_path: str,
+    buckets,
+    backend: CommitBackend,
+    grace_seconds: float = SUPERSEDED_GRACE_SECONDS,
+) -> list[str]:
+    """Delete the given buckets' version dirs that no retained manifest
+    references and that are older than the grace TTL."""
+    refs = _referenced_dirs(silver_path, backend)
+    removed: list[str] = []
+    now = time.time()
+    for b in buckets:
+        bdir = os.path.join(silver_path, "data", f"b{int(b)}")
+        if not os.path.isdir(bdir):
+            continue
+        for name in os.listdir(bdir):
+            d = os.path.join(bdir, name)
+            if d in refs or not os.path.isdir(d):
+                continue
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # raced another sweeper
+            if age >= grace_seconds:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+    return removed
+
+
+def vacuum_silver(
+    silver_path: str,
+    retain_last: int = 1,
+    grace_seconds: float = 0.0,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> list[str]:
+    """Delta-VACUUM analog: shrink the time-travel window to the newest
+    ``retain_last`` manifests, then delete every bucket-version dir no
+    retained manifest references and older than ``grace_seconds``
+    (quiesce writers first, or keep a nonzero grace — the same contract
+    as the pair indexes' gc).  Returns the removed dirs; time-travel
+    reads of vacuumed versions raise SnapshotNotFound afterwards."""
+    if retain_last < 1:
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+    for _, path in _manifest_versions(silver_path, backend)[:-retain_last]:
+        backend.delete(path)
+    manifest = _load_manifest(silver_path, backend)
+    if manifest is None:
+        return []
+    buckets = {int(b) for b in manifest["buckets"]}
+    data = os.path.join(silver_path, "data")
+    if os.path.isdir(data):  # buckets dropped from the manifest sweep too
+        for name in os.listdir(data):
+            if name.startswith("b") and name[1:].isdigit():
+                buckets.add(int(name[1:]))
+    return _sweep_unreferenced(silver_path, sorted(buckets), backend, grace_seconds)
 
 
 def _next_bucket_version(cur_ver: str | None) -> str:
@@ -316,7 +435,6 @@ def merge_into_silver(
     if manifest is None:
         manifest = {"num_buckets": num_buckets, "buckets": {}}
     manifest["schema"] = union_schema.json()  # table schema lives in metadata
-    old_dirs = []
     for b in touched:
         cur_ver = manifest["buckets"].get(str(b))
         new_ver = _next_bucket_version(cur_ver)
@@ -327,14 +445,13 @@ def merge_into_silver(
             os.rename(src, dst)
         else:  # bucket emptied entirely (e.g. everything GC'd)
             os.makedirs(dst, exist_ok=True)
-        if cur_ver:
-            old_dirs.append(os.path.join(silver_path, "data", f"b{b}", cur_ver))
         manifest["buckets"][str(b)] = new_ver
     _commit_manifest(silver_path, manifest, backend)  # <- the atomic point
-    # post-commit GC (crash here leaves garbage, never corruption)
+    # post-commit GC (crash here leaves garbage, never corruption).
+    # Superseded versions stay on disk while a retained manifest still
+    # references them (time travel); the sweep reclaims the rest.
     shutil.rmtree(stage, ignore_errors=True)
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    _sweep_unreferenced(silver_path, touched, backend)
 
 
 def _manifest_schema(manifest: dict | None):
@@ -410,18 +527,29 @@ def read_silver_state(
     silver_path: str,
     buckets: list[int] | None = None,
     backend: CommitBackend = DEFAULT_BACKEND,
+    version: int | None = None,
 ) -> DataFrame | None:
-    """Current committed snapshot (manifest-resolved); with `buckets`,
-    only those buckets' files are opened."""
-    manifest = _load_manifest(silver_path, backend)
+    """Committed snapshot (manifest-resolved); with `buckets`, only
+    those buckets' files are opened; with `version`, the retained
+    historical manifest of that number — a time-travel read (raises
+    SnapshotNotFound outside the retained window)."""
+    manifest = _load_manifest(silver_path, backend, version=version)
     return _read_state(spark, silver_path, manifest, buckets)
 
 
 def read_silver(
-    spark: SparkSession, silver_path: str, backend: CommitBackend = DEFAULT_BACKEND
+    spark: SparkSession,
+    silver_path: str,
+    backend: CommitBackend = DEFAULT_BACKEND,
+    version: int | None = None,
 ) -> DataFrame:
-    """The queryable replica: payload columns only, tombstones hidden."""
-    state = read_silver_state(spark, silver_path, backend=backend)
+    """The queryable replica: payload columns only, tombstones hidden.
+    ``version`` reads a retained historical snapshot (time travel —
+    `AS OF` semantics over the CAS manifest chain): superseded bucket
+    dirs are immutable and survive until no retained manifest
+    references them, so a historical read is byte-identical to what a
+    reader saw at that commit, not a reconstruction."""
+    state = read_silver_state(spark, silver_path, backend=backend, version=version)
     if state is None:
         raise FileNotFoundError(silver_path)
     return state.filter(F.col("__op") != "d").select("__row.*")
@@ -486,7 +614,6 @@ def compact_tombstones(
     kept = _read_state(spark, silver_path, manifest, buckets=targets).filter(~is_old_tomb)
     stage = os.path.join(silver_path, "data", f"stage-{uuid.uuid4().hex}")
     kept.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-    old_dirs = []
     for b in targets:
         ver = manifest["buckets"][str(b)]
         new_ver = _next_bucket_version(ver)
@@ -496,12 +623,10 @@ def compact_tombstones(
             os.rename(src, dst)
         else:  # bucket contained only old tombstones -> now empty
             os.makedirs(dst, exist_ok=True)
-        old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
         manifest["buckets"][str(b)] = new_ver
     _commit_manifest(silver_path, manifest, backend)
     shutil.rmtree(stage, ignore_errors=True)
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    _sweep_unreferenced(silver_path, targets, backend)
 
 
 def optimize_silver(
@@ -549,7 +674,6 @@ def optimize_silver(
         .partitionBy("__bucket")
         .parquet(stage)
     )
-    old_dirs = []
     for b in fragmented:
         ver = manifest["buckets"][str(b)]
         new_ver = _next_bucket_version(ver)
@@ -559,12 +683,10 @@ def optimize_silver(
             os.rename(src, dst)
         else:
             os.makedirs(dst, exist_ok=True)
-        old_dirs.append(os.path.join(silver_path, "data", f"b{b}", ver))
         manifest["buckets"][str(b)] = new_ver
     _commit_manifest(silver_path, manifest, backend)
     shutil.rmtree(stage, ignore_errors=True)
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    _sweep_unreferenced(silver_path, fragmented, backend)
     return sorted(fragmented)
 
 
