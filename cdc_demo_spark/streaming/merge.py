@@ -583,6 +583,89 @@ def lookup_silver_key(
     )
 
 
+def silver_changes(
+    spark: SparkSession,
+    silver_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    backend: CommitBackend = DEFAULT_BACKEND,
+) -> DataFrame:
+    """Outbound changefeed (the Delta Change-Data-Feed analog): the
+    per-key changes between two retained snapshots, computed by
+    diffing them — which time travel makes exact, not reconstructed.
+
+    Cost is O(changed buckets): the two manifests name each bucket's
+    version dir, so only buckets whose version MOVED between the
+    snapshots are read (in both versions); an untouched bucket
+    contributes zero I/O no matter how big the table is.  Output per
+    changed key: change ('insert' | 'update' | 'delete'), the before
+    and after payload structs, and the version pair.
+
+    Semantics notes: a key that flips to a tombstone is a 'delete'
+    (before carries its last live image); a tombstone re-inserted is
+    an 'insert'.  Across a compact_tombstones boundary, keys whose
+    tombstones were garbage-collected vanish physically — their delete
+    event already appeared in the window where the tombstone landed,
+    so the feed stays complete as long as consumers read windows no
+    coarser than the tombstone-retention horizon (same contract as
+    Delta CDF under VACUUM).  A rewrite-only commit (optimize) moves
+    bucket versions without changing rows and yields zero events."""
+    m_from = _load_manifest(silver_path, backend, version=from_version)
+    m_to = _load_manifest(silver_path, backend, version=to_version)
+    if m_from is None or m_to is None:
+        raise FileNotFoundError(silver_path)
+    changed = sorted(
+        int(b)
+        for b in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    )
+    cols = ["__key", "__op", "__row"]
+    before = _read_state(spark, silver_path, m_from, buckets=changed)
+    after = _read_state(spark, silver_path, m_to, buckets=changed)
+    if before is None and after is None:
+        # nothing moved (or both snapshots empty): an empty feed with
+        # the real schema, derived from the current state
+        cur = _read_state(spark, silver_path, m_to)
+        if cur is None:
+            cur = _read_state(spark, silver_path, m_from)
+        if cur is None:
+            raise FileNotFoundError(silver_path)
+        before = after = cur.limit(0)
+    b = (before.select(*cols) if before is not None
+         else after.select(*cols).limit(0)).alias("b")
+    a = (after.select(*cols) if after is not None
+         else before.select(*cols).limit(0)).alias("a")
+    live_b = F.col("b.__op").isNotNull() & (F.col("b.__op") != "d")
+    live_a = F.col("a.__op").isNotNull() & (F.col("a.__op") != "d")
+    joined = b.join(a, F.col("b.__key") == F.col("a.__key"), "full")
+    change = (
+        F.when(~live_b & live_a, F.lit("insert"))
+        .when(live_b & ~live_a, F.lit("delete"))
+        # to_json, not eqNullSafe: across an additive schema evolution
+        # the two snapshots' __row structs have different widths (which
+        # a struct comparison refuses to analyze), and to_json drops
+        # null fields — so a key whose only "change" is a new
+        # all-null column correctly emits nothing
+        .when(
+            live_b
+            & live_a
+            & (F.to_json(F.col("b.__row")) != F.to_json(F.col("a.__row"))),
+            F.lit("update"),
+        )
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.__key"), F.col("a.__key")).alias("key"),
+            change.alias("change"),
+            F.when(live_b, F.col("b.__row")).alias("before"),
+            F.when(live_a, F.col("a.__row")).alias("after"),
+            F.lit(int(from_version)).alias("from_version"),
+            F.lit(int(m_to["version"])).alias("to_version"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
 def compact_tombstones(
     spark: SparkSession,
     silver_path: str,

@@ -123,3 +123,87 @@ def test_sweep_grace_protects_fresh_unreferenced_dirs(spark, tmp_path):
         grace_seconds=0.0,
     )
     assert removed == [orphan] and not os.path.isdir(orphan)
+
+
+def _oracle_changes(events_before, events_all):
+    """Expected changefeed: diff of the two replay-oracle states."""
+    s0, s1 = replay_oracle(events_before), replay_oracle(events_all)
+    out = {}
+    for k in set(s0) | set(s1):
+        if k not in s0:
+            out[k] = ("insert", None, s1[k])
+        elif k not in s1:
+            out[k] = ("delete", s0[k], None)
+        elif s0[k] != s1[k]:
+            out[k] = ("update", s0[k], s1[k])
+    return out
+
+
+def test_changefeed_matches_oracle_diff(spark, tmp_path):
+    from cdc_demo_spark.streaming.merge import silver_changes
+
+    events = generate_events(n_keys=14, n_events=180, seed=11)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 3
+    batches = [events[:n], events[n : 2 * n], events[2 * n :]]
+    for b in batches:
+        merge_into_silver(spark, envelope_df(spark, b), silver, "pet")
+    for v_from, v_to in ((1, 2), (2, 3), (1, 3)):
+        prefix = [e for b in batches[:v_from] for e in b]
+        full = [e for b in batches[:v_to] for e in b]
+        want = _oracle_changes(prefix, full)
+        got = {}
+        feed = silver_changes(spark, silver, v_from, v_to)
+        assert feed.columns == [
+            "key", "change", "before", "after", "from_version", "to_version"
+        ]
+        for r in feed.collect():
+            assert r["from_version"] == v_from and r["to_version"] == v_to
+            got[r["key"]] = (
+                r["change"],
+                r["before"].asDict() if r["before"] is not None else None,
+                r["after"].asDict() if r["after"] is not None else None,
+            )
+        assert got == want, f"window v{v_from}->v{v_to}"
+
+
+def test_changefeed_same_version_and_rewrite_only_are_empty(spark, tmp_path):
+    from cdc_demo_spark.streaming.merge import optimize_silver, silver_changes
+
+    events = generate_events(n_keys=8, n_events=90, seed=12)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 2
+    merge_into_silver(spark, envelope_df(spark, events[:n]), silver, "pet")
+    merge_into_silver(spark, envelope_df(spark, events[n:]), silver, "pet")
+    # same version: zero events (and no buckets read)
+    assert silver_changes(spark, silver, 2, 2).count() == 0
+    # rewrite-only commit (optimize) moves bucket versions without
+    # changing a row: the feed across it must be empty
+    rewritten = optimize_silver(spark, silver, max_files_per_bucket=1)
+    if rewritten:  # fragmentation depends on shuffle file counts
+        v = silver_versions(silver)[-1]
+        assert silver_changes(spark, silver, 2, v).count() == 0
+
+
+def test_changefeed_reads_only_changed_buckets(spark, tmp_path):
+    from cdc_demo_spark.streaming.merge import _load_manifest, silver_changes
+
+    events = generate_events(n_keys=20, n_events=200, seed=13)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 2
+    merge_into_silver(spark, envelope_df(spark, events[:n]), silver, "pet")
+    # second batch touches ONE key -> one bucket moves
+    one_key = [e for e in events[n:] if e["key"] == events[0]["key"]][:1]
+    if not one_key:
+        one_key = [dict(events[0], seq=10_000, op="u")]
+    merge_into_silver(spark, envelope_df(spark, one_key), silver, "pet")
+    m1 = _load_manifest(silver, version=1)
+    m2 = _load_manifest(silver, version=2)
+    moved = [b for b in m2["buckets"] if m1["buckets"].get(b) != m2["buckets"][b]]
+    assert len(moved) == 1
+    feed = silver_changes(spark, silver, 1, 2)
+    # every file the plan opens belongs to the one moved bucket
+    files = [
+        f for f in feed.inputFiles() if "/data/b" in f
+    ]
+    assert files and all(f"/data/b{moved[0]}/" in f for f in files)
