@@ -549,6 +549,59 @@ def time_ann_pq_topk_1m(spark) -> float:
     return dt
 
 
+def time_ann_ivfpq_topk_1m(spark) -> float:
+    """IVF-PQ (operators/ivfpq.py) at 1M×64 for 16 CORPUS queries:
+    the composed index scans only nprobe/n_centroids of the PQ codes
+    (here 8/64 = 12.5%), so the timed span should undercut the flat
+    ann_1m_pq_topk scan — the pruning × compression multiply this
+    layout exists for.  Build (centroids + residual codebooks + codes)
+    is cached; the timed span is shortlist ADC over probed buckets +
+    exact re-rank of 50 floats per query.  Gate: every query is a
+    corpus member whose own bucket is its nearest probe — the rerank
+    must return it at rank 1 with cosine 1.0."""
+    import numpy as np
+
+    from cdc_demo_spark.operators import ivfpq as IVFPQ
+    from pyspark.sql.functions import col as F_col
+
+    def build(stage: str) -> None:
+        corpus = _ann_corpus(spark).repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint()
+        model = IVFPQ.build_ivfpq(
+            corpus, n_centroids=64, nprobe=8, m=16, ksub=64, refine_iters=2
+        )
+        np.save(os.path.join(stage, "cents.npy"), model.centroids)
+        np.save(os.path.join(stage, "books.npy"), model.codebooks)
+        # partitioned by bucket: the probe filter becomes a STATIC
+        # partition prune — unprobed dirs are never even listed, which
+        # is the entire point of the IVF half (same layout as IvfIndex)
+        model.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(stage, "codes")
+        )
+
+    path = _ensure_built(f"ivfpq_v1_n{ANN_N}", build)
+    model = IVFPQ.IvfPqModel(
+        centroids=np.load(os.path.join(path, "cents.npy")),
+        codebooks=np.load(os.path.join(path, "books.npy")),
+        codes=spark.read.parquet(os.path.join(path, "codes")),
+        nprobe=8,
+    )
+    corpus = _ann_corpus(spark)
+    queries = corpus.filter(F_col("vec_id") < 16).select(
+        F_col("vec_id").alias("query_id"), F_col("embedding").alias("query_vec")
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    top = IVFPQ.ivfpq_topk_rerank(model, corpus, queries, k=10, shortlist=50)
+    rows = top.collect()
+    dt = round(time.perf_counter() - t0, 3)
+    top1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in rows if r["rk"] == 1}
+    assert len(top1) == 16 and all(
+        top1[q] == (q, 1.0) for q in top1
+    ), f"self-retrieval broke: {top1}"
+    return dt
+
+
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 _NCPU = os.cpu_count() or 1
 
@@ -1179,6 +1232,7 @@ def main() -> None:
         ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
         ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
+        ("ann_1m_ivfpq_topk", lambda: time_ann_ivfpq_topk_1m(spark)),
         ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
         ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),

@@ -62,17 +62,23 @@ def train_codebooks(
     sample: int = 512,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> np.ndarray:
     """(m, ksub, d/m) float64 codebooks from a deterministic
     md5-ordered sample; init = first ksub sample rows per subspace
-    (deterministic), then Lloyd with empty-cluster re-seeding."""
+    (deterministic), then Lloyd with empty-cluster re-seeding.
+    ``normalize=False`` trains on the raw vectors — the residual-PQ
+    path (operators/ivfpq.py), where inputs are x − centroid and
+    renormalizing would destroy the residual geometry."""
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(sample)
         .collect()
     )
-    x = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if normalize:
+        x = _normalize(x)
     if len(x) < ksub:
         raise ValueError(
             f"PQ training needs >= ksub={ksub} sample vectors, got {len(x)} "
@@ -110,9 +116,10 @@ def encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>) — one Arrow pass, numpy argmin per
-    subspace over L2-normalized vectors."""
+    subspace; ``normalize=False`` encodes raw vectors (residual PQ)."""
     m, ksub, dsub = codebooks.shape
     books = codebooks  # captured in the closure, shipped once per task
 
@@ -120,7 +127,9 @@ def encode(
         for pdf in batches:
             # np.stack over Arrow-native ndarray rows; .tolist() would build
             # per-element Python objects (measured cost at 1M-vector grain)
-            x = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                x = _normalize(x)
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 xs = x[:, j * dsub : (j + 1) * dsub]

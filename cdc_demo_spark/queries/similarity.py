@@ -345,3 +345,20 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "i bigint, j bigint, cov double").select(
         "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     )
+
+
+@register("q_ivfpq_topk")  # no oracle: k-means layout + ADC float sums
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank (operators/ivfpq.py — the faiss
+    IndexIVFPQ shape, the layout billion-vector deployments run): IVF
+    prunes to nprobe/n_centroids of the corpus, residual-encoded PQ
+    codes ADC-score the probed buckets without touching floats, and
+    the exact re-rank reads only the 50-vector shortlist.  Rows-only
+    by design like q_pq_topk/q_ann_ivf_topk; recall gates (raw,
+    reranked, and the IVF-admission-bound recovery) live in
+    tests/test_ivfpq.py, and the rerank makes self-queries exact."""
+    from cdc_demo_spark.operators.ivfpq import build_ivfpq, ivfpq_topk_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = build_ivfpq(emb, n_centroids=16, nprobe=4, m=8, ksub=16)
+    return ivfpq_topk_rerank(model, emb, _queries_df(emb), k=10, shortlist=50)
