@@ -666,6 +666,108 @@ def silver_changes(
     )
 
 
+class ChangefeedLagError(RuntimeError):
+    """The relay's bookmark fell out of the retained snapshot window —
+    the consumer lagged past what time travel can serve.  Remedy:
+    retain more versions (vacuum less aggressively) or re-seed the
+    consumer from a full snapshot."""
+
+
+class ChangefeedRelay:
+    """Exactly-once OUTBOUND egress over silver_changes — the consumer
+    side of the changefeed, with the same bookmark discipline the
+    ingest side's checkpoints use.
+
+    ``poll(spark)`` returns (feed_df, to_version) covering everything
+    committed since the last ACKNOWLEDGED version; the caller processes
+    the feed durably, then calls ``ack(to_version)`` to advance the
+    bookmark.  Crash anywhere before ack → the next poll re-emits the
+    SAME window (at-least-once toward the sink; the (key, to_version)
+    pair is the idempotency handle a transactional sink dedupes on —
+    exactly the contract of the ingest side's epoch-keyed appends).
+    The bookmark is one tiny file through the storage backend, so the
+    relay restarts anywhere the table is readable."""
+
+    def __init__(
+        self,
+        silver_path: str,
+        bookmark_path: str,
+        start_version: int = 0,
+        backend: CommitBackend = DEFAULT_BACKEND,
+    ) -> None:
+        self.silver_path = silver_path
+        self.bookmark_path = bookmark_path  # a directory of ack.v{N}.json
+        self.start_version = int(start_version)
+        self.backend = backend
+
+    def _acks(self) -> list[int]:
+        out = []
+        for name in self.backend.list_dir(self.bookmark_path):
+            m = re.match(r"ack\.v(\d+)\.json$", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def bookmark(self) -> int:
+        acks = self._acks()
+        return acks[-1] if acks else self.start_version
+
+    def poll(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """The unconsumed window, or None when fully caught up."""
+        last = self.bookmark()
+        versions = silver_versions(self.silver_path, self.backend)
+        if not versions:
+            return None
+        cur = versions[-1]
+        if cur <= last:
+            return None
+        if last == 0:
+            # fresh consumer (no prior state): seed with the CURRENT
+            # snapshot as inserts.  Never "oldest snapshot + window
+            # replay" — a key touched in the window would then appear
+            # as BOTH an insert and an update in one unordered feed,
+            # and the sink's apply order would decide which image wins.
+            snap = read_silver_state(
+                spark, self.silver_path, backend=self.backend, version=cur
+            )
+            if snap is None:
+                return None
+            live = snap.filter(F.col("__op") != "d").select(
+                F.col("__key").alias("key"),
+                F.lit("insert").alias("change"),
+                F.lit(None).cast(snap.schema["__row"].dataType).alias("before"),
+                F.col("__row").alias("after"),
+                F.lit(0).alias("from_version"),
+                F.lit(cur).alias("to_version"),
+            )
+            return live, cur
+        if last not in versions:
+            raise ChangefeedLagError(
+                f"bookmark v{last} is no longer retained at "
+                f"{self.silver_path} (window: {versions}); re-seed the "
+                "consumer from a snapshot or retain more versions"
+            )
+        return silver_changes(spark, self.silver_path, last, cur, self.backend), cur
+
+    def ack(self, version: int) -> None:
+        """Durably advance the bookmark — an immutable ack.v{N}.json
+        per version (the manifest idiom: put-if-absent, so a replayed
+        ack of the same version is a no-op, and the bookmark is the
+        max).  Monotone: a stale ack is a programming error and
+        refuses.  Trailing acks are trimmed like manifests."""
+        cur = self.bookmark()
+        v = int(version)
+        if v < cur:
+            raise ValueError(f"ack({version}) behind bookmark v{cur}")
+        os.makedirs(self.bookmark_path, exist_ok=True)
+        self.backend.put_if_absent(
+            os.path.join(self.bookmark_path, f"ack.v{v}.json"),
+            json.dumps({"version": v}).encode(),
+        )
+        for n in self._acks()[:-3]:
+            self.backend.delete(os.path.join(self.bookmark_path, f"ack.v{n}.json"))
+
+
 def compact_tombstones(
     spark: SparkSession,
     silver_path: str,

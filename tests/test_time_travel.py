@@ -207,3 +207,93 @@ def test_changefeed_reads_only_changed_buckets(spark, tmp_path):
         f for f in feed.inputFiles() if "/data/b" in f
     ]
     assert files and all(f"/data/b{moved[0]}/" in f for f in files)
+
+
+def test_changefeed_relay_exactly_once(spark, tmp_path):
+    from cdc_demo_spark.streaming.merge import ChangefeedRelay
+
+    events = generate_events(n_keys=10, n_events=150, seed=14)
+    silver = str(tmp_path / "silver")
+    bm = str(tmp_path / "bookmark")
+    n = len(events) // 3
+    batches = [events[:n], events[n : 2 * n], events[2 * n :]]
+    relay = ChangefeedRelay(silver, bm)
+
+    merge_into_silver(spark, envelope_df(spark, batches[0]), silver, "pet")
+    feed1, v1 = relay.poll(spark)
+    assert v1 == 1
+    got1 = {r["key"]: r["change"] for r in feed1.collect()}
+    want1 = _oracle_changes([], batches[0])
+    assert got1 == {k: c for k, (c, _, _) in want1.items()}
+    # crash before ack: the SAME window re-emits (at-least-once)
+    feed1b, v1b = relay.poll(spark)
+    assert v1b == v1
+    assert {r["key"]: r["change"] for r in feed1b.collect()} == got1
+    relay.ack(v1)
+    assert relay.poll(spark) is None  # caught up
+
+    merge_into_silver(spark, envelope_df(spark, batches[1]), silver, "pet")
+    merge_into_silver(spark, envelope_df(spark, batches[2]), silver, "pet")
+    feed2, v2 = relay.poll(spark)
+    assert v2 == 3
+    want2 = _oracle_changes(batches[0], batches[0] + batches[1] + batches[2])
+    got2 = {
+        r["key"]: (
+            r["change"],
+            r["before"].asDict() if r["before"] is not None else None,
+            r["after"].asDict() if r["after"] is not None else None,
+        )
+        for r in feed2.collect()
+    }
+    assert got2 == want2
+    relay.ack(v2)
+    # replayed ack of the same version is a no-op; stale ack refuses
+    relay.ack(v2)
+    with pytest.raises(ValueError, match="behind bookmark"):
+        relay.ack(v1)
+    # a RESTARTED relay (fresh object, same bookmark dir) resumes
+    relay2 = ChangefeedRelay(silver, bm)
+    assert relay2.bookmark() == v2 and relay2.poll(spark) is None
+
+
+def test_changefeed_relay_lag_past_retention_raises(spark, tmp_path):
+    from cdc_demo_spark.streaming.merge import ChangefeedLagError, ChangefeedRelay
+
+    events = generate_events(n_keys=6, n_events=160, seed=15)
+    silver = str(tmp_path / "silver")
+    relay = ChangefeedRelay(silver, str(tmp_path / "bm"))
+    n = len(events) // 8
+    merge_into_silver(spark, envelope_df(spark, events[:n]), silver, "pet")
+    feed, v = relay.poll(spark)
+    relay.ack(v)  # bookmark at v1
+    for i in range(n, len(events), n):  # 7 more commits age v1 out
+        merge_into_silver(spark, envelope_df(spark, events[i : i + n]), silver, "pet")
+    assert 1 not in silver_versions(silver)
+    with pytest.raises(ChangefeedLagError, match="no longer retained"):
+        relay.poll(spark)
+
+
+def test_changefeed_relay_seeds_fresh_consumer_past_window(spark, tmp_path):
+    # a brand-new consumer (bookmark 0) on a table whose early versions
+    # aged out: first poll = oldest retained snapshot as inserts + the
+    # changes window, which together reconstruct the current state
+    from cdc_demo_spark.streaming.merge import ChangefeedRelay
+
+    events = generate_events(n_keys=8, n_events=160, seed=16)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 8
+    for i in range(0, len(events), n):
+        merge_into_silver(spark, envelope_df(spark, events[i : i + n]), silver, "pet")
+    assert 1 not in silver_versions(silver)
+    relay = ChangefeedRelay(silver, str(tmp_path / "bm"))
+    feed, v = relay.poll(spark)
+    assert v == silver_versions(silver)[-1]
+    # apply the feed like a sink would; the result must equal the table
+    state = {}
+    for r in feed.collect():
+        if r["change"] == "delete":
+            state.pop(r["key"], None)
+        else:
+            state[r["key"]] = r["after"].asDict()
+    want = _rows(spark, silver)
+    assert state == want
