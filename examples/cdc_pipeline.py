@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""The CDC story end-to-end, on one page: at-least-once envelope
+batches merge into the versioned silver table, time travel reads any
+retained commit byte-identically, the changefeed diffs snapshots
+reading only moved buckets, and the relay drives an exactly-once
+JDBC warehouse sink from it — ingest and egress closing the loop with
+the same bookmark discipline.
+
+    envelope batches (out-of-order, duplicated — at-least-once)
+      1. merge_into_silver      CAS-manifest bucketed merge, O(touched)
+      2. read_silver(version=N) time travel over retained manifests
+      3. silver_changes         Delta-CDF-style diff, O(changed buckets)
+      4. ChangefeedRelay        poll/ack bookmarks (exactly-once egress)
+      5. JdbcUpsertSink         transactional warehouse upsert (Derby)
+      6. vacuum_silver          retention trim, the Delta VACUUM analog
+
+Run: python examples/cdc_pipeline.py [work_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from cdc_demo_spark.schemas import envelope_schema
+from cdc_demo_spark.session import get_spark
+from cdc_demo_spark.streaming.generator import generate_events, scramble
+from cdc_demo_spark.streaming.jdbc_sink import JdbcUpsertSink
+from cdc_demo_spark.streaming.merge import (
+    ChangefeedRelay,
+    merge_into_silver,
+    read_silver,
+    replay_oracle,
+    silver_versions,
+    vacuum_silver,
+)
+
+PAYLOAD = StructType(
+    [
+        StructField(c, StringType(), True)
+        for c in ("name", "owner", "species", "sex", "birth", "death")
+    ]
+)
+
+
+def envelope_df(spark, events):
+    rows = [{**e, "ts": datetime.fromisoformat(e["ts"])} for e in events]
+    return spark.createDataFrame(rows, envelope_schema(PAYLOAD))
+
+
+def feed_as_envelope(feed):
+    """Adapt a changefeed window to the envelope shape the warehouse
+    sink consumes: each key appears once per window, so to_version is
+    the sequence and the op is 'd' for deletes, 'u' otherwise."""
+    return feed.select(
+        F.when(F.col("change") == "delete", "d").otherwise("u").alias("op"),
+        F.lit(datetime(2024, 1, 1)).alias("ts"),
+        F.col("to_version").cast("long").alias("seq"),
+        F.lit("pet").alias("table"),
+        "key",
+        F.col("before").alias("before"),
+        F.col("after").alias("after"),
+    )
+
+
+def main() -> None:
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="cdc_e2e_")
+    spark = get_spark("cdc-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    silver = os.path.join(work, "silver")
+
+    # 1. three at-least-once micro-batches (shuffled, duplicated)
+    events = generate_events(n_keys=12, n_events=180, seed=21)
+    feed_events = scramble(events, seed=22, p_duplicate=0.15, late_fraction=0.1)
+    n = len(feed_events) // 3
+    batches = [feed_events[:n], feed_events[n : 2 * n], feed_events[2 * n :]]
+
+    # 1-5. per micro-batch: merge into silver, then relay the committed
+    # window into the warehouse — poll, transactional upsert (the
+    # window's to_version is the sink's batch id, so a crashed-and-
+    # replayed window no-ops in the warehouse), ack
+    sink = JdbcUpsertSink(
+        spark,
+        f"jdbc:derby:{work}/wh;create=true",
+        "pet_serving",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    relay = ChangefeedRelay(silver, os.path.join(work, "bookmark"))
+    windows = 0
+    for b in batches:
+        merge_into_silver(spark, envelope_df(spark, b), silver, "pet")
+        while (polled := relay.poll(spark)) is not None:
+            feed, to_version = polled
+            sink.process_batch(feed_as_envelope(feed), batch_id=to_version)
+            relay.ack(to_version)
+            windows += 1
+
+    # time travel: v2 must equal the replay oracle of batches 1-2
+    want_v2 = replay_oracle(batches[0] + batches[1])
+    got_v2 = {r["name"]: r.asDict() for r in read_silver(spark, silver, version=2).collect()}
+    assert got_v2 == want_v2, "time-travel read diverged from the replay oracle"
+
+    # the warehouse must equal the silver table's live image, exactly
+    served = {
+        tuple(r[c] for c in PAYLOAD.names)
+        for r in sink.read_target().select(*PAYLOAD.names).collect()
+    }
+    live = {
+        tuple(r[c] for c in PAYLOAD.names)
+        for r in read_silver(spark, silver).collect()
+    }
+    assert served == live, "warehouse diverged from silver"
+
+    # 6. retention trim: shrink the window, current read unaffected
+    removed = vacuum_silver(silver, retain_last=1, grace_seconds=0.0)
+    assert {r["name"] for r in read_silver(spark, silver).collect()} == {
+        k for k in replay_oracle(feed_events)
+    }
+
+    print(
+        f"cdc: {len(feed_events)} at-least-once events -> "
+        f"{len(batches)} merges -> versions {silver_versions(silver)[-1]} "
+        f"(time-travel v2 verified) -> relay drove {windows} window(s) into "
+        f"Derby ({len(served)} rows, == silver) -> vacuum removed "
+        f"{len(removed)} superseded dirs -> {work}"
+    )
+
+
+if __name__ == "__main__":
+    main()

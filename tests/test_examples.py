@@ -31,3 +31,16 @@ def test_crawl_ledgers_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys
     out = capsys.readouterr().out
     assert "incremental == one-shot asserted" in out
     assert (tmp_path / "state" / "vocab").is_dir()
+
+
+def test_cdc_pipeline_example_runs(spark, tmp_path, monkeypatch, capsys):
+    import sys
+
+    from examples import cdc_pipeline
+
+    monkeypatch.setattr(
+        sys, "argv", ["cdc_pipeline.py", str(tmp_path / "work")]
+    )
+    cdc_pipeline.main()  # asserts time travel, warehouse parity, vacuum itself
+    out = capsys.readouterr().out
+    assert "relay drove 3 window(s)" in out and "== silver" in out
