@@ -121,6 +121,60 @@ class PairsLog:
             removed.append(d)
         return removed
 
+    def cleanse(self, keep) -> int:
+        """Right-to-be-forgotten over the OUTPUT log: rewrite every
+        committed pairs dir in place, keeping only rows matching
+        ``keep`` (a Column predicate).  The one sanctioned mutation of
+        an immutable-by-convention dir — same stance as the silver
+        erasure's selective partition swaps (streaming/erasure.py).
+        Idempotent and crash-recoverable: re-running an interrupted
+        cleanse first recovers any half-finished swap from its
+        deterministic tmp/old names."""
+        recover_erase_swaps(os.path.join(self.path, "pairs"))
+        n = 0
+        for d in self._log.committed_batches("pairs"):
+            rewrite_dir_inplace(self.spark, self.schema, d, keep)
+            n += 1
+        return n
+
+
+def rewrite_dir_inplace(spark: SparkSession, schema: str, d: str, keep) -> None:
+    """Filtered in-place rewrite of one parquet dir via staged write +
+    two renames.  Crash windows leave the deterministic ``.erase-tmp``
+    / ``.erase-old`` names that recover_erase_swaps repairs; content is
+    complete before any rename happens."""
+    import shutil
+
+    tmp, old = d + ".erase-tmp", d + ".erase-old"
+    spark.read.schema(schema).parquet(d).filter(keep).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(d, old)
+    os.rename(tmp, d)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_erase_swaps(root: str) -> None:
+    """Repair interrupted rewrite_dir_inplace swaps under ``root``:
+    a lingering ``.erase-old`` beside a live dir means the swap
+    finished (drop the old); an ``.erase-old`` WITHOUT the live dir
+    means the crash hit between the renames (roll the old back); a
+    lone ``.erase-tmp`` is an incomplete stage (drop it)."""
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if name.endswith(".erase-old"):
+            live = p[: -len(".erase-old")]
+            if os.path.isdir(live):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.rename(p, live)
+        elif name.endswith(".erase-tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+
 
 @dataclass
 class Snapshot:

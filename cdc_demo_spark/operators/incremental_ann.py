@@ -194,6 +194,31 @@ class IvfIndex:
         markers stay, quiesce before gc)."""
         return self._ckpts.gc(orphan_ttl_seconds)
 
+    def erase(self, vec_ids: list[int]) -> None:
+        """Right-to-be-forgotten for stored vectors (the pair-index
+        twin of streaming/erasure.py): write a superseding checkpoint
+        holding everything EXCEPT ``vec_ids`` — unlike compact() this
+        never no-ops on freshness, because erasure must apply to an
+        already-compacted index too.  The erased bytes physically
+        leave the filesystem when gc() reclaims the covered dirs
+        (Delta DELETE + VACUUM shape).  Epoch markers are untouched,
+        so a replayed stream epoch that originally carried the vector
+        stays SKIPPED — replay cannot resurrect an erased id; only a
+        genuinely new batch can re-admit it."""
+        import uuid
+
+        ids = [int(i) for i in vec_ids]
+        snap = self._ckpts.snapshot()
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        kept = self._vectors(dirs=snap.dirs["vectors"]).filter(
+            ~F.col("vec_id").isin(ids)
+        )
+        kept.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            self._ckpts.ckpt_dir("vectors", seq, uid)
+        )
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+
     # -- the operator -------------------------------------------------
 
     def build(

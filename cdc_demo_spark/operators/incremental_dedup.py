@@ -498,6 +498,41 @@ class MinHashIndex:
         write_nshards_sidecar(self.backend, dst, ns)
         self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
 
+    def erase(self, doc_ids: list[int]) -> None:
+        """Right-to-be-forgotten across the WHOLE index footprint: a
+        superseding checkpoint excludes the ids from both state tables
+        (buckets + sharded shingles), and the pairs OUTPUT log — which
+        compaction never touches — is cleansed in place of every pair
+        naming an erased doc (its jaccard against some other document
+        is derived personal data).  Never no-ops on freshness; bytes
+        leave the filesystem at gc(); epoch markers survive, so stream
+        replays stay skipped and cannot resurrect the ids."""
+        import uuid
+
+        ids = [int(i) for i in doc_ids]
+        snap = self._ckpts.snapshot()
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        buckets = (
+            self.spark.read.schema("id long, band int, bucket long")
+            .parquet(*snap.dirs["buckets"])
+            .filter(~F.col("id").isin(ids))
+        )
+        buckets.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("buckets", seq, uid)
+        )
+        shingles = self.stored_shingles(dirs=snap.dirs["shingles"]).filter(
+            ~F.col("id").isin(ids)
+        )
+        ns = _shingle_shards(shingles.count())
+        dst = self._ckpts.ckpt_dir("shingles", seq, uid)
+        write_sharded(shingles, dst, "id", ns)
+        write_nshards_sidecar(self.backend, dst, ns)
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+        self._pairs_log.cleanse(
+            ~F.col("id_a").isin(ids) & ~F.col("id_b").isin(ids)
+        )
+
     def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
         """Reclaim covered batch dirs and superseded checkpoints; with
         a TTL, also crashed appenders' staged dirs and rival same-seq

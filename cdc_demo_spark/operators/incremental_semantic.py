@@ -525,6 +525,56 @@ class SemanticIndex:
         )
         self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
 
+    def erase(self, ids_to_erase: list[int]) -> None:
+        """Right-to-be-forgotten (same contract as MinHashIndex.erase):
+        a superseding checkpoint excludes the ids from members +
+        quantized (and, in arrow mode, re-packs tiles from the
+        filtered rows — an erased vector's quantized codes leave the
+        tile bytes too, not just the membership), and the pairs OUTPUT
+        log is cleansed in place.  Never no-ops on freshness; physical
+        reclamation happens at gc(); epoch markers survive so stream
+        replays stay skipped."""
+        import uuid
+
+        ids = [int(i) for i in ids_to_erase]
+        snap = self._ckpts.snapshot()
+        seq = self._ckpts.next_seq()
+        uid = uuid.uuid4().hex[:8]
+        members = (
+            self.spark.read.schema("id long, centroid_id long")
+            .parquet(*snap.dirs["members"])
+            .filter(~F.col("id").isin(ids))
+        )
+        q_schema = "id long, qv binary" if self.arrow else "id long, qv array<bigint>"
+        quantized = (
+            self.spark.read.schema(q_schema)
+            .parquet(*snap.dirs["quantized"])
+            .filter(~F.col("id").isin(ids))
+        )
+        if self.arrow:
+            qm = (
+                members.join(quantized, "id")
+                .select("centroid_id", "id", "qv")
+                .localCheckpoint(eager=True)
+            )
+            from cdc_demo_spark.operators.ann_scale import pack_tiles
+
+            tiles = pack_tiles(qm).localCheckpoint(eager=True)
+            ns = n_shards(tiles.count(), _TILE_SHARD_ROWS, _TILE_MAX_SHARDS)
+            dst = self._ckpts.ckpt_dir("tiles", seq, uid)
+            write_sharded(tiles, dst, "centroid_id", ns)
+            write_nshards_sidecar(self.backend, dst, ns)
+        members.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("members", seq, uid)
+        )
+        quantized.write.mode("overwrite").parquet(
+            self._ckpts.ckpt_dir("quantized", seq, uid)
+        )
+        self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
+        self._pairs_log.cleanse(
+            ~F.col("id_a").isin(ids) & ~F.col("id_b").isin(ids)
+        )
+
     def gc(self, orphan_ttl_seconds: float | None = None) -> list[str]:
         """Reclaim covered batch dirs and superseded checkpoints; with
         a TTL, also crashed appenders' staged dirs and rival same-seq
