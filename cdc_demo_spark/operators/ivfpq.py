@@ -156,39 +156,51 @@ def ivfpq_topk(
     cnorm = model.centroids / np.linalg.norm(model.centroids, axis=1, keepdims=True)
     sims = qmat @ cnorm.T  # (nq, n_centroids)
     order = np.argsort(-sims, axis=1, kind="stable")[:, : model.nprobe]
-    # per-(query, probed-centroid) residual LUTs — kilobytes per query
-    luts: dict[int, dict[int, np.ndarray]] = {}
+    # per-bucket scoring groups: for each probed centroid, the queries
+    # probing it and their FLATTENED residual LUTs (m·ksub doubles per
+    # (query, probe) — kilobytes), so a batch scores each bucket with
+    # ONE vectorized gather across all its queries instead of a
+    # per-(query, bucket) python loop
+    by_cid: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    groups: dict[int, list[tuple[int, np.ndarray]]] = {}
     for qi, qid in enumerate(qids):
-        per_c: dict[int, np.ndarray] = {}
         for cid in order[qi]:
             qres = qmat[qi] - model.centroids[int(cid)]
             lut = np.empty((m, ksub))
             for j in range(m):
                 qs = qres[j * dsub : (j + 1) * dsub]
                 lut[j] = ((qs[None, :] - model.codebooks[j]) ** 2).sum(axis=1)
-            per_c[int(cid)] = lut
-        luts[int(qid)] = per_c
-    probed = sorted({int(c) for row in order for c in row})
+            groups.setdefault(int(cid), []).append((int(qid), lut.ravel()))
+    for cid, members in groups.items():
+        by_cid[cid] = (
+            np.array([q for q, _ in members]),
+            np.stack([l for _, l in members]),  # (nq_c, m*ksub)
+        )
+    probed = sorted(by_cid)
+    flat_off = (np.arange(m) * ksub)[None, :]  # codes -> flat LUT index
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             cids = pdf["centroid_id"].to_numpy()
             ids = pdf["id"].to_numpy()
-            for qid, per_c in luts.items():
-                for cid, lut in per_c.items():
-                    mask = cids == cid
-                    if not mask.any():
-                        continue
-                    sub = codes[mask]
-                    d2 = lut[np.arange(m)[None, :], sub].sum(axis=1)
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.full(mask.sum(), qid),
-                            "id": ids[mask],
-                            "approx_cos": 1.0 - d2 / 2.0,
-                        }
-                    )
+            for cid in np.unique(cids):
+                grp = by_cid.get(int(cid))
+                if grp is None:
+                    continue
+                g_qids, g_luts = grp
+                mask = cids == cid
+                idx = codes[mask] + flat_off  # (n_c, m) flat indices
+                # (nq_c, n_c): one gather + sum per bucket, all queries
+                d2 = g_luts[:, idx].sum(axis=2)
+                n_c = int(mask.sum())
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(g_qids, n_c),
+                        "id": np.tile(ids[mask], len(g_qids)),
+                        "approx_cos": 1.0 - d2.ravel() / 2.0,
+                    }
+                )
 
     # static bucket prune first: unprobed buckets are never scanned
     cand = model.codes.filter(F.col("centroid_id").isin(probed))
