@@ -142,7 +142,12 @@ def rewrite_dir_inplace(spark: SparkSession, schema: str, d: str, keep) -> None:
     """Filtered in-place rewrite of one parquet dir via staged write +
     two renames.  Crash windows leave the deterministic ``.erase-tmp``
     / ``.erase-old`` names that recover_erase_swaps repairs; content is
-    complete before any rename happens."""
+    complete before any rename happens.  The renames are DATA-PLANE
+    operations on bytes Spark wrote (same stance as
+    streaming/erasure.py's partition swaps) — commit METADATA never
+    moves, so the backend seam's rename-less contract is untouched; an
+    object-store port does copy+delete here, as it must for any
+    data-file rewrite."""
     import shutil
 
     tmp, old = d + ".erase-tmp", d + ".erase-old"

@@ -4,7 +4,15 @@ this is possible; B19's as-of semantics applied to the whole table).
 
 This is what the staging dataset buys the reference architecture — the
 replica shows *now*, the log shows *any time* — and it falls out of the
-same latest-image primitive as the merge."""
+same latest-image primitive as the merge.
+
+Two complementary time-travel flavors (Delta offers the same pair):
+this module reconstructs state AS OF AN EVENT TIME from the bronze
+log (any instant, one log scan); merge.read_silver(version=N) reads a
+COMMIT SNAPSHOT byte-identically from retained manifests (bounded
+window, zero reconstruction).  Use the log for arbitrary instants and
+audits; use snapshot versions for reproducible reads and the
+changefeed."""
 
 from __future__ import annotations
 
