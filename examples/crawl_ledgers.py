@@ -109,7 +109,7 @@ def main() -> None:
         )
         # near-dup pairs touching THIS crawl, probed against every
         # earlier crawl's stored LSH state — never re-pairing history
-        pairs = near.append_batch(crawl)
+        pairs = near.append_batch(crawl, persist_pairs=True)
         all_pairs |= {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         # routine maintenance: fold history, reclaim superseded dirs
         # (the pair index compacts too — its checkpoint re-shards the
@@ -221,6 +221,23 @@ def main() -> None:
             f"{fit_old_all:.3f} -> {fit_new:.3f}; serving pointer swapped"
         )
     assert serving is not ivf, "the simulated drift must trip the alarm"
+
+    # ---- takedown request (r10): a crawl-1 document must leave the
+    # near-dup index ENTIRELY — probe state and the stored pairs that
+    # name it (its jaccard against other docs is derived personal
+    # data).  erase() writes a superseding checkpoint + cleanses the
+    # pairs log; gc() makes the bytes leave the filesystem.
+    victim = next(iter({a for a, _ in all_pairs} | {b for _, b in all_pairs}))
+    near.erase([victim])
+    near.gc()
+    assert near.stored_shingles([victim]).count() == 0
+    assert (
+        near.stored_pairs()
+        .filter((F.col("id_a") == victim) | (F.col("id_b") == victim))
+        .count()
+        == 0
+    )
+    print(f"takedown: doc {victim} erased from the near-dup index (state + pairs)")
 
     top = [(r["token"], r["cnt"]) for r in vocab.topk(5).collect()]
     drift = {
