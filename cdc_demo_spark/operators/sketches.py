@@ -130,35 +130,59 @@ def bloom_probe(
     (1 - e^{-kn/m})^k rate, deterministically — the same value always
     probes the same bits.
 
-    Plan shape: positions LEFT JOIN bloom on word (bloom side is
-    sketch-sized → broadcast), then a groupBy back onto a synthetic
-    per-row id, so DUPLICATE probe rows stay duplicates — output is
-    exactly one row per input row (a caller probing per-occurrence
-    rows keeps its multiplicities; earlier revisions grouped by the
-    probe columns and silently collapsed them).  The probe table
-    itself is never shuffled wider than its per-row distinct-position
-    explode.  A NULL value hashes nowhere and reports
-    ``bloom_member = false`` (mirrors build, which never admits
-    NULL)."""
-    cols = probe.columns
-    rid = "__bloom_probe_rid"
-    pos = (
-        _positions(probe.withColumn(rid, F.monotonically_increasing_id()),
-                   value_col, num_bits, num_hashes)
-        .select(rid, *cols, "pos")
-        .withColumn("word", (F.col("pos") / BITS_PER_WORD).cast("long"))
-    )
-    hit = F.expr(
-        f"if((shiftright(coalesce(bits, cast(0 as bigint)), "
-        f"cast(pos % {BITS_PER_WORD} as int)) & 1) = 1, 1, 0)"
-    )
-    return (
-        pos.join(bloom, "word", "left")
-        .select(rid, *cols, hit.alias("hit"))
-        .groupBy(rid, *cols)
-        .agg(F.coalesce(F.min("hit") == 1, F.lit(False)).alias("bloom_member"))
-        .drop(rid)
-    )
+    Plan shape (r10 rewrite): k SEPARATE broadcast left joins, one per
+    hash — each row grows per-hash position/word columns, each join
+    picks up that hash's packed word from the sketch-sized broadcast
+    bloom, and membership is the AND of the k bit tests.  Fully
+    MAP-SIDE: no explode, no group-back — the previous shape exploded
+    to k× probe rows and then shuffled them all (with the probe's own
+    payload columns as grouping keys) just to re-assemble rows it had
+    itself taken apart; at 200k-doc grain the two probes' group-backs
+    cost ~19% of the whole decontam entry (27.4 → 22.1 s min-of-3 on
+    bloom_200k_decontam — the rest is shingle generation and the
+    build), and at 100 TB it was a corpus-width shuffle where none is
+    needed.  Output row multiplicity is trivially
+    preserved (bloom words are unique, so the joins never fan out).
+    A NULL value hashes to NULL positions, misses every join, and
+    reports ``bloom_member = false`` (mirrors build, which never
+    admits NULL).  The broadcast hint assumes the packed bloom fits
+    the driver/executors (ceil(num_bits/63) rows — 2 MB at 2^23 bits,
+    32 MB at 2^27); for blooms beyond broadcast scale drop the hint
+    and let the k joins co-partition, which is still k narrow
+    sketch-key shuffles rather than one corpus-wide group-back."""
+    out = probe
+    tests = []
+    for i in range(num_hashes):
+        p = f"__bloom_p{i}"
+        w = f"__bloom_w{i}"
+        b = f"__bloom_b{i}"
+        out = out.withColumn(
+            p, md5_position(F.col(value_col), F.lit(i), num_bits)
+        ).withColumn(w, (F.col(p) / BITS_PER_WORD).cast("long"))
+        out = out.join(
+            F.broadcast(
+                bloom.select(F.col("word").alias(w), F.col("bits").alias(b))
+            ),
+            w,
+            "left",
+        )
+        tests.append(
+            F.expr(
+                f"(shiftright(coalesce({b}, cast(0 as bigint)), "
+                f"cast({p} % {BITS_PER_WORD} as int)) & 1) = 1"
+            )
+        )
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    drop_cols = [
+        c
+        for i in range(num_hashes)
+        for c in (f"__bloom_p{i}", f"__bloom_w{i}", f"__bloom_b{i}")
+    ]
+    return out.withColumn(
+        "bloom_member", F.coalesce(member, F.lit(False))
+    ).drop(*drop_cols)
 
 
 def countmin_build(
