@@ -232,26 +232,36 @@ def countmin_estimate(
     is a pure function of (value, sketch), so downstream filters
     (heavy hitters) are deterministic and oracle-checkable.
 
-    Plan: explode depth rows per value, equi-join (j, cell) against the
-    grid-sized sketch (broadcast in practice), min back per row — the
-    group key is a synthetic per-row id, so duplicate input rows each
-    get their own output row (multiplicity preserved; see bloom_probe).
-    A NULL value hashes nowhere and estimates 0 (mirrors build, which
-    never counts NULL)."""
-    cols = values.columns
-    rid = "__cms_probe_rid"
-    return (
-        values.withColumn(rid, F.monotonically_increasing_id())
-        .select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    Plan (r10 rewrite, same shape as bloom_probe's): ``depth``
+    SEPARATE broadcast left joins — each row grows a per-row-j cell
+    column, each join picks up that row's grid count from the
+    grid-sized broadcast sketch, and the estimate is least() across
+    the depth counts.  Fully map-side: no explode, no group-back
+    shuffle of the probe table (the previous shape shuffled
+    depth × |values| rows keyed by the probe's own payload columns
+    just to re-assemble rows).  Grid cells are unique per j so the
+    joins never fan out; duplicate input rows keep their own output
+    row trivially.  A NULL value hashes nowhere and estimates 0
+    (mirrors build, which never counts NULL)."""
+    out = values
+    ests = []
+    for j in range(depth):
+        c = f"__cms_c{j}"
+        n = f"__cms_n{j}"
+        out = out.withColumn(
+            c, md5_position(F.col(value_col), F.lit(j), width)
+        ).join(
+            F.broadcast(
+                cms.filter(F.col("j") == j).select(
+                    F.col("cell").alias(c), F.col("cnt").alias(n)
+                )
+            ),
+            c,
+            "left",
         )
-        .withColumn("cell", md5_position(F.col(value_col), F.col("j"), width))
-        .join(cms, ["j", "cell"], "left")
-        .select(rid, *cols, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
-        .groupBy(rid, *cols)
-        .agg(F.min("cnt").alias("est"))
-        .drop(rid)
-    )
+        ests.append(F.coalesce(F.col(n), F.lit(0)))
+    drop_cols = [f"__cms_{k}{j}" for j in range(depth) for k in ("c", "n")]
+    return out.withColumn("est", F.least(*ests)).drop(*drop_cols)
 
 
 def histogram_build(
