@@ -40,64 +40,71 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-10 window head: computed by tools/window_staleness.py
-    # (stalest-first from the CORRECTNESS_r01..r09 union) — this
-    # round's 8 new oracle queries first (never driver-checked as
-    # oracle queries), then ALL 38 r6-stale refreshes, then the 4
-    # oldest r8 anchors to fill the 50-slot cap.  After this round no
-    # oracle record is older than r8.
-    "q_packed_blocks",
-    "q_weighted_sample",
-    "q_zscore_normalize",
-    "q_neardup_centrality",
-    "q_bpe_train",
-    "q_train_quality_classifier",
-    "q_bigram_perplexity",
-    "q_embedding_covariance",
-    "q_hot_key_salted_join",
-    "q_large_volume_customers",
-    "q_linear_quality_score",
-    "q_local_supplier_volume",
-    "q_mad_outliers",
-    "q_min_cost_supplier",
-    "q_minhash_near_dups_md5",
-    "q_minhash_signatures_md5",
-    "q_mixture_sample",
-    "q_nation_market_share",
-    "q_nation_volume_shipping",
-    "q_order_count_distribution",
-    "q_percentiles",
-    "q_pii_mask",
-    "q_pivot",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_quality_filter",
-    "q_rate_anomaly",
-    "q_referential_integrity",
-    "q_repetition_ratio",
-    "q_scalar_subquery",
-    "q_signup_purchase_funnel",
-    "q_simhash_hamming_pairs",
-    "q_sliding_window",
-    "q_small_qty_revenue",
-    "q_sole_returning_suppliers",
-    "q_supplier_part_counts",
-    "q_text_normalize",
-    "q_top_supplier",
-    "q_train_val_test_split",
-    "q_training_shards",
-    "q_unigram_logprob",
-    "q_unpivot",
-    "q_value_histogram",
-    "q_weekly_retention",
-    "q_window_navigation",
-    "q_winsorize",
-    "q_anti_join",
-    "q_asof_join",
-    "q_bloom_decontamination",
-    "q_case_when",
+    # Round-11 window head: computed by tools/window_staleness.py from
+    # the CORRECTNESS_r01..r10 union.  Capacity math (50 slots):
+    #   1  q_ivfpq_topk — the ONLY registry entry with zero driver
+    #      trail (VERDICT r10 "What's wrong" #2) — at the head;
+    #   46 ALL remaining r8-stale oracle queries — after this capture
+    #      no oracle record predates r9 (VERDICT r10 next-round #2);
+    #   3  rows-only refreshes from the r5-stale set (VERDICT r10
+    #      next-round #3) — the ANN family (q_ann_ivf_topk, q_pq_topk,
+    #      q_semantic_dedup_ann), giving the similarity rows-only
+    #      queries a complete fresh trail alongside q_ivfpq_topk.
+    # The verdict asked for >=5 rows-only refreshes AND all 46 r8
+    # refreshes AND q_ivfpq_topk = 52 demands on a 50-slot window; the
+    # hard oracle census wins the tie-break, 4 rows-only entries run
+    # this window, and the remaining 11 r5-stale rows-only queries are
+    # queued as the r12 head (ROUND_NOTES records the arithmetic).
+    "q_ivfpq_topk",
     "q_collect_names",
     "q_cosine_topk",
+    "q_count_distinct",
+    "q_countmin_heavy_hitters",
+    "q_cross_join",
+    "q_cube",
+    "q_curriculum_buckets",
+    "q_date_functions",
+    "q_dedup_clusters",
+    "q_duplicated_spans",
+    "q_except",
+    "q_filter_predicates",
+    "q_full_outer_join",
+    "q_fuzzy_name_pairs_d2",
+    "q_grouped_median",
+    "q_having",
+    "q_histogram_quantiles",
+    "q_incremental_bloom",
+    "q_incremental_countmin",
+    "q_intersect",
+    "q_json_extract",
+    "q_lag_lead",
+    "q_latest_order_per_customer",
+    "q_moment_stats",
+    "q_multimodal_join",
+    "q_ntile_percent_rank",
+    "q_outer_join",
+    "q_packed_census",
+    "q_pricing_summary",
+    "q_project_compute",
+    "q_range_join",
+    "q_rank_parts",
+    "q_remove_duplicated_spans",
+    "q_returned_items",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_running_sum",
+    "q_salted_skew_join",
+    "q_self_join",
+    "q_semantic_dedup_int8",
+    "q_semi_join",
+    "q_shipping_priority",
+    "q_string_functions",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_top_orders",
+    "q_ann_ivf_topk",
+    "q_pq_topk",
+    "q_semantic_dedup_ann",
 ]
 
 
