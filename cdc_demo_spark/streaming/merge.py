@@ -210,8 +210,41 @@ def _commit_manifest(
             f"writer; reload and re-merge"
         )
     # retention: keep a few trailing manifests for in-flight readers
-    for n, path in _manifest_versions(silver_path, backend)[:-5]:
+    _trim_manifests(
+        silver_path, _manifest_versions(silver_path, backend)[:-5], backend
+    )
+
+
+def _trim_manifests(silver_path: str, doomed, backend: CommitBackend) -> None:
+    """Delete the given (version, path) manifests and TOUCH the bucket
+    dirs they alone referenced.  The sweeps' grace TTL reads dir mtime,
+    and a dir referenced only by a just-trimmed manifest is typically
+    hours old — without the touch it would be reclaimed the instant it
+    left the retention window, failing an in-flight reader that had
+    already resolved that manifest (r10 ADVICE).  Touching on trim
+    makes mtime ≈ unreference time, so the TTL measures what it
+    claims to."""
+    doomed = list(doomed)
+    if not doomed:
+        return
+    was_referenced: set[str] = set()
+    for _n, path in doomed:
+        try:
+            m = json.loads(backend.read(path))
+            for b, ver in m.get("buckets", {}).items():
+                was_referenced.add(
+                    os.path.join(silver_path, "data", f"b{b}", ver)
+                )
+        except (OSError, ValueError):
+            pass  # raced another trimmer; its touch covers the dirs
         backend.delete(path)
+    newly_free = was_referenced - _referenced_dirs(silver_path, backend)
+    now = time.time()
+    for d in newly_free:
+        try:
+            os.utime(d, (now, now))
+        except OSError:
+            pass  # already swept, or non-POSIX store (sweeps are POSIX-only)
 
 
 # Superseded bucket-version dirs are NOT deleted at commit time (r10):
@@ -281,19 +314,40 @@ def _sweep_unreferenced(
 def vacuum_silver(
     silver_path: str,
     retain_last: int = 1,
-    grace_seconds: float = 0.0,
+    grace_seconds: float | None = None,
     backend: CommitBackend = DEFAULT_BACKEND,
+    force: bool = False,
 ) -> list[str]:
     """Delta-VACUUM analog: shrink the time-travel window to the newest
     ``retain_last`` manifests, then delete every bucket-version dir no
     retained manifest references and older than ``grace_seconds``
-    (quiesce writers first, or keep a nonzero grace — the same contract
-    as the pair indexes' gc).  Returns the removed dirs; time-travel
-    reads of vacuumed versions raise SnapshotNotFound afterwards."""
+    (default: SUPERSEDED_GRACE_SECONDS).  Returns the removed dirs;
+    time-travel reads of vacuumed versions raise SnapshotNotFound
+    afterwards.
+
+    A grace below the default protects NOTHING from a concurrent
+    merge's staged-but-uncommitted bucket rename — the committed
+    manifest would then reference a deleted dir — so, mirroring
+    Delta's retention-duration check, it requires ``force=True`` and a
+    quiesced table (r10 ADVICE: the old 0.0 default silently carried
+    that race)."""
     if retain_last < 1:
         raise ValueError(f"retain_last must be >= 1, got {retain_last}")
-    for _, path in _manifest_versions(silver_path, backend)[:-retain_last]:
-        backend.delete(path)
+    if grace_seconds is None:
+        grace_seconds = SUPERSEDED_GRACE_SECONDS
+    elif grace_seconds < SUPERSEDED_GRACE_SECONDS and not force:
+        raise ValueError(
+            f"grace_seconds={grace_seconds} is below the safe retention "
+            f"floor ({SUPERSEDED_GRACE_SECONDS}s) and can delete a "
+            "concurrent merge's staged bucket dir; quiesce writers and "
+            "pass force=True to opt in (Delta's "
+            "retentionDurationCheck analog)"
+        )
+    _trim_manifests(
+        silver_path,
+        _manifest_versions(silver_path, backend)[:-retain_last],
+        backend,
+    )
     manifest = _load_manifest(silver_path, backend)
     if manifest is None:
         return []
@@ -583,6 +637,21 @@ def lookup_silver_key(
     )
 
 
+def _contains_map(dt) -> bool:
+    """True if the data type holds a MapType anywhere — the one family
+    Spark's struct equality cannot compare (and whose to_json entry
+    order is unstable across snapshots)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    return False
+
+
 def silver_changes(
     spark: SparkSession,
     silver_path: str,
@@ -638,20 +707,27 @@ def silver_changes(
     live_b = F.col("b.__op").isNotNull() & (F.col("b.__op") != "d")
     live_a = F.col("a.__op").isNotNull() & (F.col("a.__op") != "d")
     joined = b.join(a, F.col("b.__key") == F.col("a.__key"), "full")
+    # Update detection (r10 ADVICE hardening): when the two snapshots
+    # share one struct schema with no map fields — every commit that
+    # isn't a schema evolution — compare with eqNullSafe: exact value
+    # semantics, immune to serialization artifacts (a map field's
+    # entry order can differ between snapshots and would make to_json
+    # emit a spurious 'update').  Across an ADDITIVE WIDTH CHANGE the
+    # struct comparison refuses to analyze, so fall back to to_json —
+    # which also drops null fields, so a key whose only "change" is a
+    # new all-null column correctly emits nothing.  Map-typed fields
+    # on a width change keep the to_json caveat; flat scalar payloads
+    # (the CDC envelope shape) always take the exact path.
+    row_t_b = b.schema["__row"].dataType
+    row_t_a = a.schema["__row"].dataType
+    if row_t_b == row_t_a and not _contains_map(row_t_b):
+        differs = ~F.col("b.__row").eqNullSafe(F.col("a.__row"))
+    else:
+        differs = F.to_json(F.col("b.__row")) != F.to_json(F.col("a.__row"))
     change = (
         F.when(~live_b & live_a, F.lit("insert"))
         .when(live_b & ~live_a, F.lit("delete"))
-        # to_json, not eqNullSafe: across an additive schema evolution
-        # the two snapshots' __row structs have different widths (which
-        # a struct comparison refuses to analyze), and to_json drops
-        # null fields — so a key whose only "change" is a new
-        # all-null column correctly emits nothing
-        .when(
-            live_b
-            & live_a
-            & (F.to_json(F.col("b.__row")) != F.to_json(F.col("a.__row"))),
-            F.lit("update"),
-        )
+        .when(live_b & live_a & differs, F.lit("update"))
     )
     return (
         joined.select(
@@ -692,12 +768,18 @@ class ChangefeedRelay:
         self,
         silver_path: str,
         bookmark_path: str,
-        start_version: int = 0,
+        start_version: int | None = None,
         backend: CommitBackend = DEFAULT_BACKEND,
     ) -> None:
+        # start_version=None is the FRESH-CONSUMER sentinel (first poll
+        # seeds with the current snapshot as inserts); an integer —
+        # including 0 — is an ordinary bookmark that must be a retained
+        # version or the poll raises ChangefeedLagError.  r10 ADVICE:
+        # overloading 0 as the seed sentinel meant a bookmark reset to
+        # 0 silently replayed the whole table into the sink.
         self.silver_path = silver_path
         self.bookmark_path = bookmark_path  # a directory of ack.v{N}.json
-        self.start_version = int(start_version)
+        self.start_version = None if start_version is None else int(start_version)
         self.backend = backend
 
     def _acks(self) -> list[int]:
@@ -708,7 +790,9 @@ class ChangefeedRelay:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def bookmark(self) -> int:
+    def bookmark(self) -> int | None:
+        """The last acknowledged version, or None for a consumer that
+        has never acked (and was not pinned to a start_version)."""
         acks = self._acks()
         return acks[-1] if acks else self.start_version
 
@@ -719,9 +803,9 @@ class ChangefeedRelay:
         if not versions:
             return None
         cur = versions[-1]
-        if cur <= last:
+        if last is not None and cur <= last:
             return None
-        if last == 0:
+        if last is None:
             # fresh consumer (no prior state): seed with the CURRENT
             # snapshot as inserts.  Never "oldest snapshot + window
             # replay" — a key touched in the window would then appear
@@ -757,7 +841,7 @@ class ChangefeedRelay:
         refuses.  Trailing acks are trimmed like manifests."""
         cur = self.bookmark()
         v = int(version)
-        if v < cur:
+        if cur is not None and v < cur:
             raise ValueError(f"ack({version}) behind bookmark v{cur}")
         os.makedirs(self.bookmark_path, exist_ok=True)
         self.backend.put_if_absent(

@@ -119,7 +119,7 @@ def main() -> None:
     assert served == live, "warehouse diverged from silver"
 
     # 6. retention trim: shrink the window, current read unaffected
-    removed = vacuum_silver(silver, retain_last=1, grace_seconds=0.0)
+    removed = vacuum_silver(silver, retain_last=1, grace_seconds=0.0, force=True)
     assert {r["name"] for r in read_silver(spark, silver).collect()} == {
         k for k in replay_oracle(feed_events)
     }

@@ -91,7 +91,7 @@ def test_vacuum_reclaims_and_invalidates(spark, tmp_path):
         merge_into_silver(spark, envelope_df(spark, events[i : i + n]), silver, "pet")
     want_now = _rows(spark, silver)
     dirs_before = set(glob.glob(os.path.join(silver, "data", "b*", "v*")))
-    removed = vacuum_silver(silver, retain_last=1, grace_seconds=0.0)
+    removed = vacuum_silver(silver, retain_last=1, grace_seconds=0.0, force=True)
     assert removed and set(removed) <= dirs_before
     # window shrank to the newest version; older reads now refuse
     assert len(silver_versions(silver)) == 1
@@ -100,7 +100,7 @@ def test_vacuum_reclaims_and_invalidates(spark, tmp_path):
     # the current snapshot is untouched, value-exact
     assert _rows(spark, silver) == want_now
     # idempotent: nothing left to reclaim
-    assert vacuum_silver(silver, retain_last=1, grace_seconds=0.0) == []
+    assert vacuum_silver(silver, retain_last=1, grace_seconds=0.0, force=True) == []
 
 
 def test_sweep_grace_protects_fresh_unreferenced_dirs(spark, tmp_path):
@@ -297,3 +297,112 @@ def test_changefeed_relay_seeds_fresh_consumer_past_window(spark, tmp_path):
             state[r["key"]] = r["after"].asDict()
     want = _rows(spark, silver)
     assert state == want
+
+
+def test_vacuum_refuses_unsafe_grace_without_force(spark, tmp_path):
+    # r10 ADVICE: grace below the safe floor can delete a concurrent
+    # merge's staged-but-uncommitted bucket dir — Delta's
+    # retentionDurationCheck analog refuses unless forced
+    events = generate_events(n_keys=4, n_events=40, seed=21)
+    silver = str(tmp_path / "silver")
+    merge_into_silver(spark, envelope_df(spark, events), silver, "pet")
+    with pytest.raises(ValueError, match="safe retention floor"):
+        vacuum_silver(silver, retain_last=1, grace_seconds=0.0)
+    # the refusal happened BEFORE any manifest trim
+    assert silver_versions(silver) == [1]
+
+
+def test_vacuum_default_grace_defers_reclaim(spark, tmp_path):
+    # default grace = SUPERSEDED_GRACE_SECONDS: the window shrinks at
+    # once, but young (just-unreferenced) dirs survive until the TTL
+    events = generate_events(n_keys=6, n_events=90, seed=22)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 3
+    for i in range(0, len(events), n):
+        merge_into_silver(spark, envelope_df(spark, events[i : i + n]), silver, "pet")
+    before = set(glob.glob(os.path.join(silver, "data", "b*", "v*")))
+    removed = vacuum_silver(silver, retain_last=1)
+    assert removed == []  # nothing older than the grace TTL
+    assert len(silver_versions(silver)) == 1  # window still shrank
+    assert set(glob.glob(os.path.join(silver, "data", "b*", "v*"))) == before
+    import cdc_demo_spark.streaming.merge as M
+    assert _rows(spark, silver)  # current read unaffected
+    # a later sweep (TTL elapsed — simulate by aging the dirs) reclaims
+    for d in before:
+        os.utime(d, (1.0, 1.0))
+    removed2 = vacuum_silver(silver, retain_last=1)
+    refs = M._referenced_dirs(silver, M.DEFAULT_BACKEND)
+    assert set(removed2) == before - refs and removed2
+
+
+def test_manifest_trim_touches_newly_unreferenced_dirs(spark, tmp_path):
+    # r10 ADVICE: the sweep TTL must measure time-since-UNREFERENCE,
+    # not dir age — a dir referenced only by the just-trimmed manifest
+    # is hours old by mtime and would otherwise be reclaimed instantly
+    import cdc_demo_spark.streaming.merge as M
+
+    events = generate_events(n_keys=6, n_events=140, seed=23)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 7
+    batches = [events[i : i + n] for i in range(0, len(events), n)]
+    for b in batches[:-1]:
+        merge_into_silver(spark, envelope_df(spark, b), silver, "pet")
+    # age EVERY state dir far past the grace TTL, then commit once more
+    # (which trims the oldest manifest out of the trailing-5 window)
+    dirs = glob.glob(os.path.join(silver, "data", "b*", "v*"))
+    for d in dirs:
+        os.utime(d, (1.0, 1.0))
+    vs_before = set(silver_versions(silver))
+    merge_into_silver(spark, envelope_df(spark, batches[-1]), silver, "pet")
+    trimmed = vs_before - set(silver_versions(silver))
+    assert trimmed  # at least one manifest left the window
+    refs = M._referenced_dirs(silver, M.DEFAULT_BACKEND)
+    freed = [d for d in dirs if d not in refs and os.path.isdir(d)]
+    assert freed, "expected at least one newly-unreferenced dir to survive"
+    now = __import__("time").time()
+    for d in freed:
+        # touched at trim: mtime ~= unreference time, so the TTL holds
+        assert now - os.path.getmtime(d) < 120, d
+    # and the default-grace sweep therefore leaves them alone
+    buckets = {int(os.path.basename(os.path.dirname(d))[1:]) for d in freed}
+    assert M._sweep_unreferenced(silver, sorted(buckets), M.DEFAULT_BACKEND) == []
+
+
+def test_relay_integer_zero_bookmark_is_not_a_seed(spark, tmp_path):
+    # r10 ADVICE: 0 was both "fresh consumer" and an ordinary version;
+    # a bookmark reset to 0 silently replayed the whole table.  Now
+    # None is the seed sentinel and an unknown integer bookmark —
+    # including 0 — raises ChangefeedLagError.
+    from cdc_demo_spark.streaming.merge import ChangefeedLagError, ChangefeedRelay
+
+    events = generate_events(n_keys=5, n_events=90, seed=24)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 2
+    merge_into_silver(spark, envelope_df(spark, events[:n]), silver, "pet")
+    relay = ChangefeedRelay(silver, str(tmp_path / "bm"), start_version=0)
+    with pytest.raises(ChangefeedLagError, match="no longer retained"):
+        relay.poll(spark)
+    # a pinned LIVE version is an ordinary bookmark: pure diff, no seed
+    merge_into_silver(spark, envelope_df(spark, events[n:]), silver, "pet")
+    relay2 = ChangefeedRelay(silver, str(tmp_path / "bm2"), start_version=1)
+    feed, v = relay2.poll(spark)
+    assert v == 2 and feed.select("from_version").distinct().collect()[0][0] == 1
+
+
+def test_changefeed_flat_payload_uses_exact_comparison(spark, tmp_path):
+    # equal map-free schemas take the eqNullSafe path — no to_json
+    # serialization anywhere in the update-detection plan
+    from cdc_demo_spark.streaming.merge import silver_changes
+
+    events = generate_events(n_keys=6, n_events=80, seed=26)
+    silver = str(tmp_path / "silver")
+    n = len(events) // 2
+    merge_into_silver(spark, envelope_df(spark, events[:n]), silver, "pet")
+    merge_into_silver(spark, envelope_df(spark, events[n:]), silver, "pet")
+    feed = silver_changes(spark, silver, 1, 2)
+    plan = feed._jdf.queryExecution().analyzed().toString()
+    assert "to_json" not in plan
+    # and the feed itself still matches the replay oracle
+    want = _oracle_changes(events[:n], events)
+    got = {r["key"]: r["change"] for r in feed.collect()}
+    assert got == {k: c for k, (c, _, _) in want.items()}
