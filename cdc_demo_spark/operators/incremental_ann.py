@@ -44,6 +44,7 @@ from cdc_demo_spark.operators.similarity import (
     refine_centroids,
 )
 from cdc_demo_spark.operators.compaction import TableCheckpoints
+from cdc_demo_spark.operators.suppression import SuppressionLedger
 from cdc_demo_spark.storage import (
     DEFAULT_BACKEND,
     BatchCommitLog,
@@ -87,6 +88,7 @@ class IvfIndex:
             nprobe,
             refine_iters,
         )
+        self.suppression = SuppressionLedger(path, backend)
 
     # -- storage ------------------------------------------------------
 
@@ -194,7 +196,12 @@ class IvfIndex:
         markers stay, quiesce before gc)."""
         return self._ckpts.gc(orphan_ttl_seconds)
 
-    def erase(self, vec_ids: list[int]) -> None:
+    def erase(
+        self,
+        vec_ids: list[int],
+        suppress: bool = False,
+        max_attempts: int = 3,
+    ) -> None:
         """Right-to-be-forgotten for stored vectors (the pair-index
         twin of streaming/erasure.py): write a superseding checkpoint
         holding everything EXCEPT ``vec_ids`` — unlike compact() this
@@ -203,11 +210,33 @@ class IvfIndex:
         leave the filesystem when gc() reclaims the covered dirs
         (Delta DELETE + VACUUM shape).  Epoch markers are untouched,
         so a replayed stream epoch that originally carried the vector
-        stays SKIPPED — replay cannot resurrect an erased id; only a
-        genuinely new batch can re-admit it."""
+        stays SKIPPED — replay cannot resurrect an erased id.
+
+        Concurrency contract identical to MinHashIndex.erase: a batch
+        committed between snapshot and claim would stay outside the
+        superseding checkpoint, so the erase verifies afterwards and
+        re-runs against a fresh snapshot, bounded by ``max_attempts``;
+        ``suppress=True`` records the ids in the takedown ledger first
+        so any post-record append drops them on entry (without it, a
+        later batch may legitimately re-admit an id)."""
+        ids = [int(i) for i in vec_ids]
+        if suppress:
+            self.suppression.record(ids)
+        for _ in range(max_attempts):
+            self._erase_once(ids)
+            if not self._vectors().filter(
+                F.col("vec_id").isin(ids)
+            ).limit(1).count():
+                return
+        raise RuntimeError(
+            f"erase could not converge after {max_attempts} attempts: "
+            "concurrent ingest keeps re-admitting the ids — quiesce "
+            "appends (or pass suppress=True) and retry"
+        )
+
+    def _erase_once(self, ids: list[int]) -> None:
         import uuid
 
-        ids = [int(i) for i in vec_ids]
         snap = self._ckpts.snapshot()
         seq = self._ckpts.next_seq()
         uid = uuid.uuid4().hex[:8]
@@ -271,6 +300,9 @@ class IvfIndex:
             self._log.marker(int(batch_id))
         ):
             return False  # replayed epoch: already admitted
+        # takedown ledger (suppression.py): a suppressed id never
+        # re-enters the stored vectors
+        vectors = self.suppression.filter_batch(vectors, id_col)
         cents = self.centroids()
         assigned = assign_buckets(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),

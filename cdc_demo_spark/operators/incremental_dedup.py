@@ -69,6 +69,7 @@ from cdc_demo_spark.storage import (  # noqa: F401  (re-export)
 # those partitions — bytes ∝ |candidate ids| × shard size, FLAT in
 # corpus size (nshards grows with the batch instead of shard size).
 from cdc_demo_spark.operators.compaction import PairsLog, TableCheckpoints
+from cdc_demo_spark.operators.suppression import SuppressionLedger
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -128,6 +129,7 @@ class MinHashIndex:
         self.k, self.num_hashes, self.bands = k, num_hashes, bands
         self.rows = num_hashes // bands
         self.threshold, self.max_bucket = threshold, max_bucket
+        self.suppression = SuppressionLedger(path, backend)
 
     # -- storage ------------------------------------------------------
     # Batch publication delegates to the shared BatchCommitLog
@@ -289,6 +291,9 @@ class MinHashIndex:
         ):
             # replayed epoch: skip the whole build, not just the write
             return self._stored_pairs(int(batch_id))
+        # takedown ledger (suppression.py): a suppressed id never
+        # re-enters probe state or the pairs log as "new" data
+        docs = self.suppression.filter_batch(docs, id_col)
         sh_new = hashed_shingles(docs, id_col, text_col, self.k).cache()
         sigs = minhash_signatures(
             docs, id_col, text_col, self.k, self.num_hashes, shingles_df=sh_new
@@ -498,7 +503,12 @@ class MinHashIndex:
         write_nshards_sidecar(self.backend, dst, ns)
         self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
 
-    def erase(self, doc_ids: list[int]) -> None:
+    def erase(
+        self,
+        doc_ids: list[int],
+        suppress: bool = False,
+        max_attempts: int = 3,
+    ) -> None:
         """Right-to-be-forgotten across the WHOLE index footprint: a
         superseding checkpoint excludes the ids from both state tables
         (buckets + sharded shingles), and the pairs OUTPUT log — which
@@ -506,10 +516,48 @@ class MinHashIndex:
         naming an erased doc (its jaccard against some other document
         is derived personal data).  Never no-ops on freshness; bytes
         leave the filesystem at gc(); epoch markers survive, so stream
-        replays stay skipped and cannot resurrect the ids."""
+        replays stay skipped and cannot resurrect the ids.
+
+        Concurrency (r10 ADVICE): a batch that commits between this
+        call's state snapshot and its claim stays OUTSIDE the
+        superseding checkpoint — left alone it would keep the ids
+        readable and its pairs would land after the cleanse.  The
+        erase therefore VERIFIES after claiming (state + pairs free of
+        the ids) and re-runs against a fresh snapshot until clean,
+        bounded by ``max_attempts``; if racing ingest keeps
+        re-admitting the ids it raises rather than return a lying
+        success.  ``suppress=True`` records the ids in the takedown
+        ledger FIRST (operators/suppression.py), so every append that
+        consults the ledger after the record drops them on entry —
+        the GDPR-complete mode, mirroring silver's record_erased_key;
+        without it a later batch may legitimately re-admit an id (a
+        returning user), which is the documented default."""
+        ids = [int(i) for i in doc_ids]
+        if suppress:
+            self.suppression.record(ids)
+        for _ in range(max_attempts):
+            self._erase_once(ids)
+            if self._erase_verified(ids):
+                return
+        raise RuntimeError(
+            f"erase could not converge after {max_attempts} attempts: "
+            "concurrent ingest keeps re-admitting the ids — quiesce "
+            "appends (or pass suppress=True) and retry"
+        )
+
+    def _erase_verified(self, ids: list[int]) -> bool:
+        """Current state AND pairs log hold nothing naming the ids."""
+        if self.stored_shingles(ids).limit(1).count():
+            return False
+        buckets = self._read("buckets", "id long, band int, bucket long")
+        if buckets.filter(F.col("id").isin(ids)).limit(1).count():
+            return False
+        touched = F.col("id_a").isin(ids) | F.col("id_b").isin(ids)
+        return self.stored_pairs().filter(touched).limit(1).count() == 0
+
+    def _erase_once(self, ids: list[int]) -> None:
         import uuid
 
-        ids = [int(i) for i in doc_ids]
         snap = self._ckpts.snapshot()
         seq = self._ckpts.next_seq()
         uid = uuid.uuid4().hex[:8]

@@ -55,6 +55,7 @@ from cdc_demo_spark.operators.similarity import (
     refine_centroids,
 )
 from cdc_demo_spark.operators.compaction import PairsLog, TableCheckpoints
+from cdc_demo_spark.operators.suppression import SuppressionLedger
 from cdc_demo_spark.operators.shard_layout import (
     n_shards,
     nshards_of,
@@ -173,6 +174,7 @@ class SemanticIndex:
                 )
         self.t_num, self.t_den = t_num, t_den
         self.n_buckets, self.probes, self.refine_iters = n_buckets, probes, refine_iters
+        self.suppression = SuppressionLedger(path, backend)
 
     # -- storage ------------------------------------------------------
 
@@ -343,6 +345,9 @@ class SemanticIndex:
             self._log.marker(int(batch_id))
         ):
             return self._stored_pairs(int(batch_id))
+        # takedown ledger (suppression.py): a suppressed id never
+        # re-enters probe state, tiles, or the pairs log
+        vectors = self.suppression.filter_batch(vectors, id_col)
         base = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).localCheckpoint(eager=True)
@@ -525,18 +530,50 @@ class SemanticIndex:
         )
         self._ckpts.claim(seq, uid, snap.covered | set(snap.fresh))
 
-    def erase(self, ids_to_erase: list[int]) -> None:
-        """Right-to-be-forgotten (same contract as MinHashIndex.erase):
-        a superseding checkpoint excludes the ids from members +
-        quantized (and, in arrow mode, re-packs tiles from the
-        filtered rows — an erased vector's quantized codes leave the
-        tile bytes too, not just the membership), and the pairs OUTPUT
-        log is cleansed in place.  Never no-ops on freshness; physical
-        reclamation happens at gc(); epoch markers survive so stream
-        replays stay skipped."""
+    def erase(
+        self,
+        ids_to_erase: list[int],
+        suppress: bool = False,
+        max_attempts: int = 3,
+    ) -> None:
+        """Right-to-be-forgotten (same contract as MinHashIndex.erase,
+        including its concurrency note — verify after claim, re-run on
+        a racing re-admission, bounded retries; ``suppress=True``
+        records the ids in the takedown ledger first so post-record
+        appends drop them on entry): a superseding checkpoint excludes
+        the ids from members + quantized (and, in arrow mode, re-packs
+        tiles from the filtered rows — an erased vector's quantized
+        codes leave the tile bytes too, not just the membership), and
+        the pairs OUTPUT log is cleansed in place.  Never no-ops on
+        freshness; physical reclamation happens at gc(); epoch markers
+        survive so stream replays stay skipped."""
+        ids = [int(i) for i in ids_to_erase]
+        if suppress:
+            self.suppression.record(ids)
+        for _ in range(max_attempts):
+            self._erase_once(ids)
+            if self._erase_verified(ids):
+                return
+        raise RuntimeError(
+            f"erase could not converge after {max_attempts} attempts: "
+            "concurrent ingest keeps re-admitting the ids — quiesce "
+            "appends (or pass suppress=True) and retry"
+        )
+
+    def _erase_verified(self, ids: list[int]) -> bool:
+        """Current state AND pairs log hold nothing naming the ids."""
+        snap = self._ckpts.snapshot()
+        members = self.spark.read.schema("id long, centroid_id long").parquet(
+            *snap.dirs["members"]
+        )
+        if members.filter(F.col("id").isin(ids)).limit(1).count():
+            return False
+        touched = F.col("id_a").isin(ids) | F.col("id_b").isin(ids)
+        return self.stored_pairs().filter(touched).limit(1).count() == 0
+
+    def _erase_once(self, ids: list[int]) -> None:
         import uuid
 
-        ids = [int(i) for i in ids_to_erase]
         snap = self._ckpts.snapshot()
         seq = self._ckpts.next_seq()
         uid = uuid.uuid4().hex[:8]
