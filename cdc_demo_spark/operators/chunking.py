@@ -25,8 +25,13 @@ def chunk_documents(
 ) -> DataFrame:
     """(id, chunk_id, chunk_text, n_tokens) — windows of `chunk_tokens`
     tokens every `stride` (overlap = chunk_tokens - stride). The final
-    partial window is kept (last chunk may be short but never empty)."""
-    toks = tokens(text_col)
+    partial window is kept (last chunk may be short but never empty).
+
+    The token array materializes in its own projection before the
+    chunk lambda slices it — an inlined split would re-tokenize the
+    document once per chunk (r11 finding; SCALE.md)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     # window starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1))
@@ -41,7 +46,7 @@ def chunk_documents(
             F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
         ),
     )
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(chunks).alias("c")
     ).select(
         id_col,

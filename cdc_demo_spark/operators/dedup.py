@@ -52,10 +52,16 @@ def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def shingle_array(text_col, k: int = 3) -> F.Column:
-    """Distinct k-token shingles of a text column, as an array (per-row,
-    pure codegen — no explode, no shuffle)."""
-    toks = tokens(text_col)
+def shingle_array_of_tokens(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-token shingles from an already-MATERIALIZED token
+    array column (per-row, pure codegen — no explode, no shuffle).
+
+    ``toks`` must be a bound attribute (a column projected in a prior
+    select), never an inline ``split(...)`` expression: a lambda body
+    re-evaluates every embedded expression PER ELEMENT (there is no
+    common-subexpression elimination inside higher-order functions),
+    which turns shingling O(tokens²) per document — the r11 spans
+    finding, 34× measured on long docs (SCALE.md)."""
     n = F.size(toks)
     # Docs shorter than k tokens emit NO shingles (not one truncated
     # shingle): two short docs sharing a partial shingle would otherwise
@@ -67,14 +73,32 @@ def shingle_array(text_col, k: int = 3) -> F.Column:
     return F.array_distinct(sh)
 
 
+def shingle_array(text_col, k: int = 3) -> F.Column:
+    """Distinct k-token shingles of a TEXT column.  Convenience form
+    for single-use/short-text call sites: the split is inlined into
+    the shingle lambda, so it re-tokenizes per position — O(tokens²).
+    Hot paths pre-project the token array and use
+    ``shingle_array_of_tokens`` instead."""
+    return shingle_array_of_tokens(tokens(text_col), k)
+
+
+def _with_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks): the materialization boundary every shingle
+    consumer needs (see shingle_array_of_tokens)."""
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct k-token shingles per document: (id, shingle).
 
     Uniqueness comes from ``array_distinct`` BEFORE the explode — a
     per-row dedup inside codegen; a post-explode ``.distinct()`` would
     be a full shuffle for nothing."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("shingle")
+    return _with_tokens(df, id_col, text_col).select(
+        "id",
+        F.explode(shingle_array_of_tokens(F.col("__toks"), k)).alias("shingle"),
     )
 
 
@@ -92,9 +116,9 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     (a collision would surface as a hash-mismatch row).  Use
     ``shingles`` (strings) only where the shingle TEXT itself is the
     output (e.g. BPE merge candidates, contamination reporting)."""
-    arr = shingle_array(text_col, k)
-    return df.select(
-        F.col(id_col).alias("id"),
+    arr = shingle_array_of_tokens(F.col("__toks"), k)
+    return _with_tokens(df, id_col, text_col).select(
+        "id",
         F.explode(F.transform(arr, lambda s: F.xxhash64(s))).alias("h64"),
     )
 
@@ -282,9 +306,11 @@ def minhash_near_duplicates(
     # cross-shingle hash collision inside a doc), sh explodes it for the
     # signature min-aggregate. Every shuffle carries longs, never text.
     arr = F.array_distinct(
-        F.transform(shingle_array(F.col(text_col), k), lambda s: F.xxhash64(s))
+        F.transform(
+            shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
+        )
     )
-    docs = df.select(F.col(id_col).alias("id"), arr.alias("hs")).cache()
+    docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
     sh = docs.select("id", F.explode("hs").alias("h64"))
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
     cands = lsh_candidate_pairs(sigs, bands, rows)
@@ -484,9 +510,11 @@ def allpairs_jaccard(
     from pyspark.sql import Window
 
     arr = F.array_distinct(
-        F.transform(shingle_array(F.col(text_col), k), lambda s: F.xxhash64(s))
+        F.transform(
+            shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
+        )
     )
-    docs = df.select(F.col(id_col).alias("id"), arr.alias("hs")).cache()
+    docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
     sh = docs.select("id", F.explode("hs").alias("h64"))
     dfreq = sh.groupBy("h64").agg(F.count(F.lit(1)).alias("sh_df"))
     w_rank = Window.partitionBy("id").orderBy("sh_df", "h64")

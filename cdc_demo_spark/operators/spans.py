@@ -53,8 +53,18 @@ def ngram_positions(
     scale path (the wide shuffle carries 8-byte longs instead of
     ~n·word strings; 2⁻⁶⁴-scale collision risk, the same trade the
     hashed-shingle operators document).  Equality of the two paths is
-    pytest-pinned on the planted corpus."""
-    toks = F.split(F.col(text_col), " ")
+    pytest-pinned on the planted corpus.
+
+    The tokens MUST materialize in their own projection before the
+    lambda touches them: an inlined ``split(text)`` is re-evaluated
+    for EVERY element of the transform (no common-subexpression
+    elimination inside higher-order-function lambdas), turning the
+    gram pass O(tokens²) per document — measured 34× slower on
+    5000-token docs (r11 A/B, SCALE.md)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -64,9 +74,17 @@ def ngram_positions(
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
     e = F.explode(grams).alias("g")
     gram = F.xxhash64(F.col("g.gram")) if hashed else F.col("g.gram")
-    return df.select(F.col(id_col).alias("id"), e).select(
+    return base.select("id", e).select(
         "id", F.col("g.pos").alias("pos"), gram.alias("gram")
     )
+
+
+# A gram at or past this many sites routes to the hybrid plan's
+# map-side path instead of the window.  Default sized for the 100 TB
+# shape: a window partition of a few hundred thousand hashed-long
+# rows sorts comfortably in one task; the r11 fixture measured the
+# window plan at 66x its normal cost once ONE gram owned ~25M sites.
+HOT_GRAM_OCC = 200_000
 
 
 def duplicated_positions(
@@ -77,6 +95,7 @@ def duplicated_positions(
     keep_first: bool = False,
     hashed: bool = False,
     plan: str = "window",
+    hot_occ: int = HOT_GRAM_OCC,
 ) -> DataFrame:
     """(id, pos) sites whose gram occurs at >= 2 sites corpus-wide.
     With ``keep_first`` the globally-first site per gram
@@ -98,9 +117,18 @@ def duplicated_positions(
       aggregation collapses a hot gram map-side), then join it back to
       the site rows.  Costs the recomputation above, but the join's
       partitions CAN be split/broadcast by AQE, so it degrades
-      gracefully on skewed corpora.  The 100 TB hybrid — route hot
-      grams to the join plan, cold ones to the window — is documented
-      in SCALE.md; at fixture grains either plan alone is exact.
+      gracefully on skewed corpora.
+    - ``plan="hybrid"`` (the 100 TB shape, promoted r11 after the
+      viral-boilerplate fixture showed the window plan at 66× its
+      normal cost — SCALE.md): ONE gram aggregate finds each gram's
+      occ and global first site (partial aggregation collapses even a
+      corpus-wide gram map-side); grams with occ ≥ ``hot_occ`` are
+      finished ENTIRELY map-side — their sites are duplicated by
+      definition and keep-first compares against the broadcast first
+      site, no shuffle, no straggler — while cold grams take the
+      window pass with every partition now bounded by ``hot_occ``.
+      The broadcast side holds ≤ total_sites / hot_occ grams (a few
+      thousand rows at any real skew).
     """
     g = ngram_positions(df, id_col, text_col, n, hashed)
     if plan == "window":
@@ -129,7 +157,43 @@ def duplicated_positions(
                 (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
             )
         return marked.select("id", "pos")
-    raise ValueError(f"unknown plan {plan!r}; expected 'window' or 'join'")
+    if plan == "hybrid":
+        stats = (
+            g.groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.min(F.struct("id", "pos")).alias("first"),
+            )
+            .filter(F.col("occ") >= 2)
+        )
+        hot = stats.filter(F.col("occ") >= hot_occ)
+        # hot grams: every site is duplicated by definition; keep-first
+        # drops the broadcast first site — all map-side, no shuffle of
+        # the viral mass, no AQE-unsplittable window partition
+        hot_sites = g.join(F.broadcast(hot), "gram")
+        if keep_first:
+            hot_sites = hot_sites.filter(
+                (F.col("id") != F.col("first.id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+        # cold grams: the window plan, with partition size now bounded
+        # by hot_occ (the broadcast anti-join is map-side too)
+        cold = g.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+        w = Window.partitionBy("gram")
+        cold_marked = cold.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("occ"),
+            F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+        ).filter(F.col("occ") >= 2)
+        if keep_first:
+            cold_marked = cold_marked.filter(F.col("rn") > 1)
+        return hot_sites.select("id", "pos").unionByName(
+            cold_marked.select("id", "pos")
+        )
+    raise ValueError(
+        f"unknown plan {plan!r}; expected 'window', 'join', or 'hybrid'"
+    )
 
 
 def duplicated_spans(
@@ -140,13 +204,16 @@ def duplicated_spans(
     keep_first: bool = False,
     hashed: bool = False,
     plan: str = "window",
+    hot_occ: int = HOT_GRAM_OCC,
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start,
     span_end, span_tokens) over 1-based token indices.  A duplicated
     position ``j`` covers tokens [j, j+n-1]; spans merge while the
     next start is inside-or-adjacent to the running span
     (gaps-and-islands: new island iff pos - prev_pos > n)."""
-    dup = duplicated_positions(df, id_col, text_col, n, keep_first, hashed, plan)
+    dup = duplicated_positions(
+        df, id_col, text_col, n, keep_first, hashed, plan, hot_occ
+    )
     wd = Window.partitionBy("id").orderBy("pos")
     island = F.sum(
         F.when(F.col("pos") - F.lag("pos").over(wd) > n, 1).otherwise(0)
@@ -174,6 +241,7 @@ def remove_duplicated_spans(
     n: int = 5,
     hashed: bool = False,
     plan: str = "window",
+    hot_occ: int = HOT_GRAM_OCC,
 ) -> DataFrame:
     """Cut every duplicated passage except its globally-first
     occurrence (Lee et al.'s keep-one policy): tokens covered by any
@@ -187,7 +255,8 @@ def remove_duplicated_spans(
     (idx, token) structs, so order restoration never relies on
     collect_list's nondeterministic ordering)."""
     removable = duplicated_positions(
-        df, id_col, text_col, n, keep_first=True, hashed=hashed, plan=plan
+        df, id_col, text_col, n, keep_first=True, hashed=hashed, plan=plan,
+        hot_occ=hot_occ,
     )
     covered = (
         removable.select(

@@ -132,12 +132,18 @@ def bigram_perplexity(
     grain — broadcast when small, hash-partitioned when not; nothing
     assumes they fit anywhere.  Documents with < 2 tokens have no
     bigrams and drop out."""
-    toks = F.split(F.col(text_col), " ")
+    # token array projected before the bigram lambda touches it — an
+    # inlined split re-evaluates per element (O(tokens²), r11; SCALE.md)
+    tok_docs = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     pair_idx = F.sequence(F.lit(1), F.size(toks) - 1)
     bg = (
-        docs.filter(F.size(toks) >= 2)
+        tok_docs.filter(F.size(toks) >= 2)
         .select(
-            F.col(id_col).alias("id"),
+            "id",
             F.explode(
                 F.transform(
                     pair_idx,
@@ -153,7 +159,7 @@ def bigram_perplexity(
     c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     c1 = c2.groupBy("a").agg(F.sum("c").alias("ctx"))
     vocab = (
-        docs.select(F.explode(toks).alias("w"))
+        tok_docs.select(F.explode(toks).alias("w"))
         .agg(F.countDistinct("w").cast("double").alias("v"))
     )
     logp = F.log((F.col("c") + F.lit(k)) / (F.col("ctx") + F.lit(k) * F.col("v")))

@@ -397,13 +397,16 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     are counted, not distinct pairs per doc — that is what BPE
     frequency means."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # projected token array: an inline split in the lambda body would
+    # re-tokenize per element (O(tokens^2), r11 finding; SCALE.md)
+    tok_docs = docs.select(F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     pair_arr = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
     )
     return (
-        docs.filter(F.size(toks) >= 2)
+        tok_docs.filter(F.size(toks) >= 2)
         .select(F.explode(pair_arr).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -449,13 +452,24 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (500 rows per 500 docs — at 100 TB you'd ntile per shard or use
     approx quantile cutpoints instead; this query pins the exact
     semantics those approximations are judged against)."""
-    from cdc_demo_spark.operators.dedup import shingle_array
+    from cdc_demo_spark.operators.dedup import shingle_array_of_tokens
+    from cdc_demo_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # both token arrays projected before any lambda touches them (r11)
+    tok_docs = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split("text", " ").alias("__t1"),
+        tokens(F.col("text")).alias("__t2"),
+    )
+    toks = F.col("__t1")
     total = (F.size(toks) - 1).cast("long")
-    rep = F.lit(1.0) - F.size(shingle_array(F.col("text"), 2)).cast("double") / total
-    scored = docs.filter(F.size(toks) >= 2).select(
+    rep = (
+        F.lit(1.0)
+        - F.size(shingle_array_of_tokens(F.col("__t2"), 2)).cast("double") / total
+    )
+    scored = tok_docs.filter(F.size(toks) >= 2).select(
         "doc_id", "n_chars", rep.alias("rep")
     )
     bucketed = scored.select(

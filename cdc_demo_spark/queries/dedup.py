@@ -553,8 +553,12 @@ def q_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than 3 tokens emit no rows (the shingle contract,
     operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
-    sh_rows = docs.select(
+    # single-space split, exact parity with the oracle's string_split —
+    # PROJECTED before the lambda (inline split re-evaluates per
+    # element: O(tokens^2), the r11 spans finding; SCALE.md)
+    tok_docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    sh_rows = tok_docs.select(
         "doc_id",
         F.explode(
             F.when(
@@ -653,8 +657,12 @@ def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     No skew guard in this twin (the xxhash64 production path keeps
     max_bucket; at 500 docs the guard never trips anyway)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
-    sh_rows = docs.select(
+    # single-space split, exact parity with the oracle's string_split —
+    # PROJECTED before the lambda (inline split re-evaluates per
+    # element: O(tokens^2), the r11 spans finding; SCALE.md)
+    tok_docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    sh_rows = tok_docs.select(
         "doc_id",
         F.explode(
             F.when(
@@ -771,8 +779,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence.  String shingles keep the oracle engine-portable;
     the xxhash64 operators stay the production path."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
-    s = docs.select(
+    # single-space split, projected before the lambda (see above twins)
+    tok_docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    s = tok_docs.select(
         "doc_id",
         F.explode(
             F.when(

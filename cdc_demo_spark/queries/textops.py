@@ -440,14 +440,21 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-bigram ratio per document (1 - distinct/total bigrams) —
     the standard boilerplate/spam signal in corpus quality filtering.
     Pure per-row codegen (array ops), no shuffle at all."""
-    from cdc_demo_spark.operators.dedup import shingle_array
+    from cdc_demo_spark.operators.dedup import shingle_array_of_tokens
+    from cdc_demo_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token arrays projected before the shingle lambda (r11; SCALE.md)
+    tok_docs = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("__t1"),
+        tokens(F.col("text")).alias("__t2"),
+    )
+    toks = F.col("__t1")
     total = (F.size(toks) - 1).cast("long")
-    dist = F.size(shingle_array(F.col("text"), 2))
+    dist = F.size(shingle_array_of_tokens(F.col("__t2"), 2))
     return (
-        docs.filter(F.size(toks) >= 2)
+        tok_docs.filter(F.size(toks) >= 2)
         .select(
             "doc_id",
             total.alias("n_bigrams"),
@@ -623,8 +630,11 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hash (here grams stay strings for oracle portability; the
     production variant would xxhash64 them like the shingle ops)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")  # single-space: exact parity with the oracle's string_split
-    g = docs.select(
+    # single-space split, projected before the lambda (inline split
+    # re-evaluates per element: O(tokens^2), r11 finding; SCALE.md)
+    tok_docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    g = tok_docs.select(
         "doc_id",
         F.explode(
             F.when(

@@ -67,11 +67,21 @@ def test_positions_equal_reference_both_plans(spark, docs):
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
     for keep_first in (False, True):
         want = _ref_sites(docs, keep_first)
-        for plan in ("window", "join"):
+        # hybrid at hot_occ=2 routes EVERY duplicated gram map-side; at
+        # 3 it mixes hot and cold paths inside one result (the dense
+        # 5-word vocabulary guarantees both occur across draws)
+        for plan, hot_occ in (
+            ("window", None),
+            ("join", None),
+            ("hybrid", 2),
+            ("hybrid", 3),
+        ):
+            kw = {"hot_occ": hot_occ} if hot_occ is not None else {}
             got = {
                 (r["id"], r["pos"])
                 for r in duplicated_positions(
-                    df, "doc_id", "text", n=N, keep_first=keep_first, plan=plan
+                    df, "doc_id", "text", n=N, keep_first=keep_first, plan=plan,
+                    **kw,
                 ).collect()
             }
             assert got == want, f"plan={plan} keep_first={keep_first}"
