@@ -193,8 +193,12 @@ class IvfIndex:
         """Reclaim covered batch dirs and superseded checkpoints; with
         a TTL, also crashed appenders' staged dirs and rival same-seq
         checkpoint dirs (operators/compaction.py holds the contract:
-        markers stay, quiesce before gc)."""
-        return self._ckpts.gc(orphan_ttl_seconds)
+        markers stay, quiesce before gc).  The TTL arm also sweeps
+        crashed appenders' stale intent fences."""
+        removed = self._ckpts.gc(orphan_ttl_seconds)
+        if orphan_ttl_seconds is not None:
+            removed += self._log.sweep_stale_intents(orphan_ttl_seconds)
+        return removed
 
     def erase(
         self,
@@ -222,6 +226,11 @@ class IvfIndex:
         ids = [int(i) for i in vec_ids]
         if suppress:
             self.suppression.record(ids)
+            # Drain the append-intent fence: an append that read the
+            # ledger before the record could commit after the verify
+            # loop with zero footprint visible here — see
+            # MinHashIndex.erase for the full argument.
+            self._log.wait_intents_drained(self._log.live_intents())
         for _ in range(max_attempts):
             self._erase_once(ids)
             if not self._vectors().filter(
@@ -300,16 +309,27 @@ class IvfIndex:
             self._log.marker(int(batch_id))
         ):
             return False  # replayed epoch: already admitted
-        # takedown ledger (suppression.py): a suppressed id never
-        # re-enters the stored vectors
-        vectors = self.suppression.filter_batch(vectors, id_col)
-        cents = self.centroids()
-        assigned = assign_buckets(
-            vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-            cents,
-        )
-        self._write_batch(assigned, batch_id)
-        return True
+        # Append-intent fence (storage.py): published BEFORE the
+        # suppression-ledger read, closed after the commit — lets
+        # erase(suppress=True) drain pre-record appends before
+        # trusting its verify pass.
+        intent = self._log.open_intent()
+        try:
+            # takedown ledger (suppression.py): a suppressed id never
+            # re-enters the stored vectors
+            vectors = self.suppression.filter_batch(vectors, id_col)
+            cents = self.centroids()
+            assigned = assign_buckets(
+                vectors.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                ),
+                cents,
+            )
+            self._write_batch(assigned, batch_id)
+            return True
+        finally:
+            self._log.close_intent(intent)
 
     def centroid_drift(
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"

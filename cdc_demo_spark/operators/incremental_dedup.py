@@ -291,6 +291,29 @@ class MinHashIndex:
         ):
             # replayed epoch: skip the whole build, not just the write
             return self._stored_pairs(int(batch_id))
+        # Append-intent fence (storage.py): published BEFORE the
+        # suppression-ledger read, closed after the commit on every
+        # exit path.  A racing erase(suppress=True) drains the intents
+        # it observed at record() time before trusting its verify, so
+        # an append whose ledger read predates the record can never
+        # claim its marker after the erase reported success.
+        intent = self._log.open_intent()
+        try:
+            return self._probe_and_admit(
+                docs, id_col, text_col, batch_id, persist_pairs
+            )
+        finally:
+            self._log.close_intent(intent)
+
+    def _probe_and_admit(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None,
+        persist_pairs: bool,
+    ) -> DataFrame:
+        """append_batch's body past the intent fence — see its doc."""
         # takedown ledger (suppression.py): a suppressed id never
         # re-enters probe state or the pairs log as "new" data
         docs = self.suppression.filter_batch(docs, id_col)
@@ -535,6 +558,16 @@ class MinHashIndex:
         ids = [int(i) for i in doc_ids]
         if suppress:
             self.suppression.record(ids)
+            # Drain the append-intent fence (storage.py): an append
+            # that read the ledger BEFORE the record above could have
+            # had zero filesystem footprint at record() time and
+            # commit AFTER the verify loop below — re-admitting the
+            # ids while this call reports success.  Every append that
+            # survives the drain opened its intent after the record,
+            # so its ledger read dropped the ids on entry.  Raises
+            # (loud, no lying success) if a pre-record append stays
+            # in flight past the timeout.
+            self._log.wait_intents_drained(self._log.live_intents())
         for _ in range(max_attempts):
             self._erase_once(ids)
             if self._erase_verified(ids):
@@ -592,6 +625,7 @@ class MinHashIndex:
         removed = self._ckpts.gc(orphan_ttl_seconds)
         if orphan_ttl_seconds is not None:
             removed += self._pairs_log.sweep_orphans(orphan_ttl_seconds)
+            removed += self._log.sweep_stale_intents(orphan_ttl_seconds)
         return removed
 
 

@@ -345,6 +345,27 @@ class SemanticIndex:
             self._log.marker(int(batch_id))
         ):
             return self._stored_pairs(int(batch_id))
+        # Append-intent fence (storage.py): published BEFORE the
+        # suppression-ledger read, closed after the commit on every
+        # exit path — lets erase(suppress=True) drain pre-record
+        # appends before trusting its verify pass.
+        intent = self._log.open_intent()
+        try:
+            return self._probe_and_admit(
+                vectors, id_col, vec_col, batch_id, persist_pairs
+            )
+        finally:
+            self._log.close_intent(intent)
+
+    def _probe_and_admit(
+        self,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        batch_id: int | None,
+        persist_pairs: bool,
+    ) -> DataFrame:
+        """append_batch's body past the intent fence — see its doc."""
         # takedown ledger (suppression.py): a suppressed id never
         # re-enters probe state, tiles, or the pairs log
         vectors = self.suppression.filter_batch(vectors, id_col)
@@ -550,6 +571,11 @@ class SemanticIndex:
         ids = [int(i) for i in ids_to_erase]
         if suppress:
             self.suppression.record(ids)
+            # Drain the append-intent fence: an append that read the
+            # ledger before the record could commit after the verify
+            # loop with zero footprint visible here — see
+            # MinHashIndex.erase for the full argument.
+            self._log.wait_intents_drained(self._log.live_intents())
         for _ in range(max_attempts):
             self._erase_once(ids)
             if self._erase_verified(ids):
@@ -622,6 +648,7 @@ class SemanticIndex:
         removed = self._ckpts.gc(orphan_ttl_seconds)
         if orphan_ttl_seconds is not None:
             removed += self._pairs_log.sweep_orphans(orphan_ttl_seconds)
+            removed += self._log.sweep_stale_intents(orphan_ttl_seconds)
         return removed
 
     def centroid_drift(

@@ -128,7 +128,20 @@ def duplicated_positions(
       site, no shuffle, no straggler — while cold grams take the
       window pass with every partition now bounded by ``hot_occ``.
       The broadcast side holds ≤ total_sites / hot_occ grams (a few
-      thousand rows at any real skew).
+      thousand rows at any real skew).  The explode `g` is pinned
+      (lazy localCheckpoint) so its three consumers — stats aggregate,
+      hot join, cold anti-join — tokenize once, not three times
+      (r11 ADVICE).
+    - ``plan="auto"``: route window↔hybrid on the corpus's measured
+      skew, so a 100 TB caller doesn't need to know HOT_GRAM_OCC.  The
+      hybrid's own gram aggregate doubles as the probe: max(occ) is
+      one scalar off a partial-aggregated pass over the persisted g
+      (no second tokenize).  Below ``hot_occ`` the window plan is
+      provably safe (every partition < hot_occ rows) and runs over the
+      same persisted g; at or past it, the hybrid finishes the viral
+      grams map-side.  Static ``window`` stays the default: auto pays
+      the persist + one aggregate read even on unskewed corpora
+      (measured cost in SCALE.md).
     """
     g = ngram_positions(df, id_col, text_col, n, hashed)
     if plan == "window":
@@ -157,7 +170,14 @@ def duplicated_positions(
                 (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
             )
         return marked.select("id", "pos")
-    if plan == "hybrid":
+    if plan in ("hybrid", "auto"):
+        # Three consumers read g below (stats aggregate, hot broadcast
+        # join, cold anti-join); without the pin each re-runs the
+        # tokenize/explode pass — the most expensive stage at the
+        # 100 TB shape this plan targets (r11 ADVICE).  Lazy local
+        # checkpoint: materialized once at the first action, then all
+        # consumers read the stored rows; the API stays lazy.
+        g = g.localCheckpoint(eager=False)
         stats = (
             g.groupBy("gram")
             .agg(
@@ -166,6 +186,26 @@ def duplicated_positions(
             )
             .filter(F.col("occ") >= 2)
         )
+        if plan == "auto":
+            # Route on the corpus's actual skew: the gram aggregate is
+            # the probe (partial aggregation collapses even a viral
+            # gram map-side, so max(occ) is one cheap scalar over the
+            # persisted g — no extra tokenize).  Below the hot bound
+            # every window partition is provably small: fall through
+            # to the window plan over the SAME persisted g.
+            stats = stats.localCheckpoint(eager=False)
+            row = stats.agg(F.max("occ").alias("mx")).first()
+            if row is None or row["mx"] is None or row["mx"] < hot_occ:
+                w = Window.partitionBy("gram")
+                marked = g.select(
+                    "id",
+                    "pos",
+                    F.count(F.lit(1)).over(w).alias("occ"),
+                    F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+                ).filter(F.col("occ") >= 2)
+                if keep_first:
+                    marked = marked.filter(F.col("rn") > 1)
+                return marked.select("id", "pos")
         hot = stats.filter(F.col("occ") >= hot_occ)
         # hot grams: every site is duplicated by definition; keep-first
         # drops the broadcast first site — all map-side, no shuffle of
@@ -192,7 +232,8 @@ def duplicated_positions(
             cold_marked.select("id", "pos")
         )
     raise ValueError(
-        f"unknown plan {plan!r}; expected 'window', 'join', or 'hybrid'"
+        f"unknown plan {plan!r}; expected 'window', 'join', 'hybrid', "
+        "or 'auto'"
     )
 
 

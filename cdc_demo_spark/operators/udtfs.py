@@ -66,7 +66,11 @@ def window_spans_df(docs: DataFrame, size: int, stride: int) -> DataFrame:
     """JVM fast path: the same expansion as pure array algebra —
     sequence of starts → transform to (id, start, slice) structs →
     explode.  Stays in codegen; no Python workers."""
-    toks = F.split(F.col("text"), " ")
+    # tokens materialized in their own projection BEFORE the lambda
+    # slices them (r11 HOF-lambda rule: an inlined split re-evaluates
+    # per window, O(tokens²/stride) per doc; found by the r12 lint)
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(int(stride))
     )
@@ -79,7 +83,7 @@ def window_spans_df(docs: DataFrame, size: int, stride: int) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(spans).alias("w"))
+        base.select("doc_id", F.explode(spans).alias("w"))
         .select(
             "doc_id",
             F.col("w.win_id"),

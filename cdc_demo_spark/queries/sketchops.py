@@ -42,12 +42,18 @@ def _string_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     tokenized for exact parity with the oracle's string_split (the
     production paths hash shingles — operators/dedup.hashed_shingles;
     sketches need the portable string so DuckDB can re-hash it)."""
-    toks = F.split(F.col("text"), " ")
+    # tokens materialized in their own projection BEFORE the lambda
+    # slices them — an inlined split is re-evaluated per element (no
+    # CSE in HOF lambdas), i.e. O(tokens²) per doc; this was the r11
+    # engine-wide fix, and this site was found by the r12 lint
+    # (tools/lint_hof_lambdas.py)
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
     idx = F.when(F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
     arr = F.array_distinct(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k))))
-    return docs.select("doc_id", F.explode(arr).alias("sh"))
+    return base.select("doc_id", F.explode(arr).alias("sh"))
 
 
 # The oracle's shingle CTEs, shared by both bloom stages.

@@ -416,6 +416,11 @@ class BatchCommitLog:
     def __init__(self, path: str, backend: CommitBackend = DEFAULT_BACKEND) -> None:
         self.path = path
         self.backend = backend
+        # intent-fence knobs (see the fence block below); instance
+        # attributes so a deployment with hour-long appends can raise
+        # them without threading kwargs through every erase() caller
+        self.intent_timeout_seconds = 300.0
+        self.intent_stale_ttl_seconds = 3600.0
 
     def marker(self, n: int) -> str:
         return os.path.join(self.path, "commits", str(n))
@@ -480,6 +485,115 @@ class BatchCommitLog:
                 f"{what} {n} at {self.path} was committed by another writer; "
                 "this append's staged dirs are unreferenced — retry"
             )
+
+    # -- append-intent fence (suppress-mode erase ordering) -------------
+    #
+    # erase(suppress=True) on the pair indexes records ids in the
+    # suppression ledger, erases, then VERIFIES — but an append that
+    # read the ledger BEFORE the record and claims its marker AFTER the
+    # final verify re-admits the ids permanently while erase() reports
+    # success (such an appender may have zero filesystem footprint at
+    # record() time, so no marker/dir scan can see it).  The fence
+    # closes that window: every append publishes an intent marker
+    # BEFORE its ledger read and deletes it after claim; a suppress
+    # erase snapshots the live intents right after record() and drains
+    # exactly that set before trusting its verify.  Any append that
+    # commits after the drain opened its intent after the record, so
+    # its ledger read saw the suppressed ids and dropped them on entry.
+
+    def _intents_dir(self) -> str:
+        return os.path.join(self.path, "intents")
+
+    def open_intent(self) -> str:
+        """Publish this appender's ledger-read fence.  MUST be called
+        before the append consults the suppression ledger; paired with
+        close_intent in a finally so no exit path leaks it."""
+        import time
+        import uuid
+
+        p = os.path.join(self._intents_dir(), f"intent-{uuid.uuid4().hex}")
+        self.backend.put_if_absent(p, repr(time.time()).encode())
+        return p
+
+    def close_intent(self, intent: str) -> None:
+        try:
+            self.backend.delete(intent)
+        except OSError:
+            pass  # backend lost it (ephemeral store) — drain treats as closed
+
+    def live_intents(self) -> set[str]:
+        d = self._intents_dir()
+        return {
+            os.path.join(d, n)
+            for n in self.backend.list_dir(d)
+            if n.startswith("intent-")
+        }
+
+    def sweep_stale_intents(self, older_than_seconds: float) -> list[str]:
+        """Delete intents whose recorded open-timestamp is older than
+        the horizon — crashed appenders that died between open_intent
+        and close_intent.  Same safety argument as orphan_batch_dirs:
+        callers pick a bound above their longest append, so a live
+        appender's fence is never swept."""
+        import time
+
+        removed = []
+        for p in sorted(self.live_intents()):
+            try:
+                opened = float(self.backend.read(p).decode())
+            except (OSError, ValueError):
+                continue  # vanished mid-read or corrupt: leave for next sweep
+            if time.time() - opened >= older_than_seconds:
+                self.close_intent(p)
+                removed.append(p)
+        return removed
+
+    def wait_intents_drained(
+        self,
+        observed: set[str],
+        timeout_seconds: float | None = None,
+        stale_ttl_seconds: float | None = None,
+        poll_seconds: float = 0.2,
+    ) -> None:
+        """Block until every intent in `observed` is closed or stale.
+
+        Stale = the intent's recorded open-timestamp is older than
+        ``stale_ttl_seconds`` — a crashed appender that died between
+        open and close (the same age-horizon idiom as
+        orphan_batch_dirs: callers pick a TTL comfortably above their
+        longest append, so no LIVE appender is ever skipped).  Raises
+        after ``timeout_seconds`` rather than return a lying success —
+        a wedged pre-record appender means the erase CANNOT be trusted
+        yet."""
+        import time
+
+        if timeout_seconds is None:
+            timeout_seconds = self.intent_timeout_seconds
+        if stale_ttl_seconds is None:
+            stale_ttl_seconds = self.intent_stale_ttl_seconds
+        deadline = time.monotonic() + timeout_seconds
+        pending = set(observed)
+        while pending:
+            pending &= self.live_intents()
+            still = set()
+            for p in pending:
+                try:
+                    opened = float(self.backend.read(p).decode())
+                except (OSError, ValueError):
+                    continue  # vanished or corrupt mid-read: closed/dead
+                if time.time() - opened < stale_ttl_seconds:
+                    still.add(p)
+            pending = still
+            if not pending:
+                return
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"{len(pending)} append intent(s) at {self._intents_dir()} "
+                    "did not drain: an append that read the suppression "
+                    "ledger before this takedown is still in flight — "
+                    "quiesce appends or raise the timeout, then retry erase"
+                )
+            time.sleep(poll_seconds)
 
     def orphan_batch_dirs(self, table: str, older_than_seconds: float) -> list[str]:
         """Staged ``batch=<n>-<uid>`` dirs of `table` that no marker

@@ -276,7 +276,16 @@ def _referenced_dirs(silver_path: str, backend: CommitBackend) -> set[str]:
     if backend.exists(legacy):
         manifests.append(legacy)
     for path in manifests:
-        m = json.loads(backend.read(path))
+        try:
+            m = json.loads(backend.read(path))
+        except (OSError, ValueError):
+            # A concurrent vacuum/trim deleted this manifest between
+            # our listing and the read (r11 ADVICE: without the guard
+            # a SUCCESSFUL merge raised FileNotFoundError from its
+            # post-commit trim, tempting the caller to re-apply the
+            # batch).  A vanished manifest references nothing we must
+            # protect beyond what the survivors reference.
+            continue
         for b, ver in m.get("buckets", {}).items():
             refs.add(os.path.join(silver_path, "data", f"b{b}", ver))
     return refs

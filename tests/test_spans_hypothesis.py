@@ -69,12 +69,16 @@ def test_positions_equal_reference_both_plans(spark, docs):
         want = _ref_sites(docs, keep_first)
         # hybrid at hot_occ=2 routes EVERY duplicated gram map-side; at
         # 3 it mixes hot and cold paths inside one result (the dense
-        # 5-word vocabulary guarantees both occur across draws)
+        # 5-word vocabulary guarantees both occur across draws); auto
+        # at 3 exercises the probe's hybrid route, auto at a huge bound
+        # exercises its fall-through to the window over persisted g
         for plan, hot_occ in (
             ("window", None),
             ("join", None),
             ("hybrid", 2),
             ("hybrid", 3),
+            ("auto", 3),
+            ("auto", 10**9),
         ):
             kw = {"hot_occ": hot_occ} if hot_occ is not None else {}
             got = {

@@ -129,3 +129,129 @@ def test_ivf_suppress_blocks_readmission(spark, tmp_path):
     ids = {r["vec_id"] for r in idx._vectors().select("vec_id").distinct().collect()}
     assert not (set(victims) & ids)
     assert 270 in ids
+
+
+# -- append-intent fence (r11 ADVICE: the pre-record re-admission
+# window) -------------------------------------------------------------
+#
+# An append that read the suppression ledger BEFORE erase's record()
+# but claimed its marker AFTER the final verify pass re-admitted the
+# erased ids permanently while erase() reported success.  The fence
+# (storage.BatchCommitLog.open_intent / wait_intents_drained) makes
+# suppress-mode erase drain exactly the intents live at record() time.
+
+
+def test_intent_fence_unit(tmp_path):
+    from cdc_demo_spark.storage import BatchCommitLog
+
+    log = BatchCommitLog(str(tmp_path / "idx"))
+    assert log.live_intents() == set()
+    p = log.open_intent()
+    assert log.live_intents() == {p}
+    # an already-closed intent drains immediately
+    log.close_intent(p)
+    log.wait_intents_drained({p}, timeout_seconds=1.0)
+    # close is idempotent
+    log.close_intent(p)
+
+
+def test_intent_fence_timeout_raises(tmp_path):
+    import pytest
+
+    from cdc_demo_spark.storage import BatchCommitLog
+
+    log = BatchCommitLog(str(tmp_path / "idx"))
+    p = log.open_intent()
+    with pytest.raises(RuntimeError, match="did not drain"):
+        log.wait_intents_drained({p}, timeout_seconds=0.5)
+    log.close_intent(p)
+
+
+def test_intent_fence_stale_intent_is_dead(tmp_path):
+    import time
+
+    from cdc_demo_spark.storage import BatchCommitLog
+
+    log = BatchCommitLog(str(tmp_path / "idx"))
+    p = log.open_intent()
+    # a crashed appender: rewrite the open-timestamp two hours back
+    with open(p, "w") as f:
+        f.write(repr(time.time() - 7200))
+    # default stale TTL is 3600s -> treated dead, drain returns
+    log.wait_intents_drained({p}, timeout_seconds=1.0)
+    # and gc's sweep removes the corpse
+    assert log.sweep_stale_intents(3600.0) == [p]
+    assert log.live_intents() == set()
+
+
+def test_append_leaves_no_intent_behind(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.1)
+    idx.append_batch(_docs(spark, range(10)))
+    assert idx._log.live_intents() == set()
+    # epoch-replay skip path exits before the fence opens
+    idx2 = MinHashIndex(spark, str(tmp_path / "mh2"), k=3, threshold=0.1)
+    idx2.append_batch(_docs(spark, range(5)), batch_id=0)
+    idx2.append_batch(_docs(spark, range(5)), batch_id=0)  # replay: skipped
+    assert idx2._log.live_intents() == set()
+
+
+def test_suppress_erase_drains_prerecord_append(spark, tmp_path):
+    """The full race, deterministically: an append whose ledger read
+    predates record() commits the victim AFTER record but BEFORE the
+    erase's verify would have run.  The fence forces the erase to wait
+    for that append's intent; once drained, its snapshot/verify loop
+    sees the committed rows and purges them."""
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.1)
+    idx.append_batch(_docs(spark, range(30)))
+    victims = [3]
+
+    # the in-flight appender: fence opened + ledger read already done
+    # (ledger is empty at this point, so the read kept the victim)
+    rival = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.1)
+    inflight_intent = rival._log.open_intent()
+    rival.suppression.filter_batch(_docs(spark, victims, salt="race"), "doc_id")
+
+    orig_wait = idx._log.wait_intents_drained
+    state = {"committed": False}
+
+    def commit_rival_then_wait(observed, **kw):
+        # the rival claims its marker while erase is blocked on the
+        # fence — its ledger read happened pre-record, so simulate
+        # that by bypassing the (now-populated) ledger re-read
+        orig_filter = rival.suppression.filter_batch
+        rival.suppression.filter_batch = lambda df, c: df
+        try:
+            rival.append_batch(_docs(spark, victims, salt="race"))
+        finally:
+            rival.suppression.filter_batch = orig_filter
+        rival._log.close_intent(inflight_intent)
+        state["committed"] = True
+        return orig_wait(observed, timeout_seconds=10.0)
+
+    idx._log.wait_intents_drained = commit_rival_then_wait
+    try:
+        idx.erase(victims, suppress=True)
+    finally:
+        idx._log.wait_intents_drained = orig_wait
+    assert state["committed"], "the race must have actually run"
+    # the erase's post-drain pass purged the re-admitted rows
+    assert idx.stored_shingles(victims).count() == 0
+    buckets = idx._read("buckets", "id long, band int, bucket long")
+    assert buckets.filter(F.col("id").isin(victims)).count() == 0
+
+
+def test_suppress_erase_times_out_on_wedged_append(spark, tmp_path):
+    import pytest
+
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.1)
+    idx.append_batch(_docs(spark, range(10)))
+    idx._log.intent_timeout_seconds = 0.5
+    wedged = idx._log.open_intent()
+    try:
+        with pytest.raises(RuntimeError, match="did not drain"):
+            idx.erase([2], suppress=True)
+    finally:
+        idx._log.close_intent(wedged)
+    # non-suppress erase never touches the fence
+    idx.erase([2])
+    assert idx.stored_shingles([2]).count() == 0

@@ -96,15 +96,24 @@ def lanes() -> tuple[list[str], list[str]]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lane", choices=["A", "B"], default=None)
-    ap.add_argument("--cores", type=int, default=14)
+    ap.add_argument(
+        "--cores",
+        type=int,
+        default=14,
+        help="TOTAL cores to spend; split across however many lanes run",
+    )
     args = ap.parse_args()
     lane_a, lane_b = lanes()
     jobs = {"A": lane_a, "B": lane_b}
     run = [args.lane] if args.lane else ["A", "B"]
+    # split the budget across concurrent lanes (r11 ADVICE: both lanes
+    # getting the full default oversubscribed the host 2x and skewed
+    # any timing captured during the run)
+    per_lane = max(1, args.cores // len(run))
     procs = {}
     t0 = time.time()
     for name in run:
-        env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{args.cores}]")
+        env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{per_lane}]")
         cmd = [sys.executable, "-m", "pytest", "-q", *(
             os.path.join("tests", f) for f in jobs[name]
         )]
