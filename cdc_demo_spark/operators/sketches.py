@@ -376,3 +376,133 @@ def histogram_quantiles(
         # scalar double math is bit-identical across engines as-is
         .select("q", est_checked.alias("est"))
     )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """HyperLogLog registers as a DataFrame: one row per (group, bucket)
+    with ``reg`` = max rank (Flajolet et al. AofA'07) — the sketch AS A
+    TABLE, so coarser rollup grains merge with ``groupBy(bucket).max``
+    instead of rescanning the fact table, and the whole construction is
+    value-exact oracle-checkable (the house md5 scheme: 15 hex chars →
+    60-bit BIGINT, identical in DuckDB).
+
+    Layout: top ``p`` hash bits pick the bucket, the remaining
+    ``q = 60 - p`` bits feed the rank: ``rho = (#leading zeros) + 1 =
+    q + 1 - floor(log2(rem)) - 1 + 1`` computed exactly via
+    ``length(bin(rem))`` (both engines print minimal binary), rem == 0
+    → q + 1.  Absent (group, bucket) rows ARE register 0 — the
+    estimator reconstructs them from the bucket count, so sketch state
+    is O(occupied buckets) per group, never a dense m-vector shuffle.
+
+    ``spark.sql.ansi.enabled`` safe: every shift/mask operand is a
+    bounded positive literal."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be 4..16, got {p}")
+    q = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = h.bitwiseAND(F.lit((1 << q) - 1).cast("long"))
+    rho = F.when(rem == 0, F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, q).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = 10, est_col: str = "est"
+) -> DataFrame:
+    """Cardinality estimate from ``hll_registers`` output, bit-exact
+    across engines: the harmonic mean ``sum(2^-reg)`` is integer-scaled
+    by 2^(q+1) so the sum is an EXACT int64 (reg <= q+1 and <= 2^p
+    buckets → sum <= 2^(p+q+1) = 2^61; parallel sum order can't change
+    it), and the only non-exact steps are one IEEE division (raw
+    estimate) and — on the small-range branch — one ``ln`` (linear
+    counting, Flajolet's correction), rounded at 1e-6.  The branch
+    predicate itself compares exact values, so both engines take the
+    same branch."""
+    q = 60 - p
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # numerator alpha * m^2, pre-scaled by the same 2^(q+1) as the sum:
+    # one Python-double constant, embedded identically in the oracle
+    num = alpha * m * m * float(1 << (q + 1))
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q + 1} - reg)")).alias(
+            "wsum_present"
+        ),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    zeros = (F.lit(m) - F.col("nb")).cast("long")
+    wsum = F.col("wsum_present") + zeros * F.lit(1 << (q + 1)).cast("long")
+    raw = F.lit(num) / wsum.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias(est_col))
+
+
+def hll_oracle_sql(
+    fact_sql: str, group_col: str, value_col: str, p: int = 10
+) -> str:
+    """DuckDB twin of hll_registers → rollup → hll_estimate for one
+    grouping column plus a merged 'ALL' scope (shared by the query
+    registration so the constants can never drift from the Spark
+    path)."""
+    q = 60 - p
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << (q + 1))
+    rem = f"(hv & ((CAST(1 AS BIGINT) << {q}) - 1))"
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         CAST('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM {fact_sql}
+  WHERE {value_col} IS NOT NULL
+),
+r AS (
+  SELECT {group_col}, hv >> {q} AS bucket,
+         MAX(CASE WHEN {rem} = 0 THEN {q + 1}
+                  ELSE {q + 1} - length(bin({rem})) END) AS reg
+  FROM h GROUP BY 1, 2
+),
+scoped AS (
+  SELECT 'type:' || {group_col} AS scope, bucket, reg FROM r
+  UNION ALL
+  SELECT 'ALL' AS scope, bucket, MAX(reg) AS reg FROM r GROUP BY 1, 2
+),
+agg AS (
+  SELECT scope,
+         SUM(CAST(1 AS BIGINT) << ({q + 1} - reg)) AS wsum_present,
+         COUNT(*) AS nb
+  FROM scoped GROUP BY scope
+),
+e AS (
+  SELECT scope,
+         {num!r} / CAST(wsum_present
+                        + ({m} - nb) * (CAST(1 AS BIGINT) << {q + 1})
+                        AS DOUBLE) AS raw,
+         {m} - nb AS zeros
+  FROM agg
+)
+SELECT scope,
+       round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 6) AS est_users
+FROM e
+ORDER BY scope
+"""

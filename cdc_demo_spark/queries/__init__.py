@@ -40,71 +40,67 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-11 window head: computed by tools/window_staleness.py from
-    # the CORRECTNESS_r01..r10 union.  Capacity math (50 slots):
-    #   1  q_ivfpq_topk — the ONLY registry entry with zero driver
-    #      trail (VERDICT r10 "What's wrong" #2) — at the head;
-    #   46 ALL remaining r8-stale oracle queries — after this capture
-    #      no oracle record predates r9 (VERDICT r10 next-round #2);
-    #   3  rows-only refreshes from the r5-stale set (VERDICT r10
-    #      next-round #3) — the ANN family (q_ann_ivf_topk, q_pq_topk,
-    #      q_semantic_dedup_ann), giving the similarity rows-only
-    #      queries a complete fresh trail alongside q_ivfpq_topk.
-    # The verdict asked for >=5 rows-only refreshes AND all 46 r8
-    # refreshes AND q_ivfpq_topk = 52 demands on a 50-slot window; the
-    # hard oracle census wins the tie-break, 4 rows-only entries run
-    # this window, and the remaining 11 r5-stale rows-only queries are
-    # queued as the r12 head (ROUND_NOTES records the arithmetic).
-    "q_ivfpq_topk",
-    "q_collect_names",
-    "q_cosine_topk",
-    "q_count_distinct",
-    "q_countmin_heavy_hitters",
-    "q_cross_join",
-    "q_cube",
-    "q_curriculum_buckets",
-    "q_date_functions",
-    "q_dedup_clusters",
-    "q_duplicated_spans",
-    "q_except",
-    "q_filter_predicates",
-    "q_full_outer_join",
-    "q_fuzzy_name_pairs_d2",
-    "q_grouped_median",
-    "q_having",
-    "q_histogram_quantiles",
-    "q_incremental_bloom",
-    "q_incremental_countmin",
-    "q_intersect",
-    "q_json_extract",
-    "q_lag_lead",
-    "q_latest_order_per_customer",
-    "q_moment_stats",
-    "q_multimodal_join",
-    "q_ntile_percent_rank",
-    "q_outer_join",
-    "q_packed_census",
-    "q_pricing_summary",
-    "q_project_compute",
-    "q_range_join",
-    "q_rank_parts",
-    "q_remove_duplicated_spans",
-    "q_returned_items",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_running_sum",
-    "q_salted_skew_join",
-    "q_self_join",
-    "q_semantic_dedup_int8",
-    "q_semi_join",
-    "q_shipping_priority",
-    "q_string_functions",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_top_orders",
-    "q_ann_ivf_topk",
-    "q_pq_topk",
-    "q_semantic_dedup_ann",
+    # Round-12 window head: computed by tools/window_staleness.py from
+    # the CORRECTNESS_r01..r11 union.  Capacity math (50 slots):
+    #   2  NEW oracle entries (r12 oracle-ized per VERDICT r11 #3):
+    #      q_simhash_signatures (md5 simhash, value-exact) and
+    #      q_hll_mergeable_rollup (register-table HLL, value-exact) —
+    #      rows-only count shrinks 15 -> 13;
+    #   39 of the 50 r9-stale oracle queries, stalest-first (the
+    #      remaining 11 are queued as the r13 head);
+    #   9  ALL remaining r5-stale rows-only queries (VERDICT r11 #2
+    #      asked >=6; this clears the whole list, so no rows-only
+    #      record predates r11 after this capture).
+    "q_simhash_signatures",
+    "q_hll_mergeable_rollup",
+    "q_allpairs_jaccard",
+    "q_array_functions",
+    "q_benchmark_contamination",
+    "q_bm25_topk",
+    "q_bpe_merge_candidates",
+    "q_bpe_token_count",
+    "q_containment_pairs",
+    "q_context_length_histogram",
+    "q_context_windows",
+    "q_corpus_token_budget",
+    "q_correlated_exists",
+    "q_cosine_topk_arrow",
+    "q_data_quality",
+    "q_day_partition_pruning",
+    "q_dedup_cluster_survivors",
+    "q_dedup_exact_keep",
+    "q_dedup_stats",
+    "q_disjunctive_filters",
+    "q_document_chunks",
+    "q_dormant_rich_customers",
+    "q_dup_ngram_fraction",
+    "q_embedding_quantize_int8",
+    "q_events_per_day_spine",
+    "q_except_all",
+    "q_excess_part_suppliers",
+    "q_fingerprint",
+    "q_forecast_revenue",
+    "q_fuzzy_name_pairs",
+    "q_grouping_sets",
+    "q_important_supplier_value",
+    "q_incremental_histogram",
+    "q_incremental_moments",
+    "q_incremental_rollup",
+    "q_incremental_token_counts",
+    "q_intersect_all",
+    "q_lang_id",
+    "q_late_shipment_priority",
+    "q_latest_event_per_user",
+    "q_line_status_priority",
+    "q_approx_count_distinct",
+    "q_approx_percentiles",
+    "q_audio_features",
+    "q_embedding_near_dups",
+    "q_incremental_minhash",
+    "q_incremental_semantic",
+    "q_media_features",
+    "q_media_pipeline",
+    "q_minhash_near_dups",
 ]
 
 

@@ -102,12 +102,46 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_simhash_signatures")  # no oracle: xxhash64 is Spark-specific
+@register(
+    "q_simhash_signatures",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+  GROUP BY doc_id, bb.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (near-dup = low Hamming distance)."""
+    """SimHash signature per document (near-dup = low Hamming distance).
+
+    r12: re-based on the engine-portable md5 signature
+    (operators/dedup.simhash_md5 — 60-bit, integer votes, deterministic
+    ties) so the per-document signatures themselves are value-exact
+    oracle-checked, completing what q_simhash_hamming_pairs started for
+    the pair graph.  The xxhash64 variant (operators/dedup.simhash)
+    remains available for pipelines that prefer the cheaper hash and
+    keeps its pytest coverage (tests/test_dedup.py); its bits are
+    Spark-specific, which is exactly why it no longer backs this
+    registry entry."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), "simhash"
+    return (
+        D.simhash_md5(docs, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
     )
 
 
@@ -503,7 +537,7 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_md5 — 60-bit, integer votes, deterministic ties) makes the
     whole pair graph reproducible in DuckDB, so the driver's hash gate
     now covers the SimHash family end-to-end, not just row counts
-    (q_simhash_signatures stays as the xxhash64 production variant).
+    (r12: q_simhash_signatures now shares this md5 signature too).
     Spark finds pairs via 4x15-bit pigeonhole blocking — <= 3 flips
     can't touch all 4 chunks — while the oracle runs the naive
     quadratic self-join: the hash match doubles as the blocking's

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_demo_spark.operators import sketches as SK
 from cdc_demo_spark.queries.registry import register
 from cdc_demo_spark.sources.tables import load_table
 
@@ -98,26 +99,46 @@ def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-@register("q_hll_mergeable_rollup")  # no oracle: sketch bytes are engine-specific
+@register(
+    "q_hll_mergeable_rollup",
+    oracle=SK.hll_oracle_sql("events", "event_type", "user_id", p=10),
+)
 def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count rollup via Apache DataSketches HLL
-    (B23 extension): per-event-type user sketches, re-aggregated to a
-    global estimate by UNIONING THE SKETCHES — no second scan of the
-    fact table.  This is the pattern that makes 100 TB rollup cubes
-    cheap: materialize sketch columns at the finest grain once, and
-    every coarser grain (daily→monthly, type→all) is a tiny
-    sketch-merge, not a rescan.  approx_count_distinct can't do this —
-    its HLL state is not exposed; hll_sketch_agg's is a column.
-    Accuracy and union-consistency are pytest-asserted
-    (tests/test_queries.py); the driver records rows-only."""
+    """Mergeable distinct-count rollup (B23 extension): per-event-type
+    HLL registers, re-aggregated to a global estimate by MERGING THE
+    REGISTERS (``groupBy(bucket).max``) — no second scan of the fact
+    table.  This is the pattern that makes 100 TB rollup cubes cheap:
+    materialize sketch state at the finest grain once, and every
+    coarser grain (daily→monthly, type→all) is a tiny sketch-merge,
+    not a rescan.  approx_count_distinct can't do this — its HLL state
+    is not exposed.
+
+    r12: re-based from ``hll_sketch_agg`` (DataSketches — opaque bytes,
+    rows-only forever) onto the engine's own register-table HLL
+    (operators/sketches.hll_registers/hll_estimate, the house md5
+    scheme), which DuckDB replays bit-for-bit — the whole rollup,
+    DELIBERATE ESTIMATION ERROR INCLUDED, is now hash-gated.  The
+    DataSketches variant stays pytest-covered as the accuracy
+    cross-check (tests/test_queries.py asserts both land within 5% of
+    exact and that register-merge == direct whole-table registers)."""
     ev = load_table(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    per_type = sk.select(
-        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    regs = SK.hll_registers(ev, ["event_type"], "user_id", p=10)
+    per_type = SK.hll_estimate(
+        regs.select(
+            F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+            "bucket",
+            "reg",
+        ),
+        ["scope"],
+        p=10,
+        est_col="est_users",
     )
-    overall = sk.agg(F.hll_union_agg("sk").alias("u")).select(
-        F.lit("ALL").alias("scope"), F.hll_sketch_estimate("u").alias("est_users")
+    merged = regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    overall = SK.hll_estimate(
+        merged.select(F.lit("ALL").alias("scope"), "bucket", "reg"),
+        ["scope"],
+        p=10,
+        est_col="est_users",
     )
     return per_type.unionByName(overall).orderBy("scope")
 

@@ -116,9 +116,13 @@ def test_training_shards_cover_corpus(spark, sf_dir):
 
 
 def test_hll_rollup_accuracy_and_merge_consistency(spark, sf_dir):
-    """Sketch estimates within 5% of exact; the merged ALL row must
-    equal a direct whole-table sketch (mergeability is lossless)."""
+    """Register-table HLL estimates within 5% of exact; merging
+    per-type registers must be LOSSLESS (identical to registers built
+    directly over the whole table); the DataSketches built-in
+    (hll_sketch_agg, the B23 production alternative) must agree with
+    both the exact count and our estimator."""
     from pyspark.sql import functions as F
+    from cdc_demo_spark.operators import sketches as SK
     from cdc_demo_spark.sources.tables import load_table
 
     got = {r["scope"]: r["est_users"]
@@ -130,6 +134,16 @@ def test_hll_rollup_accuracy_and_merge_consistency(spark, sf_dir):
     exact["ALL"] = ev.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
     for scope, n in exact.items():
         assert abs(got[scope] - n) <= max(2, 0.05 * n), (scope, got[scope], n)
+    # mergeability is exact at the register level: max-merge of per-type
+    # registers == registers of the whole table (no union error term)
+    per_type = SK.hll_registers(ev, ["event_type"], "user_id", p=10)
+    merged = per_type.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    direct_regs = SK.hll_registers(ev.select(F.lit("x").alias("g"), "user_id"),
+                                   ["g"], "user_id", p=10).select("bucket", "reg")
+    assert merged.exceptAll(direct_regs).isEmpty()
+    assert direct_regs.exceptAll(merged).isEmpty()
+    # DataSketches cross-check (kept from the pre-r12 rows-only era)
     direct = ev.agg(F.hll_sketch_agg("user_id").alias("sk")).select(
         F.hll_sketch_estimate("sk").alias("e")).collect()[0]["e"]
-    assert abs(got["ALL"] - direct) <= 1
+    assert abs(direct - exact["ALL"]) <= max(2, 0.05 * exact["ALL"])
+    assert abs(got["ALL"] - direct) <= max(2, 0.05 * exact["ALL"])

@@ -205,9 +205,16 @@ def test_aqe_skew_join_split_fires(spark):
             F.col("id").alias("k"),
             (F.col("id") * 7).alias("dim"),
         )
-        # project to one tiny column so materializing the join's own
-        # queryExecution (collect) is cheap; the SMJ itself is unchanged
-        slim = probe.join(build, "k").select(F.lit(1).alias("one"))
+        # keep payload IN the join output: if it's pruned, the probe
+        # shuffle is 320k rows of a constant key, which lz4 compresses
+        # to ~the 64KB skew threshold — the pin then flips with JVM
+        # state (observed in the r12 two-lane census: failed mid-lane,
+        # passed in isolation, both masters).  payload is 320k distinct
+        # longs → the hot partition is MBs compressed, 10x+ clear of
+        # the threshold in either direction.
+        slim = probe.join(build, "k").select(
+            (F.col("payload") + F.col("dim")).alias("one")
+        )
         n = len(slim.collect())
         plan = slim._jdf.queryExecution().executedPlan().toString()
         return n, plan

@@ -10,7 +10,7 @@ test keeps its own tmp_path isolation.  Files that touch shared
 cwd state (Derby's derby.log, spark-warehouse/, the menagerie TSV
 golden dir) are pinned to lane A so the lanes never collide.
 
-Lane assignment is static, balanced by the r11 full-run durations
+Lane assignment is static, balanced by the r12 census durations
 (--durations capture), heaviest-first greedy; new test files default
 to lane B (print a warning so the table gets updated).
 
@@ -41,33 +41,70 @@ CWD_BOUND = {
     "test_snapshot_replication.py",
 }
 
-# r11 full-run wall seconds per file (approximate; only the RATIOS
-# matter for balance).  Update occasionally from:
-#   python -m pytest tests/ -q --durations=0
+# Per-file test seconds summed from the r12 two-lane census
+# (--durations=0 capture in .pytest_lane_{A,B}.log; only the RATIOS
+# matter for balance).  Refresh occasionally via:
+#   python tools/run_tests_split.py --durations 0  # then re-sum the logs
 DURATIONS = {
-    "test_queries.py": 420,
-    "test_similarity.py": 150,
-    "test_incremental_semantic.py": 140,
-    "test_incremental_dedup.py": 130,
-    "test_spans.py": 90,
-    "test_spans_hypothesis.py": 60,
-    "test_merge_hypothesis.py": 90,
-    "test_cdc_merge.py": 100,
-    "test_streaming.py": 120,
-    "test_time_travel.py": 115,
-    "test_index_compaction.py": 90,
-    "test_incremental_ann.py": 80,
-    "test_examples.py": 90,
-    "test_index_erasure.py": 70,
-    "test_suppression.py": 60,
-    "test_ann_scale.py": 70,
-    "test_dedup.py": 60,
-    "test_plans.py": 60,
-    "test_sketches.py": 50,
-    "test_jdbc_sink.py": 50,
-    "test_jdbc_snapshot.py": 40,
-    "test_menagerie.py": 30,
-    "test_sql_surface.py": 30,
+    "test_queries.py": 232,
+    "test_index_compaction.py": 118,
+    "test_incremental_countmin.py": 107,
+    "test_dedup.py": 100,
+    "test_spans_hypothesis.py": 79,
+    "test_suppression.py": 70,
+    "test_pair_index_sinks.py": 63,
+    "test_examples.py": 60,
+    "test_storage_contract.py": 60,
+    "test_ann_scale.py": 59,
+    "test_time_travel.py": 41,
+    "test_similarity.py": 40,
+    "test_cdc_merge.py": 37,
+    "test_index_erasure.py": 34,
+    "test_erasure.py": 32,
+    "test_incremental_dedup.py": 29,
+    "test_jdbc_sink.py": 27,
+    "test_incremental_bloom.py": 25,
+    "test_incremental_ann.py": 21,
+    "test_incremental_semantic.py": 19,
+    "test_quality_model.py": 19,
+    "test_streaming_windows.py": 17,
+    "test_incremental_histogram.py": 16,
+    "test_ivfpq.py": 15,
+    "test_merge_hypothesis.py": 15,
+    "test_incremental_moments.py": 14,
+    "test_streaming.py": 14,
+    "test_synth_docs.py": 13,
+    "test_stream_stream.py": 12,
+    "test_sketches.py": 12,
+    "test_graph_pagerank.py": 12,
+    "test_spans.py": 11,
+    "test_bpe.py": 10,
+    "test_incremental_tokens.py": 10,
+    "test_plans.py": 10,
+    "test_stateful_and_skew.py": 9,
+    "test_avro.py": 8,
+    "test_text.py": 8,
+    "test_rollup.py": 7,
+    "test_notified_pipeline.py": 7,
+    "test_snapshot_replication.py": 6,
+    "test_layout.py": 6,
+    "test_multimodal.py": 5,
+    "test_sessionization_hypothesis.py": 5,
+    "test_pq.py": 4,
+    "test_debezium_envelope.py": 4,
+    "test_jdbc_snapshot.py": 4,
+    "test_pca.py": 4,
+    "test_menagerie.py": 3,
+    "test_sql_surface.py": 3,
+    "test_udtf.py": 2,
+    "test_stream_enrichment.py": 2,
+    "test_asof.py": 2,
+    "test_tables.py": 2,
+    "test_sampling.py": 1,
+    "test_timetravel.py": 1,
+    "test_multimodal_pil.py": 1,
+    "test_skew.py": 1,
+    "test_lint_hof.py": 1,
 }
 
 
@@ -102,6 +139,13 @@ def main() -> None:
         default=14,
         help="TOTAL cores to spend; split across however many lanes run",
     )
+    ap.add_argument(
+        "--durations",
+        type=int,
+        default=None,
+        help="pass --durations=N to each lane's pytest (0 = all) so the "
+        "DURATIONS table above can be refreshed from the lane logs",
+    )
     args = ap.parse_args()
     lane_a, lane_b = lanes()
     jobs = {"A": lane_a, "B": lane_b}
@@ -115,6 +159,8 @@ def main() -> None:
     for name in run:
         env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{per_lane}]")
         cmd = [sys.executable, "-m", "pytest", "-q", *(
+            [f"--durations={args.durations}"] if args.durations is not None else []
+        ), *(
             os.path.join("tests", f) for f in jobs[name]
         )]
         log = os.path.join(REPO, f".pytest_lane_{name}.log")
