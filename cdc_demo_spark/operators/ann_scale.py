@@ -58,19 +58,31 @@ CENTROID_CAP = 1 << 17
 
 def centroid_matrix(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(centroid_ids int64[K], matrix float64[K, d]) from a centroids
-    DataFrame, cap-guarded like every other driver-side pull."""
-    rows = centroids.select("centroid_id", "centroid_vec").limit(
-        CENTROID_CAP + 1
-    ).collect()
-    if len(rows) > CENTROID_CAP:
+    DataFrame, cap-guarded like every other driver-side pull.
+
+    Arrow ``toPandas`` instead of ``collect``: at the 64k-centroid
+    bench grain, row-object collect materializes 4M Python floats and
+    measured ~1.2 s of the 2.7 s assignment entry; the Arrow pull of
+    the same table is ~0.1 s and values are identical (float32 cells
+    widen exactly into the float64 matrix either way).  r12, part of
+    the ann_assign drift pin."""
+    pdf = (
+        centroids.select("centroid_id", "centroid_vec")
+        .limit(CENTROID_CAP + 1)
+        .toPandas()
+    )
+    if len(pdf) > CENTROID_CAP:
         raise ValueError(
             f"centroid set exceeds the driver-collect cap ({CENTROID_CAP}); "
             "an IVF layout with more buckets than that should shard its "
             "centroid table and assign hierarchically"
         )
-    rows.sort(key=lambda r: r["centroid_id"])
-    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    C = np.array([r["centroid_vec"] for r in rows], dtype=np.float64)
+    if not len(pdf):
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
+    ids = pdf["centroid_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    C = np.stack(pdf["centroid_vec"].to_numpy())[order].astype(np.float64)
     return ids, C
 
 
@@ -78,6 +90,23 @@ def _norm_rows(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=1, keepdims=True)
     n[n == 0.0] = 1.0
     return x / n
+
+
+def _ship_matrix(centroids: DataFrame, C: np.ndarray) -> np.ndarray:
+    """The centroid matrix in the narrowest LOSSLESS dtype for worker
+    shipping: float32 when the source column is float32 (the astype
+    round-trip is exact because every value in ``C`` came from a
+    float32 cell), float64 otherwise.  Halves the mapInPandas closure
+    (33 MB → 17 MB at 64k×64) that each python worker unpickles per
+    job; workers widen back to float64 BEFORE normalization or any
+    other arithmetic, so scores stay bit-identical to the driver-side
+    float64 path.  r12, part of the ann_assign drift pin."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    dt = centroids.schema["centroid_vec"].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, FloatType):
+        return C.astype(np.float32)
+    return C
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -179,12 +208,15 @@ def assign_multiprobe_arrow(
     one numpy GEMM per Arrow batch instead of crossJoin × HOF × window.
     Output drops the vector column (every caller rejoins by id)."""
     cids, C = centroid_matrix(centroids)
-    Cn = _norm_rows(C).T  # (d, K)
+    C_ship = _ship_matrix(centroids, C)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cn = None  # widened + normalized once per task, not per batch
         for pdf in batches:
             if not len(pdf):  # empty partition: np.stack needs >= 1 row
                 continue
+            if Cn is None:
+                Cn = _norm_rows(C_ship.astype(np.float64)).T  # (d, K)
             ids = pdf[id_col].to_numpy()
             # np.stack over the Arrow-native ndarray rows — .tolist()
             # would materialize every element as a Python float (64M
@@ -205,31 +237,60 @@ def assign_multiprobe_arrow(
     return out.withColumnRenamed("id", id_col) if id_col != "id" else out
 
 
-_SCORE_CHUNK = 2048
+_SCORE_CHUNK = 2048  # row chunk for the grouped (gathered-column) path
+_SCORE_ROWS = 512
+_SCORE_COLS = 1024
 
 
 def _topk_centroids(X: np.ndarray, Cn: np.ndarray, probes: int) -> np.ndarray:
     """top-``probes`` centroid column indices per row of ``X @ Cn``,
     ranked by (score desc, index asc).
 
-    The score GEMM runs in ROW CHUNKS so the score matrix stays
-    ~_SCORE_CHUNK×K (≈32 MB at K=2048) instead of the full Arrow
-    batch (31k rows → 512 MB per task; 32 concurrent tasks pushed
-    ~16 GB/pass through memory and the assignment stage measured 75 s
-    wall where the same flops in-cache take ~5 s — this host is
-    bandwidth-bound long before it is flops-bound).  argmax takes the
-    FIRST max, i.e. the lowest centroid id on exact ties — the
-    identical tie rule as the HOF window, at O(n·K) per probe
-    (measured 75× faster than a stable argsort of the full matrix)."""
+    The score GEMM runs in ROW × COLUMN blocks so each score block
+    stays ~4 MB (cache-resident) instead of n×K.  Row chunking alone
+    (the r7 version) still materialized a full n_chunk×K slab — 164 MB
+    per task at K=64k — and 32 concurrent tasks streaming those slabs
+    through DRAM made the stage bandwidth-bound: worker-side compute
+    measured 20-40× its single-process cost (r12 drift pin on
+    ann_assign_64k_flat).  Column blocking with a running top-k merge
+    keeps the argmax passes in cache: measured 57-121 → 17-19
+    aggregate compute-seconds, stage wall 2.5-5.5 → 1.5-2.0 s at
+    10k×64k, and the blocked result is np.array_equal to the
+    single-slab one.
+
+    Tie rule everywhere is FIRST max = lowest centroid id: within a
+    block argmax takes the first column; across blocks the running
+    candidates (earlier blocks = lower ids) are concatenated BEFORE
+    the block's, so equal scores resolve to the earlier block; within
+    the merged candidate row, entries are kept (score desc, id asc)
+    ordered by construction — the identical tie rule as the HOF
+    window."""
     n = len(X)
+    K = Cn.shape[1]
     top = np.empty((n, probes), dtype=np.int64)
-    for s in range(0, n, _SCORE_CHUNK):
-        S = X[s : s + _SCORE_CHUNK] @ Cn
-        rows = np.arange(len(S))
-        for p in range(probes):
-            t = S.argmax(axis=1)
-            top[s : s + len(S), p] = t
-            S[rows, t] = -np.inf
+    for rs in range(0, n, _SCORE_ROWS):
+        Xr = X[rs : rs + _SCORE_ROWS]
+        m = len(Xr)
+        rows = np.arange(m)
+        run_s = np.full((m, probes), -np.inf)
+        run_i = np.zeros((m, probes), dtype=np.int64)
+        for cs in range(0, K, _SCORE_COLS):
+            S = Xr @ Cn[:, cs : cs + _SCORE_COLS]
+            cand_s = np.empty((m, probes))
+            cand_i = np.empty((m, probes), dtype=np.int64)
+            for p in range(probes):
+                t = S.argmax(axis=1)
+                cand_s[:, p] = S[rows, t]
+                cand_i[:, p] = t + cs
+                S[rows, t] = -np.inf
+            ms = np.concatenate([run_s, cand_s], axis=1)
+            mi = np.concatenate([run_i, cand_i], axis=1)
+            for p in range(probes):
+                t = ms.argmax(axis=1)
+                run_s[:, p] = ms[rows, t]
+                run_i[:, p] = mi[rows, t]
+                ms[rows, t] = -np.inf
+        top[rs : rs + m] = run_i
     return top
 
 
@@ -374,18 +435,22 @@ def assign_quantized_multiprobe(
     grouped once (SemanticIndex freezes the choice in _meta.json) and
     two-batch == one-shot holds within that choice."""
     cids, C = centroid_matrix(centroids)
-    Cn = _norm_rows(C).T  # (d, K)
+    C_ship = _ship_matrix(centroids, C)
     grouped = None
     if group_probes is not None:
         import math
 
-        g = n_groups or max(1, int(math.isqrt(Cn.shape[1])))
-        grouped = group_centroids(Cn, g)
+        Cn_driver = _norm_rows(C).T  # (d, K)
+        g = n_groups or max(1, int(math.isqrt(Cn_driver.shape[1])))
+        grouped = group_centroids(Cn_driver, g)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cn = None  # widened + normalized once per task, not per batch
         for pdf in batches:
             if not len(pdf):
                 continue
+            if Cn is None:
+                Cn = _norm_rows(C_ship.astype(np.float64)).T  # (d, K)
             ids = pdf[id_col].to_numpy()
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Q, nz = int8_quantize_rows(V)
