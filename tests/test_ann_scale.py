@@ -417,3 +417,38 @@ def test_grouped_index_two_batch_equals_one_shot(spark, tmp_path):
     SemanticIndex(
         spark, str(legacy), t_num=4, t_den=5, n_buckets=32, probes=2, arrow=True
     )  # must not raise
+
+
+def test_blocked_topk_equals_naive_with_cross_block_ties():
+    """The r12 column-blocked _topk_centroids must equal a naive
+    full-matrix argsort under its exact tie rule — including DUPLICATE
+    centroids planted in DIFFERENT column blocks, where the running
+    merge's ordering (earlier blocks concatenated first) is what makes
+    equal scores resolve to the lowest centroid id.  K deliberately
+    not a multiple of _SCORE_COLS, rows not a multiple of _SCORE_ROWS,
+    probes up to 4 so merges span several picks."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    K = AS._SCORE_COLS * 3 + 137  # ragged tail block
+    d = 16
+    C = rng.standard_normal((K, d))
+    # plant exact duplicates straddling block boundaries: copies of
+    # column j at j + _SCORE_COLS and j + 2 * _SCORE_COLS
+    for j in range(0, 40):
+        C[j + AS._SCORE_COLS] = C[j]
+        C[j + 2 * AS._SCORE_COLS] = C[j]
+    Cn = AS._norm_rows(C).T
+    X = AS._norm_rows(rng.standard_normal((AS._SCORE_ROWS + 61, d)))
+    # several query rows exactly aligned with duplicated centroids so
+    # the top hit is an exact multi-way cross-block tie
+    X[:40] = Cn.T[:40]
+    for probes in (1, 2, 4):
+        got = AS._topk_centroids(X, Cn, probes)
+        S = X @ Cn
+        # naive reference: stable argsort on (-score, index)
+        ref = np.argsort(-S, axis=1, kind="stable")[:, :probes]
+        assert np.array_equal(got, ref), f"probes={probes}"
+    # the planted ties really resolved across blocks: the first-probe
+    # winner for the aligned rows is the ORIGINAL (lowest) index
+    assert np.array_equal(AS._topk_centroids(X, Cn, 1)[:40, 0], np.arange(40))
