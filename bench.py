@@ -615,10 +615,19 @@ def _host_busy_ticks() -> int:
 
 
 def _tree_cpu_ticks() -> int:
-    """utime+stime ticks of this process and every live descendant —
-    the PySpark JVM and its forked python workers.  (Reaped children
-    between samples are missed; the JVM and reused workers are
-    long-lived, so the error is negligible at entry grain.)"""
+    """utime+stime+cutime+cstime ticks of this process and every live
+    descendant — the PySpark JVM and its forked python workers.
+
+    cutime/cstime matter (r12): a REAPED child's cumulative ticks move
+    into its parent's cutime at wait() — without them, an ANN-block
+    python worker pool (hundreds of accumulated CPU-seconds) idling
+    out and dying during the NEXT entry makes the tree delta hugely
+    negative, and the subtraction in _external_cpu_share attributed the
+    whole gap to "external" load (observed: spans_200k_detect recorded
+    ext_cpu = 1.0 on an idle host right after the ANN block).  A child
+    alive at both snapshots counts via its own utime; one reaped
+    between snapshots counts via the parent's cutime — either way the
+    delta is consistent."""
     kids: dict[int, list[int]] = {}
     ticks: dict[int, int] = {}
     for d in os.listdir("/proc"):
@@ -631,7 +640,11 @@ def _tree_cpu_ticks() -> int:
             continue  # raced a process exit
         pid = int(d)
         kids.setdefault(int(rest[1]), []).append(pid)
-        ticks[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+        # utime + stime + cutime + cstime (the c* pair carries reaped
+        # descendants' ticks — see docstring)
+        ticks[pid] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
     total, stack = 0, [os.getpid()]
     while stack:
         p = stack.pop()
@@ -1250,6 +1263,16 @@ def main() -> None:
         ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
         ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
         ("ann_1m_ivfpq_topk", lambda: time_ann_ivfpq_topk_1m(spark)),
+    ):
+        for _pass in range(2):
+            attempt(name, fn)
+
+    # the two-round watch-listed entries (VERDICT r11 #8: ann_assign
+    # read 1.37-1.9x "always under la1 > 20" — which was the 1M block
+    # just above; r12's isolated min-of-3 put both at 0.6-0.9x of
+    # their anchors) get their own quiet window
+    _quiesce_self_load()
+    for name, fn in (
         ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
         ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
         ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
