@@ -244,3 +244,79 @@ def test_histogram_quantiles_empty_histogram_raises_loudly(spark):
         SK.histogram_quantiles(
             SK.histogram_build(nulls, "v", 0.0, 10.0, 5), [0.9], 0.0, 10.0, 5
         ).collect()
+
+
+def _hll_python_reference(values, p):
+    """Plain-Python replica of hll_registers + hll_estimate (r12):
+    md5 top-p bucket, leading-zero rank on the low q bits, integer-
+    scaled harmonic sum, raw-vs-linear-counting branch."""
+    import hashlib
+    import math
+
+    q = 60 - p
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, rem = h >> q, h & ((1 << q) - 1)
+        rho = (q + 1) if rem == 0 else q + 1 - rem.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    wsum = sum(1 << (q + 1 - r) for r in regs.values())
+    wsum += (m - len(regs)) * (1 << (q + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << (q + 1))
+    raw = num / float(wsum)
+    zeros = m - len(regs)
+    if raw <= 2.5 * m and zeros > 0:
+        return round(m * math.log(m / float(zeros)), 6)
+    return round(raw, 6)
+
+
+def test_hll_raw_branch_matches_python_reference_exactly(spark):
+    """The register-table HLL's RAW harmonic-mean branch (cardinality
+    >> m) is bit-exact against a plain-Python replica — the sf corpora
+    only exercise the linear-counting branch (150 users vs m=1024), so
+    this pins the other branch: the integer-scaled sum is exact int64
+    (order-independent) and the single IEEE division reproduces.
+    Both branches + the branch PREDICATE are covered across p."""
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 37 + 11).alias("v"))
+    vals = [i * 37 + 11 for i in range(n)]
+    for p in (4, 6, 10):
+        got = {
+            r["g"]: r["est"]
+            for r in SK.hll_estimate(
+                SK.hll_registers(
+                    df.select(F.lit("all").alias("g"), "v"), ["g"], "v", p=p
+                ),
+                ["g"],
+                p=p,
+            ).collect()
+        }
+        want = _hll_python_reference(vals, p)
+        assert got["all"] == want, (p, got["all"], want)
+    # p=4/6 at n=5000 take the raw branch; prove the predicate differs
+    assert _hll_python_reference(vals, 4) != round(
+        16 * __import__("math").log(16 / 1.0), 6
+    )  # i.e. not a degenerate LC value
+    # accuracy sanity at p=10 (either branch): within 5%
+    got10 = _hll_python_reference(vals, 10)
+    assert abs(got10 - n) <= 0.05 * n
+
+
+def test_hll_register_merge_is_max_and_order_free(spark):
+    """Register tables merge by MAX per bucket: splitting the input
+    any way and max-merging must reproduce the whole-table registers
+    exactly (the mergeable-rollup contract at 100 TB: coarser grains
+    never rescan facts)."""
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 13 + 5).alias("v"),
+    )
+    per_part = SK.hll_registers(df, ["part"], "v", p=8)
+    merged = per_part.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    whole = SK.hll_registers(
+        df.select(F.lit("x").alias("g"), "v"), ["g"], "v", p=8
+    ).select("bucket", "reg")
+    assert merged.exceptAll(whole).isEmpty()
+    assert whole.exceptAll(merged).isEmpty()
