@@ -614,20 +614,22 @@ def _host_busy_ticks() -> int:
     return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
 
 
-def _tree_cpu_ticks() -> int:
-    """utime+stime+cutime+cstime ticks of this process and every live
+def _tree_cpu_map() -> dict[int, int]:
+    """{pid: utime+stime+cutime+cstime} for this process and every live
     descendant — the PySpark JVM and its forked python workers.
 
-    cutime/cstime matter (r12): a REAPED child's cumulative ticks move
-    into its parent's cutime at wait() — without them, an ANN-block
-    python worker pool (hundreds of accumulated CPU-seconds) idling
-    out and dying during the NEXT entry makes the tree delta hugely
-    negative, and the subtraction in _external_cpu_share attributed the
-    whole gap to "external" load (observed: spans_200k_detect recorded
-    ext_cpu = 1.0 on an idle host right after the ANN block).  A child
-    alive at both snapshots counts via its own utime; one reaped
-    between snapshots counts via the parent's cutime — either way the
-    delta is consistent."""
+    Per-PID (r12, second iteration): the share computation takes
+    per-pid deltas over pids alive at the LATER snapshot, so a worker
+    pool dying mid-window contributes zero instead of a hugely
+    NEGATIVE total-tree delta.  A single summed total — even with
+    cutime — misattributed worker-pool death as external load
+    (measured: 8349 ticks vanished at the ~80 s idle-timeout, and
+    spans_200k_detect recorded ext_cpu = 1.0 on an idle host; pyspark
+    worker exit status is discarded, so their ticks never reach a live
+    ancestor's cutime).  cutime/cstime still matter for children the
+    JVM does reap.  The residual error is only the work a dying
+    process did WITHIN the window — idle-timeout victims by
+    definition did none."""
     kids: dict[int, list[int]] = {}
     ticks: dict[int, int] = {}
     for d in os.listdir("/proc"):
@@ -640,21 +642,20 @@ def _tree_cpu_ticks() -> int:
             continue  # raced a process exit
         pid = int(d)
         kids.setdefault(int(rest[1]), []).append(pid)
-        # utime + stime + cutime + cstime (the c* pair carries reaped
-        # descendants' ticks — see docstring)
         ticks[pid] = (
             int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
         )
-    total, stack = 0, [os.getpid()]
+    out: dict[int, int] = {}
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        total += ticks.get(p, 0)
+        out[p] = ticks.get(p, 0)
         stack.extend(kids.get(p, ()))
-    return total
+    return out
 
 
-def _load_snap() -> tuple[float, int, int]:
-    return (time.perf_counter(), _host_busy_ticks(), _tree_cpu_ticks())
+def _load_snap() -> tuple[float, int, dict[int, int]]:
+    return (time.perf_counter(), _host_busy_ticks(), _tree_cpu_map())
 
 
 def _external_cpu_share(a: tuple, b: tuple) -> float:
@@ -662,11 +663,18 @@ def _external_cpu_share(a: tuple, b: tuple) -> float:
     between two snapshots.  This is the per-entry contention signal the
     r9 verdict asked for: unlike loadavg — which the bench's own 32
     threads dominate within minutes of starting — it subtracts our own
-    process tree, so a nonzero value really is a neighbor."""
+    process tree, so a nonzero value really is a neighbor.
+
+    Tree delta = Σ per-pid max(0, ticks_b − ticks_a) over pids in the
+    LATER snapshot (new pids count in full; the max(0, ·) guards PID
+    reuse) — see _tree_cpu_map for why not a summed total."""
     dt = b[0] - a[0]
     if dt <= 0:
         return 0.0
-    ext = max(0, (b[1] - a[1]) - (b[2] - a[2]))
+    tree = sum(
+        max(0, t - a[2].get(pid, 0)) for pid, t in b[2].items()
+    )
+    ext = max(0, (b[1] - a[1]) - tree)
     return min(1.0, ext / (_CLK_TCK * _NCPU * dt))
 
 
