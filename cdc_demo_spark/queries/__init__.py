@@ -42,17 +42,20 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 _DRIVER_WINDOW_FIRST = [
     # Round-12 window head: computed by tools/window_staleness.py from
     # the CORRECTNESS_r01..r11 union.  Capacity math (50 slots):
-    #   2  NEW oracle entries (r12 oracle-ized per VERDICT r11 #3):
+    #   3  NEW oracle entries: two r12 oracle-izations (VERDICT r11
+    #      #3) plus q_leakage_safe_split (new r12 operator);
     #      q_simhash_signatures (md5 simhash, value-exact) and
     #      q_hll_mergeable_rollup (register-table HLL, value-exact) —
     #      rows-only count shrinks 15 -> 13;
-    #   39 of the 50 r9-stale oracle queries, stalest-first (the
-    #      remaining 11 are queued as the r13 head);
+    #   38 of the 50 r9-stale oracle queries, stalest-first (the
+    #      remaining 12, q_line_status_priority onward, are queued
+    #      as the r13 head);
     #   9  ALL remaining r5-stale rows-only queries (VERDICT r11 #2
     #      asked >=6; this clears the whole list, so no rows-only
     #      record predates r11 after this capture).
     "q_simhash_signatures",
     "q_hll_mergeable_rollup",
+    "q_leakage_safe_split",
     "q_allpairs_jaccard",
     "q_array_functions",
     "q_benchmark_contamination",
@@ -91,7 +94,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_lang_id",
     "q_late_shipment_priority",
     "q_latest_event_per_user",
-    "q_line_status_priority",
     "q_approx_count_distinct",
     "q_approx_percentiles",
     "q_audio_features",

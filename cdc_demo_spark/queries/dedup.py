@@ -209,6 +209,71 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_EDGE_CTES},
+reach(s, d) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+),
+clusters AS (
+  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS h
+  FROM clusters
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the unit of
+    assignment is the NEAR-DUP CLUSTER, not the document — a doc and
+    its near-copies land in the same split by construction, so eval
+    can never be contaminated by a training near-duplicate (the
+    benchmark-leakage failure mode q_benchmark_contamination measures
+    after the fact; this prevents it at split time).  Split choice is
+    a pure function of cluster_id through the house md5 scheme —
+    deterministic, engine-portable (value-exact DuckDB oracle),
+    reshuffle-free to recompute, and stable under corpus APPENDS: a
+    new near-copy of an existing doc joins its cluster and therefore
+    its split (cluster_id = min doc_id is unchanged by growth except
+    when a smaller-id doc arrives or clusters MERGE via a bridging
+    doc — both rebalance events a production pipeline would gate
+    behind the incremental index's pair log).  At 100 TB the split
+    costs one component pass (already needed for dedup) plus a
+    map-side hash — no extra shuffle."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
+    comps = connected_components_star(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return comps.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_dedup_cluster_survivors",
     oracle=f"""
 WITH RECURSIVE {_CLUSTER_EDGE_CTES},

@@ -634,3 +634,33 @@ class TestSimhashMd5:
         sig = simhash_md5(docs, "doc_id", "text")
         with _pt.raises(ValueError, match="divide"):
             hamming_pairs(sig, max_distance=6, bits=60)
+
+
+def test_leakage_safe_split_no_pair_crosses_splits(spark, sf_dir):
+    """The split's entire point: no near-dup pair may straddle
+    train/val/test.  Verified against the SAME edge set the split is
+    built from (jaccard_pairs at the query's parameters), plus shape
+    sanity: every doc assigned exactly once, splits from the fixed
+    vocabulary, cluster -> split is a function (one split per
+    cluster)."""
+    from cdc_demo_spark.operators import dedup as D
+    from cdc_demo_spark.queries import QUERIES
+    from cdc_demo_spark.sources.tables import load_table
+
+    out = QUERIES["q_leakage_safe_split"](spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50
+    ).collect()
+    assert pairs, "fixture must actually contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], (
+            p["id_a"], p["id_b"])
