@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from cdc_demo_spark.session import get_spark  # noqa: E402
 
-# entry -> (thunk factory, r9 anchor seconds)
+# entry -> anchor seconds.  The r9 values are the original drift
+# targets; r12 quiet min-of-3 re-baselined them (cdc_merge_events
+# 2.425, cdc_merge_events_json 2.455, ann_assign_64k_flat 1.55
+# isolated / 2.46 interleaved after the blocked-top-k fix) — update
+# these when a verdict names new drifters.
 ANCHORS = {
     "cdc_merge_events": 2.454,
     "cdc_merge_events_json": 2.219,
