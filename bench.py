@@ -1152,6 +1152,78 @@ def time_span_dedup_200k(spark) -> float:
     return dt
 
 
+def suite_blocks(spark, sf_dir: str) -> list[tuple[str, list[tuple[str, object]]]]:
+    """Every non-headline bench entry, grouped into the quiesce-gated
+    blocks main() runs them in.  Module-level so tools/drift_pin.py can
+    resolve ANY entry by name for an isolated quiet re-measure
+    (VERDICT r12 #8) instead of keeping its own copy of three of them.
+    Thunks close over `spark`/`sf_dir`; each returns seconds."""
+    return [
+        # CDC entries: min of two runs, same steady-state rationale as
+        # the query loop (a single pass right after 60 query executions
+        # eats their GC/compilation debris — r6 observed a 5x outlier on
+        # the avro entry that two clean runs bounded at 2.3 s).
+        ("cdc", [
+            ("cdc_merge_events", lambda: time_cdc_merge(spark, sf_dir)),
+            # full ingest (landing -> parse -> bronze -> silver) per
+            # format; avro/json ratio = the pure-Python Avro codec's
+            # visible cost
+            ("cdc_merge_events_json", lambda: time_cdc_ingest(spark, sf_dir, "json")),
+            ("cdc_merge_events_avro", lambda: time_cdc_ingest(spark, sf_dir, "avro")),
+            # kill-resume under load (asserts convergence; VERDICT r5 #7)
+            ("cdc_restart_resume", lambda: time_cdc_restart(spark, sf_dir)),
+            # one key owns half of every batch; balance assert inside
+            ("cdc_merge_events_skewed", lambda: time_cdc_merge_skewed(spark, sf_dir)),
+            # exactly-once warehouse upsert into embedded Derby
+            ("cdc_jdbc_warehouse_sink", lambda: time_jdbc_warehouse_sink(spark, sf_dir)),
+        ]),
+        # Mid-scale probes (1M vectors / 200k docs): min of two passes.
+        # These were single-pass until r7's full-suite run showed the
+        # first pass paying 2-4x in whole-stage-codegen/JIT for their
+        # plan shapes (minhash_200k_near_dups: 66 s first, 15.7 s steady
+        # measured in isolation) — the same resident-engine rationale as
+        # the query loop's steady passes.  Heavy fixtures are cached;
+        # every entry gates its timing on a correctness assert.
+        ("ann_mid", [
+            ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
+            ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
+            ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
+            ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
+            ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
+            ("ann_1m_ivfpq_topk", lambda: time_ann_ivfpq_topk_1m(spark)),
+        ]),
+        # the two-round watch-listed entries (VERDICT r11 #8: ann_assign
+        # read 1.37-1.9x "always under la1 > 20" — which was the 1M
+        # block just above; r12's isolated min-of-3 put both at 0.6-0.9x
+        # of their anchors) get their own quiet window
+        ("ann_assign", [
+            ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
+            ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
+        ]),
+        # VERDICT r12 #3: the tail entries inherited la1 ≈ 15-19 from
+        # the suite's own earlier bursts (the r12 sidecar recorded
+        # spans_200k_detect at la1 18.6, bloom at 19.2, the 1M-CDC pair
+        # at 15-17 — the exact signature the drift pin proved inflates
+        # quiet-capable entries 1.2-2x).  Gate each tail sub-block the
+        # same way the CDC and mid-ANN blocks were gated in r12.
+        ("minhash", [
+            ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
+            ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
+            ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),
+            ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
+        ]),
+        ("text", [
+            ("bpe_train_200k", lambda: time_bpe_train_200k(spark)),
+            ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
+            ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
+        ]),
+        ("cdc_1m", [
+            ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
+            ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
+        ]),
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1235,66 +1307,15 @@ def main() -> None:
         for name in HEADLINE:
             attempt(name, timed_query(name), record=_pass > 0)
 
-    # CDC entries: min of two runs, same steady-state rationale as the
-    # query loop (a single pass right after 60 query executions eats
-    # their GC/compilation debris — r6 observed a 5x outlier on the
-    # avro entry that two clean runs bounded at 2.3 s).
-    _quiesce_self_load()  # shed the query loop's own la1 before timing
-    for name, fn in (
-        ("cdc_merge_events", lambda: time_cdc_merge(spark, sf_dir)),
-        # full ingest (landing -> parse -> bronze -> silver) per format;
-        # avro/json ratio = the pure-Python Avro codec's visible cost
-        ("cdc_merge_events_json", lambda: time_cdc_ingest(spark, sf_dir, "json")),
-        ("cdc_merge_events_avro", lambda: time_cdc_ingest(spark, sf_dir, "avro")),
-        # kill-resume under load (asserts convergence; VERDICT r5 #7)
-        ("cdc_restart_resume", lambda: time_cdc_restart(spark, sf_dir)),
-        # one key owns half of every batch; balance assert inside
-        ("cdc_merge_events_skewed", lambda: time_cdc_merge_skewed(spark, sf_dir)),
-        # exactly-once warehouse upsert into embedded Derby
-        ("cdc_jdbc_warehouse_sink", lambda: time_jdbc_warehouse_sink(spark, sf_dir)),
-    ):
-        for _pass in range(2):
-            attempt(name, fn)
-
-    # Mid-scale probes (1M vectors / 200k docs): min of two passes.
-    # These were single-pass until r7's full-suite run showed the first
-    # pass paying 2-4x in whole-stage-codegen/JIT for their plan shapes
-    # (minhash_200k_near_dups: 66 s first, 15.7 s steady measured in
-    # isolation) — the same resident-engine rationale as the query
-    # loop's steady passes.  Heavy fixtures are cached; every entry
-    # gates its timing on a correctness assert.
-    _quiesce_self_load()  # shed the CDC block's la1 before the ANN block
-    for name, fn in (
-        ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
-        ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
-        ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
-        ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
-        ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
-        ("ann_1m_ivfpq_topk", lambda: time_ann_ivfpq_topk_1m(spark)),
-    ):
-        for _pass in range(2):
-            attempt(name, fn)
-
-    # the two-round watch-listed entries (VERDICT r11 #8: ann_assign
-    # read 1.37-1.9x "always under la1 > 20" — which was the 1M block
-    # just above; r12's isolated min-of-3 put both at 0.6-0.9x of
-    # their anchors) get their own quiet window
-    _quiesce_self_load()
-    for name, fn in (
-        ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
-        ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
-        ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
-        ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
-        ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),
-        ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
-        ("bpe_train_200k", lambda: time_bpe_train_200k(spark)),
-        ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
-        ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
-        ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
-        ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
-    ):
-        for _pass in range(2):
-            attempt(name, fn)
+    # Non-headline entries run in quiesce-gated blocks (see
+    # suite_blocks' per-block rationale comments): each block sheds the
+    # previous block's la1 before timing, so the sidecar's recorded
+    # la1 means host+neighbor load, not the suite's own decay.
+    for _block, entries in suite_blocks(spark, sf_dir):
+        _quiesce_self_load()
+        for name, fn in entries:
+            for _pass in range(2):
+                attempt(name, fn)
 
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}
     total = round(sum(ok.values()), 3)

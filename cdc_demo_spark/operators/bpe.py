@@ -96,9 +96,17 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def auto_vocab_partitions(n_words: int, shuffle_partitions: int) -> int:
+    """Partition count for a vocabulary-grain word table: one
+    partition per ~50k words, clamped to [8, shuffle.partitions] —
+    small vocabularies avoid per-task scheduling overhead in the
+    merge loop, web-scale ones keep full parallelism (r12 ADVICE #4)."""
+    return min(max(8, -(-int(n_words) // 50_000)), max(int(shuffle_partitions), 8))
+
+
 def train_bpe(
     docs: DataFrame, text_col: str = "text", n_merges: int = 20,
-    vocab_partitions: int | None = 8,
+    vocab_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge table (rank, left, right, merged, cnt) — the
@@ -112,16 +120,31 @@ def train_bpe(
     32 shuffle partitions — and the merge loop then runs n_merges
     small jobs whose per-task scheduling overhead dominates (r12
     measured 16.0 → 12.2 s at 30 merges from coalescing to 8, merge
-    list bit-identical).  At web scale a 100M-word vocabulary wants
-    more: pass a larger value or None to keep the upstream
-    partitioning."""
+    list bit-identical).  The default "auto" (r12 ADVICE #4: a fixed
+    8 was a quiet scalability cliff for web-scale vocabularies using
+    defaults) sizes from the materialized word-table count — one row
+    per ~50k vocabulary words, clamped to [8, shuffle.partitions] —
+    so a 100M-word vocabulary keeps full parallelism with no knob.
+    An int pins the count; None keeps the upstream partitioning.
+    The coalesce happens AFTER the eager checkpoint, so the
+    word_frequencies aggregation itself writes at full parallelism
+    (the other half of the same ADVICE item); coalesce on a
+    checkpointed table is a narrow read-side fan-in, and the merge
+    loop's re-checkpoints inherit the layout."""
     spark = docs.sparkSession
     words = word_frequencies(docs, text_col).select(
         "word", "freq", F.split("word", "").alias("toks")
     )
-    if vocab_partitions is not None:
-        words = words.coalesce(vocab_partitions)
     words = words.localCheckpoint(eager=True)
+    if vocab_partitions == "auto":
+        upper = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        vocab_partitions = auto_vocab_partitions(words.count(), upper)
+    if vocab_partitions is not None:
+        vocab_partitions = int(vocab_partitions)
+        if vocab_partitions < words.rdd.getNumPartitions():
+            # narrow fan-in over the checkpointed blocks; the merge
+            # loop's own re-checkpoints persist this layout
+            words = words.coalesce(vocab_partitions)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
         top = (

@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import threading
 import uuid
+import warnings
 
 
 class ConcurrentAppendError(RuntimeError):
@@ -554,7 +555,7 @@ class BatchCommitLog:
         timeout_seconds: float | None = None,
         stale_ttl_seconds: float | None = None,
         poll_seconds: float = 0.2,
-    ) -> None:
+    ) -> set[str]:
         """Block until every intent in `observed` is closed or stale.
 
         Stale = the intent's recorded open-timestamp is older than
@@ -564,7 +565,15 @@ class BatchCommitLog:
         longest append, so no LIVE appender is ever skipped).  Raises
         after ``timeout_seconds`` rather than return a lying success —
         a wedged pre-record appender means the erase CANNOT be trusted
-        yet."""
+        yet.
+
+        Returns the intents that were skipped as stale (empty in the
+        normal drain case) and warns when that set is non-empty: an
+        append legitimately outliving the TTL is indistinguishable
+        here from a crashed one, and skipping it reopens exactly the
+        re-admission window this fence closes — the operator must
+        raise ``intent_stale_ttl_seconds`` above their longest append
+        rather than be silently exposed (r12 ADVICE)."""
         import time
 
         if timeout_seconds is None:
@@ -573,6 +582,7 @@ class BatchCommitLog:
             stale_ttl_seconds = self.intent_stale_ttl_seconds
         deadline = time.monotonic() + timeout_seconds
         pending = set(observed)
+        skipped_stale: set[str] = set()
         while pending:
             pending &= self.live_intents()
             still = set()
@@ -583,9 +593,21 @@ class BatchCommitLog:
                     continue  # vanished or corrupt mid-read: closed/dead
                 if time.time() - opened < stale_ttl_seconds:
                     still.add(p)
+                else:
+                    skipped_stale.add(p)
             pending = still
             if not pending:
-                return
+                if skipped_stale:
+                    warnings.warn(
+                        f"erase fence skipped {len(skipped_stale)} append "
+                        f"intent(s) older than stale_ttl={stale_ttl_seconds}s "
+                        "as crashed appenders; if any append can run longer "
+                        "than that, raise intent_stale_ttl_seconds or the "
+                        "erase verify may miss its writes",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                return skipped_stale
             if time.monotonic() >= deadline:
                 raise RuntimeError(
                     f"{len(pending)} append intent(s) at {self._intents_dir()} "

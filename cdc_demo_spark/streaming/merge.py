@@ -277,15 +277,32 @@ def _referenced_dirs(silver_path: str, backend: CommitBackend) -> set[str]:
         manifests.append(legacy)
     for path in manifests:
         try:
-            m = json.loads(backend.read(path))
-        except (OSError, ValueError):
+            raw = backend.read(path)
+        except FileNotFoundError:
             # A concurrent vacuum/trim deleted this manifest between
             # our listing and the read (r11 ADVICE: without the guard
             # a SUCCESSFUL merge raised FileNotFoundError from its
             # post-commit trim, tempting the caller to re-apply the
             # batch).  A vanished manifest references nothing we must
-            # protect beyond what the survivors reference.
+            # protect beyond what the survivors reference.  Any OTHER
+            # OSError (EIO, EACCES, torn frame on a RETAINED manifest)
+            # must propagate: this set is the sweep's protect-set, and
+            # treating a flaky read as "references nothing" would let
+            # rmtree delete live bucket-version dirs (r12 ADVICE).
+            # FramedBackend already maps incomplete/invalid frames —
+            # the only benign torn state for numbered manifests — to
+            # FileNotFoundError.
             continue
+        try:
+            m = json.loads(raw)
+        except ValueError:
+            if path == legacy:
+                # The legacy manifest is plain (unframed) JSON, so a
+                # torn in-progress legacy write is readable-but-invalid;
+                # it was never a committed snapshot, so it protects
+                # nothing.
+                continue
+            raise
         for b, ver in m.get("buckets", {}).items():
             refs.add(os.path.join(silver_path, "data", f"b{b}", ver))
     return refs

@@ -145,3 +145,34 @@ def test_no_python_in_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_auto_vocab_partitions_sizing():
+    """r12 ADVICE #4: the fixed default of 8 was a scalability cliff;
+    "auto" sizes one partition per ~50k vocabulary words, clamped to
+    [8, shuffle.partitions]."""
+    from cdc_demo_spark.operators.bpe import auto_vocab_partitions
+
+    assert auto_vocab_partitions(1, 32) == 8           # floor
+    assert auto_vocab_partitions(50_000, 32) == 8      # bench-scale vocab
+    assert auto_vocab_partitions(500_000, 32) == 10    # 10 x 50k chunks
+    assert auto_vocab_partitions(10_000_000, 32) == 32   # clamped to shuffle
+    assert auto_vocab_partitions(100_000_000, 2048) == 2000  # web scale, roomy cap
+    assert auto_vocab_partitions(10, 4) == 8           # cap never below floor
+
+
+def test_train_bpe_auto_matches_pinned(spark, sf_dir):
+    """The auto default must be a pure physical-layout choice: merges
+    bit-identical to both the r12 pinned-8 path and the no-coalesce
+    path."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def merge_list(vp):
+        return [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"], r["cnt"])
+            for r in train_bpe(docs, n_merges=10, vocab_partitions=vp).collect()
+        ]
+
+    auto = merge_list("auto")
+    assert auto == merge_list(8) == merge_list(None)
+    assert len(auto) == 10

@@ -169,6 +169,7 @@ def test_intent_fence_timeout_raises(tmp_path):
 
 def test_intent_fence_stale_intent_is_dead(tmp_path):
     import time
+    import warnings
 
     from cdc_demo_spark.storage import BatchCommitLog
 
@@ -177,11 +178,36 @@ def test_intent_fence_stale_intent_is_dead(tmp_path):
     # a crashed appender: rewrite the open-timestamp two hours back
     with open(p, "w") as f:
         f.write(repr(time.time() - 7200))
-    # default stale TTL is 3600s -> treated dead, drain returns
-    log.wait_intents_drained({p}, timeout_seconds=1.0)
+    # default stale TTL is 3600s -> treated dead, drain returns — but
+    # NOT silently (r12 ADVICE #2): the skipped intent comes back in
+    # the result and a RuntimeWarning tells the operator an append
+    # outliving the TTL would be invisible to the erase verify.
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        skipped = log.wait_intents_drained({p}, timeout_seconds=1.0)
+    assert skipped == {p}
+    assert any(
+        "intent_stale_ttl_seconds" in str(w.message)
+        and issubclass(w.category, RuntimeWarning)
+        for w in caught
+    )
     # and gc's sweep removes the corpse
     assert log.sweep_stale_intents(3600.0) == [p]
     assert log.live_intents() == set()
+
+
+def test_intent_fence_normal_drain_returns_empty_no_warning(tmp_path):
+    import warnings
+
+    from cdc_demo_spark.storage import BatchCommitLog
+
+    log = BatchCommitLog(str(tmp_path / "idx"))
+    p = log.open_intent()
+    log.close_intent(p)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert log.wait_intents_drained({p}, timeout_seconds=1.0) == set()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
 
 def test_append_leaves_no_intent_behind(spark, tmp_path):

@@ -406,3 +406,69 @@ def test_changefeed_flat_payload_uses_exact_comparison(spark, tmp_path):
     want = _oracle_changes(events[:n], events)
     got = {r["key"]: r["change"] for r in feed.collect()}
     assert got == {k: c for k, (c, _, _) in want.items()}
+
+
+def test_referenced_dirs_flaky_read_aborts_sweep(tmp_path):
+    # r12 ADVICE (medium): _referenced_dirs is the sweeps' protect-set;
+    # swallowing EIO/EACCES on a RETAINED manifest would "unprotect"
+    # its live bucket-version dirs and let rmtree delete them.  Only a
+    # VANISHED manifest (the concurrent-trim race) may be skipped.
+    import json as _json
+
+    import cdc_demo_spark.streaming.merge as M
+    from cdc_demo_spark.storage import PosixCommitBackend
+
+    silver = str(tmp_path / "silver")
+    os.makedirs(silver)
+    for v, bucket_ver in ((1, "v1"), (2, "v2")):
+        with open(os.path.join(silver, f"_manifest.v{v}.json"), "w") as f:
+            _json.dump({"buckets": {"0": bucket_ver}}, f)
+
+    class FlakyBackend(PosixCommitBackend):
+        def read(self, path):
+            if path.endswith("_manifest.v1.json"):
+                raise PermissionError(13, "flaky", path)
+            return super().read(path)
+
+    class VanishedBackend(PosixCommitBackend):
+        def read(self, path):
+            if path.endswith("_manifest.v1.json"):
+                raise FileNotFoundError(path)
+            return super().read(path)
+
+    both = {
+        os.path.join(silver, "data", "b0", "v1"),
+        os.path.join(silver, "data", "b0", "v2"),
+    }
+    assert M._referenced_dirs(silver, M.DEFAULT_BACKEND) == both
+    # vanished mid-list -> skipped, survivors still protected
+    assert M._referenced_dirs(silver, VanishedBackend()) == {
+        os.path.join(silver, "data", "b0", "v2")
+    }
+    # flaky read -> propagates (sweep aborts rather than widens)
+    with pytest.raises(PermissionError):
+        M._referenced_dirs(silver, FlakyBackend())
+
+
+def test_referenced_dirs_torn_json(tmp_path):
+    # torn JSON on the UNFRAMED legacy manifest = an in-progress legacy
+    # write (never a committed snapshot) -> skipped; torn JSON on a
+    # numbered manifest is impossible-without-corruption (framed CAS
+    # commit) -> must raise, not unprotect.
+    import json as _json
+
+    import cdc_demo_spark.streaming.merge as M
+
+    silver = str(tmp_path / "silver")
+    os.makedirs(silver)
+    with open(os.path.join(silver, "_manifest.v1.json"), "w") as f:
+        _json.dump({"buckets": {"0": "v1"}}, f)
+    with open(os.path.join(silver, M.MANIFEST), "w") as f:
+        f.write('{"buckets": {"0"')  # torn legacy write
+    assert M._referenced_dirs(silver, M.DEFAULT_BACKEND) == {
+        os.path.join(silver, "data", "b0", "v1")
+    }
+    with open(os.path.join(silver, "_manifest.v2.json"), "w") as f:
+        f.write('{"buckets": {"0"')  # corrupt numbered manifest
+    with pytest.raises(ValueError):
+        M._referenced_dirs(silver, M.DEFAULT_BACKEND)
