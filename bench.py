@@ -1152,18 +1152,70 @@ def time_span_dedup_200k(spark) -> float:
     return dt
 
 
-def suite_blocks(spark, sf_dir: str) -> list[tuple[str, list[tuple[str, object]]]]:
-    """Every non-headline bench entry, grouped into the quiesce-gated
-    blocks main() runs them in.  Module-level so tools/drift_pin.py can
-    resolve ANY entry by name for an isolated quiet re-measure
-    (VERDICT r12 #8) instead of keeping its own copy of three of them.
-    Thunks close over `spark`/`sf_dir`; each returns seconds."""
+def time_corpus_e2e_200k(spark) -> float:
+    """End-to-end corpus construction (VERDICT r12 #1): ONE wall number
+    for the composed chain quality filter -> exact dedup -> MinHash
+    near-dup dedup -> span removal -> leakage-safe split -> chunk+pack
+    -> shards at 200k docs, with the per-stage doc/token ledger printed
+    as a CORPUS_LEDGER diagnostics line.  Gate: the full cross-stage
+    invariant set (split safety, token conservation, block provenance)
+    plus funnel sanity — every stage must have actually cut something
+    it was supposed to cut.
+
+    The rule band is fitted to the synthetic vocabulary (the Gopher
+    thresholds are corpus-specific by design): keeps ~91% at 200k, so
+    the gate is exercised rather than a no-op."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        assert_corpus_invariants,
+        build_corpus,
+    )
+    from cdc_demo_spark.sources.synth_docs import planted_doc_pairs
+
+    docs = _doc_corpus(spark)
+    rules = {
+        "min_tokens": 60,
+        "mean_token_len": (5.70, 5.85),
+        "min_distinct_ratio": 0.9,
+    }
+    t0 = time.perf_counter()
+    res = build_corpus(
+        docs, rules=rules, minhash_threshold=0.5, span_hashed=True
+    )
+    dt = round(time.perf_counter() - t0, 3)
+    led = res["ledger"]
+    print("CORPUS_LEDGER " + json.dumps(led, separators=(",", ":")))
+    # verification (untimed — it's the checker, not the pipeline)
+    assert_corpus_invariants(res)
+    assert led["quality"]["docs"] < led["input"]["docs"]  # gate cut
+    # the planted near-dup population must collapse: every planted pair
+    # whose BOTH ends survived the quality gate loses one end to dedup
+    assert led["neardup_dedup"]["docs"] < led["exact_dedup"]["docs"]
+    n_planted = len(planted_doc_pairs(DOC_N))
+    cut = led["exact_dedup"]["docs"] - led["neardup_dedup"]["docs"]
+    assert cut >= int(0.8 * n_planted * 0.9 * 0.9), (
+        f"near-dup stage cut only {cut} of ~{n_planted} planted dups"
+    )
+    assert led["pack"]["blocks"] > 0 and len(led["split"]) == 3
+    return dt
+
+
+def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, object]]]]:
+    """Every non-headline bench entry as (block, passes, entries),
+    grouped into the quiesce-gated blocks main() runs them in.
+    Module-level so tools/drift_pin.py can resolve ANY entry by name
+    for an isolated quiet re-measure (VERDICT r12 #8) instead of
+    keeping its own copy of three of them.  Thunks close over
+    `spark`/`sf_dir`; each returns seconds.  passes=2 records the min
+    (steady-state damping); the corpus composite runs ONE pass — its
+    constituent plan shapes (LSH, spans, components, pack) are already
+    codegen-warmed by the blocks before it, and a second 60s pass
+    would buy noise damping at too high a suite-wall price."""
     return [
         # CDC entries: min of two runs, same steady-state rationale as
         # the query loop (a single pass right after 60 query executions
         # eats their GC/compilation debris — r6 observed a 5x outlier on
         # the avro entry that two clean runs bounded at 2.3 s).
-        ("cdc", [
+        ("cdc", 2, [
             ("cdc_merge_events", lambda: time_cdc_merge(spark, sf_dir)),
             # full ingest (landing -> parse -> bronze -> silver) per
             # format; avro/json ratio = the pure-Python Avro codec's
@@ -1184,7 +1236,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, list[tuple[str, object]]
         # measured in isolation) — the same resident-engine rationale as
         # the query loop's steady passes.  Heavy fixtures are cached;
         # every entry gates its timing on a correctness assert.
-        ("ann_mid", [
+        ("ann_mid", 2, [
             ("ann_1m_semantic_dedup", lambda: time_ann_semantic_dedup_1m(spark)),
             ("ann_1m_index_append", lambda: time_ann_index_append_1m(spark)),
             ("ann_2m_index_append", lambda: time_ann_index_append_2m(spark)),
@@ -1196,7 +1248,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, list[tuple[str, object]]
         # read 1.37-1.9x "always under la1 > 20" — which was the 1M
         # block just above; r12's isolated min-of-3 put both at 0.6-0.9x
         # of their anchors) get their own quiet window
-        ("ann_assign", [
+        ("ann_assign", 2, [
             ("ann_assign_64k_flat", lambda: time_ann_assign_64k_flat(spark)),
             ("ann_assign_64k_grouped", lambda: time_ann_assign_64k_grouped(spark)),
         ]),
@@ -1206,20 +1258,24 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, list[tuple[str, object]]
         # at 15-17 — the exact signature the drift pin proved inflates
         # quiet-capable entries 1.2-2x).  Gate each tail sub-block the
         # same way the CDC and mid-ANN blocks were gated in r12.
-        ("minhash", [
+        ("minhash", 2, [
             ("minhash_200k_near_dups", lambda: time_minhash_near_dups_200k(spark)),
             ("minhash_200k_index_append", lambda: time_minhash_index_append_200k(spark)),
             ("minhash_200k_index_compact", lambda: time_minhash_index_compact_200k(spark)),
             ("minhash_400k_index_append", lambda: time_minhash_index_append_400k(spark)),
         ]),
-        ("text", [
+        ("text", 2, [
             ("bpe_train_200k", lambda: time_bpe_train_200k(spark)),
             ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
             ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
         ]),
-        ("cdc_1m", [
+        ("cdc_1m", 2, [
             ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
             ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
+        ]),
+        # the composed corpus-construction pipeline (VERDICT r12 #1)
+        ("corpus_e2e", 1, [
+            ("corpus_e2e_200k", lambda: time_corpus_e2e_200k(spark)),
         ]),
     ]
 
@@ -1311,10 +1367,10 @@ def main() -> None:
     # suite_blocks' per-block rationale comments): each block sheds the
     # previous block's la1 before timing, so the sidecar's recorded
     # la1 means host+neighbor load, not the suite's own decay.
-    for _block, entries in suite_blocks(spark, sf_dir):
+    for _block, passes, entries in suite_blocks(spark, sf_dir):
         _quiesce_self_load()
         for name, fn in entries:
-            for _pass in range(2):
+            for _pass in range(passes):
                 attempt(name, fn)
 
     ok = {k: v for k, v in timings.items() if isinstance(v, float)}

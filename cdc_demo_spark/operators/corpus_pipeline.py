@@ -1,0 +1,293 @@
+"""End-to-end corpus construction as ONE composed operator (VERDICT
+r12 #1): the chain a 100 TB pretraining-data run executes —
+
+    quality filter  ->  exact dedup  ->  MinHash-LSH near-dup dedup
+      ->  duplicated-span removal  ->  leakage-safe train/val/test
+      split  ->  chunk + pack into training blocks  ->  shards
+
+Every stage is an individually oracle/pytest-verified operator from
+this package (queries/textops.q_quality_filter's Gopher rule shape,
+operators/dedup.exact_dedup + minhash_near_duplicates,
+operators/spans.remove_duplicated_spans, queries/dedup.
+q_leakage_safe_split's cluster-grain md5 split, operators/chunking +
+packing); what was never measured before this module is the
+COMPOSITION — whether the component pass feeds both dedup and split
+without a second edge build, whether the span stage reads pinned
+survivors instead of recomputing the LSH chain, and what the composed
+plan's shuffle inventory is.  See SCALE.md "Composite corpus
+pipeline" for the plan-shape audit and bench.py's corpus_e2e_200k for
+the measured wall number.
+
+Cross-stage invariants (pinned by tests/test_corpus_pipeline.py and
+asserted cheaply in the bench gate):
+
+- split safety: BOTH ends of every verified near-dup pair get the
+  same split (split is a pure function of the pair's shared
+  connected component), so no eval doc has a training near-copy;
+- conservation: sum(total_tokens) over packed blocks == sum of
+  post-span-removal token counts over surviving docs (the default
+  stride == chunk_tokens makes chunking a partition of each doc's
+  token sequence, so packing must conserve tokens exactly);
+- provenance: every block's doc_ids ⊆ the surviving doc set of its
+  own split.
+
+Scale shape: one quality projection (zero shuffle), one digest
+shuffle (exact dedup), the banded-LSH stack (O(tokens) shingling,
+never all-pairs), star-contraction component rounds on the slim pair
+list, the span stack's two gram shuffles, then chunk (zero shuffle)
+and one applyInPandas per (split, shard) pack group.  Nothing
+collects to the driver but the ledger's per-stage scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.chunking import chunk_documents
+from cdc_demo_spark.operators.dedup import exact_dedup, minhash_near_duplicates
+from cdc_demo_spark.operators.graph import connected_components_star
+from cdc_demo_spark.operators.packing import pack_chunks
+from cdc_demo_spark.operators.spans import remove_duplicated_spans
+
+#: default Gopher-style rule band (queries/textops.q_quality_filter's
+#: shape, thresholds are corpus-specific by design — these match the
+#: sf documents table; bench passes a band fitted to its synthetic
+#: vocabulary)
+DEFAULT_RULES = {
+    "min_tokens": 25,
+    "mean_token_len": (4.0, 5.0),
+    "min_distinct_ratio": 0.35,
+}
+
+
+def quality_keep_expr(text_col: str, rules: dict) -> F.Column:
+    """The q_quality_filter keep-verdict as a reusable predicate:
+    token count, mean token length band, distinct-token ratio."""
+    toks = F.split(text_col, " ")
+    n_tokens = F.size(toks).cast("long")
+    lo, hi = rules["mean_token_len"]
+    mtl = (F.length(text_col) - n_tokens + 1).cast("double") / n_tokens
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return (
+        (n_tokens >= int(rules["min_tokens"]))
+        & (mtl >= float(lo))
+        & (mtl <= float(hi))
+        & (dr >= float(rules["min_distinct_ratio"]))
+    )
+
+
+def _split_expr(component: F.Column) -> F.Column:
+    """The house md5 split scheme (queries/dedup.q_leakage_safe_split):
+    80/10/10 as a pure function of the near-dup CLUSTER id."""
+    h = (
+        F.conv(F.substring(F.md5(component.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+
+def _docs_tokens(df: DataFrame, text_col: str) -> tuple[int, int]:
+    row = df.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.coalesce(F.sum(F.size(F.split(text_col, " "))), F.lit(0)).alias("t"),
+    ).collect()[0]
+    return int(row["d"]), int(row["t"])
+
+
+def build_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules: dict | None = None,
+    minhash_threshold: float = 0.5,
+    span_n: int = 5,
+    span_plan: str = "window",
+    span_hashed: bool = False,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    block_tokens: int = 256,
+    n_shards: int = 16,
+    shard_salt: str = "epoch0",
+) -> dict:
+    """Run the full construction chain; returns a dict with the final
+    ``blocks`` DataFrame, the intermediate DataFrames the invariant
+    tests need (``pairs``, ``splits``, ``final_docs``), and a
+    ``ledger`` of per-stage (docs, tokens) counts — the artifact a
+    production run files next to the shards.
+
+    ``stride`` defaults to ``chunk_tokens`` (non-overlapping windows)
+    so chunking partitions each doc's tokens and the conservation
+    invariant holds exactly; pass a smaller stride for overlapping
+    training windows (the ledger then reports packed > surviving).
+
+    Every stage is pinned (eager localCheckpoint) before reuse: the
+    component pass feeds BOTH survivor selection and the split map,
+    the quality output feeds both dedup stages, and the ledger's
+    counts read pinned results instead of re-executing upstream
+    lineage (the r10 span-stage finding, applied uniformly)."""
+    import time as _time
+
+    rules = dict(DEFAULT_RULES if rules is None else rules)
+    if stride is None:
+        stride = chunk_tokens
+    ledger: dict[str, dict] = {}
+    t_mark = _time.perf_counter()
+
+    def _stage_secs() -> float:
+        nonlocal t_mark
+        now = _time.perf_counter()
+        dt, t_mark = now - t_mark, now
+        return round(dt, 3)
+
+    d, t = _docs_tokens(docs, text_col)
+    ledger["input"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
+
+    # 1. quality gate — pure codegen projection, zero shuffle
+    quality = docs.filter(quality_keep_expr(text_col, rules)).localCheckpoint(
+        eager=True
+    )
+    d, t = _docs_tokens(quality, text_col)
+    ledger["quality"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
+
+    # 2. exact dedup — md5-digest shuffle (16-byte keys, never text)
+    exact = exact_dedup(quality, [text_col], id_col).localCheckpoint(eager=True)
+    d, t = _docs_tokens(exact, text_col)
+    ledger["exact_dedup"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
+
+    # 3. near-dup pairs (banded LSH, exact-Jaccard verified) ->
+    #    connected components.  ONE component pass serves both the
+    #    survivor choice (min id per cluster) and the split map.
+    pairs = minhash_near_duplicates(
+        exact, id_col, text_col, threshold=minhash_threshold
+    ).localCheckpoint(eager=True)
+    comps = connected_components_star(
+        exact.select(id_col), pairs, id_col=id_col
+    ).localCheckpoint(eager=True)
+    splits = comps.select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        _split_expr(F.col("component")).alias("split"),
+    )
+    survivors = exact.join(
+        comps.filter(F.col(id_col) == F.col("component")).select(id_col),
+        id_col,
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    d, t = _docs_tokens(survivors, text_col)
+    ledger["neardup_dedup"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
+
+    # 4. duplicated-span removal (keep-one) — docs emptied by the cut
+    #    drop out; the rest carry their cleaned text forward
+    cleaned = remove_duplicated_spans(
+        survivors, id_col, text_col, n=span_n, plan=span_plan,
+        hashed=span_hashed,
+    ).localCheckpoint(eager=True)
+    spans_cut = int(
+        cleaned.agg(F.coalesce(F.sum("n_removed"), F.lit(0))).collect()[0][0]
+    )
+    final_docs = (
+        cleaned.filter(F.length("clean_text") > 0)
+        .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
+        .join(splits.select(id_col, "split"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    d, t = _docs_tokens(final_docs, text_col)
+    ledger["span_removal"] = {
+        "docs": d, "tokens": t, "tokens_cut": spans_cut, "secs": _stage_secs()
+    }
+
+    # 5. ledger the split census at doc grain (the split map itself is
+    #    cluster-grain and covers every deduped doc)
+    ledger["split"] = {
+        r["split"]: r["n"]
+        for r in final_docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # 6-7. chunk (zero shuffle) -> pack per (split, shard) group.
+    #    Shard = md5(salt|doc_id) — deterministic, engine-portable,
+    #    epoch re-salt = reshuffle; the (split, shard) group key keeps
+    #    blocks split-pure by construction.
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(shard_salt), F.col(id_col))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(n_shards)
+    )
+    chunks = chunk_documents(
+        final_docs, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, stride=stride,
+    ).join(
+        final_docs.select(
+            id_col, F.format_string("%s/%02d", F.col("split"), shard).alias("group")
+        ),
+        id_col,
+    )
+    blocks = pack_chunks(chunks, "group", block_tokens=block_tokens).select(
+        F.split_part("group", F.lit("/"), F.lit(1)).alias("split"),
+        F.split_part("group", F.lit("/"), F.lit(2)).cast("int").alias("shard"),
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        "doc_ids",
+    ).localCheckpoint(eager=True)
+    pack_row = blocks.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("t"),
+    ).collect()[0]
+    ledger["pack"] = {
+        "blocks": int(pack_row["b"]),
+        "tokens": int(pack_row["t"]),
+        "secs": _stage_secs(),
+    }
+
+    return {
+        "blocks": blocks,
+        "pairs": pairs,
+        "splits": splits,
+        "final_docs": final_docs,
+        "ledger": ledger,
+    }
+
+
+def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
+    """The cross-stage invariants (cheap: slim-column joins + scalar
+    aggregates).  Raises AssertionError with the offending census."""
+    pairs, splits = result["pairs"], result["splits"]
+    final_docs, ledger = result["final_docs"], result["ledger"]
+    blocks = result["blocks"]
+
+    # split safety: both ends of every near-dup pair share a split
+    sp = splits.select(F.col(id_col), "split")
+    straddle = (
+        pairs.join(sp.withColumnsRenamed({id_col: "id_a", "split": "sa"}), "id_a")
+        .join(sp.withColumnsRenamed({id_col: "id_b", "split": "sb"}), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0, f"{straddle} near-dup pairs straddle splits"
+
+    # conservation: packed tokens == surviving (post-span) tokens
+    packed = ledger["pack"]["tokens"]
+    surviving = ledger["span_removal"]["tokens"]
+    assert packed == surviving, f"packed {packed} != surviving {surviving}"
+
+    # provenance: every block's doc_ids belong to its own split
+    exploded = blocks.select("split", F.explode("doc_ids").alias(id_col))
+    foreign = exploded.join(
+        final_docs.select(id_col, F.col("split").alias("doc_split")), id_col
+    ).filter(F.col("split") != F.col("doc_split")).count()
+    assert foreign == 0, f"{foreign} block-doc split mismatches"
+    orphan = exploded.join(final_docs.select(id_col), id_col, "left_anti").count()
+    assert orphan == 0, f"{orphan} packed doc_ids not in final doc set"
+
+    # ledger monotonicity: docs never increase through the funnel
+    seq = [ledger[k]["docs"] for k in
+           ("input", "quality", "exact_dedup", "neardup_dedup", "span_removal")]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), f"funnel grew: {seq}"

@@ -75,7 +75,7 @@ def resolve_entries(spark, sf_dir: str, names: list[str]) -> dict[str, object]:
     """name -> zero-arg timing thunk, from bench.suite_blocks plus the
     headline query list (timed the same way main() times them)."""
     table: dict[str, object] = {}
-    for _block, entries in bench.suite_blocks(spark, sf_dir):
+    for _block, _passes, entries in bench.suite_blocks(spark, sf_dir):
         table.update(entries)
     from cdc_demo_spark.queries import QUERIES
 
