@@ -40,69 +40,67 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-12 window head: computed by tools/window_staleness.py from
-    # the CORRECTNESS_r01..r11 union.  Capacity math (50 slots):
-    #   3  NEW oracle entries: two r12 oracle-izations (VERDICT r11
-    #      #3) plus q_leakage_safe_split (new r12 operator);
-    #      q_simhash_signatures (md5 simhash, value-exact) and
-    #      q_hll_mergeable_rollup (register-table HLL, value-exact) —
-    #      rows-only count shrinks 15 -> 13;
-    #   38 of the 50 r9-stale oracle queries, stalest-first (the
-    #      remaining 12, q_line_status_priority onward, are queued
-    #      as the r13 head);
-    #   9  ALL remaining r5-stale rows-only queries (VERDICT r11 #2
-    #      asked >=6; this clears the whole list, so no rows-only
-    #      record predates r11 after this capture).
-    "q_simhash_signatures",
-    "q_hll_mergeable_rollup",
-    "q_leakage_safe_split",
-    "q_allpairs_jaccard",
-    "q_array_functions",
-    "q_benchmark_contamination",
-    "q_bm25_topk",
-    "q_bpe_merge_candidates",
-    "q_bpe_token_count",
-    "q_containment_pairs",
-    "q_context_length_histogram",
-    "q_context_windows",
-    "q_corpus_token_budget",
-    "q_correlated_exists",
-    "q_cosine_topk_arrow",
-    "q_data_quality",
-    "q_day_partition_pruning",
-    "q_dedup_cluster_survivors",
-    "q_dedup_exact_keep",
-    "q_dedup_stats",
-    "q_disjunctive_filters",
-    "q_document_chunks",
-    "q_dormant_rich_customers",
-    "q_dup_ngram_fraction",
-    "q_embedding_quantize_int8",
-    "q_events_per_day_spine",
-    "q_except_all",
-    "q_excess_part_suppliers",
-    "q_fingerprint",
-    "q_forecast_revenue",
-    "q_fuzzy_name_pairs",
-    "q_grouping_sets",
-    "q_important_supplier_value",
-    "q_incremental_histogram",
-    "q_incremental_moments",
-    "q_incremental_rollup",
-    "q_incremental_token_counts",
-    "q_intersect_all",
-    "q_lang_id",
-    "q_late_shipment_priority",
-    "q_latest_event_per_user",
-    "q_approx_count_distinct",
-    "q_approx_percentiles",
-    "q_audio_features",
-    "q_embedding_near_dups",
-    "q_incremental_minhash",
-    "q_incremental_semantic",
-    "q_media_features",
-    "q_media_pipeline",
-    "q_minhash_near_dups",
+    # Round-13 window head: the staleness tool's EXACT suggestion
+    # (tools/window_staleness.py over the CORRECTNESS_r01..r12 union) —
+    # VERDICT r12 #2.  Capacity math (50 slots):
+    #   12 ALL remaining r9-stale oracle queries (the queue the r12
+    #      rotation left; after this capture no oracle record predates
+    #      r10);
+    #   38 stalest r10 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them).
+    # Rows-only queries were all refreshed in r12 (none predates r12),
+    # so none need a slot this round.  New oracle queries registered
+    # this round should displace entries from the r10 tail.
+    "q_line_status_priority",
+    "q_math_functions",
+    "q_ngram_jaccard_pairs",
+    "q_null_functions",
+    "q_ohlc_bars",
+    "q_range_frame_sum",
+    "q_session_window",
+    "q_stratified_sample",
+    "q_token_stats",
+    "q_tumbling_window",
+    "q_union_all",
+    "q_user_sessions",
+    "q_anti_join",
+    "q_asof_join",
+    "q_bigram_perplexity",
+    "q_bloom_decontamination",
+    "q_bpe_train",
+    "q_case_when",
+    "q_embedding_covariance",
+    "q_hot_key_salted_join",
+    "q_large_volume_customers",
+    "q_linear_quality_score",
+    "q_local_supplier_volume",
+    "q_mad_outliers",
+    "q_min_cost_supplier",
+    "q_minhash_near_dups_md5",
+    "q_minhash_signatures_md5",
+    "q_mixture_sample",
+    "q_nation_market_share",
+    "q_nation_volume_shipping",
+    "q_neardup_centrality",
+    "q_order_count_distribution",
+    "q_packed_blocks",
+    "q_percentiles",
+    "q_pii_mask",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_quality_filter",
+    "q_rate_anomaly",
+    "q_referential_integrity",
+    "q_repetition_ratio",
+    "q_scalar_subquery",
+    "q_signup_purchase_funnel",
+    "q_simhash_hamming_pairs",
+    "q_sliding_window",
+    "q_small_qty_revenue",
+    "q_sole_returning_suppliers",
+    "q_supplier_part_counts",
+    "q_text_normalize",
 ]
 
 
