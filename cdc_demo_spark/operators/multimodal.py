@@ -21,6 +21,8 @@ declared up front, and nothing ever collects to the driver.
 
 from __future__ import annotations
 
+import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -38,12 +40,30 @@ MEDIA_SCHEMA = (
 
 class FakeImageCodec:
     """Deterministic toy image/video codec: MAGIC | H | W | F | pixels,
-    pixels = F frames of H*W uint8."""
+    pixels = F frames of H*W uint8.
+
+    Pixel content is the house md5 byte scheme (byte ``16*b+j`` of item
+    ``i`` = byte ``j`` of ``md5(f"{i}:{b}")``) — the same
+    engine-portable trick as ``simhash_md5``/``hll_registers`` — so a
+    SQL engine can regenerate every pixel from ``(media_id, position)``
+    without executing the codec.  That is what upgrades
+    ``q_media_features`` from rows-only to a value-exact DuckDB oracle
+    (VERDICT r12 #7): the whole encode → binary column → Arrow decode →
+    stats path is differentially checked against a from-first-principles
+    SQL replay."""
+
+    @staticmethod
+    def content(media_id: int, n: int) -> np.ndarray:
+        """n deterministic uint8 content bytes for one item."""
+        blocks = (n + 15) // 16
+        buf = b"".join(
+            hashlib.md5(f"{media_id}:{b}".encode()).digest() for b in range(blocks)
+        )
+        return np.frombuffer(buf[:n], dtype=np.uint8)
 
     @staticmethod
     def encode(media_id: int, width: int, height: int, n_frames: int = 1) -> bytes:
-        rng = np.random.default_rng(media_id)  # content derived from id
-        pixels = rng.integers(0, 256, size=height * width * n_frames, dtype=np.uint8)
+        pixels = FakeImageCodec.content(media_id, height * width * n_frames)
         return MAGIC + struct.pack("<III", height, width, n_frames) + pixels.tobytes()
 
     @staticmethod
@@ -101,10 +121,20 @@ def extract_features(media: DataFrame) -> DataFrame:
         for b in batches:
             out = []
             for _, r in b.iterrows():
-                px = FakeImageCodec.decode(r["payload"])
+                px = FakeImageCodec.decode(r["payload"]).astype(np.int64).ravel()
+                # Exact integer moments, then ONE division each: both
+                # sums are exact int64 (<= 255^2 * n < 2^53), so the
+                # resulting doubles are a pure function of the bytes —
+                # a SQL engine replaying sum/sum-of-squares computes
+                # bit-identical mean/std (what makes the oracle
+                # value-exact; np.mean/np.std would round differently).
+                n = px.size
+                s1, s2 = int(px.sum()), int((px * px).sum())
+                mean = s1 / n
+                std = math.sqrt(max(s2 / n - mean * mean, 0.0))
                 out.append(
                     {"media_id": r["media_id"], "kind": r["kind"],
-                     "mean_px": float(px.mean()), "std_px": float(px.std()),
+                     "mean_px": mean, "std_px": std,
                      "n_bytes": int(len(r["payload"]))}
                 )
             yield pd.DataFrame(out)
@@ -233,16 +263,29 @@ AUDIO_SCHEMA = "media_id long, sample_rate int, n_samples int, payload binary"
 
 
 class FakeAudioCodec:
-    """Deterministic toy audio: MAGIC | rate | n | int16 PCM samples."""
+    """Deterministic toy audio: MAGIC | rate | n | int16 PCM samples.
+
+    The waveform is pure integer math — a ±16384 square tone at
+    ``200 + (id % 20) * 50`` Hz (phase accumulator
+    ``(pos * 2 * freq) // rate``) plus an md5-dither in ±1024 (byte
+    scheme of :class:`FakeImageCodec`, id-space offset by 7_000_000) —
+    so a SQL engine can regenerate every sample from
+    ``(media_id, position)`` and the audio family is value-exact
+    oracle-checkable (VERDICT r12 #7) while keeping the tone-like shape
+    the zero-crossing feature needs.  |pcm| ∈ [15360, 17408]: never
+    zero, so crossings == tone sign flips, and dither can't flip sign."""
 
     @staticmethod
     def encode(media_id: int, sample_rate: int = 16000, seconds: float = 0.25) -> bytes:
         n = int(sample_rate * seconds)
-        rng = np.random.default_rng(media_id + 7_000_000)
-        t = np.arange(n) / sample_rate
         freq = 200 + (media_id % 20) * 50
-        wave = (0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n))
-        pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        pos = np.arange(n, dtype=np.int64)
+        phase = (pos * (2 * freq)) // sample_rate
+        tone = np.where(phase % 2 == 0, 1, -1).astype(np.int64)
+        dither = (
+            FakeImageCodec.content(media_id + 7_000_000, n).astype(np.int64) - 128
+        )
+        pcm = (tone * 16384 + dither * 8).astype(np.int16)
         return AUDIO_MAGIC + struct.pack("<II", sample_rate, n) + pcm.tobytes()
 
     @staticmethod
@@ -276,12 +319,17 @@ def audio_features(audio: DataFrame) -> DataFrame:
             rows = []
             for _, r in b.iterrows():
                 rate, s = FakeAudioCodec.decode(r["payload"])
-                x = s.astype(np.float64) / 32768.0
+                v = s.astype(np.int64)
+                # rms over x = pcm/32768 from the exact integer sum of
+                # squares: one exact int division target, one sqrt, one
+                # power-of-two scale — bit-replayable in SQL (same
+                # rationale as extract_features' moments).
+                s2 = int((v * v).sum())
                 rows.append({
                     "media_id": r["media_id"],
                     "duration_s": len(s) / rate,
-                    "rms": float(np.sqrt((x ** 2).mean())),
-                    "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
+                    "rms": math.sqrt(s2 / len(s)) / 32768.0,
+                    "zero_crossings": int(((v[:-1] * v[1:]) < 0).sum()),
                 })
             yield pd.DataFrame(rows)
 

@@ -46,11 +46,19 @@ _DRIVER_WINDOW_FIRST = [
     #   12 ALL remaining r9-stale oracle queries (the queue the r12
     #      rotation left; after this capture no oracle record predates
     #      r10);
-    #   38 stalest r10 oracle queries (alphabetical within equal
+    #   3  NEWLY ORACLE-IZED media/audio queries (VERDICT r12 #7 —
+    #      md5 pixel/PCM scheme; previously rows-only): first-ever
+    #      hash-verified driver records for them, displacing the 3
+    #      youngest r10-tail entries (q_sole_returning_suppliers,
+    #      q_supplier_part_counts, q_text_normalize — next round's
+    #      queue);
+    #   35 stalest r10 oracle queries (alphabetical within equal
     #      staleness, as the tool prints them).
     # Rows-only queries were all refreshed in r12 (none predates r12),
-    # so none need a slot this round.  New oracle queries registered
-    # this round should displace entries from the r10 tail.
+    # so none need a slot this round.
+    "q_media_features",
+    "q_media_pipeline",
+    "q_audio_features",
     "q_line_status_priority",
     "q_math_functions",
     "q_ngram_jaccard_pairs",
@@ -98,9 +106,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_simhash_hamming_pairs",
     "q_sliding_window",
     "q_small_qty_revenue",
-    "q_sole_returning_suppliers",
-    "q_supplier_part_counts",
-    "q_text_normalize",
 ]
 
 
