@@ -1129,7 +1129,10 @@ def time_span_dedup_200k(spark) -> float:
     path) at 200k docs / ~35M positional 5-grams.  Gate: every planted
     near-dup doc AND its base carry a duplicated span; essentially no
     unrelated doc does (50k-word vocabulary — a background duplicated
-    5-gram would be a generator bug)."""
+    5-gram would be a generator bug).  plan="auto" since r13 (VERDICT
+    r12 #4): the sampled skew probe costs ~5% here (measured,
+    SCALE.md) and the bench should time the self-routing plan a
+    100 TB caller gets by default."""
     from cdc_demo_spark.operators.spans import duplicated_spans
     from cdc_demo_spark.sources.synth_docs import planted_doc_pairs
 
@@ -1137,7 +1140,7 @@ def time_span_dedup_200k(spark) -> float:
     t0 = time.perf_counter()
     spanned = {
         r["id"]
-        for r in duplicated_spans(docs, "doc_id", "text", n=5, hashed=True)
+        for r in duplicated_spans(docs, "doc_id", "text", n=5, hashed=True, plan="auto")
         .select("id")
         .distinct()
         .collect()

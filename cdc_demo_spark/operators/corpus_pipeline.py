@@ -103,7 +103,10 @@ def build_corpus(
     rules: dict | None = None,
     minhash_threshold: float = 0.5,
     span_n: int = 5,
-    span_plan: str = "window",
+    # "auto" since r13: the sampled skew probe is ~free and the
+    # composed pipeline is exactly the 100 TB caller the self-routing
+    # plan exists for (SCALE.md r13 section)
+    span_plan: str = "auto",
     span_hashed: bool = False,
     chunk_tokens: int = 64,
     stride: int | None = None,

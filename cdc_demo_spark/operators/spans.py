@@ -87,6 +87,21 @@ def ngram_positions(
 HOT_GRAM_OCC = 200_000
 
 
+def _window_marked(g: DataFrame, keep_first: bool) -> DataFrame:
+    """The gram-partitioned window body shared by the window plan, the
+    auto plan's cold route, and the hybrid plan's cold side."""
+    w = Window.partitionBy("gram")
+    marked = g.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("occ"),
+        F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+    ).filter(F.col("occ") >= 2)
+    if keep_first:
+        marked = marked.filter(F.col("rn") > 1)
+    return marked.select("id", "pos")
+
+
 def duplicated_positions(
     df: DataFrame,
     id_col: str,
@@ -96,6 +111,7 @@ def duplicated_positions(
     hashed: bool = False,
     plan: str = "window",
     hot_occ: int = HOT_GRAM_OCC,
+    probe_fraction: float = 0.02,
 ) -> DataFrame:
     """(id, pos) sites whose gram occurs at >= 2 sites corpus-wide.
     With ``keep_first`` the globally-first site per gram
@@ -133,28 +149,27 @@ def duplicated_positions(
       hot join, cold anti-join — tokenize once, not three times
       (r11 ADVICE).
     - ``plan="auto"``: route window↔hybrid on the corpus's measured
-      skew, so a 100 TB caller doesn't need to know HOT_GRAM_OCC.  The
-      hybrid's own gram aggregate doubles as the probe: max(occ) is
-      one scalar off a partial-aggregated pass over the persisted g
-      (no second tokenize).  Below ``hot_occ`` the window plan is
-      provably safe (every partition < hot_occ rows) and runs over the
-      same persisted g; at or past it, the hybrid finishes the viral
-      grams map-side.  Static ``window`` stays the default: auto pays
-      the persist + one aggregate read even on unskewed corpora
-      (measured cost in SCALE.md).
+      skew, so a 100 TB caller doesn't need to know HOT_GRAM_OCC.
+      r13: the probe is a SAMPLED skew estimate — tokenize a
+      deterministic ``probe_fraction`` doc sample, take max gram
+      occupancy, scale by 1/fraction, route hybrid past
+      ``hot_occ / 2``.  Routing can never change the ANSWER (all four
+      plans compute identical results, hypothesis-pinned), only the
+      physical shape, so a probabilistic probe is safe by
+      construction: a deep-viral gram (the 66× window blowup) spans
+      thousands of docs and is caught w.h.p.; a near-boundary miss
+      falls back to the window plan, whose partitions stay ~hot_occ —
+      the regime it is sized for.  The r12 exact probe (max occ over
+      the localCheckpoint'd FULL gram table) measured ~3× the whole
+      window plan on the unskewed 200k-doc bench corpus because the
+      checkpoint materializes every gram row; the sampled probe costs
+      ~probe_fraction of one tokenize pass (SCALE.md).  Pass
+      ``probe_fraction=1.0`` for the exact probe (tests use it to pin
+      the hybrid route deterministically).
     """
     g = ngram_positions(df, id_col, text_col, n, hashed)
     if plan == "window":
-        w = Window.partitionBy("gram")
-        marked = g.select(
-            "id",
-            "pos",
-            F.count(F.lit(1)).over(w).alias("occ"),
-            F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
-        ).filter(F.col("occ") >= 2)
-        if keep_first:
-            marked = marked.filter(F.col("rn") > 1)
-        return marked.select("id", "pos")
+        return _window_marked(g, keep_first)
     if plan == "join":
         dup = (
             g.groupBy("gram")
@@ -170,7 +185,29 @@ def duplicated_positions(
                 (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
             )
         return marked.select("id", "pos")
-    if plan in ("hybrid", "auto"):
+    if plan == "auto":
+        if probe_fraction >= 1.0:
+            g_probe, scale = g, 1.0
+        else:
+            g_probe = ngram_positions(
+                df.sample(fraction=probe_fraction, seed=13),
+                id_col, text_col, n, hashed,
+            )
+            scale = probe_fraction
+        row = (
+            g_probe.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .agg(F.max("occ").alias("mx"))
+            .first()
+        )
+        mx_est = (row["mx"] if row and row["mx"] is not None else 0) / scale
+        if mx_est < hot_occ / 2:
+            # No deep-viral gram in evidence: the single-pass window
+            # plan over the UNPINNED g (no checkpoint, no storage
+            # footprint — repeated calls cannot accumulate blocks).
+            return _window_marked(g, keep_first)
+        plan = "hybrid"
+    if plan == "hybrid":
         # Three consumers read g below (stats aggregate, hot broadcast
         # join, cold anti-join); without the pin each re-runs the
         # tokenize/explode pass — the most expensive stage at the
@@ -186,26 +223,6 @@ def duplicated_positions(
             )
             .filter(F.col("occ") >= 2)
         )
-        if plan == "auto":
-            # Route on the corpus's actual skew: the gram aggregate is
-            # the probe (partial aggregation collapses even a viral
-            # gram map-side, so max(occ) is one cheap scalar over the
-            # persisted g — no extra tokenize).  Below the hot bound
-            # every window partition is provably small: fall through
-            # to the window plan over the SAME persisted g.
-            stats = stats.localCheckpoint(eager=False)
-            row = stats.agg(F.max("occ").alias("mx")).first()
-            if row is None or row["mx"] is None or row["mx"] < hot_occ:
-                w = Window.partitionBy("gram")
-                marked = g.select(
-                    "id",
-                    "pos",
-                    F.count(F.lit(1)).over(w).alias("occ"),
-                    F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
-                ).filter(F.col("occ") >= 2)
-                if keep_first:
-                    marked = marked.filter(F.col("rn") > 1)
-                return marked.select("id", "pos")
         hot = stats.filter(F.col("occ") >= hot_occ)
         # hot grams: every site is duplicated by definition; keep-first
         # drops the broadcast first site — all map-side, no shuffle of
@@ -219,18 +236,8 @@ def duplicated_positions(
         # cold grams: the window plan, with partition size now bounded
         # by hot_occ (the broadcast anti-join is map-side too)
         cold = g.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
-        w = Window.partitionBy("gram")
-        cold_marked = cold.select(
-            "id",
-            "pos",
-            F.count(F.lit(1)).over(w).alias("occ"),
-            F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
-        ).filter(F.col("occ") >= 2)
-        if keep_first:
-            cold_marked = cold_marked.filter(F.col("rn") > 1)
-        return hot_sites.select("id", "pos").unionByName(
-            cold_marked.select("id", "pos")
-        )
+        cold_marked = _window_marked(cold, keep_first)
+        return hot_sites.select("id", "pos").unionByName(cold_marked)
     raise ValueError(
         f"unknown plan {plan!r}; expected 'window', 'join', 'hybrid', "
         "or 'auto'"
@@ -246,6 +253,7 @@ def duplicated_spans(
     hashed: bool = False,
     plan: str = "window",
     hot_occ: int = HOT_GRAM_OCC,
+    probe_fraction: float = 0.02,
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start,
     span_end, span_tokens) over 1-based token indices.  A duplicated
@@ -253,7 +261,8 @@ def duplicated_spans(
     next start is inside-or-adjacent to the running span
     (gaps-and-islands: new island iff pos - prev_pos > n)."""
     dup = duplicated_positions(
-        df, id_col, text_col, n, keep_first, hashed, plan, hot_occ
+        df, id_col, text_col, n, keep_first, hashed, plan, hot_occ,
+        probe_fraction,
     )
     wd = Window.partitionBy("id").orderBy("pos")
     island = F.sum(
@@ -283,6 +292,7 @@ def remove_duplicated_spans(
     hashed: bool = False,
     plan: str = "window",
     hot_occ: int = HOT_GRAM_OCC,
+    probe_fraction: float = 0.02,
 ) -> DataFrame:
     """Cut every duplicated passage except its globally-first
     occurrence (Lee et al.'s keep-one policy): tokens covered by any
@@ -297,7 +307,7 @@ def remove_duplicated_spans(
     collect_list's nondeterministic ordering)."""
     removable = duplicated_positions(
         df, id_col, text_col, n, keep_first=True, hashed=hashed, plan=plan,
-        hot_occ=hot_occ,
+        hot_occ=hot_occ, probe_fraction=probe_fraction,
     )
     covered = (
         removable.select(

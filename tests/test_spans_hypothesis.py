@@ -70,17 +70,21 @@ def test_positions_equal_reference_both_plans(spark, docs):
         # hybrid at hot_occ=2 routes EVERY duplicated gram map-side; at
         # 3 it mixes hot and cold paths inside one result (the dense
         # 5-word vocabulary guarantees both occur across draws); auto
-        # at 3 exercises the probe's hybrid route, auto at a huge bound
-        # exercises its fall-through to the window over persisted g
-        for plan, hot_occ in (
-            ("window", None),
-            ("join", None),
-            ("hybrid", 2),
-            ("hybrid", 3),
-            ("auto", 3),
-            ("auto", 10**9),
+        # at 3 with the EXACT probe (probe_fraction=1.0) pins the
+        # hybrid route deterministically, auto at a huge bound
+        # exercises the window fall-through, and auto with the default
+        # sampled probe fuzzes whichever route the sample picks (the
+        # answer is plan-independent by construction — that is the
+        # property under test)
+        for plan, kw in (
+            ("window", {}),
+            ("join", {}),
+            ("hybrid", {"hot_occ": 2}),
+            ("hybrid", {"hot_occ": 3}),
+            ("auto", {"hot_occ": 3, "probe_fraction": 1.0}),
+            ("auto", {"hot_occ": 10**9}),
+            ("auto", {"hot_occ": 3}),
         ):
-            kw = {"hot_occ": hot_occ} if hot_occ is not None else {}
             got = {
                 (r["id"], r["pos"])
                 for r in duplicated_positions(
