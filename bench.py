@@ -943,6 +943,39 @@ def time_bpe_train_200k(spark) -> float:
     return dt
 
 
+def time_bpe_encode_200k(spark) -> float:
+    """Corpus tokenization with the trained 30-merge vocabulary at the
+    200k-doc grain — the encode half of the BPE story, in the r13
+    vocabulary-grain shape (encode each DISTINCT word once, join back,
+    positional regroup; impl='auto' routes the 30-merge list to the
+    Arrow priority encoder).  Training runs OUTSIDE the timed section
+    (bpe_train_200k measures it); the timed section is explode + vocab
+    encode + join + regroup + token census.  Gate: the total token
+    count equals the pinned constant the per-occurrence fold chain
+    produced for this deterministic corpus (the r13 A/B measured the
+    inline chain at 363.7 s vs ~9 s for this path, token-for-token
+    identical — SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = _doc_corpus(spark)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in train_bpe(docs, "text", n_merges=30).collect()
+    ]
+    assert len(merges) == 30
+    t0 = time.perf_counter()
+    total = (
+        bpe_tokenize(docs, "text", merges, id_col="doc_id")
+        .agg(F.sum(F.size("tokens")))
+        .collect()[0][0]
+    )
+    dt = round(time.perf_counter() - t0, 3)
+    assert total == 145_518_199, f"token census {total} != pinned 145518199"
+    return dt
+
+
 def time_jdbc_warehouse_sink(spark, sf_dir: str) -> float:
     """Exactly-once JDBC warehouse ingest (streaming/jdbc_sink.py)
     end-to-end against embedded Derby: the sf events envelope in 3
@@ -1269,6 +1302,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
         ]),
         ("text", 2, [
             ("bpe_train_200k", lambda: time_bpe_train_200k(spark)),
+            ("bpe_encode_200k", lambda: time_bpe_encode_200k(spark)),
             ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
             ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
         ]),

@@ -168,24 +168,154 @@ def train_bpe(
     )
 
 
+def encode_words(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "toks",
+    impl: str = "auto",
+) -> DataFrame:
+    """Encode a DISTINCT-WORD table through a learned merge list —
+    the vocabulary-grain half of corpus tokenization (the same
+    statistics argument as the trainer's module docstring: encoding
+    work is a function of the vocabulary, not the corpus).
+
+    Two implementations, equality pinned in tests/test_bpe.py:
+
+    - ``impl="fold"``: chain one JVM ``_merge_fold`` rewrite per merge
+      (plan depth ∝ n_merges; lineage cut every 4).  Right for short
+      merge lists; at production sizes (10k-50k merges) Catalyst
+      cannot even hold the chained plan.
+    - ``impl="rank"``: Arrow-batched priority encoder — per word,
+      repeatedly merge all occurrences of the lowest-ranked pair
+      present (the subword-nmt/HF apply algorithm), O(len² + applied
+      merges) per word INDEPENDENT of merge-list length.  For a
+      trainer-produced merge list this equals the sequential fold
+      exactly: a pair created by merge k contains the symbol born at
+      rank k, and a valid merge j < k can only reference symbols
+      constructible before step j — so newly created pairs always
+      rank AFTER the merge that created them, and the priority order
+      replays the sequential order.  (For an arbitrary hand-written
+      merge list the two can differ; ``fold`` is the reference.)
+    - ``impl="auto"``: fold for <= 16 merges, rank past that.  The
+      threshold is measured, not structural: at 200k docs / 50k
+      distinct words / 30 merges the rank encoder wins 9.0 vs 13.1 s
+      (the fold chain is an interpreted HOF per element, so it has no
+      JVM-codegen edge to amortize), and its advantage only grows with
+      merge count; short lists stay on the Python-free fold.
+    """
+    if impl == "auto":
+        impl = "fold" if len(merges) <= 16 else "rank"
+    if impl == "fold":
+        enc = vocab.withColumn(out_col, F.split(F.col(word_col), ""))
+        for i, (left, right) in enumerate(merges):
+            enc = enc.withColumn(
+                out_col, _merge_fold(F.col(out_col), left, right)
+            )
+            if (i + 1) % 4 == 0:  # bound expression-tree depth
+                enc = enc.localCheckpoint(eager=False)
+        return enc
+    if impl != "rank":
+        raise ValueError(f"unknown impl {impl!r}; expected 'fold', 'rank', 'auto'")
+    import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: r for r, pair in enumerate(merges)}
+
+    def _encode(word: str) -> list[str]:
+        toks = list(word)
+        while len(toks) > 1:
+            best_rank, best = None, None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, (toks[i], toks[i + 1])
+            if best is None:
+                break
+            out, j = [], 0
+            while j < len(toks):  # merge ALL occurrences, greedy L2R
+                if j < len(toks) - 1 and (toks[j], toks[j + 1]) == best:
+                    out.append(toks[j] + toks[j + 1])
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            toks = out
+        return toks
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and pandas_udf cannot resolve the local pd alias
+    @pandas_udf(ArrayType(StringType()))
+    def enc_udf(words):
+        return words.map(_encode)
+
+    return vocab.withColumn(out_col, enc_udf(F.col(word_col)))
+
+
 def bpe_tokenize(
-    df: DataFrame, text_col: str, merges: list[tuple[str, str]], out_col: str = "tokens"
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "tokens",
+    id_col: str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Apply a learned merge list (in rank order) to whitespace-split
     words of ``text_col``; emits ``out_col`` as array<string> of
-    subword tokens in document order.  Pure column algebra: per word,
-    the same greedy fold the trainer used, chained per merge with the
-    plan kept flat via localCheckpoint every few rewrites."""
-    toks_per_word = F.transform(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-        lambda w: F.split(w, ""),
-    )
-    out = df.withColumn(out_col, toks_per_word)
-    for i, (left, right) in enumerate(merges):
-        out = out.withColumn(
-            out_col,
-            F.transform(F.col(out_col), lambda toks: _merge_fold(toks, left, right)),
+    subword tokens in document order.
+
+    With ``id_col`` (the 100 TB shape, r13): encode the DISTINCT
+    vocabulary once (``encode_words``), then join the word→tokens
+    table back to the exploded word positions and reassemble each
+    document (array_sort over (pos, toks) structs — order restoration
+    never relies on collect_list ordering).  Merge folds run once per
+    distinct word instead of once per occurrence, the corpus is
+    touched by exactly one explode + one join + one regroup, and the
+    merge-list length stops constraining the corpus-side plan
+    entirely.
+
+    Without ``id_col``: the original per-occurrence column algebra
+    (one chained fold over every doc's word array) — no shuffle, fine
+    for small frames and short merge lists, kept as the
+    arbitrary-merge-list reference."""
+    if id_col is None:
+        toks_per_word = F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+            lambda w: F.split(w, ""),
         )
-        if (i + 1) % 4 == 0:  # bound expression-tree depth
-            out = out.localCheckpoint(eager=False)
-    return out.withColumn(out_col, F.flatten(F.col(out_col)))
+        out = df.withColumn(out_col, toks_per_word)
+        for i, (left, right) in enumerate(merges):
+            out = out.withColumn(
+                out_col,
+                F.transform(F.col(out_col), lambda toks: _merge_fold(toks, left, right)),
+            )
+            if (i + 1) % 4 == 0:  # bound expression-tree depth
+                out = out.localCheckpoint(eager=False)
+        return out.withColumn(out_col, F.flatten(F.col(out_col)))
+    words = df.select(
+        F.col(id_col).alias("_bpe_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("_bpe_pos", "word"),
+    )
+    enc = encode_words(words.select("word").distinct(), merges, impl=impl)
+    per_doc = (
+        words.join(enc, "word")  # AQE broadcasts a small vocabulary
+        .groupBy("_bpe_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_bpe_pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias(out_col)
+        )
+    )
+    joined = df.join(per_doc, F.col(id_col) == per_doc["_bpe_id"], "left")
+    # docs with no words (empty/whitespace text) regroup to no row:
+    # coalesce to the empty array the inline path produces
+    return joined.drop("_bpe_id").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )

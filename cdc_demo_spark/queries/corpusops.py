@@ -287,16 +287,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """Unrolled-SQL DuckDB twin of operators/bpe.train_bpe: every
-    training iteration is three mechanical CTE stages generated from
-    one template (the q_lang_id/_PACKED_FOLD_SQL idiom for making an
-    iterative recurrence oracle-checkable).  Per iteration i:
-    b{i} = the argmax pair of state s{i-1} (count desc, pair asc);
-    h{i}/a{i} = greedy non-overlapping match selection via
-    gaps-and-islands parity (a run of consecutive hit positions
-    alternates active/skip — exactly the trainer's fold semantics);
-    s{i} = the vocabulary re-tokenized through that merge."""
+def _bpe_state_ctes(n_merges: int) -> str:
+    """The shared unrolled-SQL merge chain (see _bpe_train_oracle):
+    WITH s0 .. s{n} where s{i} is the vocabulary re-tokenized through
+    the first i learned merges and b{i} is merge i's argmax pair.
+    Both BPE oracles (train: emit the b{i} rows; encode: reassemble
+    documents from s{n}) build on this one template."""
     parts = ["""
 WITH s0 AS MATERIALIZED (
   SELECT word, count(*) AS freq,
@@ -340,7 +336,20 @@ s{i} AS MATERIALIZED (
   WHERE prev_active = 0
   GROUP BY word, freq
 )""")
-    parts.append(
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-SQL DuckDB twin of operators/bpe.train_bpe: every
+    training iteration is three mechanical CTE stages generated from
+    one template (the q_lang_id/_PACKED_FOLD_SQL idiom for making an
+    iterative recurrence oracle-checkable).  Per iteration i:
+    b{i} = the argmax pair of state s{i-1} (count desc, pair asc);
+    h{i}/a{i} = greedy non-overlapping match selection via
+    gaps-and-islands parity (a run of consecutive hit positions
+    alternates active/skip — exactly the trainer's fold semantics);
+    s{i} = the vocabulary re-tokenized through that merge."""
+    return _bpe_state_ctes(n_merges) + (
         "\n"
         + "\nUNION ALL\n".join(
             f"SELECT CAST({i} AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, "
@@ -348,7 +357,31 @@ s{i} AS MATERIALIZED (
             for i in range(1, n_merges + 1)
         )
     )
-    return "".join(parts)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """DuckDB twin of the r13 vocabulary-grain corpus encode
+    (operators/bpe.bpe_tokenize with id_col): train the merge chain
+    (the shared s{i} CTEs), look every document's words up in the
+    final vocabulary state s{n}, and reassemble the token stream in
+    word order — exactly the engine's explode → join → positional
+    regroup, replayed from first principles."""
+    return _bpe_state_ctes(n_merges) + f""",
+docw AS (
+  SELECT w.doc_id, w.ws[u.j] AS word, u.j AS pos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents) w, UNNEST(range(1, len(w.ws) + 1)) AS u(j)
+),
+assembled AS (
+  SELECT dw.doc_id, flatten(list(s.toks ORDER BY dw.pos)) AS toks
+  FROM docw dw JOIN s{n_merges} s USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(array_to_string(a.toks, ' '), '')) AS tokens_md5
+FROM documents d LEFT JOIN assembled a USING (doc_id)
+"""
 
 
 @register("q_bpe_train", oracle=_bpe_train_oracle(20))
@@ -366,6 +399,32 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe(docs, "text", n_merges=20)
+
+
+@register("q_bpe_encode", oracle=_bpe_encode_oracle(10))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a trained BPE vocabulary — the encode
+    half of the BPE story (train_bpe is the other), in the r13
+    vocabulary-grain shape (operators/bpe.bpe_tokenize with id_col):
+    encode each DISTINCT word once through the merge list, join the
+    word→tokens table back to the exploded word positions, reassemble
+    per document.  Emits (doc_id, n_bpe_tokens, tokens_md5) — the md5
+    of the space-joined token stream makes the entire merge chain +
+    reassembly value-exact against the DuckDB twin, which replays
+    training AND encoding from first principles (the q_bpe_train
+    unrolled-CTE chain plus a positional regroup)."""
+    from cdc_demo_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=10).collect()
+    ]
+    out = bpe_tokenize(docs, "text", merges, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    )
 
 
 @register(

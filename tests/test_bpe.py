@@ -176,3 +176,65 @@ def test_train_bpe_auto_matches_pinned(spark, sf_dir):
     auto = merge_list("auto")
     assert auto == merge_list(8) == merge_list(None)
     assert len(auto) == 10
+
+
+def test_word_cache_tokenize_equals_inline(spark, sf_dir):
+    """The r13 vocabulary-grain encode path (distinct words -> join
+    back -> positional reassembly) must equal the per-occurrence fold
+    chain token-for-token, under BOTH vocab encoders."""
+    from cdc_demo_spark.operators.bpe import encode_words
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, n_merges=10).collect()
+    ]
+    want = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_tokenize(docs, "text", merges).select("doc_id", "tokens").collect()
+    }
+    for impl in ("fold", "rank"):
+        got = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_tokenize(
+                docs, "text", merges, id_col="doc_id", impl=impl
+            ).select("doc_id", "tokens").collect()
+        }
+        assert got == want, f"impl={impl}"
+
+
+def test_rank_encoder_equals_fold_on_trained_merges(spark, sf_dir):
+    """Priority (lowest-rank-present) encoding == sequential fold for
+    a trainer-produced merge list — the born-symbol argument made
+    testable (encode_words docstring)."""
+    from cdc_demo_spark.operators.bpe import encode_words
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, n_merges=16).collect()
+    ]
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    fold = {r["word"]: r["toks"] for r in encode_words(vocab, merges, impl="fold").collect()}
+    rank = {r["word"]: r["toks"] for r in encode_words(vocab, merges, impl="rank").collect()}
+    assert fold == rank
+    # and both reconstruct every word losslessly
+    for w, toks in fold.items():
+        assert "".join(toks) == w
+
+
+def test_word_cache_tokenize_empty_text(spark):
+    """Docs whose text has no words regroup to NO row in the word-cache
+    path; the left join + coalesce must hand back the inline path's
+    empty array, not NULL."""
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, "   ")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["tokens"]
+        for r in bpe_tokenize(df, "text", [("a", "b")], id_col="id").collect()
+    }
+    assert out[1] == ["ab", "ab"]
+    assert out[2] == [] and out[3] == []
