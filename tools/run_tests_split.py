@@ -46,6 +46,7 @@ CWD_BOUND = {
 # matter for balance).  Refresh occasionally via:
 #   python tools/run_tests_split.py --durations 0  # then re-sum the logs
 DURATIONS = {
+    "test_corpus_pipeline.py": 42,  # r13 census (7 tests, composed pipeline)
     "test_queries.py": 232,
     "test_index_compaction.py": 118,
     "test_incremental_countmin.py": 107,
