@@ -168,6 +168,28 @@ def train_bpe(
     )
 
 
+def _priority_hazard(merges: list[tuple[str, str]]) -> bool:
+    """True when priority (lowest-rank-present) encoding could diverge
+    from the sequential fold reference: some merge's operand STRING is
+    also the concatenation of a LATER merge.  Then a token of that
+    string born via the later merge would trigger the earlier-ranked
+    merge under priority order, which the sequential pass (already
+    past that rank) never applies.  For lists without this shape the
+    born-symbol argument holds exactly (a pair created by merge k
+    contains a string first producible at rank k, so it can only match
+    merges ranked after k).  O(n) driver-side check; hazard-bearing
+    lists route to the per-word sequential encoder."""
+    first_operand_use: dict[str, int] = {}
+    for i, (left, right) in enumerate(merges):
+        for s in (left, right):
+            first_operand_use.setdefault(s, i)
+    for k, (left, right) in enumerate(merges):
+        j = first_operand_use.get(left + right)
+        if j is not None and j < k:
+            return True
+    return False
+
+
 def encode_words(
     vocab: DataFrame,
     merges: list[tuple[str, str]],
@@ -189,14 +211,13 @@ def encode_words(
     - ``impl="rank"``: Arrow-batched priority encoder — per word,
       repeatedly merge all occurrences of the lowest-ranked pair
       present (the subword-nmt/HF apply algorithm), O(len² + applied
-      merges) per word INDEPENDENT of merge-list length.  For a
-      trainer-produced merge list this equals the sequential fold
-      exactly: a pair created by merge k contains the symbol born at
-      rank k, and a valid merge j < k can only reference symbols
-      constructible before step j — so newly created pairs always
-      rank AFTER the merge that created them, and the priority order
-      replays the sequential order.  (For an arbitrary hand-written
-      merge list the two can differ; ``fold`` is the reference.)
+      merges) per word INDEPENDENT of merge-list length.  Equals the
+      sequential fold whenever no merge's operand string is also
+      producible by a later merge (the born-symbol argument —
+      ``_priority_hazard``); lists WITH that shape are detected
+      driver-side in O(n) and routed to a per-word sequential replay
+      inside the same Arrow UDF, so every merge list gets
+      fold-identical tokens.
     - ``impl="auto"``: fold for <= 16 merges, rank past that.  The
       threshold is measured, not structural: at 200k docs / 50k
       distinct words / 30 merges the rank encoder wins 9.0 vs 13.1 s
@@ -223,9 +244,32 @@ def encode_words(
     from pyspark.sql.types import ArrayType, StringType
 
     ranks = {pair: r for r, pair in enumerate(merges)}
+    merge_list = list(merges)
+    hazard = _priority_hazard(merges)
+
+    def _greedy_pass(toks: list[str], pair: tuple[str, str]) -> list[str]:
+        out, j = [], 0
+        while j < len(toks):  # merge ALL occurrences, greedy L2R
+            if j < len(toks) - 1 and (toks[j], toks[j + 1]) == pair:
+                out.append(toks[j] + toks[j + 1])
+                j += 2
+            else:
+                out.append(toks[j])
+                j += 1
+        return out
 
     def _encode(word: str) -> list[str]:
         toks = list(word)
+        if hazard:
+            # the one shape where priority order can diverge from the
+            # fold reference (_priority_hazard docstring): replay the
+            # merge list sequentially per word — O(n_merges · len),
+            # paid only for hazard-bearing lists
+            for pair in merge_list:
+                if len(toks) < 2:
+                    break
+                toks = _greedy_pass(toks, pair)
+            return toks
         while len(toks) > 1:
             best_rank, best = None, None
             for i in range(len(toks) - 1):
@@ -234,15 +278,7 @@ def encode_words(
                     best_rank, best = r, (toks[i], toks[i + 1])
             if best is None:
                 break
-            out, j = [], 0
-            while j < len(toks):  # merge ALL occurrences, greedy L2R
-                if j < len(toks) - 1 and (toks[j], toks[j + 1]) == best:
-                    out.append(toks[j] + toks[j + 1])
-                    j += 2
-                else:
-                    out.append(toks[j])
-                    j += 1
-            toks = out
+            toks = _greedy_pass(toks, best)
         return toks
 
     # no type hints: the module's `from __future__ import annotations`
@@ -271,10 +307,13 @@ def bpe_tokenize(
     table back to the exploded word positions and reassemble each
     document (array_sort over (pos, toks) structs — order restoration
     never relies on collect_list ordering).  Merge folds run once per
-    distinct word instead of once per occurrence, the corpus is
-    touched by exactly one explode + one join + one regroup, and the
-    merge-list length stops constraining the corpus-side plan
-    entirely.
+    distinct word instead of once per occurrence and the merge-list
+    length stops constraining the corpus-side plan entirely.  The
+    source is scanned three times (a slim explode→distinct for the
+    vocabulary, the posexplode join probe, the final metadata rejoin)
+    — scans are cheap next to per-occurrence merge folds, and pinning
+    the 145M-row position table to avoid one scan would cost more
+    storage traffic than the re-scan (measured shape at bench grain).
 
     Without ``id_col``: the original per-occurrence column algebra
     (one chained fold over every doc's word array) — no shuffle, fine
@@ -300,7 +339,14 @@ def bpe_tokenize(
             F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
         ).alias("_bpe_pos", "word"),
     )
-    enc = encode_words(words.select("word").distinct(), merges, impl=impl)
+    # vocabulary from its own slim subtree (explode, no positions/ids):
+    # the distinct-word aggregate never carries the posexplode payload
+    vocab = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("word")
+    ).distinct()
+    enc = encode_words(vocab, merges, impl=impl)
     per_doc = (
         words.join(enc, "word")  # AQE broadcasts a small vocabulary
         .groupBy("_bpe_id")

@@ -13,8 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_demo_spark.operators.text import tokens
-
 
 def chunk_documents(
     df: DataFrame,
@@ -29,8 +27,19 @@ def chunk_documents(
 
     The token array materializes in its own projection before the
     chunk lambda slices it — an inlined split would re-tokenize the
-    document once per chunk (r11 finding; SCALE.md)."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    document once per chunk (r11 finding; SCALE.md).
+
+    Tokenization is the house LITERAL-SPACE split (r13 review finding
+    #1): the q_document_chunks oracle splits with string_split(text,
+    ' '), and every other corpus-pipeline stage (quality, spans,
+    ledger censuses) splits on ' ' too — a \\s+ split here disagreed
+    with all of them on text with consecutive/non-space whitespace,
+    which falsified the pipeline's token-conservation invariant on
+    valid input (and silently diverged from this operator's own
+    oracle)."""
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
     toks = F.col("__toks")
     n = F.size(toks)
     # window starts: 0, stride, 2*stride, ... while start < n

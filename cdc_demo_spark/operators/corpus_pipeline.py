@@ -48,6 +48,7 @@ from cdc_demo_spark.operators.chunking import chunk_documents
 from cdc_demo_spark.operators.dedup import exact_dedup, minhash_near_duplicates
 from cdc_demo_spark.operators.graph import connected_components_star
 from cdc_demo_spark.operators.packing import pack_chunks
+from cdc_demo_spark.operators.sketches import md5_long
 from cdc_demo_spark.operators.spans import remove_duplicated_spans
 
 #: default Gopher-style rule band (queries/textops.q_quality_filter's
@@ -77,14 +78,12 @@ def quality_keep_expr(text_col: str, rules: dict) -> F.Column:
     )
 
 
-def _split_expr(component: F.Column) -> F.Column:
-    """The house md5 split scheme (queries/dedup.q_leakage_safe_split):
-    80/10/10 as a pure function of the near-dup CLUSTER id."""
-    h = (
-        F.conv(F.substring(F.md5(component.cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
+def split_expr(component: F.Column) -> F.Column:
+    """The house md5 split scheme: 80/10/10 as a pure function of the
+    near-dup CLUSTER id.  This is THE split predicate — the
+    oracle-backed q_leakage_safe_split (queries/dedup.py) and the
+    composed pipeline both call it (one copy, r13 review finding #7)."""
+    h = md5_long(component.cast("string")) % 100
     return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
 
 
@@ -113,6 +112,7 @@ def build_corpus(
     block_tokens: int = 256,
     n_shards: int = 16,
     shard_salt: str = "epoch0",
+    normalize_whitespace: bool = False,
 ) -> dict:
     """Run the full construction chain; returns a dict with the final
     ``blocks`` DataFrame, the intermediate DataFrames the invariant
@@ -135,6 +135,30 @@ def build_corpus(
     rules = dict(DEFAULT_RULES if rules is None else rules)
     if stride is None:
         stride = chunk_tokens
+    # The pack stage's applyInPandas schema requires an integral id
+    # named doc_id (operators/packing.OUT_SCHEMA) — normalize the
+    # caller's id up front so a mismatch fails HERE, not after the
+    # expensive dedup stages (r13 review finding #2).
+    if id_col != "doc_id":
+        docs = docs.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
+    dtype = dict(docs.dtypes).get("doc_id")
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"build_corpus requires an integral id column (pack stage packs "
+            f"doc_ids as array<long>); got {id_col}:{dtype}"
+        )
+    # Optional whitespace normalization.  NOT needed for the
+    # invariants since r13: every stage (quality, spans, chunking,
+    # ledger censuses) tokenizes on the same literal space (review
+    # finding #1 — chunking's \s+ split used to disagree on
+    # consecutive/non-space whitespace and falsify token
+    # conservation).  Turn on for corpora where runs of whitespace
+    # should not become empty tokens in chunk text.
+    if normalize_whitespace:
+        docs = docs.withColumn(
+            text_col, F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        )
     ledger: dict[str, dict] = {}
     t_mark = _time.perf_counter()
 
@@ -171,7 +195,7 @@ def build_corpus(
     splits = comps.select(
         id_col,
         F.col("component").alias("cluster_id"),
-        _split_expr(F.col("component")).alias("split"),
+        split_expr(F.col("component")).alias("split"),
     )
     survivors = exact.join(
         comps.filter(F.col(id_col) == F.col("component")).select(id_col),
@@ -212,16 +236,13 @@ def build_corpus(
     #    Shard = md5(salt|doc_id) — deterministic, engine-portable,
     #    epoch re-salt = reshuffle; the (split, shard) group key keeps
     #    blocks split-pure by construction.
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(shard_salt), F.col(id_col))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % int(n_shards)
-    )
+    shard = md5_long(
+        F.concat_ws("|", F.lit(shard_salt), F.col(id_col))
+    ) % int(n_shards)
+    # pack_chunks only reads (doc_id, chunk_id, n_tokens, group) — drop
+    # chunk_text BEFORE the (split, shard) groupBy so the pipeline's
+    # largest shuffle moves slim count rows, not the corpus text
+    # (r13 review finding #6)
     chunks = chunk_documents(
         final_docs, id_col=id_col, text_col=text_col,
         chunk_tokens=chunk_tokens, stride=stride,
@@ -230,7 +251,7 @@ def build_corpus(
             id_col, F.format_string("%s/%02d", F.col("split"), shard).alias("group")
         ),
         id_col,
-    )
+    ).select(id_col, "chunk_id", "n_tokens", "group")
     blocks = pack_chunks(chunks, "group", block_tokens=block_tokens).select(
         F.split_part("group", F.lit("/"), F.lit(1)).alias("split"),
         F.split_part("group", F.lit("/"), F.lit(2)).cast("int").alias("shard"),

@@ -52,18 +52,22 @@ from pyspark.sql import functions as F
 BITS_PER_WORD = 63
 
 
+def md5_long(value: Column) -> Column:
+    """The house engine-portable hash: first 15 hex digits of
+    md5(value) as a positive long (< 2^60, so modulo stays positive in
+    any engine).  ONE named copy of the conv-substring idiom the split
+    / shard / signature schemes all build on (r13 review finding #7 —
+    three inline copies had to be kept in sync by tests)."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
 def md5_position(value: Column, i: Column | int, modulus: int) -> Column:
     """Hash ``i``'s position of ``value`` in ``[0, modulus)`` — the
     engine-portable permutation family.  Value must be a string column;
     the 15-hex-digit prefix is < 2^60 so the modulo is of a positive
     long in both engines."""
     i_col = F.lit(i) if isinstance(i, int) else i
-    h = F.conv(
-        F.substring(F.md5(F.concat(i_col.cast("string"), F.lit(":"), value)), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(modulus)
+    return md5_long(F.concat(i_col.cast("string"), F.lit(":"), value)) % F.lit(modulus)
 
 
 def _positions(df: DataFrame, value_col: str, num_bits: int, num_hashes: int) -> DataFrame:

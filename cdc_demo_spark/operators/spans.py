@@ -87,6 +87,59 @@ def ngram_positions(
 HOT_GRAM_OCC = 200_000
 
 
+def probe_max_occ(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hashed: bool,
+    hot_occ: int,
+    probe_fraction: float,
+) -> float:
+    """Estimated max gram occupancy for the auto plan's routing.
+
+    Two-part probe (r13 review finding: document-grain sampling alone
+    misses a viral gram CONCENTRATED in one huge doc with probability
+    ~(1 - probe_fraction)):
+
+    - MEGA docs — any doc long enough to single-handedly hold
+      ``hot_occ`` gram sites (length >= 2*hot_occ chars: each token
+      plus its separator is >= 2 chars) — are tokenized EXACTLY.  They
+      are rare at any real corpus shape, and they are precisely the
+      docs a sample may miss.
+    - The rest are sampled at ``probe_fraction`` and the max occupancy
+      scaled by 1/fraction.  Cross-doc viral grams span many docs by
+      construction (no single small doc can hold them), so the sample
+      catches them w.h.p. and a near-boundary miss only routes to the
+      window plan, whose partitions stay ~hot_occ.
+
+    ``probe_fraction=1.0`` is the exact probe.  Routing never affects
+    results (all plans equal), only the physical shape.
+    """
+    if probe_fraction <= 0:
+        raise ValueError(f"probe_fraction must be in (0, 1]; got {probe_fraction}")
+
+    def _max_occ(frame: DataFrame) -> int:
+        row = (
+            ngram_positions(frame, id_col, text_col, n, hashed)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .agg(F.max("occ").alias("mx"))
+            .first()
+        )
+        return int(row["mx"]) if row and row["mx"] is not None else 0
+
+    if probe_fraction >= 1.0:
+        return float(_max_occ(df))
+    mega_chars = 2 * hot_occ
+    mega = df.filter(F.length(F.col(text_col)) >= mega_chars)
+    small = df.filter(F.length(F.col(text_col)) < mega_chars)
+    est_small = (
+        _max_occ(small.sample(fraction=probe_fraction, seed=13)) / probe_fraction
+    )
+    return max(est_small, float(_max_occ(mega)))
+
+
 def _window_marked(g: DataFrame, keep_first: bool) -> DataFrame:
     """The gram-partitioned window body shared by the window plan, the
     auto plan's cold route, and the hybrid plan's cold side."""
@@ -157,9 +210,12 @@ def duplicated_positions(
       plans compute identical results, hypothesis-pinned), only the
       physical shape, so a probabilistic probe is safe by
       construction: a deep-viral gram (the 66× window blowup) spans
-      thousands of docs and is caught w.h.p.; a near-boundary miss
-      falls back to the window plan, whose partitions stay ~hot_occ —
-      the regime it is sized for.  The r12 exact probe (max occ over
+      thousands of docs and is caught w.h.p.; docs long enough to hold
+      ``hot_occ`` sites single-handedly (the one shape a doc sample
+      can miss) are tokenized EXACTLY by ``probe_max_occ``'s mega-doc
+      branch; a near-boundary miss falls back to the window plan,
+      whose partitions stay ~hot_occ — the regime it is sized for.
+      The r12 exact probe (max occ over
       the localCheckpoint'd FULL gram table) measured ~3× the whole
       window plan on the unskewed 200k-doc bench corpus because the
       checkpoint materializes every gram row; the sampled probe costs
@@ -186,21 +242,9 @@ def duplicated_positions(
             )
         return marked.select("id", "pos")
     if plan == "auto":
-        if probe_fraction >= 1.0:
-            g_probe, scale = g, 1.0
-        else:
-            g_probe = ngram_positions(
-                df.sample(fraction=probe_fraction, seed=13),
-                id_col, text_col, n, hashed,
-            )
-            scale = probe_fraction
-        row = (
-            g_probe.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("occ"))
-            .agg(F.max("occ").alias("mx"))
-            .first()
+        mx_est = probe_max_occ(
+            df, id_col, text_col, n, hashed, hot_occ, probe_fraction
         )
-        mx_est = (row["mx"] if row and row["mx"] is not None else 0) / scale
         if mx_est < hot_occ / 2:
             # No deep-viral gram in evidence: the single-pass window
             # plan over the UNPINNED g (no checkpoint, no storage

@@ -251,6 +251,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the incremental index's pair log).  At 100 TB the split
     costs one component pass (already needed for dedup) plus a
     map-side hash — no extra shuffle."""
+    from cdc_demo_spark.operators.corpus_pipeline import split_expr
     from cdc_demo_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
@@ -258,18 +259,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components_star(
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("component").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 100
-    )
     return comps.select(
         "doc_id",
         F.col("component").alias("cluster_id"),
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
-            "split"
-        ),
+        # THE shared split predicate (operators/corpus_pipeline.
+        # split_expr) — the composed pipeline uses the same copy
+        split_expr(F.col("component")).alias("split"),
     ).orderBy("doc_id")
 
 

@@ -534,7 +534,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a keep/drop verdict with the FIRST failing rule as the reason —
     the shippable form of a corpus quality filter (the features alone,
     q_text_quality, are the diagnostics view). Pure codegen
-    projections; zero shuffle, trivially 100 TB-safe."""
+    projections; zero shuffle, trivially 100 TB-safe.  The keep
+    verdict is the SHARED predicate the composed corpus pipeline
+    filters with (operators/corpus_pipeline.quality_keep_expr, r13
+    review finding #7: one copy, not two kept in sync by a test)."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        DEFAULT_RULES,
+        quality_keep_expr,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
@@ -546,7 +554,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(dr < 0.35, "repetitive")
         .otherwise(F.lit(None).cast("string"))
     )
-    keep = (n_tokens >= 25) & (mtl >= 4.0) & (mtl <= 5.0) & (dr >= 0.35)
+    keep = quality_keep_expr("text", DEFAULT_RULES)
     return docs.select(
         "doc_id",
         "lang",

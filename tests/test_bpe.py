@@ -238,3 +238,27 @@ def test_word_cache_tokenize_empty_text(spark):
     }
     assert out[1] == ["ab", "ab"]
     assert out[2] == [] and out[3] == []
+
+
+def test_priority_hazard_detection_and_sequential_fallback(spark):
+    """r13 review finding #4: a merge list where an operand string is
+    also producible by a LATER merge can make priority encoding
+    diverge from the fold reference.  The hazard detector must flag
+    such lists and the rank impl must then match fold exactly."""
+    from cdc_demo_spark.operators.bpe import _priority_hazard, encode_words
+
+    # operand use of 'abab' at rank 1, production of 'abab' at rank 2:
+    # a token 'abab' born via rank 2 would trigger the rank-1 merge
+    # under priority order, which the sequential fold never applies
+    hazardous = [("a", "b"), ("x", "abab"), ("ab", "ab")]
+    assert _priority_hazard(hazardous)
+    clean = [("a", "b"), ("ab", "c"), ("abc", "d")]
+    assert not _priority_hazard(clean)
+
+    # the divergence word: 'xabab' — fold applies (a,b) twice, never
+    # (x,abab) (born later); naive priority WOULD apply it.  With the
+    # fallback, rank must equal fold.
+    vocab = spark.createDataFrame([("xabab",), ("abab",)], "word string")
+    fold = {r["word"]: r["toks"] for r in encode_words(vocab, hazardous, impl="fold").collect()}
+    rank = {r["word"]: r["toks"] for r in encode_words(vocab, hazardous, impl="rank").collect()}
+    assert fold == rank, (fold, rank)

@@ -129,3 +129,73 @@ def test_split_safety_catches_a_planted_straddle(spark, sf_dir):
     ).localCheckpoint(eager=True)
     with pytest.raises(AssertionError, match="straddle"):
         assert_corpus_invariants(broken)
+
+
+def test_whitespace_normalization_preserves_invariants(spark):
+    """r13 review finding #1: consecutive / non-space whitespace used
+    to break token conservation (quality and span stages split on a
+    literal space, chunking on \\s+).  The input-normalization pass
+    must make the invariants hold on such text."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        assert_corpus_invariants,
+        build_corpus,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    rows = []
+    for i in range(12):
+        text = base + f"tail{i}"
+        if i % 3 == 0:
+            text = text.replace("bravo charlie", "bravo  charlie", 1)  # double space
+        if i % 4 == 0:
+            text = text.replace("echo", "echo\tfoxtrot", 1)  # tab
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = build_corpus(
+        docs,
+        rules={"min_tokens": 5, "mean_token_len": (1.0, 99.0),
+               "min_distinct_ratio": 0.0},
+        minhash_threshold=0.99,
+        chunk_tokens=8,
+        block_tokens=32,
+        n_shards=2,
+    )
+    assert_corpus_invariants(res)
+    assert res["ledger"]["pack"]["tokens"] == res["ledger"]["span_removal"]["tokens"]
+
+
+def test_build_corpus_rejects_non_integral_id(spark):
+    """r13 review finding #2: a non-integral id column must fail at
+    entry, not inside the pack UDF after the expensive stages."""
+    import pytest
+
+    from cdc_demo_spark.operators.corpus_pipeline import build_corpus
+
+    docs = spark.createDataFrame(
+        [("a", "some text here ok")], "name string, text string"
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        build_corpus(docs, id_col="name")
+
+
+def test_build_corpus_renames_custom_id(spark):
+    """id_col != doc_id is honored: renamed internally, outputs carry
+    doc_id (the pack schema's declared id)."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        assert_corpus_invariants,
+        build_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot golf hotel " * 3 + f"t{i}")
+         for i in range(8)],
+        "my_id long, text string",
+    )
+    res = build_corpus(
+        docs, id_col="my_id",
+        rules={"min_tokens": 5, "mean_token_len": (1.0, 99.0),
+               "min_distinct_ratio": 0.0},
+        minhash_threshold=0.99, chunk_tokens=8, block_tokens=32, n_shards=2,
+    )
+    assert_corpus_invariants(res)
+    assert "doc_id" in res["final_docs"].columns

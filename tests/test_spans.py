@@ -156,3 +156,30 @@ def test_planted_corpus_spans_and_removal(spark):
     # all (it is the globally-first site for every shared gram)
     assert all(removed[b] > 0 for b in dup_ids)
     assert all(removed[a] == 0 for a in base_ids)
+
+
+def test_probe_catches_single_megadoc_viral_gram(spark):
+    """r13 review finding #3: a viral gram concentrated in ONE huge doc
+    is invisible to a document sample with probability ~(1-p); the
+    probe's mega-doc branch must tokenize such docs exactly, so the
+    estimate sees the gram at ANY probe fraction."""
+    from cdc_demo_spark.operators.spans import probe_max_occ
+
+    hot_occ = 50
+    mega_text = " ".join(["a"] * 300)  # one doc, gram (a,a,a,a,a) occ=296
+    rows = [(0, mega_text)] + [
+        (i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(1, 400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    est = probe_max_occ(df, "doc_id", "text", 5, False, hot_occ, 0.02)
+    assert est >= 296, f"mega-doc gram invisible to probe: est={est}"
+
+
+def test_probe_fraction_zero_raises(spark):
+    import pytest
+
+    from cdc_demo_spark.operators.spans import probe_max_occ
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="probe_fraction"):
+        probe_max_occ(df, "doc_id", "text", 5, False, 100, 0.0)
