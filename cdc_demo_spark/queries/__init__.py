@@ -47,14 +47,15 @@ _DRIVER_WINDOW_FIRST = [
     #      rotation left; after this capture no oracle record predates
     #      r10);
     #   3  NEWLY ORACLE-IZED media/audio queries (VERDICT r12 #7 —
-    #      md5 pixel/PCM scheme; previously rows-only) + 1 NEW oracle
-    #      query (q_bpe_encode, the r13 vocabulary-grain corpus
-    #      tokenizer): first-ever hash-verified driver records,
-    #      displacing the 4 youngest r10-tail entries
-    #      (q_small_qty_revenue, q_sole_returning_suppliers,
+    #      md5 pixel/PCM scheme; previously rows-only) + 2 NEW oracle
+    #      queries (q_bpe_encode, the r13 vocabulary-grain corpus
+    #      tokenizer; q_epoch_shuffle, the reproducible training
+    #      order): first-ever hash-verified driver records, displacing
+    #      the 5 youngest r10-tail entries (q_sliding_window,
+    #      q_small_qty_revenue, q_sole_returning_suppliers,
     #      q_supplier_part_counts, q_text_normalize — next round's
     #      queue);
-    #   34 stalest r10 oracle queries (alphabetical within equal
+    #   33 stalest r10 oracle queries (alphabetical within equal
     #      staleness, as the tool prints them).
     # Rows-only queries were all refreshed in r12 (none predates r12),
     # so none need a slot this round.
@@ -62,6 +63,7 @@ _DRIVER_WINDOW_FIRST = [
     "q_media_pipeline",
     "q_audio_features",
     "q_bpe_encode",
+    "q_epoch_shuffle",
     "q_line_status_priority",
     "q_math_functions",
     "q_ngram_jaccard_pairs",
@@ -107,7 +109,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_scalar_subquery",
     "q_signup_purchase_funnel",
     "q_simhash_hamming_pairs",
-    "q_sliding_window",
 ]
 
 

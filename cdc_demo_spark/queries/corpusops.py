@@ -23,6 +23,58 @@ from cdc_demo_spark.sources.tables import load_table
 
 
 @register(
+    "q_epoch_shuffle",
+    oracle="""
+WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+             || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d, e
+)
+SELECT epoch, doc_id,
+       substring(k, 1, 2) AS bucket,
+       CAST(row_number() OVER (PARTITION BY epoch, substring(k, 1, 2)
+                               ORDER BY k, doc_id) AS BIGINT) AS position
+FROM keyed
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch global training ORDER, materialized per
+    doc (the per-doc twin of q_training_shards' shard summary): epoch
+    e's order is (bucket asc, position asc) where bucket = first 2 hex
+    chars of md5('epoch{e}:{doc_id}') and position = rank of the full
+    key within (epoch, bucket).  The two-level order is a complete
+    deterministic permutation — same bytes on any cluster size, no
+    rand() to re-run from — and it is the SCALE-SAFE form of a global
+    row_number: the window partitions by (epoch, bucket), so no
+    partition exceeds ~N/256 rows where a single global row_number
+    would be one task sorting the corpus.  Changing the epoch salt
+    reshuffles; a training loop reads shards in bucket order and rows
+    in position order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    k = F.md5(
+        F.concat(
+            F.lit("epoch"), F.col("epoch").cast("string"),
+            F.lit(":"), F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = (
+        docs.crossJoin(epochs)
+        .withColumn("k", k)
+        .withColumn("bucket", F.substring("k", 1, 2))
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+@register(
     "q_training_shards",
     oracle="""
 WITH keyed AS (
