@@ -243,7 +243,18 @@ def encode_words(
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    ranks = {pair: r for r, pair in enumerate(merges)}
+    # FIRST-occurrence-wins rank per pair (r13 ADVICE): a merge list
+    # may contain a duplicate pair, and in the fold reference the
+    # duplicate is a no-op for non-hazard lists — after the first
+    # (a,b) pass no new (a,b) adjacency can form unless some later
+    # merge BIRTHS an 'a' or 'b' token, which is exactly the operand
+    # shape _priority_hazard routes to the sequential replay.  A
+    # last-wins dict gave the duplicate's LATER rank priority and made
+    # e.g. [(a,b),(b,c),(a,b)] encode 'abc' to ['a','bc'] vs the
+    # fold's ['ab','c'].
+    ranks: dict[tuple[str, str], int] = {}
+    for r, pair in enumerate(merges):
+        ranks.setdefault(tuple(pair), r)
     merge_list = list(merges)
     hazard = _priority_hazard(merges)
 
@@ -306,7 +317,15 @@ def bpe_tokenize(
     vocabulary once (``encode_words``), then join the word→tokens
     table back to the exploded word positions and reassemble each
     document (array_sort over (pos, toks) structs — order restoration
-    never relies on collect_list ordering).  Merge folds run once per
+    never relies on collect_list ordering).  ``id_col`` MUST be
+    unique per row (r13 ADVICE): the positional regroup keys on it,
+    so duplicate ids have their word positions merged and every
+    duplicate row receives the combined token array — unlike the
+    inline path, which tokenizes each row independently.  Callers
+    with non-unique keys should pre-assign a surrogate (and pin it —
+    ``monotonically_increasing_id`` is not stable across
+    re-evaluations without a checkpoint, and checkpointing the full
+    corpus frame is exactly the memory cost this path avoids).  Merge folds run once per
     distinct word instead of once per occurrence and the merge-list
     length stops constraining the corpus-side plan entirely.  The
     source is scanned three times (a slim explode→distinct for the

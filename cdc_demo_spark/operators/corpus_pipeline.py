@@ -140,6 +140,15 @@ def build_corpus(
     # caller's id up front so a mismatch fails HERE, not after the
     # expensive dedup stages (r13 review finding #2).
     if id_col != "doc_id":
+        if "doc_id" in docs.columns:
+            # renaming would leave TWO doc_id columns; dict(dtypes)
+            # keeps the last and the failure surfaces as an
+            # ambiguous-column error deep in the stages this early
+            # check exists to protect (r13 ADVICE)
+            raise ValueError(
+                f"build_corpus: input already has a 'doc_id' column distinct "
+                f"from id_col={id_col!r}; drop or rename it first"
+            )
         docs = docs.withColumnRenamed(id_col, "doc_id")
         id_col = "doc_id"
     dtype = dict(docs.dtypes).get("doc_id")

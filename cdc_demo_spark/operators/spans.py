@@ -103,8 +103,14 @@ def probe_max_occ(
     ~(1 - probe_fraction)):
 
     - MEGA docs — any doc long enough to single-handedly hold
-      ``hot_occ`` gram sites (length >= 2*hot_occ chars: each token
-      plus its separator is >= 2 chars) — are tokenized EXACTLY.  They
+      ``hot_occ`` gram sites — are tokenized EXACTLY.  The threshold
+      is ``hot_occ`` CHARS: a doc of length L splits into at most
+      L+1 tokens (ngram_positions splits on literal space and does
+      NOT drop empty tokens, so "each token is >= 2 chars with its
+      separator" is false for runs of spaces — the r13 ADVICE
+      counter-example was ~hot_occ consecutive spaces yielding
+      ~hot_occ empty-gram sites under a 2*hot_occ threshold), hence
+      at most L+2-n <= hot_occ sites whenever L < hot_occ.  Mega docs
       are rare at any real corpus shape, and they are precisely the
       docs a sample may miss.
     - The rest are sampled at ``probe_fraction`` and the max occupancy
@@ -131,7 +137,7 @@ def probe_max_occ(
 
     if probe_fraction >= 1.0:
         return float(_max_occ(df))
-    mega_chars = 2 * hot_occ
+    mega_chars = hot_occ  # L >= hot_occ chars can hold hot_occ sites
     mega = df.filter(F.length(F.col(text_col)) >= mega_chars)
     small = df.filter(F.length(F.col(text_col)) < mega_chars)
     est_small = (

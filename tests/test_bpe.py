@@ -262,3 +262,33 @@ def test_priority_hazard_detection_and_sequential_fallback(spark):
     fold = {r["word"]: r["toks"] for r in encode_words(vocab, hazardous, impl="fold").collect()}
     rank = {r["word"]: r["toks"] for r in encode_words(vocab, hazardous, impl="rank").collect()}
     assert fold == rank, (fold, rank)
+
+
+def test_duplicate_pair_rank_is_first_occurrence(spark):
+    """r13 ADVICE (medium): a merge list containing a DUPLICATE pair
+    must not let the duplicate's later rank steal priority.  For
+    [(a,b),(b,c),(a,b)] the fold encodes 'abc' to ['ab','c'] (the
+    first (a,b) wins; the duplicate is a no-op); a last-wins rank
+    dict gave (a,b) rank 2 so priority picked (b,c) first and
+    produced ['a','bc'].  Ranks are now first-occurrence-wins, and
+    duplicates in non-hazard lists are provably no-ops (no 'a'/'b'
+    token is ever born after the first pass — that birth shape IS
+    the _priority_hazard route)."""
+    from cdc_demo_spark.operators.bpe import _priority_hazard, encode_words
+
+    dup = [("a", "b"), ("b", "c"), ("a", "b")]
+    assert not _priority_hazard(dup)  # no operand string is produced later
+
+    vocab = spark.createDataFrame([("abc",), ("ababc",), ("bcbc",)], "word string")
+    fold = {r["word"]: r["toks"] for r in encode_words(vocab, dup, impl="fold").collect()}
+    rank = {r["word"]: r["toks"] for r in encode_words(vocab, dup, impl="rank").collect()}
+    assert fold["abc"] == ["ab", "c"]
+    assert fold == rank, (fold, rank)
+
+    # duplicate inside a hazard-bearing list still routes sequential
+    dup_hazard = [("a", "b"), ("x", "ab"), ("a", "b")]
+    assert _priority_hazard(dup_hazard)
+    vocab2 = spark.createDataFrame([("xab",), ("xabab",)], "word string")
+    f2 = {r["word"]: r["toks"] for r in encode_words(vocab2, dup_hazard, impl="fold").collect()}
+    r2 = {r["word"]: r["toks"] for r in encode_words(vocab2, dup_hazard, impl="rank").collect()}
+    assert f2 == r2, (f2, r2)

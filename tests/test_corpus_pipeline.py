@@ -131,11 +131,16 @@ def test_split_safety_catches_a_planted_straddle(spark, sf_dir):
         assert_corpus_invariants(broken)
 
 
-def test_whitespace_normalization_preserves_invariants(spark):
+@pytest.mark.parametrize("normalize_whitespace", [False, True])
+def test_whitespace_normalization_preserves_invariants(spark, normalize_whitespace):
     """r13 review finding #1: consecutive / non-space whitespace used
     to break token conservation (quality and span stages split on a
-    literal space, chunking on \\s+).  The input-normalization pass
-    must make the invariants hold on such text."""
+    literal space, chunking on \\s+).  Since r13 every stage splits on
+    the same literal space, so the invariants hold with the
+    normalization OFF (empty tokens count consistently everywhere)
+    AND with it ON (runs of whitespace collapse before any stage) —
+    parametrized over both because the r13 version of this test never
+    actually exercised the flag it was named for (r13 ADVICE)."""
     from cdc_demo_spark.operators.corpus_pipeline import (
         assert_corpus_invariants,
         build_corpus,
@@ -159,9 +164,22 @@ def test_whitespace_normalization_preserves_invariants(spark):
         chunk_tokens=8,
         block_tokens=32,
         n_shards=2,
+        normalize_whitespace=normalize_whitespace,
     )
     assert_corpus_invariants(res)
     assert res["ledger"]["pack"]["tokens"] == res["ledger"]["span_removal"]["tokens"]
+    if normalize_whitespace:
+        # collapsed runs mean strictly fewer token slots than the raw
+        # literal-space census of the same text would count
+        raw = build_corpus(
+            docs,
+            rules={"min_tokens": 5, "mean_token_len": (1.0, 99.0),
+                   "min_distinct_ratio": 0.0},
+            minhash_threshold=0.99, chunk_tokens=8, block_tokens=32,
+            n_shards=2, normalize_whitespace=False,
+        )
+        assert (res["ledger"]["input"]["tokens"]
+                < raw["ledger"]["input"]["tokens"])
 
 
 def test_build_corpus_rejects_non_integral_id(spark):
@@ -199,3 +217,15 @@ def test_build_corpus_renames_custom_id(spark):
     )
     assert_corpus_invariants(res)
     assert "doc_id" in res["final_docs"].columns
+
+
+def test_build_corpus_rejects_preexisting_doc_id_collision(spark):
+    """r13 ADVICE: id_col != doc_id on a frame that ALSO carries a
+    distinct doc_id column must fail at entry — the rename would
+    otherwise leave two doc_id columns and surface later as an
+    ambiguous-column error deep in the stages."""
+    docs = spark.createDataFrame(
+        [(1, 99, "some text here ok")], "my_id long, doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="already has a 'doc_id'"):
+        build_corpus(docs, id_col="my_id")

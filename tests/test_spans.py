@@ -183,3 +183,23 @@ def test_probe_fraction_zero_raises(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="probe_fraction"):
         probe_max_occ(df, "doc_id", "text", 5, False, 100, 0.0)
+
+
+def test_probe_mega_threshold_covers_empty_token_docs(spark):
+    """r13 ADVICE (low): ngram_positions splits on literal space and
+    keeps empty tokens, so a doc of ~hot_occ consecutive SPACES holds
+    ~hot_occ empty-gram sites while being only ~hot_occ chars long —
+    under the old 2*hot_occ mega threshold it dodged the exact branch
+    AND (w.h.p.) the 2% sample.  The threshold is now hot_occ chars
+    (L < hot_occ  =>  at most L+2-n < hot_occ sites), so any doc that
+    CAN single-handedly reach hot_occ sites is tokenized exactly."""
+    from cdc_demo_spark.operators.spans import probe_max_occ
+
+    hot_occ, n = 20, 5
+    space_doc = " " * 30  # 31 empty tokens -> 27 sites of the same gram
+    rows = [(0, space_doc)] + [
+        (i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(1, 400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    est = probe_max_occ(df, "doc_id", "text", n, False, hot_occ, 0.02)
+    assert est >= 27, f"space mega-doc invisible to probe: est={est}"
