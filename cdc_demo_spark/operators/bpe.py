@@ -384,3 +384,111 @@ def bpe_tokenize(
     return joined.drop("_bpe_id").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
     )
+
+
+def token_id_map(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(tok, tok_id) — the deterministic, engine-portable id scheme a
+    shipped tokenizer uses: base characters first (every distinct
+    character of the vocabulary, sorted, ids 0..C-1), then one id per
+    DISTINCT merged string in first-occurrence merge order (C, C+1,
+    ...).  Every token the encoder can emit is covered: a token is
+    either an original character or was born by some merge, whose
+    string is exactly that merge's left||right (the same born-symbol
+    argument as _priority_hazard).  Merged strings are >= 2 codepoints
+    so they never collide with the single-codepoint base rows; two
+    merges producing the same string (e.g. (a,bc) and (ab,c)) share
+    one id — the map is keyed by the token STRING, matching what the
+    encoder emits.
+
+    The base-character table is charset-sized (hundreds of rows, even
+    for multilingual corpora), so its global row_number window is one
+    tiny single-task sort; the merge rows are built driver-side from
+    the merge list the caller already holds."""
+    from pyspark.sql.window import Window
+
+    spark = vocab.sparkSession
+    chars = vocab.select(
+        F.explode(F.split(F.col("word"), "")).alias("tok")
+    ).filter(F.col("tok") != "").distinct()
+    char_ids = chars.select(
+        "tok",
+        (F.row_number().over(Window.orderBy("tok")) - 1).cast("int").alias("tok_id"),
+    )
+    n_chars = char_ids.count()  # bounded: charset size
+    merged_first: dict[str, int] = {}
+    for left, right in merges:
+        merged_first.setdefault(left + right, len(merged_first))
+    merge_rows = [
+        (tok, n_chars + idx) for tok, idx in merged_first.items()
+    ]
+    if not merge_rows:
+        return char_ids
+    merge_ids = spark.createDataFrame(merge_rows, "tok string, tok_id int")
+    return char_ids.unionByName(merge_ids)
+
+
+def encode_corpus_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    key_cols: list[str],
+    out_col: str = "token_ids",
+    impl: str = "auto",
+) -> DataFrame:
+    """Model-ready token ids for a corpus frame: vocabulary-grain BPE
+    encode (``encode_words`` — merge folds run once per DISTINCT word,
+    never per occurrence) composed with the ``token_id_map`` id scheme
+    and a positional per-key regroup.  Returns one row per input row:
+    ``(*key_cols, out_col array<int>, n_words, n_bpe_tokens)`` where
+    n_words counts the NON-EMPTY word occurrences encoded (empty
+    tokens from repeated separators encode to nothing) and
+    n_bpe_tokens = size(out_col).
+
+    ``key_cols`` must be unique per row (the same positional-regroup
+    contract as bpe_tokenize's id_col, composite keys allowed); rows
+    whose text has no words come back with an empty array, not NULL.
+
+    Scale shape: identical to bpe_tokenize with id_col — the corpus
+    side is two slim scans (vocabulary explode→distinct, posexplode
+    probe) plus the final metadata rejoin; everything merge-list-sized
+    runs at vocabulary grain, and the word→ids / tok→id joins
+    broadcast under AQE.  The id map join is INNER by construction
+    (token_id_map covers every emittable token; coverage pinned in
+    tests/test_bpe.py)."""
+    nonempty = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = df.select(
+        *key_cols, F.posexplode(nonempty).alias("_pos", "word")
+    )
+    vocab = df.select(F.explode(nonempty).alias("word")).distinct()
+    enc = encode_words(vocab, merges, impl=impl)
+    idmap = token_id_map(vocab, merges)
+    word_ids = (
+        enc.select("word", F.posexplode("toks").alias("_tpos", "tok"))
+        .join(idmap, "tok")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "tok_id"))),
+                lambda s: s["tok_id"],
+            ).alias("_ids")
+        )
+    )
+    per_key = (
+        words.join(word_ids, "word")
+        .groupBy(*key_cols)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_ids"))),
+                    lambda s: s["_ids"],
+                )
+            ).alias(out_col),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    joined = df.select(*key_cols).join(per_key, key_cols, "left")
+    return joined.select(
+        *key_cols,
+        F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+    ).withColumn("n_bpe_tokens", F.size(out_col).cast("long"))

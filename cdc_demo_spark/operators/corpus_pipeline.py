@@ -113,6 +113,7 @@ def build_corpus(
     n_shards: int = 16,
     shard_salt: str = "epoch0",
     normalize_whitespace: bool = False,
+    bpe_merges: int | list[tuple[str, str]] | None = None,
 ) -> dict:
     """Run the full construction chain; returns a dict with the final
     ``blocks`` DataFrame, the intermediate DataFrames the invariant
@@ -124,6 +125,20 @@ def build_corpus(
     so chunking partitions each doc's tokens and the conservation
     invariant holds exactly; pass a smaller stride for overlapping
     training windows (the ledger then reports packed > surviving).
+
+    ``bpe_merges`` (r13 VERDICT #1 — the last mile to a model-ready
+    deliverable): an int trains that many BPE merges ON the surviving
+    corpus (train_bpe — the realistic order: the tokenizer sees the
+    data the model will), a merge list reuses a shipped vocabulary,
+    None (default) skips the stage.  When set, the result carries
+    ``tokens`` — one row per training chunk
+    (doc_id, chunk_id, split, n_tokens, n_words, n_bpe_tokens,
+    token_ids array<int>) via the vocabulary-grain encoder
+    (operators/bpe.encode_corpus_ids) — and the ledger gains a
+    ``tokens`` stage whose slot census must equal the packed ledger's
+    token total exactly (every packed word slot is accounted for by
+    exactly one encoded chunk row; asserted by
+    assert_corpus_invariants).
 
     Every stage is pinned (eager localCheckpoint) before reuse: the
     component pass feeds BOTH survivor selection and the split map,
@@ -280,11 +295,64 @@ def build_corpus(
         "secs": _stage_secs(),
     }
 
+    # 8. optional model-ready token ids (r13 VERDICT #1): train (or
+    #    reuse) a BPE vocabulary and encode every training chunk at
+    #    VOCABULARY grain — merge folds run once per distinct word of
+    #    the surviving corpus, never per occurrence.  Chunks are
+    #    re-derived from the PINNED final_docs (zero-shuffle codegen;
+    #    the pack path's chunk frame was slimmed to counts before its
+    #    shuffle on purpose, r13 finding #6, and pinning 145M text
+    #    rows to save a re-derivation would cost more than the scan).
+    tokens_df = None
+    merges: list[tuple[str, str]] | None = None
+    if bpe_merges is not None:
+        from cdc_demo_spark.operators.bpe import encode_corpus_ids, train_bpe
+
+        if isinstance(bpe_merges, int):
+            # the realistic order: the tokenizer trains on the same
+            # surviving corpus the model will see; collect is bounded
+            # (n_merges rows — the artifact a tokenizer ships)
+            merges = [
+                (r["lhs"], r["rhs"])
+                for r in train_bpe(final_docs, text_col, n_merges=bpe_merges).collect()
+            ]
+        else:
+            merges = [(str(a), str(b)) for a, b in bpe_merges]
+        tchunks = chunk_documents(
+            final_docs, id_col=id_col, text_col=text_col,
+            chunk_tokens=chunk_tokens, stride=stride,
+        )
+        encoded = encode_corpus_ids(
+            tchunks, "chunk_text", merges, key_cols=[id_col, "chunk_id"]
+        )
+        tokens_df = (
+            tchunks.select(id_col, "chunk_id", "n_tokens")
+            .join(encoded, [id_col, "chunk_id"])
+            .join(final_docs.select(id_col, "split"), id_col)
+            .localCheckpoint(eager=True)
+        )
+        trow = tokens_df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("slots"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("w"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("b"),
+        ).collect()[0]
+        ledger["tokens"] = {
+            "chunks": int(trow["c"]),
+            "slots": int(trow["slots"]),
+            "words": int(trow["w"]),
+            "bpe_tokens": int(trow["b"]),
+            "n_merges": len(merges),
+            "secs": _stage_secs(),
+        }
+
     return {
         "blocks": blocks,
         "pairs": pairs,
         "splits": splits,
         "final_docs": final_docs,
+        "tokens": tokens_df,
+        "bpe_merges": merges,
         "ledger": ledger,
     }
 
@@ -324,3 +392,23 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
     seq = [ledger[k]["docs"] for k in
            ("input", "quality", "exact_dedup", "neardup_dedup", "span_removal")]
     assert all(a >= b for a, b in zip(seq, seq[1:])), f"funnel grew: {seq}"
+
+    # token-id stage (when run): every packed word slot is accounted
+    # for by exactly one encoded chunk row — slot census == packed
+    # census, chunk census == the blocks' own chunk census — and the
+    # encode direction is sane (each non-empty word emits >= 1 subword)
+    if result.get("tokens") is not None:
+        tl = ledger["tokens"]
+        assert tl["slots"] == ledger["pack"]["tokens"], (
+            f"encoded slots {tl['slots']} != packed {ledger['pack']['tokens']}"
+        )
+        packed_chunks = int(
+            blocks.agg(F.coalesce(F.sum("n_chunks"), F.lit(0))).collect()[0][0]
+        )
+        assert tl["chunks"] == packed_chunks, (
+            f"encoded chunks {tl['chunks']} != packed chunks {packed_chunks}"
+        )
+        assert tl["words"] <= tl["slots"], f"{tl['words']} words > {tl['slots']} slots"
+        assert tl["bpe_tokens"] >= tl["words"], (
+            f"bpe tokens {tl['bpe_tokens']} < words {tl['words']}"
+        )

@@ -40,75 +40,73 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-13 window head: the staleness tool's EXACT suggestion
-    # (tools/window_staleness.py over the CORRECTNESS_r01..r12 union) —
-    # VERDICT r12 #2.  Capacity math (50 slots):
-    #   12 ALL remaining r9-stale oracle queries (the queue the r12
-    #      rotation left; after this capture no oracle record predates
-    #      r10);
-    #   3  NEWLY ORACLE-IZED media/audio queries (VERDICT r12 #7 —
-    #      md5 pixel/PCM scheme; previously rows-only) + 2 NEW oracle
-    #      queries (q_bpe_encode, the r13 vocabulary-grain corpus
-    #      tokenizer; q_epoch_shuffle, the reproducible training
-    #      order): first-ever hash-verified driver records, displacing
-    #      the 5 youngest r10-tail entries (q_sliding_window,
-    #      q_small_qty_revenue, q_sole_returning_suppliers,
-    #      q_supplier_part_counts, q_text_normalize — next round's
-    #      queue);
-    #   33 stalest r10 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them).
+    # Round-14 window head: the staleness tool's suggestion
+    # (tools/window_staleness.py over the CORRECTNESS_r01..r13 union)
+    # with this round's ONE new oracle query prepended — VERDICT r13
+    # #2.  Capacity math (50 slots):
+    #   1  NEW oracle query (q_bpe_encode_ids — the corpus pipeline's
+    #      model-ready token-id stage): first-ever hash-verified
+    #      driver record;
+    #   17 ALL remaining r10-stale oracle queries (the queue the r13
+    #      rotation left, headed by the 4 entries r13's new queries
+    #      displaced; after this capture no oracle record predates
+    #      r11);
+    #   32 stalest r11 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; the 33rd,
+    #      q_remove_duplicated_spans, yields its slot to the new
+    #      query and heads next round's queue).
     # Rows-only queries were all refreshed in r12 (none predates r12),
     # so none need a slot this round.
-    "q_media_features",
-    "q_media_pipeline",
-    "q_audio_features",
-    "q_bpe_encode",
-    "q_epoch_shuffle",
-    "q_line_status_priority",
-    "q_math_functions",
-    "q_ngram_jaccard_pairs",
-    "q_null_functions",
-    "q_ohlc_bars",
-    "q_range_frame_sum",
-    "q_session_window",
-    "q_stratified_sample",
-    "q_token_stats",
-    "q_tumbling_window",
-    "q_union_all",
-    "q_user_sessions",
-    "q_anti_join",
-    "q_asof_join",
-    "q_bigram_perplexity",
-    "q_bloom_decontamination",
-    "q_bpe_train",
-    "q_case_when",
-    "q_embedding_covariance",
-    "q_hot_key_salted_join",
-    "q_large_volume_customers",
-    "q_linear_quality_score",
-    "q_local_supplier_volume",
-    "q_mad_outliers",
-    "q_min_cost_supplier",
-    "q_minhash_near_dups_md5",
-    "q_minhash_signatures_md5",
-    "q_mixture_sample",
-    "q_nation_market_share",
-    "q_nation_volume_shipping",
-    "q_neardup_centrality",
-    "q_order_count_distribution",
-    "q_packed_blocks",
-    "q_percentiles",
-    "q_pii_mask",
-    "q_pivot",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_quality_filter",
-    "q_rate_anomaly",
-    "q_referential_integrity",
-    "q_repetition_ratio",
-    "q_scalar_subquery",
-    "q_signup_purchase_funnel",
-    "q_simhash_hamming_pairs",
+    "q_bpe_encode_ids",
+    "q_sliding_window",
+    "q_small_qty_revenue",
+    "q_sole_returning_suppliers",
+    "q_supplier_part_counts",
+    "q_text_normalize",
+    "q_top_supplier",
+    "q_train_quality_classifier",
+    "q_train_val_test_split",
+    "q_training_shards",
+    "q_unigram_logprob",
+    "q_unpivot",
+    "q_value_histogram",
+    "q_weekly_retention",
+    "q_weighted_sample",
+    "q_window_navigation",
+    "q_winsorize",
+    "q_zscore_normalize",
+    "q_collect_names",
+    "q_cosine_topk",
+    "q_count_distinct",
+    "q_countmin_heavy_hitters",
+    "q_cross_join",
+    "q_cube",
+    "q_curriculum_buckets",
+    "q_date_functions",
+    "q_dedup_clusters",
+    "q_duplicated_spans",
+    "q_except",
+    "q_filter_predicates",
+    "q_full_outer_join",
+    "q_fuzzy_name_pairs_d2",
+    "q_grouped_median",
+    "q_having",
+    "q_histogram_quantiles",
+    "q_incremental_bloom",
+    "q_incremental_countmin",
+    "q_intersect",
+    "q_json_extract",
+    "q_lag_lead",
+    "q_latest_order_per_customer",
+    "q_moment_stats",
+    "q_multimodal_join",
+    "q_ntile_percent_rank",
+    "q_outer_join",
+    "q_packed_census",
+    "q_pricing_summary",
+    "q_project_compute",
+    "q_range_join",
+    "q_rank_parts",
 ]
 
 

@@ -436,6 +436,65 @@ FROM documents d LEFT JOIN assembled a USING (doc_id)
 """
 
 
+def _bpe_encode_ids_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/bpe.encode_corpus_ids: the encode
+    oracle's merge chain PLUS the token_id_map id scheme replayed from
+    first principles — base characters of the vocabulary sorted get
+    ids 0..C-1, distinct merged strings get C, C+1, ... in
+    first-occurrence merge order (duplicates share the earlier id),
+    every word's final tokens map through that table, and documents
+    reassemble in word order.  Both engines order base chars by raw
+    binary collation, so the row_number ranks agree exactly."""
+    merge_strs = "\nUNION ALL ".join(
+        f"SELECT lhs || rhs AS tok, {i} AS rk FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_state_ctes(n_merges) + f""",
+chars AS (
+  SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+                                        i -> word[i])) AS tok
+  FROM s0
+),
+charids AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INTEGER) AS tok_id
+  FROM chars
+),
+mstr AS (
+  {merge_strs}
+),
+mids AS (
+  SELECT tok,
+         CAST((SELECT count(*) FROM chars)
+              + row_number() OVER (ORDER BY min(rk)) - 1 AS INTEGER) AS tok_id
+  FROM mstr GROUP BY tok
+),
+idmap AS (SELECT * FROM charids UNION ALL SELECT * FROM mids),
+wtok AS (
+  SELECT s.word, u.j, s.toks[u.j] AS tok
+  FROM s{n_merges} s, UNNEST(range(1, len(s.toks) + 1)) AS u(j)
+),
+wids AS (
+  SELECT w.word, list(m.tok_id ORDER BY w.j) AS ids
+  FROM wtok w JOIN idmap m ON m.tok = w.tok
+  GROUP BY w.word
+),
+docw AS (
+  SELECT w.doc_id, w.ws[u.j] AS word, u.j AS pos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents) w, UNNEST(range(1, len(w.ws) + 1)) AS u(j)
+),
+assembled AS (
+  SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.pos)) AS ids
+  FROM docw dw JOIN wids w USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(array_to_string(a.ids, ' '), '')) AS ids_md5
+FROM documents d LEFT JOIN assembled a USING (doc_id)
+"""
+
+
 @register("q_bpe_train", oracle=_bpe_train_oracle(20))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL BPE vocabulary trainer (operators/bpe.py) — 20 merges
@@ -476,6 +535,34 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("tokens").cast("long").alias("n_bpe_tokens"),
         F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    )
+
+
+@register("q_bpe_encode_ids", oracle=_bpe_encode_ids_oracle(10))
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ready corpus tokenization: q_bpe_encode's vocabulary-grain
+    encode composed with the deterministic token-id scheme a shipped
+    tokenizer uses (operators/bpe.token_id_map — base chars sorted,
+    then distinct merged strings in first-occurrence merge order).
+    This is the final stage build_corpus(bpe_merges=...) runs
+    (operators/corpus_pipeline.py, r13 VERDICT #1), registered
+    standalone so the id mapping itself is oracle-checked value-exact:
+    the DuckDB twin replays training, the id table, AND the positional
+    reassembly from first principles; the md5 of the space-joined id
+    stream pins every id in every document."""
+    from cdc_demo_spark.operators.bpe import encode_corpus_ids, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=10).collect()
+    ]
+    out = encode_corpus_ids(docs, "text", merges, key_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(
+            F.concat_ws(" ", F.transform("token_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
     )
 
 

@@ -292,3 +292,67 @@ def test_duplicate_pair_rank_is_first_occurrence(spark):
     f2 = {r["word"]: r["toks"] for r in encode_words(vocab2, dup_hazard, impl="fold").collect()}
     r2 = {r["word"]: r["toks"] for r in encode_words(vocab2, dup_hazard, impl="rank").collect()}
     assert f2 == r2, (f2, r2)
+
+
+def test_token_id_map_scheme(spark):
+    """Base chars sorted get 0..C-1; distinct merged strings get C, C+1
+    in first-occurrence order; two merges producing the same STRING
+    share one id (the map is keyed by what the encoder emits)."""
+    from cdc_demo_spark.operators.bpe import token_id_map
+
+    vocab = spark.createDataFrame([("cab",), ("abc",)], "word string")
+    merges = [("a", "b"), ("ab", "c"), ("a", "bc"), ("a", "b")]
+    m = {r["tok"]: r["tok_id"] for r in token_id_map(vocab, merges).collect()}
+    assert m == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}  # 'abc' deduped, (a,b) dup no-op
+
+
+def test_encode_corpus_ids_roundtrip_and_coverage(spark, sf_dir):
+    """Every emitted id decodes back to its token string and the
+    decoded stream re-concatenates to the original non-empty words —
+    i.e. the id map covers everything the encoder can emit (the inner
+    join drops nothing) and positional order survives the regroup."""
+    from cdc_demo_spark.operators.bpe import (
+        encode_corpus_ids, token_id_map, train_bpe,
+    )
+    from cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=8).collect()
+    ]
+    out = encode_corpus_ids(docs, "text", merges, key_cols=["doc_id"])
+    assert out.count() == docs.count()
+    nonempty = F.filter(F.split("text", " "), lambda w: w != "")
+    vocab = docs.select(F.explode(nonempty).alias("word")).distinct()
+    inv = {r["tok_id"]: r["tok"] for r in token_id_map(vocab, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    checked = 0
+    for r in out.collect():
+        expect = "".join(w for w in texts[r["doc_id"]].split(" ") if w != "")
+        got = "".join(inv[i] for i in r["token_ids"])
+        assert got == expect, r["doc_id"]
+        assert r["n_bpe_tokens"] == len(r["token_ids"])
+        assert r["n_words"] == sum(1 for w in texts[r["doc_id"]].split(" ") if w)
+        checked += 1
+    assert checked == 60
+
+
+def test_encode_corpus_ids_composite_key_and_empty_rows(spark):
+    from cdc_demo_spark.operators.bpe import encode_corpus_ids
+
+    df = spark.createDataFrame(
+        [(1, 0, "ab ab c"), (1, 1, ""), (2, 0, "   "), (2, 1, "b a")],
+        "doc_id long, chunk_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in encode_corpus_ids(
+            df, "text", [("a", "b")], key_cols=["doc_id", "chunk_id"]
+        ).collect()
+    }
+    assert len(out) == 4
+    # ids: chars sorted -> a=0, b=1, c=2; merge ab=3
+    assert out[(1, 0)]["token_ids"] == [3, 3, 2]
+    assert out[(1, 1)]["token_ids"] == [] and out[(2, 0)]["token_ids"] == []
+    assert out[(2, 1)]["token_ids"] == [1, 0]  # 'b a' never merges
+    assert out[(2, 1)]["n_words"] == 2 and out[(1, 1)]["n_words"] == 0

@@ -229,3 +229,55 @@ def test_build_corpus_rejects_preexisting_doc_id_collision(spark):
     )
     with pytest.raises(ValueError, match="already has a 'doc_id'"):
         build_corpus(docs, id_col="my_id")
+
+
+def test_token_stage_invariants_and_census(spark, sf_dir):
+    """r13 VERDICT #1: with bpe_merges set, the composite ends at
+    model-ready token ids and the encoded slot census equals the
+    packed ledger's token total EXACTLY (every packed word slot is
+    accounted for by exactly one encoded chunk row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=8)
+    assert_corpus_invariants(res)
+    tl = res["ledger"]["tokens"]
+    assert tl["slots"] == res["ledger"]["pack"]["tokens"]
+    assert tl["n_merges"] == 8 and len(res["bpe_merges"]) == 8
+    toks = res["tokens"]
+    assert toks.count() == tl["chunks"] > 0
+    # split column rides along and matches the final doc map
+    mismatch = toks.join(
+        res["final_docs"].select("doc_id", F.col("split").alias("ds")), "doc_id"
+    ).filter(F.col("split") != F.col("ds")).count()
+    assert mismatch == 0
+    # ids are dense non-negative ints
+    bad = toks.filter(
+        (F.col("n_bpe_tokens") > 0)
+        & (F.array_min("token_ids") < 0)
+    ).count()
+    assert bad == 0
+
+
+def test_token_stage_accepts_shipped_merge_list(spark):
+    """A pre-trained merge list (the shipped-vocabulary path) is
+    honored verbatim — no retraining, stage still conserves slots."""
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo alpha bravo charlie delta echo foxtrot " * 3 + f"t{i}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    res = build_corpus(
+        docs,
+        rules={"min_tokens": 5, "mean_token_len": (1.0, 99.0),
+               "min_distinct_ratio": 0.0},
+        minhash_threshold=0.99, chunk_tokens=8, block_tokens=32, n_shards=2,
+        bpe_merges=[("a", "l"), ("al", "p"), ("alp", "h"), ("alph", "a")],
+    )
+    assert_corpus_invariants(res)
+    assert res["bpe_merges"] == [("a", "l"), ("al", "p"), ("alp", "h"), ("alph", "a")]
+    # 'alpha' must encode to ONE token wherever it appears
+    inv_hit = res["tokens"].filter(F.array_contains("token_ids", -1)).count()
+    assert inv_hit == 0
+
+
+def test_token_stage_absent_by_default(result):
+    assert result["tokens"] is None and "tokens" not in result["ledger"]
