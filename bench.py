@@ -1246,6 +1246,45 @@ def time_corpus_e2e_200k(spark) -> float:
     return dt
 
 
+def time_corpus_e2e_200k_tokens(spark) -> float:
+    """The corpus composite ENDING AT MODEL-READY TOKEN IDS (r13
+    VERDICT #1): the corpus_e2e_200k chain plus BPE training on the
+    surviving corpus (30 merges — the bpe_train_200k grain) and the
+    vocabulary-grain chunk encode (operators/bpe.encode_corpus_ids),
+    as ONE wall number.  Gate: the full invariant set INCLUDING the
+    token-stage censuses (encoded slot total == packed token total,
+    encoded chunk count == the blocks' own chunk census), plus ledger
+    funnel sanity.  The delta vs corpus_e2e_200k isolates what the
+    token stage costs inside the composed plan; bpe_train_200k /
+    bpe_encode_200k price the same work standalone on the UNFILTERED
+    corpus (larger: pre-dedup)."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        assert_corpus_invariants,
+        build_corpus,
+    )
+
+    docs = _doc_corpus(spark)
+    rules = {
+        "min_tokens": 60,
+        "mean_token_len": (5.70, 5.85),
+        "min_distinct_ratio": 0.9,
+    }
+    t0 = time.perf_counter()
+    res = build_corpus(
+        docs, rules=rules, minhash_threshold=0.5, span_hashed=True,
+        bpe_merges=30,
+    )
+    dt = round(time.perf_counter() - t0, 3)
+    led = res["ledger"]
+    print("CORPUS_LEDGER_TOKENS " + json.dumps(led, separators=(",", ":")))
+    assert_corpus_invariants(res)  # untimed: the checker, not the pipeline
+    tl = led["tokens"]
+    assert tl["slots"] == led["pack"]["tokens"]
+    assert tl["n_merges"] == 30
+    assert 0 < tl["words"] <= tl["bpe_tokens"] <= tl["slots"] * 64  # sanity bounds
+    return dt
+
+
 def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, object]]]]:
     """Every non-headline bench entry as (block, passes, entries),
     grouped into the quiesce-gated blocks main() runs them in.
@@ -1321,9 +1360,14 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),
             ("cdc_merge_1m_trickle", lambda: time_cdc_merge_1m_trickle(spark)),
         ]),
-        # the composed corpus-construction pipeline (VERDICT r12 #1)
+        # the composed corpus-construction pipeline (VERDICT r12 #1),
+        # plus its model-ready-token-ids extension (VERDICT r13 #1);
+        # single pass each — constituent plan shapes are codegen-warm
+        # from the earlier blocks and a second ~60 s pass buys noise
+        # damping at too high a suite-wall price
         ("corpus_e2e", 1, [
             ("corpus_e2e_200k", lambda: time_corpus_e2e_200k(spark)),
+            ("corpus_e2e_200k_tokens", lambda: time_corpus_e2e_200k_tokens(spark)),
         ]),
     ]
 

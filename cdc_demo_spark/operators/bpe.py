@@ -492,3 +492,104 @@ def encode_corpus_ids(
         F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
         F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
     ).withColumn("n_bpe_tokens", F.size(out_col).cast("long"))
+
+
+def encode_chunked_corpus_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """Token ids for every CHUNK of every document — the corpus
+    pipeline's scale path (operators/corpus_pipeline.build_corpus with
+    bpe_merges).  Returns (id_col, chunk_id, n_tokens, n_words,
+    n_bpe_tokens, token_ids array<int>), one row per chunk, with chunk
+    boundaries EXACTLY chunk_documents' (the shared
+    operators/chunking.chunk_starts formula).
+
+    Why not chunk first and encode chunk rows?  BPE merges never cross
+    word boundaries and chunks split on word boundaries, so a chunk's
+    id stream is a word-aligned SLICE of its document's per-word id
+    arrays.  Encoding at document grain and slicing arrays:
+
+    - touches the corpus text ONCE (one slot posexplode + one slim
+      vocabulary explode→distinct) instead of re-deriving chunk text
+      for the encoder's three scans — chunk text is never materialized
+      at all, which also means overlapping strides duplicate nothing;
+    - regroups 1 row per document, not per chunk, and the chunk
+      explode afterwards is zero-shuffle codegen (measured 41.2 s →
+      see SCALE.md r14 for the composed-stage number this replaced).
+
+    EMPTY slots (runs of separators) are kept through the regroup with
+    empty id arrays so chunk boundaries and the slot census (n_tokens)
+    match chunk_documents on any input; n_words counts the non-empty
+    slots actually encoded."""
+    if stride is None:
+        stride = chunk_tokens
+    from cdc_demo_spark.operators.chunking import chunk_starts
+
+    slots = F.split(F.col(text_col), " ")
+    occ = df.select(
+        F.col(id_col), F.posexplode(slots).alias("_pos", "word")
+    )
+    vocab = (
+        df.select(F.explode(slots).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    enc = encode_words(vocab, merges, impl=impl)
+    idmap = token_id_map(vocab, merges)
+    word_ids = (
+        enc.select("word", F.posexplode("toks").alias("_tpos", "tok"))
+        .join(idmap, "tok")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "tok_id"))),
+                lambda s: s["tok_id"],
+            ).alias("_ids")
+        )
+    )
+    # left join: empty slots (and only those — token_id_map covers
+    # every emittable token) miss and carry an empty id array
+    per_doc = (
+        occ.join(word_ids, "word", "left")
+        .select(
+            id_col,
+            F.struct(
+                F.col("_pos"),
+                F.coalesce(F.col("_ids"), F.array().cast("array<int>")).alias("_ids"),
+                (F.col("word") != "").alias("_ne"),
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("s")).alias("_arr"))
+    )
+    arr = F.col("_arr")
+    n = F.size(arr)
+    chunks = F.transform(
+        chunk_starts(n, chunk_tokens, stride),
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.slice(arr, s + 1, chunk_tokens),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_ne"].cast("long"),
+            ).alias("n_words"),
+            F.flatten(
+                F.transform(F.slice(arr, s + 1, chunk_tokens), lambda x: x["_ids"])
+            ).alias("token_ids"),
+        ),
+    )
+    return per_doc.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.n_words").alias("n_words"),
+        F.size("c.token_ids").cast("long").alias("n_bpe_tokens"),
+        F.col("c.token_ids").alias("token_ids"),
+    )

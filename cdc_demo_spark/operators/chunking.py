@@ -10,8 +10,23 @@ pipeline shape) → pack.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def chunk_starts(n: Column, chunk_tokens: int, stride: int) -> Column:
+    """0-based window start offsets for a doc of ``n`` token slots —
+    THE chunk-boundary formula (0, stride, 2*stride, ... while
+    start < n; the final partial window kept; >= 1 window even for
+    empty docs).  Shared by chunk_documents and the token-id encode
+    (operators/bpe.encode_chunked_corpus_ids) so the two can never
+    disagree on where a chunk begins."""
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * stride
+    )
 
 
 def chunk_documents(
@@ -42,11 +57,7 @@ def chunk_documents(
     )
     toks = F.col("__toks")
     n = F.size(toks)
-    # window starts: 0, stride, 2*stride, ... while start < n
-    n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1))
-    starts = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * stride
-    )
+    starts = chunk_starts(n, chunk_tokens, stride)
     chunks = F.transform(
         starts,
         lambda s: F.struct(

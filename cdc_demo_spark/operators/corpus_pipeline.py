@@ -296,17 +296,22 @@ def build_corpus(
     }
 
     # 8. optional model-ready token ids (r13 VERDICT #1): train (or
-    #    reuse) a BPE vocabulary and encode every training chunk at
-    #    VOCABULARY grain — merge folds run once per distinct word of
-    #    the surviving corpus, never per occurrence.  Chunks are
-    #    re-derived from the PINNED final_docs (zero-shuffle codegen;
-    #    the pack path's chunk frame was slimmed to counts before its
-    #    shuffle on purpose, r13 finding #6, and pinning 145M text
-    #    rows to save a re-derivation would cost more than the scan).
+    #    reuse) a BPE vocabulary, encode the surviving corpus at
+    #    VOCABULARY grain (merge folds once per distinct word, never
+    #    per occurrence), and slice each document's per-word id arrays
+    #    on the SAME chunk boundaries the pack stage used (shared
+    #    chunk_starts formula; equality with chunk-then-encode pinned
+    #    in tests/test_bpe.py).  Chunk text is never materialized —
+    #    the corpus is touched once at doc grain (the chunk-grain
+    #    first cut re-derived chunk text for each of the encoder's
+    #    scans and regrouped per CHUNK; 41.2 s -> see SCALE.md r14).
     tokens_df = None
     merges: list[tuple[str, str]] | None = None
     if bpe_merges is not None:
-        from cdc_demo_spark.operators.bpe import encode_corpus_ids, train_bpe
+        from cdc_demo_spark.operators.bpe import (
+            encode_chunked_corpus_ids,
+            train_bpe,
+        )
 
         if isinstance(bpe_merges, int):
             # the realistic order: the tokenizer trains on the same
@@ -318,16 +323,11 @@ def build_corpus(
             ]
         else:
             merges = [(str(a), str(b)) for a, b in bpe_merges]
-        tchunks = chunk_documents(
-            final_docs, id_col=id_col, text_col=text_col,
-            chunk_tokens=chunk_tokens, stride=stride,
-        )
-        encoded = encode_corpus_ids(
-            tchunks, "chunk_text", merges, key_cols=[id_col, "chunk_id"]
-        )
         tokens_df = (
-            tchunks.select(id_col, "chunk_id", "n_tokens")
-            .join(encoded, [id_col, "chunk_id"])
+            encode_chunked_corpus_ids(
+                final_docs, text_col, merges, id_col,
+                chunk_tokens=chunk_tokens, stride=stride,
+            )
             .join(final_docs.select(id_col, "split"), id_col)
             .localCheckpoint(eager=True)
         )

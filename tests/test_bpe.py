@@ -356,3 +356,52 @@ def test_encode_corpus_ids_composite_key_and_empty_rows(spark):
     assert out[(1, 1)]["token_ids"] == [] and out[(2, 0)]["token_ids"] == []
     assert out[(2, 1)]["token_ids"] == [1, 0]  # 'b a' never merges
     assert out[(2, 1)]["n_words"] == 2 and out[(1, 1)]["n_words"] == 0
+
+
+def test_encode_chunked_equals_chunk_then_encode(spark):
+    """encode_chunked_corpus_ids (encode at DOC grain, slice per-word
+    id arrays on the shared chunk_starts boundaries) must equal the
+    reference composition chunk_documents -> encode_corpus_ids at
+    chunk grain — including on text with EMPTY slots (runs of spaces)
+    and with an OVERLAPPING stride.  BPE merges never cross word
+    boundaries, so the slice is exact, not approximate."""
+    from cdc_demo_spark.operators.bpe import (
+        encode_chunked_corpus_ids, encode_corpus_ids,
+    )
+    from cdc_demo_spark.operators.chunking import chunk_documents
+
+    rows = []
+    for i in range(30):
+        words = [f"w{j % 7}ab" for j in range(5 + (i * 3) % 23)]
+        if i % 4 == 0:
+            words[2] = ""  # double space -> empty slot
+        if i % 9 == 0:
+            words.append("")
+        rows.append((i, " ".join(words)))
+    rows.append((97, ""))     # empty doc: one chunk, one empty slot
+    rows.append((98, "   "))  # only separators
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("a", "b"), ("w", "1"), ("w1", "ab")]
+
+    for ct, st in [(6, 6), (6, 4)]:
+        fast = {
+            (r["doc_id"], r["chunk_id"]): (
+                r["n_tokens"], r["n_words"], r["n_bpe_tokens"], r["token_ids"]
+            )
+            for r in encode_chunked_corpus_ids(
+                df, "text", merges, "doc_id", chunk_tokens=ct, stride=st
+            ).collect()
+        }
+        chunks = chunk_documents(df, "doc_id", "text", chunk_tokens=ct, stride=st)
+        enc = encode_corpus_ids(
+            chunks, "chunk_text", merges, key_cols=["doc_id", "chunk_id"]
+        )
+        ref = {
+            (r["doc_id"], r["chunk_id"]): (
+                r["n_tokens"], r["n_words"], r["n_bpe_tokens"], r["token_ids"]
+            )
+            for r in chunks.select("doc_id", "chunk_id", "n_tokens")
+            .join(enc, ["doc_id", "chunk_id"])
+            .collect()
+        }
+        assert fast == ref, (ct, st)
