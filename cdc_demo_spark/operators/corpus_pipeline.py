@@ -412,3 +412,47 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
         assert tl["bpe_tokens"] >= tl["words"], (
             f"bpe tokens {tl['bpe_tokens']} < words {tl['words']}"
         )
+
+
+def corpus_stream_sink(
+    minhash_index,
+    token_index,
+    rules: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch adapter for the corpus pipeline's INCREMENTAL
+    stages (r13 VERDICT #8): each streaming epoch applies the SAME
+    quality predicate the batch composite runs (quality_keep_expr —
+    one copy, the r13 rule), then feeds the near-dup index
+    (operators/incremental_dedup.MinHashIndex, verified pairs
+    persisted) and the vocabulary ledger
+    (operators/incremental_tokens.TokenCountIndex) under the SAME
+    epoch id.  Both ledgers key their commits on the streaming batch
+    id, so at-least-once redelivery is skipped per ledger; a crash
+    BETWEEN the two appends converges on replay (the committed ledger
+    skips, the uncommitted one admits) — each ledger is individually
+    exactly-once and the pair needs no cross-ledger transaction.
+
+    The batch twin is build_corpus' quality + near-dup stages plus a
+    word count over the survivors; equality pinned by
+    tests/test_corpus_pipeline.py::test_streaming_twin_equals_batch_composite.
+    """
+    rules = dict(DEFAULT_RULES if rules is None else rules)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = batch_df.filter(quality_keep_expr(text_col, rules))
+        minhash_index.append_batch(
+            kept, id_col, text_col, batch_id=int(batch_id), persist_pairs=True
+        )
+        token_index.append_batch(
+            kept.select(
+                F.explode(
+                    F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+                ).alias("token")
+            ),
+            "token",
+            batch_id=int(batch_id),
+        )
+
+    return process

@@ -281,3 +281,76 @@ def test_token_stage_accepts_shipped_merge_list(spark):
 
 def test_token_stage_absent_by_default(result):
     assert result["tokens"] is None and "tokens" not in result["ledger"]
+
+
+def test_streaming_twin_equals_batch_composite(spark, sf_dir, tmp_path):
+    """r13 VERDICT #8 (stretch): the corpus pipeline's incremental
+    stages driven as ONE real Structured Streaming query — file source
+    -> foreachBatch(corpus_stream_sink) in two availableNow waves
+    under one checkpoint, the shared quality predicate feeding BOTH
+    the MinHash near-dup index and the vocabulary ledger per epoch.
+    The composite streaming state must equal the batch composite:
+    stored verified pairs == one-shot minhash_near_duplicates over the
+    quality survivors, and the token ledger == one-shot word counts
+    over the same."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import corpus_stream_sink
+    from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+    from cdc_demo_spark.operators.incremental_tokens import TokenCountIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.localCheckpoint(eager=True)
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    os.makedirs(land)
+    mh = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.12)
+    tk = TokenCountIndex(spark, str(tmp_path / "tk"))
+    sink = corpus_stream_sink(mh, tk, rules=RULES)
+
+    def run_wave(pred, prefix):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{prefix}")
+        )
+        for i, name in enumerate(
+            f for f in os.listdir(tmp_path / f"stage_{prefix}")
+            if f.endswith(".parquet")
+        ):
+            os.rename(
+                tmp_path / f"stage_{prefix}" / name, f"{land}/{prefix}-{i}.parquet"
+            )
+        (
+            spark.readStream.schema(docs.schema)
+            .parquet(land)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    mid = 250
+    run_wave(F.col("doc_id") < mid, "w1")
+    run_wave(F.col("doc_id") >= mid, "w2")
+
+    kept = docs.filter(quality_keep_expr("text", RULES))
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in mh.stored_pairs().collect()
+    }
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            kept, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    got_counts = {(r["token"], r["cnt"]) for r in tk.counts().collect()}
+    want_counts = {
+        (r["token"], r["cnt"])
+        for r in kept.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("token")
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_counts == want_counts
