@@ -427,6 +427,39 @@ def token_id_map(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return char_ids.unionByName(merge_ids)
 
 
+def _word_id_arrays(
+    vocab: DataFrame, merges: list[tuple[str, str]], impl: str
+) -> DataFrame:
+    """(word, _ids array<int>) — the shared vocabulary-grain reassembly
+    both encode entry points compose: encode each distinct word
+    (``encode_words``), map every emitted token through
+    ``token_id_map``, and restore subword order positionally (never
+    via collect_list ordering).  The id-map join is INNER by
+    construction (the map covers every emittable token; coverage
+    pinned in tests/test_bpe.py).
+
+    Pins the vocabulary (eager localCheckpoint — vocabulary-grain, the
+    documented-safe class) BEFORE fanning out: token_id_map runs an
+    eager charset count and both the encode and the id-map subtrees
+    read the vocabulary again at execution, so an unpinned vocab would
+    re-run its corpus-side explode→distinct three times (r14 review
+    finding)."""
+    vocab = vocab.localCheckpoint(eager=True)
+    enc = encode_words(vocab, merges, impl=impl)
+    idmap = token_id_map(vocab, merges)
+    return (
+        enc.select("word", F.posexplode("toks").alias("_tpos", "tok"))
+        .join(idmap, "tok")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "tok_id"))),
+                lambda s: s["tok_id"],
+            ).alias("_ids")
+        )
+    )
+
+
 def encode_corpus_ids(
     df: DataFrame,
     text_col: str,
@@ -460,19 +493,7 @@ def encode_corpus_ids(
         *key_cols, F.posexplode(nonempty).alias("_pos", "word")
     )
     vocab = df.select(F.explode(nonempty).alias("word")).distinct()
-    enc = encode_words(vocab, merges, impl=impl)
-    idmap = token_id_map(vocab, merges)
-    word_ids = (
-        enc.select("word", F.posexplode("toks").alias("_tpos", "tok"))
-        .join(idmap, "tok")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_tpos", "tok_id"))),
-                lambda s: s["tok_id"],
-            ).alias("_ids")
-        )
-    )
+    word_ids = _word_id_arrays(vocab, merges, impl)
     per_key = (
         words.join(word_ids, "word")
         .groupBy(*key_cols)
@@ -515,10 +536,12 @@ def encode_chunked_corpus_ids(
     id stream is a word-aligned SLICE of its document's per-word id
     arrays.  Encoding at document grain and slicing arrays:
 
-    - touches the corpus text ONCE (one slot posexplode + one slim
-      vocabulary explode→distinct) instead of re-deriving chunk text
-      for the encoder's three scans — chunk text is never materialized
-      at all, which also means overlapping strides duplicate nothing;
+    - touches the corpus text exactly TWICE (the slot posexplode and
+      one slim vocabulary explode→distinct, which _word_id_arrays pins
+      before the id-table fan-out) instead of re-deriving chunk text
+      for each of the encoder's scans — chunk text is never
+      materialized at all, which also means overlapping strides
+      duplicate nothing;
     - regroups 1 row per document, not per chunk, and the chunk
       explode afterwards is zero-shuffle codegen (measured 41.2 s →
       see SCALE.md r14 for the composed-stage number this replaced).
@@ -540,19 +563,7 @@ def encode_chunked_corpus_ids(
         .filter(F.col("word") != "")
         .distinct()
     )
-    enc = encode_words(vocab, merges, impl=impl)
-    idmap = token_id_map(vocab, merges)
-    word_ids = (
-        enc.select("word", F.posexplode("toks").alias("_tpos", "tok"))
-        .join(idmap, "tok")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_tpos", "tok_id"))),
-                lambda s: s["tok_id"],
-            ).alias("_ids")
-        )
-    )
+    word_ids = _word_id_arrays(vocab, merges, impl)
     # left join: empty slots (and only those — token_id_map covers
     # every emittable token) miss and carry an empty id array
     per_doc = (

@@ -441,18 +441,25 @@ def corpus_stream_sink(
     rules = dict(DEFAULT_RULES if rules is None else rules)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        kept = batch_df.filter(quality_keep_expr(text_col, rules))
-        minhash_index.append_batch(
-            kept, id_col, text_col, batch_id=int(batch_id), persist_pairs=True
-        )
-        token_index.append_batch(
-            kept.select(
-                F.explode(
-                    F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-                ).alias("token")
-            ),
-            "token",
-            batch_id=int(batch_id),
-        )
+        # persist: the quality predicate (split + distinct-ratio over
+        # every doc) feeds BOTH ledgers — without the pin it would
+        # re-run per append (r14 review finding); unpersist in finally
+        # so epochs never accumulate storage
+        kept = batch_df.filter(quality_keep_expr(text_col, rules)).persist()
+        try:
+            minhash_index.append_batch(
+                kept, id_col, text_col, batch_id=int(batch_id), persist_pairs=True
+            )
+            token_index.append_batch(
+                kept.select(
+                    F.explode(
+                        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+                    ).alias("token")
+                ),
+                "token",
+                batch_id=int(batch_id),
+            )
+        finally:
+            kept.unpersist()
 
     return process

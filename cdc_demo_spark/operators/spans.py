@@ -104,15 +104,18 @@ def probe_max_occ(
 
     - MEGA docs — any doc long enough to single-handedly hold
       ``hot_occ`` gram sites — are tokenized EXACTLY.  The threshold
-      is ``hot_occ`` CHARS: a doc of length L splits into at most
-      L+1 tokens (ngram_positions splits on literal space and does
-      NOT drop empty tokens, so "each token is >= 2 chars with its
-      separator" is false for runs of spaces — the r13 ADVICE
-      counter-example was ~hot_occ consecutive spaces yielding
-      ~hot_occ empty-gram sites under a 2*hot_occ threshold), hence
-      at most L+2-n <= hot_occ sites whenever L < hot_occ.  Mega docs
-      are rare at any real corpus shape, and they are precisely the
-      docs a sample may miss.
+      is ``hot_occ + n - 2`` CHARS, the tight bound: a doc of length
+      L splits into at most L+1 tokens (ngram_positions splits on
+      literal space and does NOT drop empty tokens, so "each token is
+      >= 2 chars with its separator" is false for runs of spaces —
+      the r13 ADVICE counter-example was ~hot_occ consecutive spaces
+      yielding ~hot_occ empty-gram sites under a 2*hot_occ
+      threshold), hence at most L+1-(n-1) = L+2-n sites, which
+      reaches hot_occ only when L >= hot_occ + n - 2.  (The first r14
+      cut used plain hot_occ — conservative for n >= 2 but one char
+      short for n = 1, where an (hot_occ-1)-char doc holds exactly
+      hot_occ 1-gram slots.)  Mega docs are rare at any real corpus
+      shape, and they are precisely the docs a sample may miss.
     - The rest are sampled at ``probe_fraction`` and the max occupancy
       scaled by 1/fraction.  Cross-doc viral grams span many docs by
       construction (no single small doc can hold them), so the sample
@@ -137,7 +140,8 @@ def probe_max_occ(
 
     if probe_fraction >= 1.0:
         return float(_max_occ(df))
-    mega_chars = hot_occ  # L >= hot_occ chars can hold hot_occ sites
+    # tight: L+2-n sites max, so only L >= hot_occ+n-2 can reach hot_occ
+    mega_chars = max(1, hot_occ + n - 2)
     mega = df.filter(F.length(F.col(text_col)) >= mega_chars)
     small = df.filter(F.length(F.col(text_col)) < mega_chars)
     est_small = (

@@ -319,7 +319,7 @@ def test_streaming_twin_equals_batch_composite(spark, sf_dir, tmp_path):
             os.rename(
                 tmp_path / f"stage_{prefix}" / name, f"{land}/{prefix}-{i}.parquet"
             )
-        (
+        finished = (
             spark.readStream.schema(docs.schema)
             .parquet(land)
             .writeStream.foreachBatch(sink)
@@ -328,6 +328,9 @@ def test_streaming_twin_equals_batch_composite(spark, sf_dir, tmp_path):
             .start()
             .awaitTermination(180)
         )
+        # a timed-out wave still running would collide with the next
+        # wave's query on the same checkpoint and mask the real cause
+        assert finished, f"wave {prefix} did not terminate within 180s"
 
     mid = 250
     run_wave(F.col("doc_id") < mid, "w1")
