@@ -463,3 +463,81 @@ def corpus_stream_sink(
             kept.unpersist()
 
     return process
+
+
+def write_token_shards(
+    tokens: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    shard_salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> dict:
+    """Lay the token-stage output down as the files a trainer reads —
+    the last hop from ledger to bytes-on-disk.  One parquet file per
+    (split, shard) directory under ``path`` (layout
+    ``split=train/shard=3/part-*.parquet``), rows ordered by
+    (doc_id, chunk_id) inside each file, plus a ``_manifest.json``
+    recording per-shard (chunks, words, bpe_tokens) censuses — the
+    artifact a training job checks before it maps the bytes.
+
+    The shard key is md5(salt|doc_id) % n_shards — the SAME
+    deterministic function the pack stage groups by, so a block's docs
+    and its token rows agree on shard membership; re-salting is a full
+    reshuffle for the next epoch without touching upstream state.
+
+    Scale shape: ONE hash shuffle on exactly (split, shard) — every
+    group lands wholly in one task, so each directory holds exactly
+    one file and the write parallelism is the live (split, shard)
+    count; the manifest is a grouped aggregate (3 × n_shards rows to
+    the driver, never row data).  Returns the manifest dict."""
+    import json as _json
+    import os as _os
+
+    shard = (md5_long(F.concat_ws("|", F.lit(shard_salt), F.col(id_col)))
+             % int(n_shards)).cast("int")
+    laid = (
+        tokens.withColumn("shard", shard)
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions(id_col, "chunk_id")
+    )
+    laid.write.mode("error").partitionBy("split", "shard").parquet(path)
+    rows = (
+        tokens.withColumn("shard", shard)
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": int(n_shards),
+        "shard_salt": shard_salt,
+        "shards": {
+            f"{r['split']}/{int(r['shard']):02d}": {
+                "chunks": int(r["chunks"]),
+                "words": int(r["words"]),
+                "bpe_tokens": int(r["bpe_tokens"]),
+            }
+            for r in rows
+        },
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, sort_keys=True, indent=1)
+    return manifest
+
+
+def read_token_shards(spark, path: str, split: str | None = None,
+                      shards: list[int] | None = None) -> DataFrame:
+    """Read the shard layout back, optionally pruning to one split
+    and/or a shard subset — both prunes are PARTITION-directory prunes
+    (the write partitioned by (split, shard)), so a trainer's worker
+    reads only its own shard's bytes, verified by the partition-
+    pruning assert in tests."""
+    df = spark.read.parquet(path)
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df

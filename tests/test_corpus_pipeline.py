@@ -357,3 +357,57 @@ def test_streaming_twin_equals_batch_composite(spark, sf_dir, tmp_path):
         ).groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got_counts == want_counts
+
+
+def test_write_token_shards_roundtrip_manifest_and_pruning(spark, sf_dir, tmp_path):
+    """The ledger-to-bytes hop: shard files round-trip exactly, the
+    manifest censuses sum to the ledger's token stage, every
+    (split, shard) directory holds exactly ONE data file, and a
+    shard-subset read prunes at the PARTITION level (a trainer worker
+    reads only its own bytes)."""
+    import glob
+    import json
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=6,
+                       n_shards=4)
+    out = str(tmp_path / "shards")
+    manifest = write_token_shards(res["tokens"], out, n_shards=4)
+
+    # manifest sums == ledger token stage
+    tl = res["ledger"]["tokens"]
+    sums = {k: sum(s[k] for s in manifest["shards"].values())
+            for k in ("chunks", "words", "bpe_tokens")}
+    assert sums == {"chunks": tl["chunks"], "words": tl["words"],
+                    "bpe_tokens": tl["bpe_tokens"]}
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk["shards"] == manifest["shards"]
+
+    # exactly one data file per (split, shard) directory
+    for d in glob.glob(os.path.join(out, "split=*", "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    # round-trip: same rows (ids compared as sorted tuples per chunk)
+    back = read_token_shards(spark, out)
+    assert back.count() == tl["chunks"]
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    want = {key(r): (r["split"], r["n_words"], list(r["token_ids"]))
+            for r in res["tokens"].collect()}
+    got = {key(r): (r["split"], r["n_words"], list(r["token_ids"]))
+           for r in back.collect()}
+    assert got == want
+
+    # shard-subset read prunes partitions: the scan's partition filters
+    # must mention shard, and the row count matches the manifest
+    pruned = read_token_shards(spark, out, split="train", shards=[1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    want_chunks = manifest["shards"].get("train/01", {}).get("chunks", 0)
+    assert pruned.count() == want_chunks
