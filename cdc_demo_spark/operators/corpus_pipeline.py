@@ -110,6 +110,7 @@ def build_corpus(
     chunk_tokens: int = 64,
     stride: int | None = None,
     block_tokens: int = 256,
+    pack_strategy: str = "greedy",
     n_shards: int = 16,
     shard_salt: str = "epoch0",
     normalize_whitespace: bool = False,
@@ -276,7 +277,9 @@ def build_corpus(
         ),
         id_col,
     ).select(id_col, "chunk_id", "n_tokens", "group")
-    blocks = pack_chunks(chunks, "group", block_tokens=block_tokens).select(
+    blocks = pack_chunks(
+        chunks, "group", block_tokens=block_tokens, strategy=pack_strategy
+    ).select(
         F.split_part("group", F.lit("/"), F.lit(1)).alias("split"),
         F.split_part("group", F.lit("/"), F.lit(2)).cast("int").alias("shard"),
         "group",
@@ -292,6 +295,13 @@ def build_corpus(
     ledger["pack"] = {
         "blocks": int(pack_row["b"]),
         "tokens": int(pack_row["t"]),
+        # fill rate of the block budget: packed tokens / (blocks ×
+        # block_tokens) — the padding-waste metric a trainer cares
+        # about; strategy="nfd" exists to push it up
+        "efficiency": round(
+            int(pack_row["t"]) / (max(int(pack_row["b"]), 1) * block_tokens), 4
+        ),
+        "strategy": pack_strategy,
         "secs": _stage_secs(),
     }
 

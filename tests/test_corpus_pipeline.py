@@ -411,3 +411,42 @@ def test_write_token_shards_roundtrip_manifest_and_pruning(spark, sf_dir, tmp_pa
     assert "PartitionFilters" in plan and "shard" in plan
     want_chunks = manifest["shards"].get("train/01", {}).get("chunks", 0)
     assert pruned.count() == want_chunks
+
+
+def test_nfd_packing_conserves_and_improves_efficiency(spark, sf_dir):
+    """strategy='nfd' (next-fit decreasing) must conserve tokens and
+    never split chunks — same censuses as greedy — while its block-
+    budget fill rate is at least greedy's (decreasing-order packing
+    cannot do worse than in-order on waste for the same budget)."""
+    docs = load_table(spark, sf_dir, "documents")
+    greedy = build_corpus(docs, rules=RULES, minhash_threshold=0.3)
+    nfd = build_corpus(docs, rules=RULES, minhash_threshold=0.3,
+                       pack_strategy="nfd")
+    assert_corpus_invariants(nfd)
+    g, n = greedy["ledger"]["pack"], nfd["ledger"]["pack"]
+    assert n["tokens"] == g["tokens"]          # conservation unchanged
+    assert n["efficiency"] >= g["efficiency"], (g, n)
+    assert n["blocks"] <= g["blocks"]
+    # budget still respected (single oversized chunks aside)
+    bad = nfd["blocks"].filter(
+        (F.col("total_tokens") > 256) & (F.col("n_chunks") > 1)
+    ).count()
+    assert bad == 0
+    # determinism: a second nfd run packs identically
+    nfd2 = build_corpus(docs, rules=RULES, minhash_threshold=0.3,
+                        pack_strategy="nfd")
+    key = lambda df: sorted(
+        (r["group"], r["block_id"], r["total_tokens"], tuple(r["doc_ids"]))
+        for r in df.collect()
+    )
+    assert key(nfd["blocks"]) == key(nfd2["blocks"])
+
+
+def test_pack_chunks_rejects_unknown_strategy(spark):
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [("g", 1, 0, 10)], "group string, doc_id long, chunk_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        pack_chunks(df, strategy="best")
