@@ -44,20 +44,22 @@ _DRIVER_WINDOW_FIRST = [
     # (tools/window_staleness.py over the CORRECTNESS_r01..r13 union)
     # with this round's ONE new oracle query prepended — VERDICT r13
     # #2.  Capacity math (50 slots):
-    #   1  NEW oracle query (q_bpe_encode_ids — the corpus pipeline's
-    #      model-ready token-id stage): first-ever hash-verified
-    #      driver record;
+    #   2  NEW oracle queries (q_bpe_encode_ids — the corpus
+    #      pipeline's model-ready token-id stage; q_packed_blocks_nfd
+    #      — decreasing-order packing under the parameterized fold
+    #      oracle): first-ever hash-verified driver records;
     #   17 ALL remaining r10-stale oracle queries (the queue the r13
     #      rotation left, headed by the 4 entries r13's new queries
     #      displaced; after this capture no oracle record predates
     #      r11);
-    #   32 stalest r11 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them; the 33rd,
-    #      q_remove_duplicated_spans, yields its slot to the new
-    #      query and heads next round's queue).
+    #   31 stalest r11 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; q_rank_parts and
+    #      q_remove_duplicated_spans yield their slots to the new
+    #      queries and head next round's queue).
     # Rows-only queries were all refreshed in r12 (none predates r12),
     # so none need a slot this round.
     "q_bpe_encode_ids",
+    "q_packed_blocks_nfd",
     "q_sliding_window",
     "q_small_qty_revenue",
     "q_sole_returning_suppliers",
@@ -106,7 +108,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_pricing_summary",
     "q_project_compute",
     "q_range_join",
-    "q_rank_parts",
 ]
 
 

@@ -184,13 +184,18 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
-# The DuckDB twin of the deterministic greedy fold in
-# operators/packing.pack_chunks: the per-group (doc_id, chunk_id)
-# cumsum makes the order-dependent FFD SQL-expressible — each block's
-# end row is "count of rows with csum <= base + budget", clamped to at
-# least one chunk (exactly pack_chunks' searchsorted).  Shared by
-# q_packed_census (grp) and q_packed_blocks (aliased to "group").
-_PACKED_FOLD_SQL = """
+# The DuckDB twin of the deterministic fold in
+# operators/packing.pack_chunks: the per-group cumsum over a
+# DETERMINISTIC chunk order makes the order-dependent fold
+# SQL-expressible — each block's end row is "count of rows with csum
+# <= base + budget", clamped to at least one chunk (exactly
+# pack_chunks' searchsorted).  The order is the template's ONE free
+# variable: greedy packs in (doc_id, chunk_id) order, NFD in
+# (n_tokens DESC, doc_id, chunk_id) — same fold, different sort, so
+# one template oracle-checks both strategies.  Shared by
+# q_packed_census / q_packed_blocks (greedy) and q_packed_blocks_nfd.
+def _packed_fold_sql(order: str) -> str:
+    return """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), meta AS (
@@ -209,7 +214,7 @@ WITH RECURSIVE toks AS (
          CAST(row_number() OVER w AS BIGINT) AS rn,
          CAST(sum(n_tokens) OVER w AS BIGINT) AS csum
   FROM chunks
-  WINDOW w AS (PARTITION BY grp ORDER BY doc_id, chunk_id)
+  WINDOW w AS (PARTITION BY grp ORDER BY {order})
 ), maxr AS (
   SELECT grp, max(rn) AS n FROM ordered GROUP BY grp
 ), blk(grp, block_id, start_rn, end_rn, base, end_csum) AS (
@@ -245,7 +250,11 @@ SELECT b.grp, b.block_id,
 FROM blk b
 JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
 GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
-"""
+""".replace("{order}", order)
+
+
+_PACKED_FOLD_SQL = _packed_fold_sql("doc_id, chunk_id")
+_PACKED_FOLD_NFD_SQL = _packed_fold_sql("n_tokens DESC, doc_id, chunk_id")
 
 
 @register(
@@ -272,6 +281,40 @@ def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.col("source").alias("group")), "doc_id"
     )
     packed = pack_chunks(chunks, "group", block_tokens=256)
+    return packed.select(
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids_csv"
+        ),
+    )
+
+
+@register(
+    "q_packed_blocks_nfd",
+    oracle=(
+        'SELECT grp AS "group", block_id, n_chunks, total_tokens, doc_ids_csv '
+        "FROM (" + _PACKED_FOLD_NFD_SQL + ") AS census"
+    ),
+)
+def q_packed_blocks_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_packed_blocks under strategy='nfd' (next-fit decreasing,
+    operators/packing.py r14): the SAME recursive-CTE fold replay as
+    the greedy oracle with the ONE free variable changed — the chunk
+    order window becomes (n_tokens DESC, doc_id, chunk_id) — so the
+    decreasing-order packing that cuts padding waste 10.9% -> 1.3%
+    (SCALE.md r14) is oracle-checked value-exact, not just
+    pytest-gated.  Same scalar output shape as q_packed_blocks."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    packed = pack_chunks(chunks, "group", block_tokens=256, strategy="nfd")
     return packed.select(
         "group",
         "block_id",
