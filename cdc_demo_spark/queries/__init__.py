@@ -42,7 +42,7 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 _DRIVER_WINDOW_FIRST = [
     # Round-14 window head: the staleness tool's suggestion
     # (tools/window_staleness.py over the CORRECTNESS_r01..r13 union)
-    # with this round's ONE new oracle query prepended — VERDICT r13
+    # with this round's TWO new oracle queries prepended — VERDICT r13
     # #2.  Capacity math (50 slots):
     #   2  NEW oracle queries (q_bpe_encode_ids — the corpus
     #      pipeline's model-ready token-id stage; q_packed_blocks_nfd
