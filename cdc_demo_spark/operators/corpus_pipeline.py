@@ -101,6 +101,7 @@ def build_corpus(
     text_col: str = "text",
     rules: dict | None = None,
     minhash_threshold: float = 0.5,
+    survivor: str = "min_id",
     span_n: int = 5,
     # "auto" since r13: the sampled skew probe is ~free and the
     # composed pipeline is exactly the 100 TB caller the self-routing
@@ -210,7 +211,7 @@ def build_corpus(
 
     # 3. near-dup pairs (banded LSH, exact-Jaccard verified) ->
     #    connected components.  ONE component pass serves both the
-    #    survivor choice (min id per cluster) and the split map.
+    #    survivor choice and the split map.
     pairs = minhash_near_duplicates(
         exact, id_col, text_col, threshold=minhash_threshold
     ).localCheckpoint(eager=True)
@@ -222,11 +223,30 @@ def build_corpus(
         F.col("component").alias("cluster_id"),
         split_expr(F.col("component")).alias("split"),
     )
-    survivors = exact.join(
-        comps.filter(F.col(id_col) == F.col("component")).select(id_col),
-        id_col,
-        "left_semi",
-    ).localCheckpoint(eager=True)
+    if survivor == "min_id":
+        surv_ids = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
+    elif survivor == "longest":
+        # quality-aware curation (the q_dedup_keep_best policy): keep
+        # the LONGEST doc per cluster, id as the deterministic
+        # tiebreak — one windowed rank over cluster-joined lengths
+        # (partitions are cluster-sized: tiny)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("component").orderBy(
+            F.desc(F.length(text_col)), F.asc(id_col)
+        )
+        surv_ids = (
+            exact.select(id_col, text_col)
+            .join(comps, id_col)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col)
+        )
+    else:
+        raise ValueError(
+            f"unknown survivor {survivor!r}; expected 'min_id' or 'longest'"
+        )
+    survivors = exact.join(surv_ids, id_col, "left_semi").localCheckpoint(eager=True)
     d, t = _docs_tokens(survivors, text_col)
     ledger["neardup_dedup"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
 

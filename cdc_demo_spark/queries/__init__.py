@@ -44,22 +44,24 @@ _DRIVER_WINDOW_FIRST = [
     # (tools/window_staleness.py over the CORRECTNESS_r01..r13 union)
     # with this round's TWO new oracle queries prepended — VERDICT r13
     # #2.  Capacity math (50 slots):
-    #   2  NEW oracle queries (q_bpe_encode_ids — the corpus
+    #   3  NEW oracle queries (q_bpe_encode_ids — the corpus
     #      pipeline's model-ready token-id stage; q_packed_blocks_nfd
     #      — decreasing-order packing under the parameterized fold
-    #      oracle): first-ever hash-verified driver records;
+    #      oracle; q_dedup_keep_best — quality-aware near-dup survivor
+    #      selection): first-ever hash-verified driver records;
     #   17 ALL remaining r10-stale oracle queries (the queue the r13
     #      rotation left, headed by the 4 entries r13's new queries
     #      displaced; after this capture no oracle record predates
     #      r11);
-    #   31 stalest r11 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them; q_rank_parts and
-    #      q_remove_duplicated_spans yield their slots to the new
-    #      queries and head next round's queue).
+    #   30 stalest r11 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; q_range_join,
+    #      q_rank_parts and q_remove_duplicated_spans yield their
+    #      slots to the new queries and head next round's queue).
     # Rows-only queries were all refreshed in r12 (none predates r12),
     # so none need a slot this round.
     "q_bpe_encode_ids",
     "q_packed_blocks_nfd",
+    "q_dedup_keep_best",
     "q_sliding_window",
     "q_small_qty_revenue",
     "q_sole_returning_suppliers",
@@ -107,7 +109,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_packed_census",
     "q_pricing_summary",
     "q_project_compute",
-    "q_range_join",
 ]
 
 

@@ -209,6 +209,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_EDGE_CTES},
+reach(s, d) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+),
+clusters AS (
+  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rk = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE near-dup survivor selection (r14): the same
+    cluster assignment as q_dedup_clusters, but the kept doc per
+    cluster is the one a curator would keep — highest quality score
+    (n_chars here; any deterministic column works), doc_id as the
+    deterministic tiebreak — instead of min-id.  One windowed rank
+    over cluster-joined docs; the DuckDB twin re-derives components
+    via the recursive transitive closure and replays the rank, so the
+    survivor CHOICE itself is value-exact.  build_corpus exposes the
+    same policy as survivor="longest"."""
+    from pyspark.sql.window import Window
+
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12, df_cap=50)
+    comps = connected_components_star(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("component").alias("cluster_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@register(
     "q_leakage_safe_split",
     oracle=f"""
 WITH RECURSIVE {_CLUSTER_EDGE_CTES},

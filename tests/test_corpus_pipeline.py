@@ -450,3 +450,40 @@ def test_pack_chunks_rejects_unknown_strategy(spark):
     )
     with pytest.raises(ValueError, match="strategy"):
         pack_chunks(df, strategy="best")
+
+
+def test_survivor_longest_keeps_best_per_cluster(spark, sf_dir):
+    """survivor='longest' (the q_dedup_keep_best policy) keeps exactly
+    one doc per near-dup cluster — the longest, id tiebreak — and the
+    funnel/ split invariants hold unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3,
+                       survivor="longest")
+    assert_corpus_invariants(res)
+    base = build_corpus(docs, rules=RULES, minhash_threshold=0.3)
+    # same cluster structure => same number of survivors
+    assert (res["ledger"]["neardup_dedup"]["docs"]
+            == base["ledger"]["neardup_dedup"]["docs"])
+    # in every multi-doc cluster, the kept doc is at least as long as
+    # every dropped doc (verify on the split map + original lengths)
+    lengths = {r["doc_id"]: r["n"] for r in
+               docs.select("doc_id", F.length("text").alias("n")).collect()}
+    kept = {r["doc_id"] for r in res["final_docs"].select("doc_id").collect()}
+    by_cluster = {}
+    for r in res["splits"].collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    checked = 0
+    for cid, members in by_cluster.items():
+        if len(members) < 2:
+            continue
+        kept_members = [m for m in members if m in kept]
+        if not kept_members:
+            continue  # survivor may have been emptied by span removal
+        (k,) = kept_members
+        assert all(lengths[k] >= lengths[m] for m in members), (cid, members)
+        checked += 1
+    assert checked > 0, "fixture produced no multi-doc clusters"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="survivor"):
+        build_corpus(docs, rules=RULES, survivor="newest")
