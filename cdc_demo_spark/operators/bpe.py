@@ -478,8 +478,14 @@ def encode_corpus_ids(
     n_bpe_tokens = size(out_col).
 
     ``key_cols`` must be unique per row (the same positional-regroup
-    contract as bpe_tokenize's id_col, composite keys allowed); rows
-    whose text has no words come back with an empty array, not NULL.
+    contract as bpe_tokenize's id_col, composite keys allowed) and
+    must not collide with the encoder's internal column names
+    (``word``, ``_pos``, ``_ids``, ``n_words``, ``n_bpe_tokens``) or
+    with ``out_col`` — e.g. key_cols=['word'] would make the
+    posexplode select and the word→ids join ambiguous, so this is
+    validated up front with a ValueError (ADVICE r14; mirrors
+    build_corpus' doc_id-collision guard).  Rows whose text has no
+    words come back with an empty array, not NULL.
 
     Scale shape: identical to bpe_tokenize with id_col — the corpus
     side is two slim scans (vocabulary explode→distinct, posexplode
@@ -488,6 +494,14 @@ def encode_corpus_ids(
     broadcast under AQE.  The id map join is INNER by construction
     (token_id_map covers every emittable token; coverage pinned in
     tests/test_bpe.py)."""
+    reserved = {"word", "_pos", "_ids", "n_words", "n_bpe_tokens", out_col}
+    bad = [c for c in key_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"key_cols {bad} collide with encode_corpus_ids internal/output "
+            f"column names {sorted(reserved)}; rename the key column(s) "
+            "before encoding (e.g. df.withColumnRenamed)"
+        )
     nonempty = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     words = df.select(
         *key_cols, F.posexplode(nonempty).alias("_pos", "word")

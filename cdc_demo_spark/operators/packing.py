@@ -47,12 +47,19 @@ def pack_chunks(
     - ``"nfd"`` (next-fit decreasing): same vectorized prefix fill
       over chunks sorted by n_tokens DESC (ties broken by
       (doc_id, chunk_id), so the result is deterministic).  Full-size
-      chunks pack wall-to-wall and the short tails clump together, so
-      padding waste can only shrink vs greedy-in-order (classic
-      bin-packing decreasing-order argument; the efficiency gain is
-      asserted in tests and reported by build_corpus' ledger).  Use
-      when block composition order doesn't matter — training blocks
-      get shuffled anyway (q_epoch_shuffle).
+      chunks pack wall-to-wall and the short tails clump together,
+      which TYPICALLY reduces padding waste for chunking-shaped size
+      distributions (many equal full-size chunks + short tails — the
+      shape chunk_documents emits; measured 0.8906→0.9872 fill at the
+      200k bench fixture).  It is NOT a universal guarantee: next-fit
+      never reopens a block, so decreasing order can pack WORSE than
+      in-order when the budget sits near the chunk size — budget 10
+      with in-order chunks [5,5,6,4] packs 2 blocks ([5,5],[6,4]) but
+      NFD's [6,5,5,4] packs 3 ([6],[5,5],[4]); pinned in
+      tests/test_corpus_pipeline.py.  Use when block composition order
+      doesn't matter — training blocks get shuffled anyway
+      (q_epoch_shuffle) — and read the ledger's pack.efficiency to
+      confirm the win on your corpus.
 
     Both strategies conserve tokens exactly and never split a chunk;
     the choice changes COMPOSITION, not the census."""

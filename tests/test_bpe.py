@@ -358,6 +358,33 @@ def test_encode_corpus_ids_composite_key_and_empty_rows(spark):
     assert out[(2, 1)]["n_words"] == 2 and out[(1, 1)]["n_words"] == 0
 
 
+def test_encode_corpus_ids_rejects_reserved_key_cols(spark):
+    """ADVICE r14: a key_cols entry colliding with the encoder's
+    internal column names ('word', '_pos', '_ids', 'n_words',
+    'n_bpe_tokens') or with out_col would make the posexplode select /
+    word→ids join ambiguous — must fail loudly up front, not
+    misbehave downstream."""
+    import pytest
+
+    from cdc_demo_spark.operators.bpe import encode_corpus_ids
+
+    df = spark.createDataFrame(
+        [(1, "w", "ab")], "doc_id long, word string, text string"
+    )
+    for bad in (["word"], ["doc_id", "word"], ["n_words"], ["token_ids"]):
+        with pytest.raises(ValueError, match="collide"):
+            encode_corpus_ids(df, "text", [("a", "b")], key_cols=bad)
+    # out_col participates in the reserved set too
+    with pytest.raises(ValueError, match="collide"):
+        encode_corpus_ids(
+            df, "text", [("a", "b")], key_cols=["doc_id"], out_col="doc_id"
+        )
+    # a clean key next to a column NAMED like a reserved word that is
+    # NOT in key_cols is fine (only key_cols are selected)
+    ok = encode_corpus_ids(df, "text", [("a", "b")], key_cols=["doc_id"])
+    assert ok.collect()[0]["token_ids"] == [2]  # a=0,b=1,ab=2
+
+
 def test_encode_chunked_equals_chunk_then_encode(spark):
     """encode_chunked_corpus_ids (encode at DOC grain, slice per-word
     id arrays on the shared chunk_starts boundaries) must equal the

@@ -415,9 +415,14 @@ def test_write_token_shards_roundtrip_manifest_and_pruning(spark, sf_dir, tmp_pa
 
 def test_nfd_packing_conserves_and_improves_efficiency(spark, sf_dir):
     """strategy='nfd' (next-fit decreasing) must conserve tokens and
-    never split chunks — same censuses as greedy — while its block-
-    budget fill rate is at least greedy's (decreasing-order packing
-    cannot do worse than in-order on waste for the same budget)."""
+    never split chunks — same censuses as greedy (HARD guarantees) —
+    and on THIS fixture's chunking-shaped size distribution (many
+    equal full-size chunks + short tails from chunk_documents) its
+    fill rate is at least greedy's.  The efficiency inequality is a
+    property of the shape, not of NFD in general — next-fit never
+    reopens a block, so decreasing order can lose when the budget sits
+    near the chunk size (test_nfd_can_pack_worse_than_greedy pins the
+    counter-example)."""
     docs = load_table(spark, sf_dir, "documents")
     greedy = build_corpus(docs, rules=RULES, minhash_threshold=0.3)
     nfd = build_corpus(docs, rules=RULES, minhash_threshold=0.3,
@@ -440,6 +445,26 @@ def test_nfd_packing_conserves_and_improves_efficiency(spark, sf_dir):
         for r in df.collect()
     )
     assert key(nfd["blocks"]) == key(nfd2["blocks"])
+
+
+def test_nfd_can_pack_worse_than_greedy(spark):
+    """ADVICE r14: NFD is NOT universally >= greedy — next-fit never
+    reopens a block, so with budget 10 and in-order chunks [5,5,6,4]
+    greedy packs 2 blocks ([5,5],[6,4]) while NFD's decreasing order
+    [6,5,5,4] packs 3 ([6],[5,5],[4]).  This pins the documented
+    limitation so the fixture-shaped efficiency assertion above can't
+    be mistaken for a general theorem.  Conservation still holds."""
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [("g", 1, 0, 5), ("g", 1, 1, 5), ("g", 2, 0, 6), ("g", 2, 1, 4)],
+        "group string, doc_id long, chunk_id long, n_tokens long",
+    )
+    greedy = pack_chunks(df, block_tokens=10).collect()
+    nfd = pack_chunks(df, block_tokens=10, strategy="nfd").collect()
+    assert len(greedy) == 2 and len(nfd) == 3
+    assert sum(r["total_tokens"] for r in greedy) == 20
+    assert sum(r["total_tokens"] for r in nfd) == 20
 
 
 def test_pack_chunks_rejects_unknown_strategy(spark):
