@@ -104,7 +104,13 @@ def choose_centroids(corpus: DataFrame, n_centroids: int, vec_col: str = "embedd
     through the corpus rather than the n lowest ids (adjacent-id rows
     often correlate; spread seeds start Lloyd's from a wider net —
     worth ~5 recall points before refinement even touches them).
-    The global sort is seed-time-only; at 100 TB seed from a sample."""
+    The global sort is seed-time-only; at 100 TB use the implemented
+    scale twin ``ann_scale.sampled_kmeans_centroids`` (hash-prefix
+    prefilter + bounded md5-ordered sample — training cost independent
+    of corpus size).  This exact-ntile seed is the small/medium-corpus
+    reference those sampled seeds are judged against, and is why
+    q_ann_ivf_topk / q_embedding_near_dups sit on the audit lint's
+    allowlist (tools/audit_plans.py)."""
     w = Window.orderBy(id_col)
     return (
         corpus.select(id_col, vec_col, F.ntile(n_centroids).over(w).alias("tile"))

@@ -7,4 +7,5 @@ from cdc_demo_spark.plans.inspect import (  # noqa: F401
     has_broadcast_join,
     shuffle_count,
     assert_no_cartesian,
+    unpartitioned_window_specs,
 )

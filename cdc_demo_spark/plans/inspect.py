@@ -55,3 +55,50 @@ def assert_no_cartesian(df: DataFrame) -> None:
     plan = physical_plan(df)
     if "CartesianProduct" in plan:
         raise AssertionError("plan contains a CartesianProduct:\n" + plan)
+
+
+def _top_level_args(s: str) -> list[str]:
+    """Split a windowspecdefinition argument string at top-level commas
+    (paren-balance aware; stops at the spec's own closing paren)."""
+    args, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Every ``windowspecdefinition(...)`` in the plan whose spec has NO
+    partition columns — the Exchange-SinglePartition global-window
+    shape WindowExec warns about, where one task sorts the whole input
+    (fine for dimension-grade cardinalities, fatal at fact grain and
+    100×).  Detection: the spec's first top-level argument is either an
+    ORDER column (carries ASC/DESC) or directly the frame — i.e. the
+    partition-column list is empty.  Returns one truncated spec string
+    per offender (empty list = clean).  Used by tools/audit_plans.py's
+    registry-wide lint (VERDICT r14 #2)."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        i = plan.find(marker, pos)
+        if i < 0:
+            break
+        pos = i + len(marker)
+        args = _top_level_args(plan[pos:])
+        head = args[0] if args else ""
+        if head.startswith("specifiedwindowframe") or " ASC" in head or " DESC" in head:
+            out.append(marker + ", ".join(args)[:120])
+    # de-dup: the formatted plan prints each node in tree + details
+    return sorted(set(out))

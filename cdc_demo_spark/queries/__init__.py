@@ -40,75 +40,75 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-14 window head: the staleness tool's suggestion
-    # (tools/window_staleness.py over the CORRECTNESS_r01..r13 union)
-    # with this round's TWO new oracle queries prepended — VERDICT r13
-    # #2.  Capacity math (50 slots):
-    #   3  NEW oracle queries (q_bpe_encode_ids — the corpus
-    #      pipeline's model-ready token-id stage; q_packed_blocks_nfd
-    #      — decreasing-order packing under the parameterized fold
-    #      oracle; q_dedup_keep_best — quality-aware near-dup survivor
-    #      selection): first-ever hash-verified driver records;
-    #   17 ALL remaining r10-stale oracle queries (the queue the r13
-    #      rotation left, headed by the 4 entries r13's new queries
-    #      displaced; after this capture no oracle record predates
-    #      r11);
-    #   30 stalest r11 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them; q_range_join,
-    #      q_rank_parts and q_remove_duplicated_spans yield their
-    #      slots to the new queries and head next round's queue).
-    # Rows-only queries were all refreshed in r12 (none predates r12),
-    # so none need a slot this round.
-    "q_bpe_encode_ids",
-    "q_packed_blocks_nfd",
-    "q_dedup_keep_best",
-    "q_sliding_window",
-    "q_small_qty_revenue",
-    "q_sole_returning_suppliers",
-    "q_supplier_part_counts",
-    "q_text_normalize",
-    "q_top_supplier",
-    "q_train_quality_classifier",
-    "q_train_val_test_split",
-    "q_training_shards",
-    "q_unigram_logprob",
-    "q_unpivot",
-    "q_value_histogram",
-    "q_weekly_retention",
-    "q_weighted_sample",
-    "q_window_navigation",
-    "q_winsorize",
-    "q_zscore_normalize",
-    "q_collect_names",
-    "q_cosine_topk",
-    "q_count_distinct",
-    "q_countmin_heavy_hitters",
-    "q_cross_join",
-    "q_cube",
-    "q_curriculum_buckets",
-    "q_date_functions",
-    "q_dedup_clusters",
-    "q_duplicated_spans",
-    "q_except",
-    "q_filter_predicates",
-    "q_full_outer_join",
-    "q_fuzzy_name_pairs_d2",
-    "q_grouped_median",
-    "q_having",
-    "q_histogram_quantiles",
-    "q_incremental_bloom",
-    "q_incremental_countmin",
-    "q_intersect",
-    "q_json_extract",
-    "q_lag_lead",
-    "q_latest_order_per_customer",
-    "q_moment_stats",
-    "q_multimodal_join",
-    "q_ntile_percent_rank",
-    "q_outer_join",
-    "q_packed_census",
-    "q_pricing_summary",
-    "q_project_compute",
+    # Round-15 window head: exactly tools/window_staleness.py's
+    # suggestion at this HEAD (VERDICT r14 #3) — capacity math
+    # (50 slots):
+    #   1  NEW oracle query (q_curriculum_buckets_scaled — the
+    #      scale-safe curriculum bucketing that closes r14's one
+    #      `weak` mark: broadcast quantile cutpoints + map-side
+    #      assignment, zero windows in the plan): first-ever
+    #      hash-verified driver record;
+    #   16 ALL remaining r11-stale oracle queries (headed by
+    #      q_range_join / q_rank_parts / q_remove_duplicated_spans,
+    #      which yielded their r14 slots to that round's new
+    #      queries; after this capture no oracle record predates
+    #      r12);
+    #   33 stalest r12 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; the r12 tail from
+    #      q_incremental_rollup on heads the r16 queue).
+    # Rows-only queries were all refreshed in r12 (none predates
+    # r12 and none is staler than the r12 oracle tail), so none
+    # needs a slot this round.
+    "q_curriculum_buckets_scaled",
+    "q_range_join",
+    "q_rank_parts",
+    "q_remove_duplicated_spans",
+    "q_returned_items",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_running_sum",
+    "q_salted_skew_join",
+    "q_self_join",
+    "q_semantic_dedup_int8",
+    "q_semi_join",
+    "q_shipping_priority",
+    "q_string_functions",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_top_orders",
+    "q_allpairs_jaccard",
+    "q_array_functions",
+    "q_benchmark_contamination",
+    "q_bm25_topk",
+    "q_bpe_merge_candidates",
+    "q_bpe_token_count",
+    "q_containment_pairs",
+    "q_context_length_histogram",
+    "q_context_windows",
+    "q_corpus_token_budget",
+    "q_correlated_exists",
+    "q_cosine_topk_arrow",
+    "q_data_quality",
+    "q_day_partition_pruning",
+    "q_dedup_cluster_survivors",
+    "q_dedup_exact_keep",
+    "q_dedup_stats",
+    "q_disjunctive_filters",
+    "q_document_chunks",
+    "q_dormant_rich_customers",
+    "q_dup_ngram_fraction",
+    "q_embedding_quantize_int8",
+    "q_events_per_day_spine",
+    "q_except_all",
+    "q_excess_part_suppliers",
+    "q_fingerprint",
+    "q_forecast_revenue",
+    "q_fuzzy_name_pairs",
+    "q_grouping_sets",
+    "q_hll_mergeable_rollup",
+    "q_important_supplier_value",
+    "q_incremental_histogram",
+    "q_incremental_moments",
 ]
 
 

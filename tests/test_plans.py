@@ -300,3 +300,40 @@ def test_deletion_pairs_plan_shape(spark, sf_dir):
     assert dedup_pos != -1, "slim (id_a, id_b) dedup exchange missing"
     assert lev_pos != -1, "levenshtein verify missing"
     assert dedup_pos < lev_pos, "verify planned below the pair dedup"
+
+
+def test_curriculum_scaled_has_no_window(spark, sf_dir):
+    """VERDICT r14 #1: the scale path for curriculum bucketing must not
+    contain ANY window operator — cutpoints come from a bounded
+    histogram collect, bucket assignment is a map-side case over
+    literals.  Also pin: the census is one shuffle (partial/final agg)
+    plus the presentation sort, and the two passes read only the three
+    needed columns (doc_id is pruned from the second pass).  The
+    exact-ntile twin q_curriculum_buckets keeps the global window BY
+    DESIGN (reference semantics, dimension-grade); this test is the
+    gate that the registered scale variant never regresses to it."""
+    from cdc_demo_spark.plans import physical_plan
+
+    q = QUERIES["q_curriculum_buckets_scaled"](spark, sf_dir)
+    plan = physical_plan(q)
+    assert "Window" not in plan, plan
+    assert shuffle_count(q) <= 2
+    for cols in scan_columns(q):
+        assert set(cols) <= {"doc_id", "n_chars", "text"}, cols
+
+
+def test_curriculum_scaled_census_conserves(spark, sf_dir):
+    """The scaled variant's buckets partition the scored corpus: doc
+    and char totals equal the exact twin's (bucket BOUNDARIES may
+    differ on quantized ties — value-based cutpoints put boundary-cell
+    docs together where ntile splits them arbitrarily — but nothing is
+    dropped or double-counted), buckets are labeled 1..4, and each
+    bucket holds at least one doc at this fixture."""
+    exact = QUERIES["q_curriculum_buckets"](spark, sf_dir).collect()
+    scaled = QUERIES["q_curriculum_buckets_scaled"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in scaled) == sum(r["n_docs"] for r in exact)
+    assert sum(r["total_chars"] for r in scaled) == sum(
+        r["total_chars"] for r in exact
+    )
+    assert [r["bucket"] for r in scaled] == [1, 2, 3, 4]
+    assert all(r["n_docs"] > 0 for r in scaled)
