@@ -31,28 +31,82 @@ def key_expr(key_cols: list[str] | None, payload_col: str = "after") -> F.Column
 
 
 def snapshot_as_events(
-    df: DataFrame, table: str, key_cols: list[str] | None, ts_col=None, start_seq: int = 0
+    df: DataFrame,
+    table: str,
+    key_cols: list[str] | None,
+    ts_col=None,
+    start_seq: int = 0,
+    seq_mode: str = "auto",
+    sorted_max_partitions: int = 4,
 ) -> DataFrame:
     """A6 — emit a full table state as 'r' (read/snapshot) envelope rows,
     the Datastream "backfill" (/root/reference/README.md:126-168).
 
-    seq is CONTIGUOUS: start_seq + row_number over a deterministic
-    order (the serialized row image), so the highest snapshot seq is
-    provably start_seq + count - 1 and a caller can guarantee the whole
-    snapshot orders below the binlog tail's first seq. (The previous
+    seq is CONTIGUOUS: start_seq .. start_seq + count - 1, so the
+    highest snapshot seq is provable and a caller can guarantee the
+    whole snapshot orders below the binlog tail's first seq.  (The old
     monotonically_increasing_id scheme jumped by partition_id<<33 —
     billions — silently breaking that guarantee on multi-partition
-    input.) The global sort runs once at snapshot time; at very large
-    scale swap in rdd.zipWithIndex, which is distributed and needs no
-    sort, at the cost of partition-order determinism."""
+    input.)  Two assignment strategies (VERDICT r14 #6):
+
+    - ``seq_mode="sorted"``: start_seq + row_number over ONE global
+      sort of the serialized row image — fully deterministic
+      (partitioning-independent), but the window is single-task:
+      right for small/dimension snapshots only.
+    - ``seq_mode="distributed"``: per-partition local ordering.  One
+      bounded job counts rows per input partition (collect = one row
+      per partition), the cumulative offsets broadcast-join back, and
+      row_number runs PARTITIONED by spark_partition_id — every task
+      sorts only its own slice, no single-task stage anywhere.  seq is
+      still contiguous (offsets + local ranks tile 0..n-1 exactly);
+      determinism is modulo the INPUT PARTITIONING (stable for
+      deterministic scans — parquet/JDBC — across runs; persist first
+      or use "sorted" if the upstream partitioning is not).  Merge
+      convergence never depends on which permutation the snapshot got:
+      'r' rows of distinct keys commute, and keyless duplicate rows
+      share identical images (equality pinned in
+      tests/test_snapshot_replication.py).
+    - ``seq_mode="auto"`` (default): "sorted" for snapshots of at most
+      ``sorted_max_partitions`` partitions (the deterministic
+      small-snapshot default), "distributed" above it — so a
+      multi-partition initial snapshot never funnels through a
+      single-task sort."""
+    if seq_mode not in ("auto", "sorted", "distributed"):
+        raise ValueError(f"unknown seq_mode {seq_mode!r}")
+    if seq_mode == "auto":
+        n_parts = df.rdd.getNumPartitions()
+        seq_mode = "sorted" if n_parts <= sorted_max_partitions else "distributed"
+
     payload = F.struct(*[F.col(c) for c in df.columns])
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.to_json(payload))
-    out = df.select(
+    if seq_mode == "sorted":
+        w = Window.orderBy(F.to_json(payload))
+        seq = (F.lit(start_seq) + F.row_number().over(w) - 1).cast("long")
+        base = df
+    else:
+        base = df.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["c"])
+            for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        offsets, acc = [], 0
+        for pid, c in counts:
+            offsets.append((pid, acc))
+            acc += c
+        off_df = base.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __offset long"
+        )
+        base = base.join(F.broadcast(off_df), "__pid")
+        w = Window.partitionBy("__pid").orderBy(F.to_json(payload))
+        seq = (
+            F.lit(start_seq) + F.col("__offset") + F.row_number().over(w) - 1
+        ).cast("long")
+
+    out = base.select(
         F.lit("r").alias("op"),
         (ts_col if ts_col is not None else F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("ts"),
-        (F.lit(start_seq) + F.row_number().over(w) - 1).cast("long").alias("seq"),
+        seq.alias("seq"),
         F.lit(table).alias("table"),
         F.lit(None).cast("string").alias("key"),
         F.lit(None).cast(payload_type(df.schema)).alias("before"),
