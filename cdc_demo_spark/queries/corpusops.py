@@ -168,6 +168,107 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mixture_temperature",
+    oracle="""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+      FROM counts),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS s,
+               CAST(sum(n) AS BIGINT) AS n_total FROM w),
+thresh AS (
+  SELECT w.source, w.w,
+         least(CAST(4294967296 AS HUGEINT),
+               (CAST(t.n_total // 2 AS HUGEINT) * w.w * 4294967296)
+               // (CAST(t.s AS HUGEINT) * w.n)) AS t
+  FROM w CROSS JOIN tot t
+),
+hexed AS (
+  SELECT source, w,
+         CASE WHEN t >= 4294967296 THEN 'g'
+              ELSE printf('%08x', CAST(t AS BIGINT)) END AS threshold
+  FROM thresh
+)
+SELECT d.source,
+       h.w AS weight,
+       h.threshold AS threshold,
+       count(*) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS kept_chars,
+       min(d.doc_id) AS min_id
+FROM documents d JOIN hexed h USING (source)
+WHERE substring(md5('temp1:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < h.threshold
+GROUP BY d.source, h.w, h.threshold
+ORDER BY d.source
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    standard — sample source s with probability ∝ n_s^α, α<1 flattening
+    the head so low-resource sources aren't drowned; Arivazhagan et al.
+    2019 §4.2, used by mT5/BLOOM data pipelines): unlike
+    q_mixture_sample's FIXED per-source rates, the rates here are
+    DERIVED FROM THE DATA — α is pinned at 0.5 so the weight is
+    floor(sqrt(n_s)), and sqrt is IEEE correctly-rounded (bit-identical
+    in JVM, Python, and DuckDB), making the whole derivation
+    engine-portable integer math: weight w_s = floor(sqrt(n_s)),
+    keep-rate r_s = min(1, N_target·w_s / (Σw·n_s)) with
+    N_target = n_total // 2 (one half-corpus epoch), and the md5
+    threshold t_s = floor(r_s·2^32) computed with INTEGER arithmetic
+    (Python bigints driver-side, HUGEINT in the oracle) — no float
+    division anywhere a hash could drift.  A keep-all rate clamps to
+    the sentinel 'g' (> every hex key) rather than 'ffffffff', which
+    would drop a key equal to the max.  Oversampled tail sources cap
+    at keep-all: this is the single-epoch WITHOUT-REPLACEMENT variant
+    (true temperature sampling repeats tail docs across epochs — an
+    epoch-level concern, see q_epoch_shuffle).
+
+    Scale shape: per-source counts are one partial-agg shuffle and a
+    collect bounded at source cardinality; thresholds become literals
+    in a map-side CASE, so the sample itself composes into any
+    downstream scan exactly like q_mixture_sample.  Deterministic
+    across engines, runs, and cluster sizes; the salt versions the
+    mixture."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = sorted(
+        (r["source"], r["n"])
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    weights = {s: math.floor(math.sqrt(n)) for s, n in counts}
+    n_total = sum(n for _, n in counts)
+    s_total = sum(weights.values())
+    n_target = n_total // 2
+    thresholds = {}
+    for s, n in counts:
+        t = min(1 << 32, (n_target * weights[s] * (1 << 32)) // (s_total * n))
+        thresholds[s] = "g" if t >= (1 << 32) else format(t, "08x")
+
+    key = F.substring(
+        F.md5(F.concat(F.lit("temp1:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr_col = F.lit(None).cast("string")
+    w_col = F.lit(None).cast("long")
+    for s, _ in counts:
+        thr_col = F.when(F.col("source") == s, thresholds[s]).otherwise(thr_col)
+        w_col = F.when(F.col("source") == s, F.lit(weights[s])).otherwise(w_col)
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars",
+            w_col.alias("weight"), thr_col.alias("threshold"), key.alias("__k"),
+        )
+        .filter(F.col("__k") < F.col("threshold"))
+        .groupBy("source", "weight", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "q_context_length_histogram",
     oracle="""
 WITH toks AS (
