@@ -43,23 +43,27 @@ _DRIVER_WINDOW_FIRST = [
     # Round-15 window head: exactly tools/window_staleness.py's
     # suggestion at this HEAD (VERDICT r14 #3) — capacity math
     # (50 slots):
-    #   1  NEW oracle query (q_curriculum_buckets_scaled — the
+    #   2  NEW oracle queries (q_curriculum_buckets_scaled — the
     #      scale-safe curriculum bucketing that closes r14's one
     #      `weak` mark: broadcast quantile cutpoints + map-side
-    #      assignment, zero windows in the plan): first-ever
-    #      hash-verified driver record;
+    #      assignment, zero windows in the plan; q_mixture_temperature
+    #      — data-derived temperature mixture rates in engine-exact
+    #      integer math): first-ever hash-verified driver records;
     #   16 ALL remaining r11-stale oracle queries (headed by
     #      q_range_join / q_rank_parts / q_remove_duplicated_spans,
     #      which yielded their r14 slots to that round's new
     #      queries; after this capture no oracle record predates
     #      r12);
-    #   33 stalest r12 oracle queries (alphabetical within equal
+    #   32 stalest r12 oracle queries (alphabetical within equal
     #      staleness, as the tool prints them; the r12 tail from
-    #      q_incremental_rollup on heads the r16 queue).
+    #      q_incremental_moments on heads the r16 queue —
+    #      q_incremental_moments yields its slot to the second new
+    #      query).
     # Rows-only queries were all refreshed in r12 (none predates
     # r12 and none is staler than the r12 oracle tail), so none
     # needs a slot this round.
     "q_curriculum_buckets_scaled",
+    "q_mixture_temperature",
     "q_range_join",
     "q_rank_parts",
     "q_remove_duplicated_spans",
@@ -108,7 +112,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_hll_mergeable_rollup",
     "q_important_supplier_value",
     "q_incremental_histogram",
-    "q_incremental_moments",
 ]
 
 
