@@ -27,12 +27,18 @@ OUT_SCHEMA = (
     "group string, block_id long, n_chunks long, total_tokens long, doc_ids array<long>"
 )
 
+SEGMENTS_SCHEMA = OUT_SCHEMA + (
+    ", seg_doc_ids array<long>, seg_chunk_ids array<long>"
+    ", seg_tokens array<long>, seg_offsets array<long>"
+)
+
 
 def pack_chunks(
     chunks: DataFrame,
     group_col: str = "group",
     block_tokens: int = 256,
     strategy: str = "greedy",
+    emit_segments: bool = False,
 ) -> DataFrame:
     """Pack (doc_id, chunk_id, n_tokens) rows into blocks of at most
     `block_tokens` per group. A chunk larger than the budget gets its
@@ -62,9 +68,25 @@ def pack_chunks(
       confirm the win on your corpus.
 
     Both strategies conserve tokens exactly and never split a chunk;
-    the choice changes COMPOSITION, not the census."""
+    the choice changes COMPOSITION, not the census.
+
+    ``emit_segments=True`` additionally returns each block's ordered
+    SEGMENT LAYOUT — ``seg_doc_ids`` / ``seg_chunk_ids`` /
+    ``seg_tokens`` / ``seg_offsets`` arrays in pack order, where
+    ``seg_offsets[i]`` is segment i's start position within the block
+    (exclusive prefix sum of seg_tokens) — the metadata a trainer
+    needs to build block-diagonal attention masks and reset position
+    ids at document boundaries when multiple packed documents share
+    one context window (standard packed-pretraining practice; without
+    it tokens attend across unrelated documents).  Costs only the
+    extra array columns: the fold already has every slice."""
     if strategy not in ("greedy", "nfd"):
         raise ValueError(f"unknown strategy {strategy!r}; expected 'greedy' or 'nfd'")
+
+    schema = SEGMENTS_SCHEMA if emit_segments else OUT_SCHEMA
+    cols = ["group", "block_id", "n_chunks", "total_tokens", "doc_ids"]
+    if emit_segments:
+        cols += ["seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets"]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if strategy == "nfd":
@@ -77,6 +99,7 @@ def pack_chunks(
         group = pdf[group_col].iloc[0]
         tokens = pdf["n_tokens"].to_numpy(dtype="int64")
         doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+        chunk_ids = pdf["chunk_id"].to_numpy(dtype="int64")
         csum = np.cumsum(tokens)
         n = len(tokens)
 
@@ -88,19 +111,22 @@ def pack_chunks(
             end = int(np.searchsorted(csum, prev + block_tokens, side="right"))
             if end <= start:
                 end = start + 1
-            blocks.append(
-                {
-                    "group": group,
-                    "block_id": block_id,
-                    "n_chunks": end - start,
-                    "total_tokens": int(csum[end - 1]) - prev,
-                    "doc_ids": sorted(set(doc_ids[start:end].tolist())),
-                }
-            )
+            row = {
+                "group": group,
+                "block_id": block_id,
+                "n_chunks": end - start,
+                "total_tokens": int(csum[end - 1]) - prev,
+                "doc_ids": sorted(set(doc_ids[start:end].tolist())),
+            }
+            if emit_segments:
+                seg_tok = tokens[start:end]
+                row["seg_doc_ids"] = doc_ids[start:end].tolist()
+                row["seg_chunk_ids"] = chunk_ids[start:end].tolist()
+                row["seg_tokens"] = seg_tok.tolist()
+                row["seg_offsets"] = (csum[start:end] - seg_tok - prev).tolist()
+            blocks.append(row)
             block_id += 1
             start = end
-        return pd.DataFrame(
-            blocks, columns=["group", "block_id", "n_chunks", "total_tokens", "doc_ids"]
-        )
+        return pd.DataFrame(blocks, columns=cols)
 
-    return chunks.groupBy(group_col).applyInPandas(pack, schema=OUT_SCHEMA)
+    return chunks.groupBy(group_col).applyInPandas(pack, schema=schema)

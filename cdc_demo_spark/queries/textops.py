@@ -194,7 +194,11 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (n_tokens DESC, doc_id, chunk_id) — same fold, different sort, so
 # one template oracle-checks both strategies.  Shared by
 # q_packed_census / q_packed_blocks (greedy) and q_packed_blocks_nfd.
-def _packed_fold_sql(order: str) -> str:
+def _packed_fold_ctes(order: str) -> str:
+    """The fold's CTE body (toks..blk) WITHOUT a final SELECT, so each
+    packing query appends its own projection over `blk` (block ranges)
+    and `ordered` (rn-indexed chunks) — the census queries aggregate,
+    q_packed_segments list-aggs the per-block segment layout."""
     return """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -243,6 +247,11 @@ WITH RECURSIVE toks AS (
   FROM blk b JOIN maxr m ON m.grp = b.grp
   WHERE b.end_rn < m.n
 )
+""".replace("{order}", order)
+
+
+def _packed_fold_sql(order: str) -> str:
+    return _packed_fold_ctes(order) + """
 SELECT b.grp, b.block_id,
        b.end_rn - b.start_rn + 1 AS n_chunks,
        b.end_csum - b.base AS total_tokens,
@@ -250,7 +259,7 @@ SELECT b.grp, b.block_id,
 FROM blk b
 JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
 GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
-""".replace("{order}", order)
+"""
 
 
 _PACKED_FOLD_SQL = _packed_fold_sql("doc_id, chunk_id")
@@ -323,6 +332,63 @@ def q_packed_blocks_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
             "doc_ids_csv"
         ),
+    )
+
+
+@register(
+    "q_packed_segments",
+    oracle=(
+        _packed_fold_ctes("doc_id, chunk_id")
+        + """
+SELECT b.grp AS "group", b.block_id,
+       CAST(b.end_rn - b.start_rn + 1 AS BIGINT) AS n_chunks,
+       CAST(b.end_csum - b.base AS BIGINT) AS total_tokens,
+       array_to_string(list(o.doc_id ORDER BY o.rn), ',') AS seg_doc_ids_csv,
+       array_to_string(list(o.chunk_id ORDER BY o.rn), ',') AS seg_chunk_ids_csv,
+       array_to_string(list(o.n_tokens ORDER BY o.rn), ',') AS seg_tokens_csv,
+       array_to_string(list(o.csum - o.n_tokens - b.base ORDER BY o.rn), ',')
+           AS seg_offsets_csv
+FROM blk b
+JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
+GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
+"""
+    ),
+)
+def q_packed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block SEGMENT LAYOUT for packed training blocks (greedy
+    order): the ordered (doc_id, chunk_id, n_tokens, start_offset)
+    arrays a trainer turns into block-diagonal attention masks and
+    per-document position-id resets — the standard metadata when
+    multiple documents share one packed context window (without it,
+    tokens attend across unrelated documents).  Arrays serialize to
+    CSV strings (driver canonicalizer needs scalar columns, the
+    q_packed_blocks convention); offsets are the exclusive prefix sum
+    of segment lengths, so last offset + last length == total_tokens
+    (pinned with the other invariants in tests/test_text.py).  Oracle:
+    the same parameterized recursive-CTE fold as q_packed_blocks, with
+    the final projection list-agging `ordered` rows rn-ordered within
+    each block's (start_rn, end_rn) range — the layout is replayed
+    value-exact, not just censused.  Scale shape: identical to
+    pack_chunks (per-shard applyInPandas groups); the segment arrays
+    add output columns, zero extra shuffles."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    packed = pack_chunks(chunks, "group", block_tokens=256, emit_segments=True)
+    csv = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+    return packed.select(
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        csv("seg_doc_ids").alias("seg_doc_ids_csv"),
+        csv("seg_chunk_ids").alias("seg_chunk_ids_csv"),
+        csv("seg_tokens").alias("seg_tokens_csv"),
+        csv("seg_offsets").alias("seg_offsets_csv"),
     )
 
 

@@ -106,6 +106,51 @@ def test_packing_invariants(spark):
            sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
 
 
+def test_packing_segment_layout_invariants(spark):
+    """emit_segments=True (r15): per-block segment arrays must (a) have
+    n_chunks entries each, (b) sum seg_tokens to total_tokens, (c) be
+    exact exclusive prefix sums in seg_offsets (offset 0 first, last
+    offset + last length == total_tokens), (d) cover the chunk set
+    exactly once across all blocks — the same conservation as the
+    census, now at (doc, chunk) identity grain — and (e) hold under
+    strategy='nfd' too (pack order differs, invariants don't)."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(f"w{j}" for j in range(40 + (i * 13) % 90)))
+         for i in range(30)],
+        "doc_id long, group string, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", "group"), "doc_id"
+    )
+    all_chunks = sorted(
+        (r["doc_id"], r["chunk_id"]) for r in chunks.select("doc_id", "chunk_id").collect()
+    )
+    for strategy in ("greedy", "nfd"):
+        rows = pack_chunks(
+            chunks, "group", block_tokens=256, strategy=strategy,
+            emit_segments=True,
+        ).collect()
+        seen = []
+        for r in rows:
+            n = r["n_chunks"]
+            assert len(r["seg_doc_ids"]) == len(r["seg_chunk_ids"]) == n
+            assert len(r["seg_tokens"]) == len(r["seg_offsets"]) == n
+            assert sum(r["seg_tokens"]) == r["total_tokens"]
+            assert r["seg_offsets"][0] == 0
+            for i in range(1, n):
+                assert (
+                    r["seg_offsets"][i]
+                    == r["seg_offsets"][i - 1] + r["seg_tokens"][i - 1]
+                )
+            assert r["seg_offsets"][-1] + r["seg_tokens"][-1] == r["total_tokens"]
+            assert sorted(set(r["seg_doc_ids"])) == r["doc_ids"]
+            seen.extend(zip(r["seg_doc_ids"], r["seg_chunk_ids"]))
+        assert sorted(seen) == all_chunks, strategy  # exactly-once cover
+
+
 def test_packing_property_matches_sequential_fold(spark):
     """Property: the cumsum/searchsorted packer must block exactly like
     the obvious sequential greedy fold, across random chunk mixes
