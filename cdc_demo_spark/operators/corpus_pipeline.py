@@ -112,6 +112,7 @@ def build_corpus(
     stride: int | None = None,
     block_tokens: int = 256,
     pack_strategy: str = "greedy",
+    emit_segments: bool = False,
     n_shards: int = 16,
     shard_salt: str = "epoch0",
     normalize_whitespace: bool = False,
@@ -297,8 +298,17 @@ def build_corpus(
         ),
         id_col,
     ).select(id_col, "chunk_id", "n_tokens", "group")
+    # emit_segments (r15): thread the per-block segment layout through
+    # so the blocks frame carries what a trainer needs for
+    # block-diagonal attention — same fold, extra array columns only
+    seg_cols = (
+        ["seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets"]
+        if emit_segments
+        else []
+    )
     blocks = pack_chunks(
-        chunks, "group", block_tokens=block_tokens, strategy=pack_strategy
+        chunks, "group", block_tokens=block_tokens, strategy=pack_strategy,
+        emit_segments=emit_segments,
     ).select(
         F.split_part("group", F.lit("/"), F.lit(1)).alias("split"),
         F.split_part("group", F.lit("/"), F.lit(2)).cast("int").alias("shard"),
@@ -307,6 +317,7 @@ def build_corpus(
         "n_chunks",
         "total_tokens",
         "doc_ids",
+        *seg_cols,
     ).localCheckpoint(eager=True)
     pack_row = blocks.agg(
         F.count(F.lit(1)).alias("b"),
@@ -556,6 +567,114 @@ def write_token_shards(
     with open(_os.path.join(path, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, sort_keys=True, indent=1)
     return manifest
+
+
+def erase_docs_from_token_shards(
+    spark, path: str, doc_ids: list[int], id_col: str = "doc_id"
+) -> dict:
+    """Right-to-be-forgotten erase at the TRAINER-ARTIFACT level (the
+    shard files write_token_shards laid down), mirroring the O(delta)
+    RTBF the incremental indexes already have: because the shard key
+    is a PURE FUNCTION of doc_id (md5(salt|id) % n_shards, recorded in
+    the manifest), the affected shard ids are computed driver-side
+    WITHOUT scanning anything — at most len(doc_ids) hashes — and only
+    those shard directories are read (partition-pruned), filtered, and
+    rewritten.  The rewrite STAGES to a temp dir under ``path`` and
+    swaps each touched directory at the filesystem level — never
+    overwriting a path Spark is lazily reading from, and keeping the
+    one-file-per-dir layout (same repartition+sortWithinPartitions as
+    the writer).  Untouched shard files are never read or written
+    (byte-identity pinned in tests).  A (split, shard) dir whose every
+    row is erased is removed outright.  The manifest censuses are
+    updated for touched shards and atomically re-written (tmp +
+    rename); erasure is idempotent — a second call touches nothing.
+    Returns {erased_chunks, erased_words, erased_bpe_tokens,
+    dirs_rewritten, dirs_removed}."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    with open(_os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    n_shards, salt = int(manifest["n_shards"]), manifest["shard_salt"]
+    targets = sorted(set(int(d) for d in doc_ids))
+    shard_of = {
+        d: int(hashlib.md5(f"{salt}|{d}".encode()).hexdigest()[:15], 16) % n_shards
+        for d in targets
+    }
+    touched_shards = sorted(set(shard_of.values()))
+    if not touched_shards:
+        return {"erased_chunks": 0, "erased_words": 0, "erased_bpe_tokens": 0,
+                "dirs_rewritten": 0, "dirs_removed": 0}
+
+    # one pruned read of ONLY the candidate shard dirs (split unknown
+    # per doc until read — the shard id alone prunes to <= n_touched
+    # dirs per split)
+    cand = read_token_shards(spark, path, shards=touched_shards)
+    hit = cand.filter(F.col(id_col).isin(targets))
+    erased = hit.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).alias("words"),
+        F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("bpe_tokens"),
+    ).collect()
+    if not erased:
+        return {"erased_chunks": 0, "erased_words": 0, "erased_bpe_tokens": 0,
+                "dirs_rewritten": 0, "dirs_removed": 0}
+
+    # classify touched dirs: fully-erased (remove) vs partial (rewrite)
+    remove_pairs, rewrite_pairs = [], []
+    for r in erased:
+        key = f"{r['split']}/{int(r['shard']):02d}"
+        old = manifest["shards"][key]
+        if old["chunks"] - int(r["chunks"]) == 0:
+            remove_pairs.append((r["split"], int(r["shard"])))
+            del manifest["shards"][key]
+        else:
+            rewrite_pairs.append((r["split"], int(r["shard"])))
+            manifest["shards"][key] = {
+                "chunks": old["chunks"] - int(r["chunks"]),
+                "words": old["words"] - int(r["words"]),
+                "bpe_tokens": old["bpe_tokens"] - int(r["bpe_tokens"]),
+            }
+
+    def _dir(split, shard):
+        return _os.path.join(path, f"split={split}", f"shard={shard}")
+
+    if rewrite_pairs:
+        cond = F.lit(False)
+        for s, sh in rewrite_pairs:
+            cond = cond | ((F.col("split") == s) & (F.col("shard") == sh))
+        keep = (
+            cand.filter(cond)
+            .filter(~F.col(id_col).isin(targets))
+            .repartition(F.col("split"), F.col("shard"))
+            .sortWithinPartitions(id_col, "chunk_id")
+        )
+        staging = _os.path.join(path, "_rtbf_staging")
+        _shutil.rmtree(staging, ignore_errors=True)
+        # one pass: read completes against the ORIGINAL files while the
+        # staging write runs; directory swaps happen only afterwards
+        keep.write.mode("error").partitionBy("split", "shard").parquet(staging)
+        for s, sh in rewrite_pairs:
+            target = _dir(s, sh)
+            _shutil.rmtree(target)
+            _os.replace(_os.path.join(staging, f"split={s}", f"shard={sh}"), target)
+        _shutil.rmtree(staging, ignore_errors=True)
+    for s, sh in remove_pairs:
+        _shutil.rmtree(_dir(s, sh))
+
+    tmp = _os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, sort_keys=True, indent=1)
+    _os.replace(tmp, _os.path.join(path, "_manifest.json"))
+    return {
+        "erased_chunks": sum(int(r["chunks"]) for r in erased),
+        "erased_words": sum(int(r["words"]) for r in erased),
+        "erased_bpe_tokens": sum(int(r["bpe_tokens"]) for r in erased),
+        "dirs_rewritten": len(rewrite_pairs),
+        "dirs_removed": len(remove_pairs),
+    }
 
 
 def read_token_shards(spark, path: str, split: str | None = None,

@@ -512,3 +512,146 @@ def test_survivor_longest_keeps_best_per_cluster(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="survivor"):
         build_corpus(docs, rules=RULES, survivor="newest")
+
+
+def test_pipeline_segments_cover_token_stage(spark, sf_dir):
+    """build_corpus(emit_segments=True, bpe_merges=...) must hand a
+    trainer a CONSISTENT pair of artifacts: the blocks' segment layout
+    and the token-id frame describe the same chunks — (doc, chunk)
+    cover is exactly-once in both directions, per-segment lengths
+    equal the token frame's slot counts, and offsets tile each block.
+    This is the cross-stage invariant no per-operator test sees: a
+    drifting chunk grain between pack and encode would silently feed
+    wrong attention boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        emit_segments=True, bpe_merges=5,
+    )
+    assert_corpus_invariants(res)
+    blocks = res["blocks"]
+    segs = blocks.select(
+        F.col("split"),
+        F.explode(F.arrays_zip("seg_doc_ids", "seg_chunk_ids", "seg_tokens")).alias("s"),
+    ).select(
+        "split",
+        F.col("s.seg_doc_ids").alias("doc_id"),
+        F.col("s.seg_chunk_ids").alias("chunk_id"),
+        F.col("s.seg_tokens").alias("n_tokens"),
+    )
+    toks = res["tokens"].select("doc_id", "chunk_id", "n_tokens", "split")
+    # exactly-once both ways + identical lengths and split labels
+    mismatch = (
+        segs.join(toks, ["doc_id", "chunk_id"], "full_outer")
+        .filter(
+            segs["n_tokens"].isNull()
+            | toks["n_tokens"].isNull()
+            | (segs["n_tokens"] != toks["n_tokens"])
+            | (segs["split"] != toks["split"])
+        )
+        .count()
+    )
+    assert mismatch == 0
+    assert segs.count() == toks.count()  # no duplicate coverage either side
+    assert segs.groupBy("doc_id", "chunk_id").count().filter("count > 1").count() == 0
+    # offsets tile every block exactly (vectorized check)
+    bad = blocks.filter(
+        (F.element_at("seg_offsets", -1) + F.element_at("seg_tokens", -1)
+         != F.col("total_tokens"))
+        | (F.element_at("seg_offsets", 1) != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_rtbf_erase_token_shards(spark, sf_dir, tmp_path):
+    """RTBF at the trainer-artifact level (r15): erase must touch ONLY
+    the shard dirs the pure-function key maps the targets to —
+    untouched files stay byte-identical — while reads, manifest, and
+    censuses agree afterwards; a fully-erased dir disappears with its
+    manifest key; a second erase is a no-op."""
+    import hashlib
+    import json
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        erase_docs_from_token_shards,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=5)
+    out = str(tmp_path / "shards")
+    write_token_shards(res["tokens"], out, n_shards=4)
+
+    def file_state():
+        state = {}
+        for root, _, files in os.walk(out):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    state[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return state
+
+    before_files = file_state()
+    before = read_token_shards(spark, out)
+    before_total = before.count()
+    # targets: two docs from different shards
+    two = sorted(
+        r["doc_id"] for r in before.select("doc_id").distinct().limit(2).collect()
+    )
+    salt_shard = lambda d: int(
+        hashlib.md5(f"epoch0|{d}".encode()).hexdigest()[:15], 16
+    ) % 4
+    touched = {salt_shard(d) for d in two}
+    gone_rows = before.filter(F.col("doc_id").isin(two)).count()
+    assert gone_rows > 0
+
+    report = erase_docs_from_token_shards(spark, out, two)
+    assert report["erased_chunks"] == gone_rows
+    after = read_token_shards(spark, out)
+    assert after.filter(F.col("doc_id").isin(two)).count() == 0
+    assert after.count() == before_total - gone_rows
+    # manifest == reader, shard by shard
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    got = {
+        f"{r['split']}/{int(r['shard']):02d}": int(r["c"])
+        for r in after.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["chunks"] for k, v in manifest["shards"].items()} == got
+    # untouched shard files byte-identical (never read, never written)
+    after_files = file_state()
+    for p, h in before_files.items():
+        shard_id = int(p.split("shard=")[1].split(os.sep)[0])
+        if shard_id not in touched:
+            assert after_files.get(p) == h, f"untouched file changed: {p}"
+    # idempotent
+    again = erase_docs_from_token_shards(spark, out, two)
+    assert again == {"erased_chunks": 0, "erased_words": 0,
+                     "erased_bpe_tokens": 0, "dirs_rewritten": 0,
+                     "dirs_removed": 0}
+    assert file_state() == after_files
+
+    # full-dir erase: remove every doc of one (split, shard)
+    key, info = sorted(manifest["shards"].items())[0]
+    split_v, shard_v = key.split("/")[0], int(key.split("/")[1])
+    all_docs = [
+        r["doc_id"]
+        for r in read_token_shards(spark, out, split=split_v, shards=[shard_v])
+        .select("doc_id").distinct().collect()
+    ]
+    # a doc lives in exactly one (split, shard) — erasing every doc of
+    # this dir removes exactly this dir and exactly its chunk census
+    rep2 = erase_docs_from_token_shards(spark, out, all_docs)
+    assert rep2["dirs_removed"] == 1 and rep2["dirs_rewritten"] == 0
+    assert rep2["erased_chunks"] == info["chunks"]
+    m2 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert key not in m2["shards"]
+    assert not os.path.exists(os.path.join(out, f"split={split_v}", f"shard={shard_v}"))
+    # survivors still readable and census-consistent
+    final = read_token_shards(spark, out)
+    got2 = {
+        f"{r['split']}/{int(r['shard']):02d}": int(r["c"])
+        for r in final.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["chunks"] for k, v in m2["shards"].items()} == got2
