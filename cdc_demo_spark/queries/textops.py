@@ -335,11 +335,10 @@ def q_packed_blocks_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_packed_segments",
-    oracle=(
-        _packed_fold_ctes("doc_id, chunk_id")
-        + """
+# Final SELECT shared by the greedy and NFD segment-layout oracles:
+# list-agg `ordered` rows rn-ordered within each block's range, so the
+# whole layout (not just the census) replays value-exact.
+_SEGMENTS_SELECT_SQL = """
 SELECT b.grp AS "group", b.block_id,
        CAST(b.end_rn - b.start_rn + 1 AS BIGINT) AS n_chunks,
        CAST(b.end_csum - b.base AS BIGINT) AS total_tokens,
@@ -352,7 +351,11 @@ FROM blk b
 JOIN ordered o ON o.grp = b.grp AND o.rn BETWEEN b.start_rn AND b.end_rn
 GROUP BY b.grp, b.block_id, b.start_rn, b.end_rn, b.base, b.end_csum
 """
-    ),
+
+
+@register(
+    "q_packed_segments",
+    oracle=_packed_fold_ctes("doc_id, chunk_id") + _SEGMENTS_SELECT_SQL,
 )
 def q_packed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block SEGMENT LAYOUT for packed training blocks (greedy
@@ -379,6 +382,42 @@ def q_packed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.col("source").alias("group")), "doc_id"
     )
     packed = pack_chunks(chunks, "group", block_tokens=256, emit_segments=True)
+    csv = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+    return packed.select(
+        "group",
+        "block_id",
+        "n_chunks",
+        "total_tokens",
+        csv("seg_doc_ids").alias("seg_doc_ids_csv"),
+        csv("seg_chunk_ids").alias("seg_chunk_ids_csv"),
+        csv("seg_tokens").alias("seg_tokens_csv"),
+        csv("seg_offsets").alias("seg_offsets_csv"),
+    )
+
+
+@register(
+    "q_packed_segments_nfd",
+    oracle=_packed_fold_ctes("n_tokens DESC, doc_id, chunk_id") + _SEGMENTS_SELECT_SQL,
+)
+def q_packed_segments_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_packed_segments under strategy='nfd': the decreasing-order
+    packing that cuts padding waste (q_packed_blocks_nfd) must also
+    hand the trainer a correct segment layout — same shared fold CTEs
+    with the order window swapped, same list-agg final SELECT, so the
+    NFD layout is replayed value-exact too (the strategy changes
+    COMPOSITION; the layout contract — lengths, exact prefix-sum
+    offsets, exactly-once cover — is strategy-independent, pinned in
+    tests/test_text.py for both)."""
+    from cdc_demo_spark.operators.chunking import chunk_documents
+    from cdc_demo_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).join(
+        docs.select("doc_id", F.col("source").alias("group")), "doc_id"
+    )
+    packed = pack_chunks(
+        chunks, "group", block_tokens=256, strategy="nfd", emit_segments=True
+    )
     csv = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
     return packed.select(
         "group",
