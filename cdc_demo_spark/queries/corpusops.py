@@ -667,6 +667,68 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """DuckDB twin of q_bpe_fertility: the shared merge-chain CTEs,
+    per-doc word/token censuses via the same positional lookup as the
+    encode oracle, then a per-source rollup."""
+    return _bpe_state_ctes(n_merges) + f""",
+docw AS (
+  SELECT w.doc_id, w.ws[u.j] AS word
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents) w, UNNEST(range(1, len(w.ws) + 1)) AS u(j)
+),
+per_doc AS (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(s.toks)) AS BIGINT) AS n_bpe
+  FROM docw dw JOIN s{n_merges} s USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.source,
+       CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(coalesce(p.n_bpe, 0)) AS DOUBLE)
+             / sum(coalesce(p.n_words, 0)), 6) AS fertility
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("q_bpe_fertility", oracle=_bpe_fertility_oracle(10))
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per source — BPE tokens emitted per word,
+    the standard diagnostic for how well a vocabulary fits each slice
+    of a corpus (high fertility = the tokenizer shatters that source's
+    words; the metric used to size multilingual vocabularies and catch
+    under-served sources before training).  Same 10-merge vocabulary
+    as q_bpe_encode; censuses ride the vocabulary-grain encoder
+    (merge folds once per DISTINCT word), so the per-source rollup
+    adds one partial-agg shuffle over per-doc counts.  Fertility is
+    one double division of two exact integer sums (engine-identical);
+    the oracle replays training + lookup + censuses from first
+    principles via the shared unrolled merge-chain CTEs."""
+    from cdc_demo_spark.operators.bpe import encode_corpus_ids, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=10).collect()
+    ]
+    enc = encode_corpus_ids(docs, "text", merges, key_cols=["doc_id"])
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "q_bpe_merge_candidates",
     oracle="""
