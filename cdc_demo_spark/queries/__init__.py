@@ -43,30 +43,36 @@ _DRIVER_WINDOW_FIRST = [
     # Round-15 window head: exactly tools/window_staleness.py's
     # suggestion at this HEAD (VERDICT r14 #3) — capacity math
     # (50 slots):
-    #   3  NEW oracle queries (q_curriculum_buckets_scaled — the
+    #   6  NEW oracle queries (q_curriculum_buckets_scaled — the
     #      scale-safe curriculum bucketing that closes r14's one
     #      `weak` mark: broadcast quantile cutpoints + map-side
     #      assignment, zero windows in the plan; q_mixture_temperature
     #      — data-derived temperature mixture rates in engine-exact
-    #      integer math; q_packed_segments — per-block segment layout
-    #      for block-diagonal attention, the fold oracle list-agged at
-    #      rn grain): first-ever hash-verified driver records;
+    #      integer math; q_packed_segments / q_packed_segments_nfd —
+    #      per-block segment layouts for block-diagonal attention, the
+    #      fold oracle list-agged at rn grain; q_mixture_epochs — the
+    #      with-replacement temperature schedule, both regimes
+    #      exercised on the skewed lang stratum; q_bpe_fertility —
+    #      per-source tokenizer-fit censuses): first-ever
+    #      hash-verified driver records;
     #   16 ALL remaining r11-stale oracle queries (headed by
     #      q_range_join / q_rank_parts / q_remove_duplicated_spans,
     #      which yielded their r14 slots to that round's new
     #      queries; after this capture no oracle record predates
     #      r12);
-    #   31 stalest r12 oracle queries (alphabetical within equal
+    #   28 stalest r12 oracle queries (alphabetical within equal
     #      staleness, as the tool prints them; the r12 tail from
-    #      q_incremental_histogram on heads the r16 queue —
-    #      q_incremental_histogram and q_incremental_moments yield
-    #      their slots to the second and third new queries).
+    #      q_grouping_sets on heads the r16 queue — six r12 entries
+    #      total yield their slots to the six new queries).
     # Rows-only queries were all refreshed in r12 (none predates
     # r12 and none is staler than the r12 oracle tail), so none
     # needs a slot this round.
     "q_curriculum_buckets_scaled",
     "q_mixture_temperature",
     "q_packed_segments",
+    "q_packed_segments_nfd",
+    "q_mixture_epochs",
+    "q_bpe_fertility",
     "q_range_join",
     "q_rank_parts",
     "q_remove_duplicated_spans",
@@ -111,9 +117,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_fingerprint",
     "q_forecast_revenue",
     "q_fuzzy_name_pairs",
-    "q_grouping_sets",
-    "q_hll_mergeable_rollup",
-    "q_important_supplier_value",
 ]
 
 

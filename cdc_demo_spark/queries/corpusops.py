@@ -170,35 +170,35 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_mixture_temperature",
     oracle="""
-WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-w AS (SELECT source, n,
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
       FROM counts),
 tot AS (SELECT CAST(sum(w) AS BIGINT) AS s,
                CAST(sum(n) AS BIGINT) AS n_total FROM w),
 thresh AS (
-  SELECT w.source, w.w,
+  SELECT w.lang, w.w,
          least(CAST(4294967296 AS HUGEINT),
                (CAST(t.n_total // 2 AS HUGEINT) * w.w * 4294967296)
                // (CAST(t.s AS HUGEINT) * w.n)) AS t
   FROM w CROSS JOIN tot t
 ),
 hexed AS (
-  SELECT source, w,
+  SELECT lang, w,
          CASE WHEN t >= 4294967296 THEN 'g'
               ELSE printf('%08x', CAST(t AS BIGINT)) END AS threshold
   FROM thresh
 )
-SELECT d.source,
+SELECT d.lang,
        h.w AS weight,
        h.threshold AS threshold,
        count(*) AS n_kept,
        CAST(sum(d.n_chars) AS BIGINT) AS kept_chars,
        min(d.doc_id) AS min_id
-FROM documents d JOIN hexed h USING (source)
+FROM documents d JOIN hexed h USING (lang)
 WHERE substring(md5('temp1:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < h.threshold
-GROUP BY d.source, h.w, h.threshold
-ORDER BY d.source
+GROUP BY d.lang, h.w, h.threshold
+ORDER BY d.lang
 """,
 )
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +207,10 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head so low-resource sources aren't drowned; Arivazhagan et al.
     2019 §4.2, used by mT5/BLOOM data pipelines): unlike
     q_mixture_sample's FIXED per-source rates, the rates here are
-    DERIVED FROM THE DATA — α is pinned at 0.5 so the weight is
+    DERIVED FROM THE DATA — stratified by ``lang``, the genuinely
+    skewed stratum (en 193 vs de 71 docs at sf0.001; `source` is
+    uniform by fixture design, which would degenerate every rate to
+    the same value) — α is pinned at 0.5 so the weight is
     floor(sqrt(n_s)), and sqrt is IEEE correctly-rounded (bit-identical
     in JVM, Python, and DuckDB), making the whole derivation
     engine-portable integer math: weight w_s = floor(sqrt(n_s)),
@@ -232,8 +235,8 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     counts = sorted(
-        (r["source"], r["n"])
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     weights = {s: math.floor(math.sqrt(n)) for s, n in counts}
     n_total = sum(n for _, n in counts)
@@ -250,21 +253,126 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr_col = F.lit(None).cast("string")
     w_col = F.lit(None).cast("long")
     for s, _ in counts:
-        thr_col = F.when(F.col("source") == s, thresholds[s]).otherwise(thr_col)
-        w_col = F.when(F.col("source") == s, F.lit(weights[s])).otherwise(w_col)
+        thr_col = F.when(F.col("lang") == s, thresholds[s]).otherwise(thr_col)
+        w_col = F.when(F.col("lang") == s, F.lit(weights[s])).otherwise(w_col)
     return (
         docs.select(
-            "source", "doc_id", "n_chars",
+            "lang", "doc_id", "n_chars",
             w_col.alias("weight"), thr_col.alias("threshold"), key.alias("__k"),
         )
         .filter(F.col("__k") < F.col("threshold"))
-        .groupBy("source", "weight", "threshold")
+        .groupBy("lang", "weight", "threshold")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_chars").cast("long").alias("kept_chars"),
             F.min("doc_id").alias("min_id"),
         )
-        .orderBy("source")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_mixture_epochs",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+      FROM counts),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS s,
+               CAST(sum(n) AS BIGINT) AS n_total FROM w),
+rates AS (
+  SELECT w.lang, w.w, w.n,
+         (CAST(t.n_total AS HUGEINT) * w.w) // (CAST(t.s AS HUGEINT) * w.n)
+             AS k_full,
+         ((CAST(t.n_total AS HUGEINT) * w.w
+           - ((CAST(t.n_total AS HUGEINT) * w.w) // (CAST(t.s AS HUGEINT) * w.n))
+             * (CAST(t.s AS HUGEINT) * w.n)) * 4294967296)
+         // (CAST(t.s AS HUGEINT) * w.n) AS t_frac
+  FROM w CROSS JOIN tot t
+),
+hexed AS (
+  SELECT lang, w, CAST(k_full AS BIGINT) AS k_full,
+         printf('%08x', CAST(t_frac AS BIGINT)) AS t_hex
+  FROM rates
+),
+assigned AS (
+  SELECT d.lang, h.w, h.k_full, h.t_hex,
+         h.k_full + CASE WHEN substring(md5('epochs1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                              < h.t_hex THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN hexed h USING (lang)
+)
+SELECT lang, w AS weight, k_full, t_hex AS frac_threshold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(copies > 0 AS BIGINT)) AS BIGINT) AS n_sampled_docs,
+       CAST(sum(copies) AS BIGINT) AS total_instances
+FROM assigned
+GROUP BY lang, w, k_full, t_hex
+ORDER BY lang
+""",
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITH-REPLACEMENT temperature schedule q_mixture_temperature
+    scopes out — the form mT5-style pipelines actually train with when
+    a tail source's rate exceeds 1: every doc of source s appears
+    k_full = floor(rate_s) times per epoch plus ONE more iff its salted
+    md5 falls under the rate's fractional part, so the source's total
+    instance count hits round(rate_s · n_s) deterministically and
+    repetition is spread by hash, not by doc order.  Stratified by
+    ``lang`` (the skewed stratum): at this fixture's en/de imbalance
+    the tail languages land in the k_full>=1 REPEAT regime while en
+    downsamples below 1 — both branches genuinely exercised (pinned in
+    tests).  rate_s =
+    n_total·w_s/(Σw·n_s) with w_s = floor(sqrt(n_s)) (α=0.5), and both
+    the integer part and the 2^32-scaled fractional threshold are PURE
+    INTEGER arithmetic (Python bigints / DuckDB HUGEINT) — no float
+    anywhere a hash could drift; fractional thresholds are < 2^32 by
+    construction (rem < denominator), so no keep-all sentinel is
+    needed.  Output is the per-source schedule census (full copies,
+    fractional threshold, sampled docs, total instances) — the
+    manifest a data loader replays; materializing the actual repeats
+    is a map-side explode(sequence(1, copies)) over the same
+    expression.  Scale shape: identical to q_mixture_temperature —
+    one bounded counts collect, then map-side CASE literals."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = sorted(
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    weights = {s: math.floor(math.sqrt(n)) for s, n in counts}
+    n_total = sum(n for _, n in counts)
+    s_total = sum(weights.values())
+    plan = {}
+    for s, n in counts:
+        num, den = n_total * weights[s], s_total * n
+        k_full = num // den
+        t_frac = ((num - k_full * den) << 32) // den
+        plan[s] = (k_full, format(t_frac, "08x"))
+
+    key = F.substring(
+        F.md5(F.concat(F.lit("epochs1:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    k_col = F.lit(None).cast("long")
+    t_col = F.lit(None).cast("string")
+    w_col = F.lit(None).cast("long")
+    for s, _ in counts:
+        k_col = F.when(F.col("lang") == s, F.lit(plan[s][0])).otherwise(k_col)
+        t_col = F.when(F.col("lang") == s, F.lit(plan[s][1])).otherwise(t_col)
+        w_col = F.when(F.col("lang") == s, F.lit(weights[s])).otherwise(w_col)
+    copies = (k_col + (key < t_col).cast("long")).alias("copies")
+    return (
+        docs.select(
+            "lang", w_col.alias("weight"), k_col.alias("k_full"),
+            t_col.alias("frac_threshold"), copies,
+        )
+        .groupBy("lang", "weight", "k_full", "frac_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("copies") > 0).cast("long")).alias("n_sampled_docs"),
+            F.sum("copies").cast("long").alias("total_instances"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -74,3 +74,56 @@ def test_heavier_docs_oversampled(spark, sf_dir):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_temperature_mixture_flattens_the_skew(spark, sf_dir):
+    """q_mixture_temperature (r15): alpha=0.5 must flatten the lang
+    skew — the dominant stratum's keep-RATE is strictly below a tail
+    stratum's (that's what temperature sampling is for) — while every
+    derived threshold is a pure function of the counts (deterministic
+    across runs) and the kept sets are salt-versioned subsets."""
+    from cdc_demo_spark.queries.registry import QUERIES
+
+    rows = {r["lang"]: r for r in
+            QUERIES["q_mixture_temperature"](spark, sf_dir).collect()}
+    assert set(rows) == {"de", "en", "es", "fr", "zh"}
+    # counts for rate computation
+    from cdc_demo_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    counts = {r["lang"]: r["n"] for r in
+              load_table(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rate = {g: rows[g]["n_kept"] / counts[g] for g in rows}
+    # en dominates the corpus -> lowest keep-rate under alpha<1
+    assert rate["en"] == min(rate.values())
+    assert all(rate["en"] < rate[g] for g in rows if g != "en")
+    # deterministic re-run
+    again = {r["lang"]: r["n_kept"] for r in
+             QUERIES["q_mixture_temperature"](spark, sf_dir).collect()}
+    assert again == {g: rows[g]["n_kept"] for g in rows}
+
+
+def test_epoch_mixture_exercises_both_regimes(spark, sf_dir):
+    """q_mixture_epochs (r15): the with-replacement schedule must put
+    the dominant lang in the downsample regime (k_full=0, some docs
+    unsampled) and tail langs in the REPEAT regime (k_full>=1, every
+    doc sampled, instances > docs), with each stratum's instance total
+    equal to k_full*n + fractional draws — the exact budget the
+    integer thresholds encode."""
+    from cdc_demo_spark.queries.registry import QUERIES
+
+    rows = {r["lang"]: r for r in
+            QUERIES["q_mixture_epochs"](spark, sf_dir).collect()}
+    en = rows["en"]
+    assert en["k_full"] == 0
+    assert en["n_sampled_docs"] < en["n_docs"]
+    assert en["total_instances"] == en["n_sampled_docs"]
+    for g, r in rows.items():
+        if g == "en":
+            continue
+        assert r["k_full"] >= 1, g
+        assert r["n_sampled_docs"] == r["n_docs"], g  # every doc appears
+        assert r["total_instances"] > r["n_docs"], g  # repetition regime
+        extra = r["total_instances"] - r["k_full"] * r["n_docs"]
+        assert 0 <= extra <= r["n_docs"], g
