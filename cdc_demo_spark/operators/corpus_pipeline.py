@@ -113,6 +113,9 @@ def build_corpus(
     block_tokens: int = 256,
     pack_strategy: str = "greedy",
     emit_segments: bool = False,
+    mixture_alpha: float | None = None,
+    mixture_stratum: str = "lang",
+    mixture_target_frac: float = 0.5,
     n_shards: int = 16,
     shard_salt: str = "epoch0",
     normalize_whitespace: bool = False,
@@ -271,6 +274,58 @@ def build_corpus(
         "docs": d, "tokens": t, "tokens_cut": spans_cut, "secs": _stage_secs()
     }
 
+    # 4b. optional temperature mixture (r15): rebalance strata (lang
+    #    by default) with keep-rates ∝ count^alpha before anything is
+    #    chunked — the multilingual-balancing stage real pipelines run.
+    #    Same scheme as the oracle-exact q_mixture_temperature: one
+    #    bounded stratum-count collect, thresholds derived driver-side
+    #    (integer 2^32-scaled; the alpha power is a driver-side Python
+    #    literal — cross-engine exactness lives in the registered
+    #    query twins), applied as a map-side md5 CASE.  Every
+    #    downstream census (split/pack/tokens — the tokenizer too)
+    #    sees the MIXED corpus.
+    if mixture_alpha is not None:
+        import math as _math
+
+        if mixture_stratum not in docs.columns:
+            raise ValueError(
+                f"mixture_stratum {mixture_stratum!r} not in input columns "
+                f"{docs.columns}; pass mixture_stratum= or add the column"
+            )
+        strata = final_docs.join(
+            docs.select(id_col, mixture_stratum), id_col
+        )
+        counts = sorted(
+            (r[mixture_stratum], r["n"])
+            for r in strata.groupBy(mixture_stratum)
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        weights = {s: int(_math.floor(n ** mixture_alpha)) for s, n in counts}
+        n_total = sum(n for _, n in counts)
+        s_total = max(sum(weights.values()), 1)
+        n_target = int(n_total * mixture_target_frac)
+        thr = {}
+        for s, n in counts:
+            t = min(1 << 32, (n_target * weights[s] * (1 << 32)) // (s_total * n))
+            thr[s] = "g" if t >= (1 << 32) else format(t, "08x")
+        key = F.substring(
+            F.md5(F.concat(F.lit("mix-corpus:"), F.col(id_col).cast("string"))),
+            1, 8,
+        )
+        thr_col = F.lit(None).cast("string")
+        for s, _ in counts:
+            thr_col = F.when(F.col(mixture_stratum) == s, thr[s]).otherwise(thr_col)
+        final_docs = (
+            strata.filter(key < thr_col)
+            .select(id_col, text_col, "split")
+            .localCheckpoint(eager=True)
+        )
+        d, t = _docs_tokens(final_docs, text_col)
+        ledger["mixture"] = {
+            "docs": d, "tokens": t, "alpha": mixture_alpha,
+            "target_frac": mixture_target_frac, "secs": _stage_secs(),
+        }
+
     # 5. ledger the split census at doc grain (the split map itself is
     #    cluster-grain and covers every deduped doc)
     ledger["split"] = {
@@ -415,9 +470,11 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
     )
     assert straddle == 0, f"{straddle} near-dup pairs straddle splits"
 
-    # conservation: packed tokens == surviving (post-span) tokens
+    # conservation: packed tokens == surviving tokens (the last
+    # doc-grain stage — the mixture stage, when run, supersedes
+    # span_removal as "surviving")
     packed = ledger["pack"]["tokens"]
-    surviving = ledger["span_removal"]["tokens"]
+    surviving = ledger.get("mixture", ledger["span_removal"])["tokens"]
     assert packed == surviving, f"packed {packed} != surviving {surviving}"
 
     # provenance: every block's doc_ids belong to its own split
@@ -430,8 +487,10 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
     assert orphan == 0, f"{orphan} packed doc_ids not in final doc set"
 
     # ledger monotonicity: docs never increase through the funnel
-    seq = [ledger[k]["docs"] for k in
-           ("input", "quality", "exact_dedup", "neardup_dedup", "span_removal")]
+    stages = ["input", "quality", "exact_dedup", "neardup_dedup", "span_removal"]
+    if "mixture" in ledger:
+        stages.append("mixture")
+    seq = [ledger[k]["docs"] for k in stages]
     assert all(a >= b for a, b in zip(seq, seq[1:])), f"funnel grew: {seq}"
 
     # token-id stage (when run): every packed word slot is accounted

@@ -655,3 +655,42 @@ def test_rtbf_erase_token_shards(spark, sf_dir, tmp_path):
         for r in final.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert {k: v["chunks"] for k, v in m2["shards"].items()} == got2
+
+
+def test_mixture_stage_rebalances_and_conserves(spark, sf_dir):
+    """build_corpus(mixture_alpha=0.5) (r15): the optional temperature
+    stage must (a) shrink the corpus toward the target fraction with
+    the dominant lang cut HARDEST (rate flattening — same policy the
+    oracle-exact q_mixture_temperature pins), (b) keep every invariant
+    green with pack/token censuses now equal to the MIXED corpus, and
+    (c) fail loudly when the stratum column is absent."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        mixture_alpha=0.5, bpe_merges=5,
+    )
+    assert_corpus_invariants(mixed)
+    led = mixed["ledger"]
+    assert "mixture" in led
+    assert led["mixture"]["docs"] < led["span_removal"]["docs"]
+    assert led["pack"]["tokens"] == led["mixture"]["tokens"]
+    assert sum(led["split"].values()) == led["mixture"]["docs"]
+    # rate flattening: en keeps a smaller fraction than every tail lang
+    pre = {
+        r["lang"]: r["n"]
+        for r in docs.join(
+            mixed["final_docs"].select("doc_id"), "doc_id", "left_semi"
+        ).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rate = {g: pre[g] / base[g] for g in pre}
+    assert rate["en"] == min(rate.values())
+    # missing stratum column fails at entry
+    import pytest
+
+    bare = docs.select("doc_id", "text")
+    with pytest.raises(ValueError, match="mixture_stratum"):
+        build_corpus(bare, rules=RULES, minhash_threshold=0.3, mixture_alpha=0.5)
