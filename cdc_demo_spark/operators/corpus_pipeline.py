@@ -628,6 +628,122 @@ def write_token_shards(
     return manifest
 
 
+def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
+    """O(delta) APPEND of new documents' token rows into an existing
+    shard layout — the incremental-ledger idiom (bronze/MinHashIndex)
+    at the trainer-artifact level: the delta hashes to shards with the
+    manifest's OWN key function (same salt, same n_shards — a delta
+    can never disagree with the base about shard membership), lands as
+    ONE new parquet file per touched (split, shard) dir (the same
+    repartition guarantee as the writer), and the manifest censuses
+    SUM-merge.  ``batch_id`` makes replays exactly-once: applied ids
+    are recorded in the manifest and a repeated call no-ops — the same
+    idempotence contract as the bronze sink.  Untouched dirs are never
+    read or written; nothing existing is rewritten (appends add files
+    — run ``compact_token_shards`` when dirs accumulate).  Per-file
+    rows stay (doc_id, chunk_id)-sorted; cross-file order within a dir
+    is epoch order, which the reader does not promise anyway."""
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(path, "_manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    applied = manifest.setdefault("applied_batches", [])
+    if batch_id in applied:
+        return {"appended_chunks": 0, "dirs_touched": 0, "replayed": True}
+    n_shards, salt = int(manifest["n_shards"]), manifest["shard_salt"]
+
+    shard = (md5_long(F.concat_ws("|", F.lit(salt), F.col("doc_id")))
+             % n_shards).cast("int")
+    laid = (
+        tokens.withColumn("shard", shard)
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("doc_id", "chunk_id")
+    )
+    laid.write.mode("append").partitionBy("split", "shard").parquet(path)
+    rows = (
+        tokens.withColumn("shard", shard)
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("words"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("bpe_tokens"),
+        )
+        .collect()
+    )
+    for r in rows:
+        key = f"{r['split']}/{int(r['shard']):02d}"
+        old = manifest["shards"].get(
+            key, {"chunks": 0, "words": 0, "bpe_tokens": 0}
+        )
+        manifest["shards"][key] = {
+            "chunks": old["chunks"] + int(r["chunks"]),
+            "words": old["words"] + int(r["words"]),
+            "bpe_tokens": old["bpe_tokens"] + int(r["bpe_tokens"]),
+        }
+    applied.append(batch_id)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, sort_keys=True, indent=1)
+    _os.replace(tmp, mpath)
+    return {
+        "appended_chunks": sum(int(r["chunks"]) for r in rows),
+        "dirs_touched": len(rows),
+        "replayed": False,
+    }
+
+
+def compact_token_shards(spark, path: str, max_files: int = 4) -> dict:
+    """Rewrite every (split, shard) dir holding more than ``max_files``
+    parquet files back to ONE file — the superseding-compaction idiom
+    the incremental indexes use, applied to the shard layout appends
+    grow.  Same staging + filesystem-swap discipline as the RTBF erase
+    (never overwrites a path Spark is lazily reading); row content is
+    unchanged so the manifest needs no update; dirs at or under the
+    threshold are untouched (never read, never written).  Returns
+    {dirs_compacted, files_removed}."""
+    import os as _os
+    import shutil as _shutil
+
+    crowded = []
+    for split_dir in sorted(_os.listdir(path)):
+        if not split_dir.startswith("split="):
+            continue
+        for shard_dir in sorted(_os.listdir(_os.path.join(path, split_dir))):
+            if not shard_dir.startswith("shard="):
+                continue
+            d = _os.path.join(path, split_dir, shard_dir)
+            n = len([f for f in _os.listdir(d) if f.endswith(".parquet")])
+            if n > max_files:
+                crowded.append(
+                    (split_dir.split("=", 1)[1], int(shard_dir.split("=", 1)[1]), n)
+                )
+    if not crowded:
+        return {"dirs_compacted": 0, "files_removed": 0}
+
+    cond = F.lit(False)
+    for s, sh, _ in crowded:
+        cond = cond | ((F.col("split") == s) & (F.col("shard") == sh))
+    keep = (
+        read_token_shards(spark, path)
+        .filter(cond)
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("doc_id", "chunk_id")
+    )
+    staging = _os.path.join(path, "_compact_staging")
+    _shutil.rmtree(staging, ignore_errors=True)
+    keep.write.mode("error").partitionBy("split", "shard").parquet(staging)
+    removed = 0
+    for s, sh, n in crowded:
+        target = _os.path.join(path, f"split={s}", f"shard={sh}")
+        _shutil.rmtree(target)
+        _os.replace(_os.path.join(staging, f"split={s}", f"shard={sh}"), target)
+        removed += n - 1
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {"dirs_compacted": len(crowded), "files_removed": removed}
+
+
 def erase_docs_from_token_shards(
     spark, path: str, doc_ids: list[int], id_col: str = "doc_id"
 ) -> dict:

@@ -694,3 +694,99 @@ def test_mixture_stage_rebalances_and_conserves(spark, sf_dir):
     bare = docs.select("doc_id", "text")
     with pytest.raises(ValueError, match="mixture_stratum"):
         build_corpus(bare, rules=RULES, minhash_threshold=0.3, mixture_alpha=0.5)
+
+
+def test_append_and_compact_token_shards(spark, sf_dir, tmp_path):
+    """Incremental shard lifecycle (r15): append lands a delta as one
+    new file per touched dir with manifest censuses SUM-merged and
+    exactly-once batch ids (replay no-ops); reads after append equal
+    base ∪ delta; compaction rewrites ONLY crowded dirs back to one
+    file with content unchanged; erase still works on the grown
+    layout."""
+    import json
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        append_token_shards,
+        compact_token_shards,
+        erase_docs_from_token_shards,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=5)
+    toks = res["tokens"]
+    ids = sorted(r["doc_id"] for r in toks.select("doc_id").distinct().collect())
+    base_ids, delta_ids = ids[: len(ids) // 2], ids[len(ids) // 2:]
+    base = toks.filter(F.col("doc_id").isin(base_ids))
+    delta = toks.filter(F.col("doc_id").isin(delta_ids))
+
+    out = str(tmp_path / "shards")
+    write_token_shards(base, out, n_shards=4)
+    n_base = read_token_shards(spark, out).count()
+
+    rep = append_token_shards(delta, out, batch_id="b1")
+    assert rep["replayed"] is False and rep["appended_chunks"] == delta.count()
+    after = read_token_shards(spark, out)
+    assert after.count() == n_base + rep["appended_chunks"]
+    # base ∪ delta at (doc, chunk) identity
+    got = sorted(
+        (r["doc_id"], r["chunk_id"]) for r in after.select("doc_id", "chunk_id").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["chunk_id"]) for r in toks.select("doc_id", "chunk_id").collect()
+    )
+    assert got == want
+    # manifest == reader, and the batch is recorded
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["applied_batches"] == ["b1"]
+    reader_census = {
+        f"{r['split']}/{int(r['shard']):02d}": int(r["c"])
+        for r in after.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["chunks"] for k, v in manifest["shards"].items()} == reader_census
+    # exactly-once: replaying the same batch id no-ops
+    rep2 = append_token_shards(delta, out, batch_id="b1")
+    assert rep2 == {"appended_chunks": 0, "dirs_touched": 0, "replayed": True}
+    assert read_token_shards(spark, out).count() == n_base + rep["appended_chunks"]
+
+    # compaction: touched dirs now hold 2 files; threshold 1 compacts
+    # them to one with identical content
+    two_file_dirs = [
+        (s, d)
+        for s in os.listdir(out) if s.startswith("split=")
+        for d in os.listdir(os.path.join(out, s)) if d.startswith("shard=")
+        if len([f for f in os.listdir(os.path.join(out, s, d))
+                if f.endswith(".parquet")]) > 1
+    ]
+    assert two_file_dirs, "append should have produced multi-file dirs"
+    crep = compact_token_shards(spark, out, max_files=1)
+    assert crep["dirs_compacted"] == len(two_file_dirs)
+    assert crep["files_removed"] >= len(two_file_dirs)
+    for s, d in two_file_dirs:
+        files = [f for f in os.listdir(os.path.join(out, s, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (s, d, files)
+    after_compact = read_token_shards(spark, out)
+    got2 = sorted(
+        (r["doc_id"], r["chunk_id"])
+        for r in after_compact.select("doc_id", "chunk_id").collect()
+    )
+    assert got2 == want  # content unchanged
+    # idempotent: nothing left over threshold
+    assert compact_token_shards(spark, out, max_files=1) == {
+        "dirs_compacted": 0, "files_removed": 0
+    }
+
+    # erase still consistent on the appended+compacted layout
+    victim = delta_ids[0]
+    erase_docs_from_token_shards(spark, out, [victim])
+    final = read_token_shards(spark, out)
+    assert final.filter(F.col("doc_id") == victim).count() == 0
+    m2 = json.load(open(os.path.join(out, "_manifest.json")))
+    got3 = {
+        f"{r['split']}/{int(r['shard']):02d}": int(r["c"])
+        for r in final.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["chunks"] for k, v in m2["shards"].items()} == got3
