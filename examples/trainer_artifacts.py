@@ -33,8 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.corpus_pipeline import (
+    append_token_shards,
     assert_corpus_invariants,
     build_corpus,
+    compact_token_shards,
     erase_docs_from_token_shards,
     read_token_shards,
     write_token_shards,
@@ -74,11 +76,29 @@ def main(work_dir: str) -> None:
     assert blk["seg_offsets"][-1] + blk["seg_tokens"][-1] == blk["total_tokens"]
 
     # 2. bytes on disk: one file per (split, shard), manifest censuses
+    #    — base half first, then the rest as an exactly-once APPEND
+    #    batch (the incremental-corpus path), then compaction
     shards_dir = os.path.join(work_dir, "shards")
-    manifest = write_token_shards(res["tokens"], shards_dir, n_shards=4)
+    toks = res["tokens"]
+    ids = sorted(r["doc_id"] for r in toks.select("doc_id").distinct().collect())
+    cut = ids[len(ids) // 2]
+    write_token_shards(toks.filter(F.col("doc_id") < cut), shards_dir, n_shards=4)
+    rep = append_token_shards(
+        toks.filter(F.col("doc_id") >= cut), shards_dir, batch_id="delta-1"
+    )
+    replay = append_token_shards(
+        toks.filter(F.col("doc_id") >= cut), shards_dir, batch_id="delta-1"
+    )
+    assert replay["replayed"] and replay["appended_chunks"] == 0
+    comp = compact_token_shards(spark, shards_dir, max_files=1)
+    manifest = json.load(open(os.path.join(shards_dir, "_manifest.json")))
     total = sum(s["bpe_tokens"] for s in manifest["shards"].values())
     assert total == led["tokens"]["bpe_tokens"], "manifest != ledger"
-    print(f"shards: {len(manifest['shards'])} dirs, manifest sums to {total} ids")
+    print(
+        f"shards: {len(manifest['shards'])} dirs (append touched "
+        f"{rep['dirs_touched']}, replay no-op, compaction rewrote "
+        f"{comp['dirs_compacted']}), manifest sums to {total} ids"
+    )
 
     # 3. a trainer worker reads ONLY its shard (partition-pruned)
     worker = read_token_shards(spark, shards_dir, split="train", shards=[0])
