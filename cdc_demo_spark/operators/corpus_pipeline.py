@@ -628,6 +628,89 @@ def write_token_shards(
     return manifest
 
 
+def write_block_index(blocks: DataFrame, path: str) -> dict:
+    """Persist the PACKED-BLOCK COMPOSITION next to the token shards —
+    the artifact that lets a trainer assemble fixed-budget batches
+    without re-packing: per (split, shard), the block rows with their
+    full segment layouts (seg_doc_ids/seg_chunk_ids/seg_tokens/
+    seg_offsets — requires build_corpus(emit_segments=True)).  Lands
+    under ``path``/_blocks — the underscore prefix keeps the index
+    invisible to parquet readers of the token rows themselves — with
+    the same one-file-per-dir guarantee as the writer, and extends the
+    manifest with per-shard {blocks, chunks} censuses, CHECKED against
+    the token shards' own chunk censuses at write time (a block index
+    that disagrees with the rows it indexes must fail here, not in a
+    training run).  Blocks are DERIVED data: ``erase_docs_from_token_
+    shards`` drops the touched shards' index dirs (block composition
+    cannot be locally patched — re-pack regenerates); appends leave
+    existing blocks valid (new chunks are simply unpacked until the
+    next pack)."""
+    import json as _json
+    import os as _os
+
+    for c in ("seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets"):
+        if c not in blocks.columns:
+            raise ValueError(
+                f"write_block_index needs segment columns (missing {c!r}); "
+                "run build_corpus/pack_chunks with emit_segments=True"
+            )
+    mpath = _os.path.join(path, "_manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    idx_root = _os.path.join(path, "_blocks")
+    laid = (
+        blocks.select(
+            "split", "shard", "block_id", "n_chunks", "total_tokens",
+            "seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets",
+        )
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("block_id")
+    )
+    laid.write.mode("error").partitionBy("split", "shard").parquet(idx_root)
+    rows = (
+        blocks.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.coalesce(F.sum("n_chunks"), F.lit(0)).alias("chunks"),
+        )
+        .collect()
+    )
+    index = {}
+    for r in rows:
+        key = f"{r['split']}/{int(r['shard']):02d}"
+        want = manifest["shards"].get(key, {}).get("chunks")
+        if want != int(r["chunks"]):
+            raise ValueError(
+                f"block index disagrees with token shards at {key}: index "
+                f"covers {int(r['chunks'])} chunks, shard holds {want}"
+            )
+        index[key] = {"blocks": int(r["blocks"]), "chunks": int(r["chunks"])}
+    manifest["blocks"] = index
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, sort_keys=True, indent=1)
+    _os.replace(tmp, mpath)
+    return index
+
+
+def read_block_index(spark, path: str, split: str | None = None,
+                     shards: list[int] | None = None) -> DataFrame:
+    """Read the block index back, with the same partition-level
+    split/shard pruning as read_token_shards."""
+    df = spark.read.parquet(_bi_root(path))
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df
+
+
+def _bi_root(path: str):
+    import os as _os
+
+    return _os.path.join(path, "_blocks")
+
+
 def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
     """O(delta) APPEND of new documents' token rows into an existing
     shard layout — the incremental-ledger idiom (bronze/MinHashIndex)
@@ -781,7 +864,8 @@ def erase_docs_from_token_shards(
     touched_shards = sorted(set(shard_of.values()))
     if not touched_shards:
         return {"erased_chunks": 0, "erased_words": 0, "erased_bpe_tokens": 0,
-                "dirs_rewritten": 0, "dirs_removed": 0}
+                "dirs_rewritten": 0, "dirs_removed": 0,
+                "block_index_dropped": 0}
 
     # one pruned read of ONLY the candidate shard dirs (split unknown
     # per doc until read — the shard id alone prunes to <= n_touched
@@ -795,7 +879,8 @@ def erase_docs_from_token_shards(
     ).collect()
     if not erased:
         return {"erased_chunks": 0, "erased_words": 0, "erased_bpe_tokens": 0,
-                "dirs_rewritten": 0, "dirs_removed": 0}
+                "dirs_rewritten": 0, "dirs_removed": 0,
+                "block_index_dropped": 0}
 
     # classify touched dirs: fully-erased (remove) vs partial (rewrite)
     remove_pairs, rewrite_pairs = [], []
@@ -839,6 +924,21 @@ def erase_docs_from_token_shards(
     for s, sh in remove_pairs:
         _shutil.rmtree(_dir(s, sh))
 
+    # the block index (when present) is DERIVED data over the erased
+    # rows: block composition cannot be locally patched (budgets would
+    # change), so touched shards' index dirs drop with their manifest
+    # censuses — re-pack regenerates them.  Untouched shards keep
+    # their index.
+    bi_dropped = 0
+    for s, sh in rewrite_pairs + remove_pairs:
+        key = f"{s}/{sh:02d}"
+        d = _os.path.join(_bi_root(path), f"split={s}", f"shard={sh}")
+        if _os.path.isdir(d):
+            _shutil.rmtree(d)
+            bi_dropped += 1
+        if key in manifest.get("blocks", {}):
+            del manifest["blocks"][key]
+
     tmp = _os.path.join(path, "_manifest.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(manifest, f, sort_keys=True, indent=1)
@@ -849,6 +949,7 @@ def erase_docs_from_token_shards(
         "erased_bpe_tokens": sum(int(r["bpe_tokens"]) for r in erased),
         "dirs_rewritten": len(rewrite_pairs),
         "dirs_removed": len(remove_pairs),
+        "block_index_dropped": bi_dropped,
     }
 
 

@@ -629,7 +629,7 @@ def test_rtbf_erase_token_shards(spark, sf_dir, tmp_path):
     again = erase_docs_from_token_shards(spark, out, two)
     assert again == {"erased_chunks": 0, "erased_words": 0,
                      "erased_bpe_tokens": 0, "dirs_rewritten": 0,
-                     "dirs_removed": 0}
+                     "dirs_removed": 0, "block_index_dropped": 0}
     assert file_state() == after_files
 
     # full-dir erase: remove every doc of one (split, shard)
@@ -790,3 +790,80 @@ def test_append_and_compact_token_shards(spark, sf_dir, tmp_path):
         for r in final.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert {k: v["chunks"] for k, v in m2["shards"].items()} == got3
+
+
+def test_block_index_roundtrip_consistency_and_erase(spark, sf_dir, tmp_path):
+    """Block index on disk (r15): the persisted block composition must
+    agree with the token shards chunk-for-chunk (checked at write
+    time AND re-proven here at identity grain), prune reads at the
+    partition level, refuse a layout written under a different shard
+    key, and drop exactly the touched shards' index dirs on RTBF
+    erase (derived data — composition can't be locally patched)."""
+    import json
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        erase_docs_from_token_shards,
+        read_block_index,
+        read_token_shards,
+        write_block_index,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        emit_segments=True, bpe_merges=5,
+    )
+    out = str(tmp_path / "shards")
+    write_token_shards(res["tokens"], out)  # defaults match build_corpus
+    idx = write_block_index(res["blocks"], out)
+    assert idx and all(v["blocks"] > 0 for v in idx.values())
+
+    # identity-grain consistency: exploded segments == token rows
+    bi = read_block_index(spark, out)
+    segs = bi.select(
+        "split", "shard",
+        F.explode(F.arrays_zip("seg_doc_ids", "seg_chunk_ids")).alias("s"),
+    ).select(
+        "split", "shard",
+        F.col("s.seg_doc_ids").alias("doc_id"),
+        F.col("s.seg_chunk_ids").alias("chunk_id"),
+    )
+    toks = read_token_shards(spark, out).select("split", "shard", "doc_id", "chunk_id")
+    assert segs.exceptAll(toks).count() == 0
+    assert toks.exceptAll(segs).count() == 0
+
+    # pruned read
+    one = read_block_index(spark, out, split="train", shards=[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+
+    # a layout under a DIFFERENT shard key must be refused loudly
+    out2 = str(tmp_path / "shards4")
+    write_token_shards(res["tokens"], out2, n_shards=4)
+    with pytest.raises(ValueError, match="disagrees"):
+        write_block_index(res["blocks"], out2)
+
+    # RTBF drops exactly the touched shards' index dirs
+    victim = res["tokens"].select("doc_id").distinct().limit(1).collect()[0][0]
+    before_dirs = {
+        (s, d)
+        for s in os.listdir(os.path.join(out, "_blocks")) if s.startswith("split=")
+        for d in os.listdir(os.path.join(out, "_blocks", s)) if d.startswith("shard=")
+    }
+    rep = erase_docs_from_token_shards(spark, out, [victim])
+    assert rep["block_index_dropped"] == rep["dirs_rewritten"] + rep["dirs_removed"] >= 1
+    after_dirs = {
+        (s, d)
+        for s in os.listdir(os.path.join(out, "_blocks")) if s.startswith("split=")
+        for d in os.listdir(os.path.join(out, "_blocks", s)) if d.startswith("shard=")
+    }
+    assert len(before_dirs - after_dirs) == rep["block_index_dropped"]
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    for s, d in before_dirs - after_dirs:
+        key = f"{s.split('=')[1]}/{int(d.split('=')[1]):02d}"
+        assert key not in manifest["blocks"]
+    for s, d in after_dirs:
+        key = f"{s.split('=')[1]}/{int(d.split('=')[1]):02d}"
+        assert key in manifest["blocks"]
