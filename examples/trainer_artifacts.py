@@ -38,7 +38,9 @@ from cdc_demo_spark.operators.corpus_pipeline import (
     build_corpus,
     compact_token_shards,
     erase_docs_from_token_shards,
+    read_block_index,
     read_token_shards,
+    write_block_index,
     write_token_shards,
 )
 from cdc_demo_spark.session import get_spark
@@ -82,7 +84,9 @@ def main(work_dir: str) -> None:
     toks = res["tokens"]
     ids = sorted(r["doc_id"] for r in toks.select("doc_id").distinct().collect())
     cut = ids[len(ids) // 2]
-    write_token_shards(toks.filter(F.col("doc_id") < cut), shards_dir, n_shards=4)
+    # n_shards/salt left at defaults so the shard key MATCHES the pack
+    # stage's (write_block_index verifies this agreement at write time)
+    write_token_shards(toks.filter(F.col("doc_id") < cut), shards_dir)
     rep = append_token_shards(
         toks.filter(F.col("doc_id") >= cut), shards_dir, batch_id="delta-1"
     )
@@ -100,11 +104,21 @@ def main(work_dir: str) -> None:
         f"{comp['dirs_compacted']}), manifest sums to {total} ids"
     )
 
-    # 3. a trainer worker reads ONLY its shard (partition-pruned)
+    # 2b. persist the block composition (segment layouts) next to the
+    #     rows — write-time checked against the shard censuses
+    idx = write_block_index(res["blocks"], shards_dir)
+    print(f"block index: {sum(v['blocks'] for v in idx.values())} blocks across "
+          f"{len(idx)} dirs (chunk censuses verified against the shards)")
+
+    # 3. a trainer worker reads ONLY its shard (partition-pruned) —
+    #    token rows AND its block layout
     worker = read_token_shards(spark, shards_dir, split="train", shards=[0])
     want = manifest["shards"].get("train/00", {}).get("chunks", 0)
     assert worker.count() == want
-    print(f"worker read train/00: {want} chunks (partition-pruned)")
+    blocks0 = read_block_index(spark, shards_dir, split="train", shards=[0])
+    assert blocks0.count() == idx.get("train/00", {}).get("blocks", 0)
+    print(f"worker read train/00: {want} chunks + {blocks0.count()} block layouts "
+          "(both partition-pruned)")
 
     # 4. RTBF: erase two documents; untouched dirs never rewritten
     victims = [
