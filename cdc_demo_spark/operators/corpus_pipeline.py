@@ -87,6 +87,51 @@ def split_expr(component: F.Column) -> F.Column:
     return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
 
 
+def temperature_thresholds(
+    counts: list[tuple[str, int]], alpha: float, target_frac: float
+) -> dict[str, str]:
+    """ONE copy of the temperature-mixture threshold derivation (the
+    q_mixture_temperature scheme): per-stratum weight floor(n^alpha),
+    keep-rate min(1, target·w_s/(Σw·n_s)), md5 threshold = the rate
+    2^32-scaled in INTEGER arithmetic, keep-all as the 'g' sentinel
+    (> every hex key, so a maximal md5 can't be dropped).  Shared by
+    build_corpus' 4b stage and by streaming callers that FREEZE an
+    epoch's thresholds for corpus_stream_sink."""
+    import math
+
+    weights = {s: int(math.floor(n ** alpha)) for s, n in counts}
+    n_total = sum(n for _, n in counts)
+    s_total = max(sum(weights.values()), 1)
+    n_target = int(n_total * target_frac)
+    out = {}
+    for s, n in counts:
+        t = min(1 << 32, (n_target * weights[s] * (1 << 32)) // (s_total * n))
+        out[s] = "g" if t >= (1 << 32) else format(t, "08x")
+    return out
+
+
+def mixture_keep_expr(
+    stratum_col: str,
+    thresholds: dict[str, str],
+    id_col: str = "doc_id",
+    salt: str = "mix-corpus:",
+) -> F.Column:
+    """The mixture keep predicate as ONE reusable expression: a doc
+    survives iff md5(salt:id)[:8] < its stratum's threshold.  A
+    stratum ABSENT from ``thresholds`` drops (NULL threshold → NULL
+    comparison → filtered): for frozen-threshold streaming that means
+    a brand-new stratum appearing mid-epoch contributes nothing until
+    the next epoch's thresholds include it — the honest behavior, and
+    loud in the ledgers rather than silently keep-all."""
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr = F.lit(None).cast("string")
+    for s in sorted(thresholds):
+        thr = F.when(F.col(stratum_col) == s, thresholds[s]).otherwise(thr)
+    return key < thr
+
+
 def _docs_tokens(df: DataFrame, text_col: str) -> tuple[int, int]:
     row = df.agg(
         F.count(F.lit(1)).alias("d"),
@@ -285,8 +330,6 @@ def build_corpus(
     #    downstream census (split/pack/tokens — the tokenizer too)
     #    sees the MIXED corpus.
     if mixture_alpha is not None:
-        import math as _math
-
         if mixture_stratum not in docs.columns:
             raise ValueError(
                 f"mixture_stratum {mixture_stratum!r} not in input columns "
@@ -300,23 +343,9 @@ def build_corpus(
             for r in strata.groupBy(mixture_stratum)
             .agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        weights = {s: int(_math.floor(n ** mixture_alpha)) for s, n in counts}
-        n_total = sum(n for _, n in counts)
-        s_total = max(sum(weights.values()), 1)
-        n_target = int(n_total * mixture_target_frac)
-        thr = {}
-        for s, n in counts:
-            t = min(1 << 32, (n_target * weights[s] * (1 << 32)) // (s_total * n))
-            thr[s] = "g" if t >= (1 << 32) else format(t, "08x")
-        key = F.substring(
-            F.md5(F.concat(F.lit("mix-corpus:"), F.col(id_col).cast("string"))),
-            1, 8,
-        )
-        thr_col = F.lit(None).cast("string")
-        for s, _ in counts:
-            thr_col = F.when(F.col(mixture_stratum) == s, thr[s]).otherwise(thr_col)
+        thr = temperature_thresholds(counts, mixture_alpha, mixture_target_frac)
         final_docs = (
-            strata.filter(key < thr_col)
+            strata.filter(mixture_keep_expr(mixture_stratum, thr, id_col))
             .select(id_col, text_col, "split")
             .localCheckpoint(eager=True)
         )
@@ -520,6 +549,8 @@ def corpus_stream_sink(
     rules: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mixture_thresholds: dict[str, str] | None = None,
+    mixture_stratum: str = "lang",
 ):
     """foreachBatch adapter for the corpus pipeline's INCREMENTAL
     stages (r13 VERDICT #8): each streaming epoch applies the SAME
@@ -537,6 +568,18 @@ def corpus_stream_sink(
     The batch twin is build_corpus' quality + near-dup stages plus a
     word count over the survivors; equality pinned by
     tests/test_corpus_pipeline.py::test_streaming_twin_equals_batch_composite.
+
+    ``mixture_thresholds`` (r15): FROZEN temperature-mixture keep
+    thresholds (derive once per epoch via ``temperature_thresholds``
+    over a counts snapshot) applied as part of the same per-batch keep
+    predicate — the streaming form of build_corpus' 4b stage.  Rates
+    must be frozen because a per-micro-batch derivation would make a
+    doc's survival depend on which batch delivered it (breaking
+    replay determinism); the keep is then a pure function of
+    (id, stratum), so at-least-once redelivery and wave boundaries
+    cannot change the kept set.  A stratum absent from the dict drops
+    (see mixture_keep_expr).  Streaming == batch with the same frozen
+    thresholds is pinned in tests.
     """
     rules = dict(DEFAULT_RULES if rules is None else rules)
 
@@ -545,7 +588,12 @@ def corpus_stream_sink(
         # every doc) feeds BOTH ledgers — without the pin it would
         # re-run per append (r14 review finding); unpersist in finally
         # so epochs never accumulate storage
-        kept = batch_df.filter(quality_keep_expr(text_col, rules)).persist()
+        keep = quality_keep_expr(text_col, rules)
+        if mixture_thresholds is not None:
+            keep = keep & mixture_keep_expr(
+                mixture_stratum, mixture_thresholds, id_col
+            )
+        kept = batch_df.filter(keep).persist()
         try:
             minhash_index.append_batch(
                 kept, id_col, text_col, batch_id=int(batch_id), persist_pairs=True

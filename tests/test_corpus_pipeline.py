@@ -867,3 +867,91 @@ def test_block_index_roundtrip_consistency_and_erase(spark, sf_dir, tmp_path):
     for s, d in after_dirs:
         key = f"{s.split('=')[1]}/{int(d.split('=')[1]):02d}"
         assert key in manifest["blocks"]
+
+
+def test_streaming_mixture_twin_equals_batch(spark, sf_dir, tmp_path):
+    """Frozen-threshold mixture in the streaming sink (r15): two
+    availableNow waves with thresholds derived ONCE from the full
+    corpus must leave exactly the state the batch path leaves with the
+    same thresholds — the keep is a pure function of (id, stratum), so
+    wave boundaries can't change the kept set.  Also pins the
+    unseen-stratum policy: a lang absent from the frozen dict
+    contributes nothing."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        corpus_stream_sink,
+        mixture_keep_expr,
+        temperature_thresholds,
+    )
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+    from cdc_demo_spark.operators.incremental_tokens import TokenCountIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = docs.localCheckpoint(eager=True)
+    counts = sorted(
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # drop one stratum from the frozen dict to pin the unseen policy
+    frozen = temperature_thresholds(counts, 0.5, 0.5)
+    dropped = sorted(frozen)[0]
+    frozen.pop(dropped)
+
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    os.makedirs(land)
+    mh = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.12)
+    tk = TokenCountIndex(spark, str(tmp_path / "tk"))
+    sink = corpus_stream_sink(mh, tk, rules=RULES, mixture_thresholds=frozen)
+
+    def run_wave(pred, prefix):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{prefix}")
+        )
+        for i, name in enumerate(
+            f for f in os.listdir(tmp_path / f"stage_{prefix}")
+            if f.endswith(".parquet")
+        ):
+            os.rename(
+                tmp_path / f"stage_{prefix}" / name, f"{land}/{prefix}-{i}.parquet"
+            )
+        finished = (
+            spark.readStream.schema(docs.schema)
+            .parquet(land)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+        assert finished, f"wave {prefix} did not terminate within 180s"
+
+    mid = 250
+    run_wave(F.col("doc_id") < mid, "w1")
+    run_wave(F.col("doc_id") >= mid, "w2")
+
+    kept = docs.filter(
+        quality_keep_expr("text", RULES) & mixture_keep_expr("lang", frozen)
+    )
+    assert kept.filter(F.col("lang") == dropped).count() == 0  # unseen drops
+    assert 0 < kept.count() < docs.count()
+    got_counts = {(r["token"], r["cnt"]) for r in tk.counts().collect()}
+    want_counts = {
+        (r["token"], r["cnt"])
+        for r in kept.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("token")
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_counts == want_counts
+    from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+
+    got_pairs = {(r["id_a"], r["id_b"]) for r in mh.stored_pairs().collect()}
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            kept, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+        ).collect()
+    }
+    assert got_pairs == want_pairs
