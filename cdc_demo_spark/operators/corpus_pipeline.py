@@ -759,6 +759,54 @@ def _bi_root(path: str):
     return _os.path.join(path, "_blocks")
 
 
+def assemble_training_blocks(
+    spark, path: str, split: str | None = None, shards: list[int] | None = None
+) -> DataFrame:
+    """The read side a trainer actually runs: zip the on-disk block
+    index with the on-disk token rows into ASSEMBLED batches — one row
+    per block with ``input_ids`` (every segment's BPE ids concatenated
+    in pack order) and ``seg_id_lens`` (per-segment id counts, the
+    array a collator turns into block-diagonal attention masks and
+    position-id resets — note these are ID lengths, which differ from
+    the index's seg_tokens WORD-SLOT lengths).
+
+    Scale shape: both sides prune to the same (split, shard) dirs; the
+    layout explodes WITH ORDINALITY (posexplode) so reassembly is
+    positional, the join key is the chunk identity inside one shard
+    (slim), and the per-block regroup is an array_sort over
+    (position, ids) structs — the same positional-regroup idiom as
+    encode_corpus_ids.  Everything stays inside the shard: with both
+    reads pruned to one dir, a trainer worker assembles its own shard
+    with no cross-shard traffic."""
+    bi = read_block_index(spark, path, split=split, shards=shards)
+    toks = read_token_shards(spark, path, split=split, shards=shards).select(
+        "split", "shard", "doc_id", "chunk_id", "token_ids"
+    )
+    seg = bi.select(
+        "split", "shard", "block_id", "n_chunks",
+        F.col("total_tokens").alias("n_slots"),
+        F.posexplode(F.arrays_zip("seg_doc_ids", "seg_chunk_ids")).alias("_pos", "s"),
+    ).select(
+        "split", "shard", "block_id", "n_chunks", "n_slots", "_pos",
+        F.col("s.seg_doc_ids").alias("doc_id"),
+        F.col("s.seg_chunk_ids").alias("chunk_id"),
+    )
+    joined = seg.join(toks, ["split", "shard", "doc_id", "chunk_id"])
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_pos"), F.col("token_ids").alias("_ids")))
+    )
+    return (
+        joined.groupBy("split", "shard", "block_id")
+        .agg(
+            F.first("n_chunks").alias("n_chunks"),
+            F.first("n_slots").alias("n_slots"),
+            F.flatten(F.transform(ordered, lambda s: s["_ids"])).alias("input_ids"),
+            F.transform(ordered, lambda s: F.size(s["_ids"])).alias("seg_id_lens"),
+        )
+        .withColumn("n_ids", F.size("input_ids").cast("long"))
+    )
+
+
 def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
     """O(delta) APPEND of new documents' token rows into an existing
     shard layout — the incremental-ledger idiom (bronze/MinHashIndex)

@@ -955,3 +955,84 @@ def test_streaming_mixture_twin_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_pairs == want_pairs
+
+
+def test_assemble_training_blocks(spark, sf_dir, tmp_path):
+    """Read-side assembly (r15): zipping the on-disk block index with
+    the on-disk token rows must reproduce, per block, exactly the
+    concatenation of its chunks' BPE ids in pack order — n_ids equals
+    the sum of the member chunks' n_bpe_tokens, seg_id_lens tiles
+    input_ids, every indexed block assembles, and a spot block's ids
+    equal the manual per-chunk concatenation."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        assemble_training_blocks,
+        read_block_index,
+        write_block_index,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        emit_segments=True, bpe_merges=5,
+    )
+    out = str(tmp_path / "shards")
+    write_token_shards(res["tokens"], out)
+    write_block_index(res["blocks"], out)
+
+    blocks = assemble_training_blocks(spark, out).localCheckpoint(eager=True)
+    assert blocks.count() == read_block_index(spark, out).count()
+    # seg_id_lens tiles input_ids exactly
+    bad = blocks.filter(
+        F.aggregate("seg_id_lens", F.lit(0), lambda a, x: a + x) != F.col("n_ids")
+    ).count()
+    assert bad == 0
+    assert blocks.filter(F.size("seg_id_lens") != F.col("n_chunks")).count() == 0
+    # per-block n_ids == sum of member chunks' n_bpe_tokens (via the
+    # token frame, independent path)
+    seg = read_block_index(spark, out).select(
+        "split", "shard", "block_id",
+        F.explode(F.arrays_zip("seg_doc_ids", "seg_chunk_ids")).alias("s"),
+    ).select(
+        "split", "shard", "block_id",
+        F.col("s.seg_doc_ids").alias("doc_id"),
+        F.col("s.seg_chunk_ids").alias("chunk_id"),
+    )
+    want = (
+        seg.join(
+            res["tokens"].select("doc_id", "chunk_id", "n_bpe_tokens"),
+            ["doc_id", "chunk_id"],
+        )
+        .groupBy("split", "shard", "block_id")
+        .agg(F.sum("n_bpe_tokens").alias("want_ids"))
+    )
+    mism = (
+        blocks.join(want, ["split", "shard", "block_id"])
+        .filter(F.col("n_ids") != F.col("want_ids"))
+        .count()
+    )
+    assert mism == 0
+    # spot check: one multi-chunk block's ids == manual concatenation
+    spot = blocks.filter(F.col("n_chunks") > 1).limit(1).collect()[0]
+    layout = read_block_index(
+        spark, out, split=spot["split"], shards=[spot["shard"]]
+    ).filter(F.col("block_id") == spot["block_id"]).collect()[0]
+    tok_map = {
+        (r["doc_id"], r["chunk_id"]): r["token_ids"]
+        for r in res["tokens"].filter(
+            F.col("doc_id").isin(list(set(layout["seg_doc_ids"])))
+        ).collect()
+    }
+    manual = []
+    for d, c in zip(layout["seg_doc_ids"], layout["seg_chunk_ids"]):
+        manual.extend(tok_map[(d, c)])
+    assert spot["input_ids"] == manual
+    # pruned single-shard assembly matches the full assembly's subset
+    one = assemble_training_blocks(
+        spark, out, split=spot["split"], shards=[spot["shard"]]
+    )
+    assert one.count() == blocks.filter(
+        (F.col("split") == spot["split"]) & (F.col("shard") == spot["shard"])
+    ).count()
