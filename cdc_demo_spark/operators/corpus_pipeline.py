@@ -807,7 +807,9 @@ def assemble_training_blocks(
     )
 
 
-def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
+def append_token_shards(
+    tokens: DataFrame, path: str, batch_id: str, validate_new: bool = False
+) -> dict:
     """O(delta) APPEND of new documents' token rows into an existing
     shard layout — the incremental-ledger idiom (bronze/MinHashIndex)
     at the trainer-artifact level: the delta hashes to shards with the
@@ -821,7 +823,14 @@ def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
     read or written; nothing existing is rewritten (appends add files
     — run ``compact_token_shards`` when dirs accumulate).  Per-file
     rows stay (doc_id, chunk_id)-sorted; cross-file order within a dir
-    is epoch order, which the reader does not promise anyway."""
+    is epoch order, which the reader does not promise anyway.
+
+    The delta MUST be new documents: batch_id catches the realistic
+    dup vector (redelivery of the same batch), but a caller re-sending
+    old docs under a FRESH batch_id would silently double them —
+    ``validate_new=True`` buys insurance against that caller bug with
+    one anti-join probe of only the touched dirs (pruned read, slim
+    columns) and raises listing sample offenders."""
     import json as _json
     import os as _os
 
@@ -835,6 +844,25 @@ def append_token_shards(tokens: DataFrame, path: str, batch_id: str) -> dict:
 
     shard = (md5_long(F.concat_ws("|", F.lit(salt), F.col("doc_id")))
              % n_shards).cast("int")
+    if validate_new:
+        spark = tokens.sparkSession
+        touched = sorted(
+            int(r["shard"])
+            for r in tokens.withColumn("shard", shard).select("shard").distinct().collect()
+        )
+        existing = read_token_shards(spark, path, shards=touched).select("doc_id")
+        dup = (
+            tokens.select("doc_id").distinct()
+            .join(existing.distinct(), "doc_id", "left_semi")
+        )
+        offenders = [r["doc_id"] for r in dup.limit(5).collect()]
+        if offenders:
+            raise ValueError(
+                f"append_token_shards: delta re-sends existing doc_ids "
+                f"(sample: {offenders}) under new batch_id {batch_id!r} — "
+                "appending would silently double them; erase first or fix "
+                "the delta"
+            )
     laid = (
         tokens.withColumn("shard", shard)
         .repartition(F.col("split"), F.col("shard"))

@@ -1036,3 +1036,39 @@ def test_assemble_training_blocks(spark, sf_dir, tmp_path):
     assert one.count() == blocks.filter(
         (F.col("split") == spot["split"]) & (F.col("shard") == spot["shard"])
     ).count()
+
+
+def test_append_validate_new_catches_resent_docs(spark, sf_dir, tmp_path):
+    """validate_new=True (r15 self-review): re-sending EXISTING docs
+    under a fresh batch_id must raise (silent doubling is the caller
+    bug batch_id can't see); a genuinely-new delta passes the same
+    check, and the default stays cheap (no probe)."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        append_token_shards,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=5)
+    toks = res["tokens"]
+    ids = sorted(r["doc_id"] for r in toks.select("doc_id").distinct().collect())
+    cut = ids[len(ids) // 2]
+    out = str(tmp_path / "shards")
+    write_token_shards(toks.filter(F.col("doc_id") < cut), out, n_shards=4)
+
+    resent = toks.filter(F.col("doc_id") < cut).limit(50)
+    with pytest.raises(ValueError, match="re-sends existing doc_ids"):
+        append_token_shards(resent, out, batch_id="bad", validate_new=True)
+    # the refused batch must not have landed anything
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert "bad" not in manifest.get("applied_batches", [])
+    n_before = read_token_shards(spark, out).count()
+
+    fresh = toks.filter(F.col("doc_id") >= cut)
+    rep = append_token_shards(fresh, out, batch_id="good", validate_new=True)
+    assert rep["replayed"] is False and rep["appended_chunks"] == fresh.count()
+    assert read_token_shards(spark, out).count() == n_before + fresh.count()
