@@ -618,3 +618,110 @@ def encode_chunked_corpus_ids(
         F.size("c.token_ids").cast("long").alias("n_bpe_tokens"),
         F.col("c.token_ids").alias("token_ids"),
     )
+
+
+def decode_corpus_ids(
+    df: DataFrame,
+    ids_col: str,
+    idmap: DataFrame,
+    key_cols: list[str] | None = None,
+    out_col: str = "decoded",
+    impl: str = "auto",
+    max_literal_vocab: int = 65536,
+) -> DataFrame:
+    """Inverse of ``encode_corpus_ids`` at the id level: map each row's
+    ``ids_col`` (array<int>) back through the ``token_id_map`` table
+    and concatenate the token strings in order.  This is the detok
+    half a trainer needs for spot-reading batches and for loss-string
+    debugging; because merges never cross word boundaries and the
+    symbolization carries no word marker, the decoded string is the
+    document's text with the inter-word spaces removed — the
+    round-trip invariant ``q_bpe_decode`` pins value-exactly.
+
+    Adds ``out_col`` (string, '' for empty/NULL id arrays) and
+    ``n_unknown_ids`` (long): ids absent from the map decode to
+    nothing but are COUNTED, so a vocabulary/corpus mismatch is
+    visible in the output instead of silently dropped.
+
+    Two physical strategies:
+
+    - ``impl='literal'`` (chosen by ``'auto'`` when the map has at
+      most ``max_literal_vocab`` rows — every shipped-tokenizer-sized
+      vocabulary): collect the map once (vocabulary-grain, the
+      documented-bounded class), verify ids are dense 0..V-1 (true by
+      ``token_id_map`` construction), and decode as a pure per-row
+      projection ``element_at(<array literal>, id+1)`` — ZERO
+      shuffle, zero joins; the array ships as one plan literal, not
+      V codegen expressions.
+    - ``impl='join'`` (the arbitrarily-large-vocabulary path; needs
+      ``key_cols``, same uniqueness + reserved-name contract as
+      ``encode_corpus_ids``): posexplode ids, broadcast-join the map
+      on tok_id, regroup positionally per key.  One shuffle at
+      corpus-token grain — the unavoidable cost once the map itself
+      is too big to ship to every task.
+
+    Both implementations are pinned equal in tests/test_bpe.py."""
+    if impl == "auto":
+        impl = "literal" if idmap.count() <= max_literal_vocab else "join"
+    if impl == "literal":
+        rows = idmap.collect()
+        if len(rows) > max_literal_vocab:
+            raise ValueError(
+                f"decode_corpus_ids: id map has {len(rows)} rows > "
+                f"max_literal_vocab={max_literal_vocab}; use impl='join'"
+            )
+        by_id = {int(r["tok_id"]): r["tok"] for r in rows}
+        if sorted(by_id) != list(range(len(rows))):
+            raise ValueError(
+                "decode_corpus_ids: id map ids are not dense 0..V-1 "
+                "(duplicate or gapped tok_id) — not a token_id_map artifact"
+            )
+        arr = F.lit([by_id[i] for i in range(len(rows))])
+        ids = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
+        # try_element_at: unknown ids (out of 0..V-1) must map to NULL
+        # and be counted, not raise under ANSI mode
+        mapped = F.transform(ids, lambda i: F.try_element_at(arr, i + 1))
+        return df.withColumn(
+            out_col, F.concat_ws("", F.filter(mapped, lambda t: t.isNotNull()))
+        ).withColumn(
+            "n_unknown_ids",
+            (F.size(ids) - F.size(F.filter(mapped, lambda t: t.isNotNull())))
+            .cast("long"),
+        )
+    if impl != "join":
+        raise ValueError(f"decode_corpus_ids: unknown impl {impl!r}")
+    if not key_cols:
+        raise ValueError("decode_corpus_ids: impl='join' requires key_cols")
+    reserved = {"tok", "tok_id", "_pos", out_col, "n_unknown_ids", ids_col}
+    bad = [c for c in key_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"key_cols {bad} collide with decode_corpus_ids internal/output "
+            f"column names {sorted(reserved)}; rename before decoding"
+        )
+    ids = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
+    ex = df.select(*key_cols, F.posexplode(ids).alias("_pos", "tok_id"))
+    per_key = (
+        ex.join(F.broadcast(idmap), "tok_id", "left")
+        .groupBy(*key_cols)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("_pos", F.coalesce("tok", F.lit(None)).alias("tok"))
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias(out_col),
+            F.sum(F.col("tok").isNull().cast("long")).alias("n_unknown_ids"),
+        )
+    )
+    joined = df.join(per_key, key_cols, "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    ).withColumn(
+        "n_unknown_ids", F.coalesce(F.col("n_unknown_ids"), F.lit(0)).cast("long")
+    )

@@ -645,15 +645,16 @@ FROM documents d LEFT JOIN assembled a USING (doc_id)
 """
 
 
-def _bpe_encode_ids_oracle(n_merges: int) -> str:
-    """DuckDB twin of operators/bpe.encode_corpus_ids: the encode
-    oracle's merge chain PLUS the token_id_map id scheme replayed from
-    first principles — base characters of the vocabulary sorted get
-    ids 0..C-1, distinct merged strings get C, C+1, ... in
+def _bpe_ids_chain(n_merges: int) -> str:
+    """Shared CTE chain for the token-id oracles (encode_ids, decode):
+    the merge-chain states plus the token_id_map id scheme replayed
+    from first principles — base characters of the vocabulary sorted
+    get ids 0..C-1, distinct merged strings get C, C+1, ... in
     first-occurrence merge order (duplicates share the earlier id),
     every word's final tokens map through that table, and documents
-    reassemble in word order.  Both engines order base chars by raw
-    binary collation, so the row_number ranks agree exactly."""
+    reassemble in word order (``assembled``: doc_id, ids).  Both
+    engines order base chars by raw binary collation, so the
+    row_number ranks agree exactly."""
     merge_strs = "\nUNION ALL ".join(
         f"SELECT lhs || rhs AS tok, {i} AS rk FROM b{i}"
         for i in range(1, n_merges + 1)
@@ -696,11 +697,47 @@ assembled AS (
   SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.pos)) AS ids
   FROM docw dw JOIN wids w USING (word)
   GROUP BY dw.doc_id
-)
+)"""
+
+
+def _bpe_encode_ids_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/bpe.encode_corpus_ids: the shared
+    ``_bpe_ids_chain`` (merge states + id table + positional
+    reassembly); the md5 of the space-joined id stream pins every id
+    in every document."""
+    return _bpe_ids_chain(n_merges) + """
 SELECT d.doc_id,
        CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_bpe_tokens,
        md5(coalesce(array_to_string(a.ids, ' '), '')) AS ids_md5
 FROM documents d LEFT JOIN assembled a USING (doc_id)
+"""
+
+
+def _bpe_decode_oracle(n_merges: int) -> str:
+    """DuckDB twin of q_bpe_decode: the shared ``_bpe_ids_chain``
+    composed with the INVERSE id lookup — each assembled id stream is
+    re-exploded, joined back to the id table on tok_id, and the token
+    strings re-concatenate positionally.  The round-trip invariant is
+    checked in-oracle: merges never cross word boundaries and the
+    symbolization carries no word marker, so the decoded string must
+    equal the document text with its spaces removed."""
+    return _bpe_ids_chain(n_merges) + """,
+decx AS (
+  SELECT a.doc_id, u.j, a.ids[u.j] AS tok_id
+  FROM assembled a, UNNEST(range(1, len(a.ids) + 1)) AS u(j)
+),
+dec AS (
+  SELECT x.doc_id, string_agg(m.tok, '' ORDER BY x.j) AS decoded
+  FROM decx x JOIN idmap m USING (tok_id)
+  GROUP BY x.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(dec.decoded, '')) AS decoded_md5,
+       coalesce(dec.decoded, '') = replace(d.text, ' ', '') AS round_trip_ok
+FROM documents d
+LEFT JOIN assembled a USING (doc_id)
+LEFT JOIN dec USING (doc_id)
 """
 
 
@@ -772,6 +809,46 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.transform("token_ids", lambda x: x.cast("string")))
         ).alias("ids_md5"),
+    )
+
+
+@register("q_bpe_decode", oracle=_bpe_decode_oracle(10))
+def q_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id DECODE — the inverse of q_bpe_encode_ids, closing the
+    tokenizer loop (text → ids → text): encode the corpus with the
+    same 10-merge vocabulary, decode every id stream back through the
+    token_id_map artifact (operators/bpe.decode_corpus_ids, literal
+    strategy: the V-row map ships as ONE plan literal and decode is a
+    pure per-row projection — zero shuffle, zero joins), and check the
+    round-trip invariant in-query: with no word-boundary marker in the
+    symbolization, decoded text == original text with spaces removed.
+    The oracle replays training, the id table, the reassembly AND the
+    inverse lookup from first principles; decoded_md5 pins every
+    decoded byte and round_trip_ok must be uniformly true."""
+    from cdc_demo_spark.operators.bpe import (
+        decode_corpus_ids,
+        encode_corpus_ids,
+        token_id_map,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=10).collect()
+    ]
+    enc = encode_corpus_ids(docs, "text", merges, key_cols=["doc_id"])
+    nonempty = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    vocab = docs.select(F.explode(nonempty).alias("word")).distinct()
+    dec = decode_corpus_ids(
+        enc, "token_ids", token_id_map(vocab, merges), impl="literal"
+    )
+    return dec.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5("decoded").alias("decoded_md5"),
+        (F.col("decoded") == F.regexp_replace("text", " ", "")).alias(
+            "round_trip_ok"
+        ),
     )
 
 

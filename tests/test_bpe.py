@@ -432,3 +432,75 @@ def test_encode_chunked_equals_chunk_then_encode(spark):
             .collect()
         }
         assert fast == ref, (ct, st)
+
+
+def test_decode_corpus_ids_literal_equals_join(spark, sf_dir):
+    """decode_corpus_ids (r15): the literal strategy (V-row map as one
+    plan literal, zero shuffle) and the join strategy (broadcast join
+    + positional regroup, the arbitrarily-large-vocabulary path) must
+    agree byte-for-byte on a real corpus, and both must satisfy the
+    round-trip invariant decoded == text-with-spaces-removed."""
+    from cdc_demo_spark.operators.bpe import (
+        decode_corpus_ids, encode_corpus_ids, token_id_map, train_bpe,
+    )
+    from cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in train_bpe(docs, "text", n_merges=6).collect()
+    ]
+    enc = encode_corpus_ids(docs, "text", merges, key_cols=["doc_id"])
+    nonempty = F.filter(F.split("text", " "), lambda w: w != "")
+    vocab = docs.select(F.explode(nonempty).alias("word")).distinct()
+    idmap = token_id_map(vocab, merges)
+
+    lit = {
+        r["doc_id"]: (r["decoded"], r["n_unknown_ids"])
+        for r in decode_corpus_ids(enc, "token_ids", idmap, impl="literal").collect()
+    }
+    jn = {
+        r["doc_id"]: (r["decoded"], r["n_unknown_ids"])
+        for r in decode_corpus_ids(
+            enc, "token_ids", idmap, key_cols=["doc_id"], impl="join"
+        ).collect()
+    }
+    assert lit == jn and len(lit) == 40
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, (decoded, unk) in lit.items():
+        assert unk == 0
+        assert decoded == texts[did].replace(" ", "")
+
+
+def test_decode_corpus_ids_unknowns_and_guards(spark):
+    """Unknown ids decode to nothing but are COUNTED (both
+    strategies); empty/NULL arrays decode to ''; a gapped map is
+    rejected by the literal path; the join path enforces the same
+    reserved-name contract as the encoder."""
+    import pytest
+
+    from cdc_demo_spark.operators.bpe import decode_corpus_ids
+
+    idmap = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("ab", 2)], "tok string, tok_id int"
+    )
+    df = spark.createDataFrame(
+        [(1, [2, 0, 99]), (2, []), (3, None)],
+        "doc_id long, token_ids array<int>",
+    )
+    for kwargs in ({"impl": "literal"}, {"impl": "join", "key_cols": ["doc_id"]}):
+        got = {
+            r["doc_id"]: (r["decoded"], r["n_unknown_ids"])
+            for r in decode_corpus_ids(df, "token_ids", idmap, **kwargs).collect()
+        }
+        assert got == {1: ("aba", 1), 2: ("", 0), 3: ("", 0)}, kwargs
+
+    gapped = spark.createDataFrame(
+        [("a", 0), ("b", 2)], "tok string, tok_id int"
+    )
+    with pytest.raises(ValueError, match="dense"):
+        decode_corpus_ids(df, "token_ids", gapped, impl="literal")
+    with pytest.raises(ValueError, match="requires key_cols"):
+        decode_corpus_ids(df, "token_ids", idmap, impl="join")
+    bad = df.withColumnRenamed("doc_id", "tok_id")
+    with pytest.raises(ValueError, match="collide"):
+        decode_corpus_ids(bad, "token_ids", idmap, impl="join", key_cols=["tok_id"])
