@@ -1,0 +1,180 @@
+"""DSIR-style importance resampling for domain-targeted data selection.
+
+Given a raw multilingual/multi-source pool and a TARGET domain (a
+predicate selecting the docs whose distribution we want more of), score
+every raw document by how target-like it looks and resample the pool
+proportionally — the method of Xie, Santurkar, Ma & Liang, "Data
+Selection for Language Models via Importance Resampling" (DSIR,
+NeurIPS 2023; arXiv:2302.03169).  The features are hashed n-gram bags
+(unigrams + bigrams hashed into ``n_buckets`` buckets), the bucket
+models are Laplace-smoothed categorical distributions fit on the
+target slice and on the whole pool, and each document's importance
+log-weight is
+
+    log w(d) = sum over buckets b of  c_d[b] * (ln p_target[b] - ln p_raw[b])
+
+Resampling without replacement proportional to w is the Gumbel-max
+race: key(d) = log w(d) + G(d) with G = -ln(-ln u), u the engine's
+deterministic md5-uniform (operators/sampling.uniform_from_id) — so
+the selected subset is reproducible across runs, engines, and cluster
+sizes, exactly like every other sampler in this repo.
+
+Scale shape (100 TB): the only corpus-grain work is ONE explode to the
+hashed n-gram stream aggregated straight down to (doc, bucket) counts
+— map-side partial aggregation does most of it, and the shuffled grain
+is doc × min(doc_ngrams, n_buckets) rows, a bounded factor of the doc
+count.  Everything after is bucket-grain: the two bucket tables and
+the log-ratio table are at most ``n_buckets`` rows (broadcast), and
+the per-doc weight is one more aggregate of the (doc, bucket) counts.
+A production pipeline materializes the (doc, bucket) count table once
+(it is this module's explicit intermediate, not an internal) and
+derives the raw model, any number of target models, and the weights
+from that one artifact; the registered queries recompute it per branch,
+which at bench scale is three cheap scans.  Nothing here collects more
+than ``n_buckets`` rows or a scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.sampling import uniform_from_id
+from cdc_demo_spark.operators.sketches import md5_long
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 512,
+    salt: str = "dsir_v1",
+) -> DataFrame:
+    """(id_col, b, c): per-document hashed n-gram bucket counts — the
+    DSIR feature extraction, and the one corpus-grain pass.  N-grams
+    are the non-empty whitespace tokens (unigrams) plus the adjacent
+    token bigrams; bucket = md5_long(salt:gram) % n_buckets, the
+    engine-portable hash every sharding scheme here uses.  Documents
+    with no tokens contribute no rows (callers LEFT JOIN and coalesce).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    # guard n<2: F.sequence(1, 0) would generate a DESCENDING range
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("g")
+    )
+    b = (md5_long(F.concat(F.lit(salt + ":"), F.col("g"))) % n_buckets).cast("long")
+    return (
+        ex.select(id_col, b.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    counts: DataFrame, id_col: str, target_ids: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(b, lam): per-bucket ln p_target - ln p_raw with Laplace
+    smoothing (+1 over total + n_buckets), fit from a (id, b, c)
+    count table and the target-membership id set.  At most
+    ``n_buckets`` rows — always broadcastable.  Buckets never seen in
+    the raw pool don't need rows: no document can reference them.
+    The ratio is a pure function of exact integer counts, so both
+    engines compute bit-identical operands into ln()."""
+    rawb = counts.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = counts.join(target_ids, id_col, "left_semi")
+    tgtb = tgt.groupBy("b").agg(F.sum("c").alias("ct"))
+    tot = counts.agg(F.sum("c").cast("double").alias("tr"))
+    ttot = tgt.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("tt"))
+    B = F.lit(float(n_buckets))
+    return (
+        rawb.join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + B)
+                )
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B))
+            ).alias("lam"),
+        )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_expr: Column,
+    n_buckets: int = 512,
+    salt: str = "dsir_v1",
+) -> DataFrame:
+    """(id_col, n_ngrams, logweight_raw): every document's DSIR
+    importance log-weight toward the target domain ``target_expr``
+    selects.  Documents with no n-grams get weight ln(1) = 0.0 (every
+    model assigns them probability 1 over the empty product — they
+    are distribution-neutral).  ``logweight_raw`` is the unrounded
+    double; queries round for oracle comparison."""
+    counts = hashed_ngram_counts(df, text_col, id_col, n_buckets, salt)
+    target_ids = df.filter(target_expr).select(id_col)
+    lam = dsir_log_ratios(counts, id_col, target_ids, n_buckets)
+    per = (
+        counts.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.sum(F.col("c") * F.col("lam")).alias("logweight_raw"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("logweight_raw"), F.lit(0.0)).alias("logweight_raw"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_expr: Column,
+    k: int,
+    n_buckets: int = 512,
+    salt: str = "dsir_v1",
+    pick_salt: str = "dsir_pick",
+) -> DataFrame:
+    """``k`` documents drawn without replacement with probability
+    proportional to exp(logweight) — the DSIR selection step, as a
+    deterministic Gumbel-max race: key = round(logweight, 6) +
+    (-ln(-ln u)) with u = md5-uniform(pick_salt:id).  Rounding the
+    weight first makes the deterministic part engine-exact, so the
+    race key differs across engines only by libm ulps in ln() — the
+    same accepted-margin argument as operators/sampling.weighted_sample
+    (the registered query additionally measures its rank-k boundary
+    gap in tests).  Plans as TakeOrderedAndProject: per-partition
+    top-k heaps, no global sort."""
+    lw = dsir_logweights(df, text_col, id_col, target_expr, n_buckets, salt)
+    u = uniform_from_id(F.col(id_col), pick_salt)
+    key = F.round(F.col("logweight_raw"), 6) - F.log(-F.log(u))
+    return (
+        df.join(lw, id_col)
+        .withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -67,6 +67,17 @@ _DRIVER_WINDOW_FIRST = [
     # Rows-only queries were all refreshed in r12 (none predates
     # r12 and none is staler than the r12 oracle tail), so none
     # needs a slot this round.
+    # LATE-r15 revision: three more oracle queries landed after the
+    # true-final gate (q_bpe_decode — the token-id decode round trip;
+    # q_dsir_logweights / q_dsir_sample — DSIR importance resampling,
+    # Xie et al. NeurIPS 2023).  They are never-driver-checked, so
+    # they take the head's first three slots and the three LAST
+    # r12-refresh entries (q_fingerprint, q_forecast_revenue,
+    # q_fuzzy_name_pairs — alphabetical tail of equal staleness)
+    # yield, joining the r16 queue behind the q_grouping_sets tail.
+    "q_bpe_decode",
+    "q_dsir_logweights",
+    "q_dsir_sample",
     "q_curriculum_buckets_scaled",
     "q_mixture_temperature",
     "q_packed_segments",
@@ -114,9 +125,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_events_per_day_spine",
     "q_except_all",
     "q_excess_part_suppliers",
-    "q_fingerprint",
-    "q_forecast_revenue",
-    "q_fuzzy_name_pairs",
 ]
 
 

@@ -1199,3 +1199,118 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+_DSIR_CHAIN = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(t) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+dc AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5('dsir_v1:' || g), 1, 15)) AS UBIGINT)
+              % 512 AS BIGINT) AS b,
+         count(*) AS c
+  FROM ng GROUP BY 1, 2
+),
+rawb AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),
+tgtb AS (
+  SELECT dc.b, sum(dc.c) AS ct
+  FROM dc JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+  GROUP BY dc.b
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tr FROM dc),
+ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM tgtb),
+lam AS (
+  SELECT r.b,
+         ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (ttot.tt + 512))
+         - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 512)) AS l
+  FROM rawb r LEFT JOIN tgtb t USING (b) CROSS JOIN tot CROSS JOIN ttot
+),
+lw AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c) AS BIGINT) AS n_ngrams,
+         sum(dc.c * lam.l) AS logweight_raw
+  FROM dc JOIN lam USING (b)
+  GROUP BY dc.doc_id
+)"""
+
+
+@register(
+    "q_dsir_logweights",
+    oracle=_DSIR_CHAIN + """
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(lw.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       round(coalesce(lw.logweight_raw, 0.0), 6) AS logweight
+FROM documents d LEFT JOIN lw USING (doc_id)
+""",
+)
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023 —
+    operators/importance.py): score every document of the multilingual
+    pool by how English-target-like its hashed n-gram bag looks,
+    log w = sum_b c_doc[b]*(ln p_en[b] - ln p_raw[b]) over 512
+    Laplace-smoothed buckets.  The one corpus-grain pass aggregates
+    the unigram+bigram stream straight to (doc, bucket) counts; both
+    bucket models and the log-ratio table are <= 512 rows (broadcast);
+    the md5 bucket hash is the engine-portable idiom, so the oracle
+    replays feature extraction, both models, and the weight sum from
+    first principles.  High weight = looks like the en slice, low =
+    distribution-distant; downstream selection is q_dsir_sample."""
+    from cdc_demo_spark.operators.importance import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    lw = dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en")
+    return lw.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_ngrams",
+        F.round("logweight_raw", 6).alias("logweight"),
+    )
+
+
+@register(
+    "q_dsir_sample",
+    oracle=_DSIR_CHAIN + """,
+keyed AS (
+  SELECT d.doc_id, d.lang, d.source,
+         round(coalesce(lw.logweight_raw, 0.0), 6)
+         - ln(-ln((CAST(('0x' || substring(md5('dsir_pick:'
+                                           || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) + 1.0) / (1152921504606846976.0 + 2.0)))
+           AS k
+  FROM documents d LEFT JOIN lw USING (doc_id)
+)
+SELECT doc_id, lang, source
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 100
+""",
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: 100 documents drawn without replacement with
+    probability proportional to exp(importance weight) toward the
+    English target — the Gumbel-max race key round(logw,6) + Gumbel(u)
+    with u the md5-uniform, fully deterministic and engine-portable
+    (operators/importance.dsir_resample).  Plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Oracle-backed on the q_weighted_sample precedent: rounding the
+    weight first makes the deterministic part engine-exact, the ln()
+    ulp concern only matters within 1 ulp of the rank-100 boundary,
+    and the measured boundary gap is orders of magnitude wider
+    (pinned in tests/test_importance.py); the output carries no float
+    columns."""
+    from cdc_demo_spark.operators.importance import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, "text", "doc_id", F.col("lang") == "en", k=100
+    ).select("doc_id", "lang", "source")

@@ -1,0 +1,118 @@
+"""DSIR importance resampling (operators/importance.py): weight
+semantics, determinism, the empty-doc convention, and the measured
+rank-k boundary margin that backs q_dsir_sample's oracle claim."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_demo_spark.operators.importance import (
+    dsir_log_ratios,
+    dsir_logweights,
+    dsir_resample,
+    hashed_ngram_counts,
+)
+from cdc_demo_spark.sources.tables import load_table
+
+
+def test_hashed_ngram_counts_census(spark):
+    """Bucket counts conserve the n-gram census: sum(c) per doc =
+    n_tokens + max(n_tokens - 1, 0); empty/whitespace docs contribute
+    no rows; single-token docs get no bigram (the descending-sequence
+    guard)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, "   "), (5, "x  y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in hashed_ngram_counts(df, "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    }
+    # doc 5: split('x  y') -> ['x','','y'] -> nonempty ['x','y'] -> 3 grams
+    assert got == {1: 5, 2: 1, 5: 3}
+
+
+def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
+    """On the real corpus with target lang='en', the mean importance
+    log-weight of en documents must exceed the mean over every other
+    lang (the defining property of the ratio model), and empty-feature
+    docs come back weight 0.0 with n_ngrams 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en")
+    joined = lw.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["lang"]: r["m"]
+        for r in joined.groupBy("lang")
+        .agg(F.avg(F.col("logweight_raw") / F.greatest("n_ngrams", F.lit(1))).alias("m"))
+        .collect()
+    }
+    assert all(means["en"] > v for k, v in means.items() if k != "en"), means
+    assert lw.count() == docs.count()
+
+
+def test_dsir_logweights_deterministic_and_salted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    a = {
+        r["doc_id"]: r["logweight_raw"]
+        for r in dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en").collect()
+    }
+    b = {
+        r["doc_id"]: r["logweight_raw"]
+        for r in dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en").collect()
+    }
+    assert a == b  # bit-identical across runs
+    c = dsir_logweights(
+        docs, "text", "doc_id", F.col("lang") == "en", salt="dsir_v2"
+    ).collect()
+    assert {r["doc_id"] for r in c} == set(a)  # salted rehash, same coverage
+
+
+def test_dsir_resample_boundary_margin_and_bias(spark, sf_dir):
+    """The oracle-backing margin measurement (q_weighted_sample
+    precedent): the gap between the rank-100 and rank-101 race keys
+    must be enormously wider than libm ulp wiggle (~1e-15 relative),
+    and the selected sample must be en-enriched relative to the pool
+    (the point of DSIR)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en")
+    from cdc_demo_spark.operators.sampling import uniform_from_id
+
+    key = F.round(F.col("logweight_raw"), 6) - F.log(-F.log(uniform_from_id(F.col("doc_id"), "dsir_pick")))
+    ordered = [
+        r["k"] for r in lw.select(key.alias("k")).orderBy(F.desc("k")).limit(101).collect()
+    ]
+    gap = ordered[99] - ordered[100]
+    assert gap > 1e-9 * max(1.0, abs(ordered[99])), gap
+
+    picked = dsir_resample(docs, "text", "doc_id", F.col("lang") == "en", k=100)
+    rows = picked.collect()
+    assert len(rows) == 100 and len({r["doc_id"] for r in rows}) == 100
+    en_pool = docs.filter(F.col("lang") == "en").count() / docs.count()
+    en_pick = sum(1 for r in rows if r["lang"] == "en") / 100
+    assert en_pick > en_pool, (en_pick, en_pool)
+
+
+def test_dsir_log_ratios_smoothing_exact(spark):
+    """Hand-checked 2-bucket-touching fixture: ratios must equal the
+    Laplace formula exactly (the oracle's value-exactness rests on
+    both engines feeding ln() identical rationals)."""
+    counts = spark.createDataFrame(
+        [(1, 0, 3), (1, 1, 1), (2, 0, 2), (2, 2, 4)],
+        "doc_id long, b long, c long",
+    )
+    target = spark.createDataFrame([(1,)], "doc_id long")
+    B = 8
+    lam = {r["b"]: r["lam"] for r in dsir_log_ratios(counts, "doc_id", target, B).collect()}
+    tt, tr = 4.0, 10.0
+    expect = {
+        0: math.log((3 + 1) / (tt + B)) - math.log((5 + 1) / (tr + B)),
+        1: math.log((1 + 1) / (tt + B)) - math.log((1 + 1) / (tr + B)),
+        2: math.log((0 + 1) / (tt + B)) - math.log((4 + 1) / (tr + B)),
+    }
+    assert lam == pytest.approx(expect, abs=0.0)  # exact, not approx
