@@ -899,6 +899,42 @@ def time_bloom_200k_decontam(spark) -> float:
     return dt
 
 
+def time_dsir_200k_weights(spark) -> float:
+    """DSIR importance weighting + selection at the 200k-doc grain
+    (the oracle queries run on the 500-row fixture): hashed
+    unigram+bigram bags into 4096 buckets, target = the every-50th-doc
+    slice (the bloom entry's eval-slice idiom), per-doc log-weights
+    and a 10k-doc Gumbel-max selection.  Timed span = the whole chain
+    through the top-k collect.  Gates: every doc scored exactly once,
+    and the target slice's mean log-weight exceeds the rest's — KL
+    non-negativity: the target's own empirical bucket distribution
+    must score itself above the pool model, so a sign flip means the
+    ratio model is wired backwards, not noise."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.importance import dsir_logweights, dsir_resample
+
+    docs = _doc_corpus(spark)
+    target = F.col("doc_id") % 50 == 0
+    t0 = time.perf_counter()
+    lw = dsir_logweights(docs, "text", "doc_id", target, n_buckets=4096)
+    sep = (
+        lw.withColumn("is_t", F.col("doc_id") % 50 == 0)
+        .groupBy("is_t")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("logweight_raw").alias("m"))
+        .collect()
+    )
+    picked = dsir_resample(
+        docs, "text", "doc_id", target, k=10_000, n_buckets=4096
+    ).select("doc_id").collect()
+    dt = round(time.perf_counter() - t0, 3)
+    by = {bool(r["is_t"]): r for r in sep}
+    assert by[True]["n"] + by[False]["n"] == DOC_N
+    assert by[True]["m"] > by[False]["m"], (by[True]["m"], by[False]["m"])
+    assert len(picked) == 10_000 and len({r["doc_id"] for r in picked}) == 10_000
+    return dt
+
+
 def time_bpe_train_200k(spark) -> float:
     """BPE vocabulary training at the 200k-doc grain (the oracle query
     q_bpe_train runs on the 500-row fixture): 30 merges learned from
@@ -1444,6 +1480,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("bpe_encode_200k", lambda: time_bpe_encode_200k(spark)),
             ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
             ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
+            ("dsir_200k_weights", lambda: time_dsir_200k_weights(spark)),
         ]),
         ("cdc_1m", 2, [
             ("cdc_merge_1m_create", lambda: time_cdc_merge_1m_create(spark)),

@@ -161,6 +161,9 @@ def build_corpus(
     mixture_alpha: float | None = None,
     mixture_stratum: str = "lang",
     mixture_target_frac: float = 0.5,
+    dsir_target: F.Column | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_buckets: int = 4096,
     n_shards: int = 16,
     shard_salt: str = "epoch0",
     normalize_whitespace: bool = False,
@@ -176,6 +179,13 @@ def build_corpus(
     so chunking partitions each doc's tokens and the conservation
     invariant holds exactly; pass a smaller stride for overlapping
     training windows (the ledger then reports packed > surviving).
+
+    ``dsir_target`` (late r15): a predicate over the RAW input frame
+    naming the target domain; when set, stage 4c keeps the
+    ``dsir_keep_frac`` of surviving docs drawn without replacement
+    ∝ exp(DSIR importance weight) toward that domain
+    (operators/importance.py; composes after the mixture stage, and
+    every downstream census sees the selected corpus).
 
     ``bpe_merges`` (r13 VERDICT #1 — the last mile to a model-ready
     deliverable): an int trains that many BPE merges ON the surviving
@@ -355,6 +365,49 @@ def build_corpus(
             "target_frac": mixture_target_frac, "secs": _stage_secs(),
         }
 
+    # 4c. optional DSIR selection (late r15): keep the dsir_keep_frac
+    #    of surviving docs that look most like the TARGET domain
+    #    (operators/importance.py — Xie et al. NeurIPS 2023), drawn
+    #    without replacement ∝ exp(importance weight) via the
+    #    deterministic Gumbel-max race.  The ratio model fits on the
+    #    CLEANED text (the bytes the tokenizer will see); target
+    #    membership is a predicate over the RAW input frame (metadata
+    #    like lang/source survives there even when the pipeline
+    #    dropped the column), joined by id.  Where the mixture stage
+    #    rebalances by a NAMED stratum column, this stage rebalances
+    #    by distributional similarity — the two compose (mixture
+    #    first, then DSIR sees the mixed corpus).
+    if dsir_target is not None:
+        from cdc_demo_spark.operators.importance import dsir_logweights
+        from cdc_demo_spark.operators.sampling import uniform_from_id
+
+        if not (0.0 < dsir_keep_frac <= 1.0):
+            raise ValueError(
+                f"dsir_keep_frac must be in (0, 1]; got {dsir_keep_frac}"
+            )
+        n_before = int(final_docs.count())
+        k = max(1, int(n_before * dsir_keep_frac))
+        target_ids = docs.filter(dsir_target).select(id_col)
+        lw = dsir_logweights(
+            final_docs, text_col, id_col,
+            n_buckets=dsir_buckets, target_ids=target_ids,
+        )
+        key = F.round(F.col("logweight_raw"), 6) - F.log(
+            -F.log(uniform_from_id(F.col(id_col), "dsir_pick"))
+        )
+        final_docs = (
+            final_docs.join(lw, id_col)
+            .orderBy(F.desc(key), F.asc(id_col))
+            .limit(k)
+            .select(id_col, text_col, "split")
+            .localCheckpoint(eager=True)
+        )
+        d, t = _docs_tokens(final_docs, text_col)
+        ledger["dsir"] = {
+            "docs": d, "tokens": t, "keep_frac": dsir_keep_frac,
+            "buckets": dsir_buckets, "secs": _stage_secs(),
+        }
+
     # 5. ledger the split census at doc grain (the split map itself is
     #    cluster-grain and covers every deduped doc)
     ledger["split"] = {
@@ -499,11 +552,13 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
     )
     assert straddle == 0, f"{straddle} near-dup pairs straddle splits"
 
-    # conservation: packed tokens == surviving tokens (the last
-    # doc-grain stage — the mixture stage, when run, supersedes
+    # conservation: packed tokens == surviving tokens (the LAST
+    # doc-grain stage that ran — dsir supersedes mixture supersedes
     # span_removal as "surviving")
     packed = ledger["pack"]["tokens"]
-    surviving = ledger.get("mixture", ledger["span_removal"])["tokens"]
+    surviving = ledger.get(
+        "dsir", ledger.get("mixture", ledger["span_removal"])
+    )["tokens"]
     assert packed == surviving, f"packed {packed} != surviving {surviving}"
 
     # provenance: every block's doc_ids belong to its own split
@@ -519,6 +574,8 @@ def assert_corpus_invariants(result: dict, id_col: str = "doc_id") -> None:
     stages = ["input", "quality", "exact_dedup", "neardup_dedup", "span_removal"]
     if "mixture" in ledger:
         stages.append("mixture")
+    if "dsir" in ledger:
+        stages.append("dsir")
     seq = [ledger[k]["docs"] for k in stages]
     assert all(a >= b for a, b in zip(seq, seq[1:])), f"funnel grew: {seq}"
 

@@ -117,18 +117,30 @@ def dsir_logweights(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    target_expr: Column,
+    target_expr: Column | None = None,
     n_buckets: int = 512,
     salt: str = "dsir_v1",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_ngrams, logweight_raw): every document's DSIR
-    importance log-weight toward the target domain ``target_expr``
-    selects.  Documents with no n-grams get weight ln(1) = 0.0 (every
-    model assigns them probability 1 over the empty product — they
-    are distribution-neutral).  ``logweight_raw`` is the unrounded
+    importance log-weight toward the target domain.  The target is
+    either ``target_expr`` (a predicate over ``df``'s own columns) or
+    an explicit ``target_ids`` id-set frame (the pipeline shape: the
+    predicate lives on a DIFFERENT frame, e.g. raw-input metadata
+    joined by id) — exactly one must be given.  Documents with no
+    n-grams get weight ln(1) = 0.0 (every model assigns them
+    probability 1 over the empty product — they are
+    distribution-neutral).  ``logweight_raw`` is the unrounded
     double; queries round for oracle comparison."""
+    if (target_expr is None) == (target_ids is None):
+        raise ValueError(
+            "dsir_logweights: pass exactly one of target_expr / target_ids"
+        )
     counts = hashed_ngram_counts(df, text_col, id_col, n_buckets, salt)
-    target_ids = df.filter(target_expr).select(id_col)
+    if target_ids is None:
+        target_ids = df.filter(target_expr).select(id_col)
+    else:
+        target_ids = target_ids.select(id_col)
     lam = dsir_log_ratios(counts, id_col, target_ids, n_buckets)
     per = (
         counts.join(F.broadcast(lam), "b")

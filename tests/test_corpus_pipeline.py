@@ -1072,3 +1072,39 @@ def test_append_validate_new_catches_resent_docs(spark, sf_dir, tmp_path):
     rep = append_token_shards(fresh, out, batch_id="good", validate_new=True)
     assert rep["replayed"] is False and rep["appended_chunks"] == fresh.count()
     assert read_token_shards(spark, out).count() == n_before + fresh.count()
+
+
+def test_dsir_stage_selects_target_like_and_conserves(spark, sf_dir):
+    """build_corpus(dsir_target=...) (late r15): stage 4c must (a) cut
+    the corpus to ceil-ish keep_frac via the Gumbel-max race, (b)
+    enrich the kept set toward the target domain relative to the
+    pre-stage corpus (the DSIR property), (c) keep every invariant
+    green with pack/token censuses equal to the SELECTED corpus, and
+    (d) reject a nonsense keep_frac at entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = build_corpus(docs, rules=RULES, minhash_threshold=0.3)
+    sel = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        dsir_target=F.col("lang") == "en", dsir_keep_frac=0.5,
+        dsir_buckets=512, bpe_merges=5,
+    )
+    assert_corpus_invariants(sel)
+    led = sel["ledger"]
+    assert "dsir" in led
+    n_before = led["span_removal"]["docs"]
+    assert led["dsir"]["docs"] == max(1, int(n_before * 0.5))
+    assert led["pack"]["tokens"] == led["dsir"]["tokens"]
+    assert sum(led["split"].values()) == led["dsir"]["docs"]
+
+    def en_frac(fd):
+        kept = docs.join(fd.select("doc_id"), "doc_id", "left_semi")
+        n = kept.count()
+        return kept.filter(F.col("lang") == "en").count() / n
+
+    assert en_frac(sel["final_docs"]) > en_frac(base["final_docs"])
+
+    with pytest.raises(ValueError, match="dsir_keep_frac"):
+        build_corpus(
+            docs, rules=RULES, minhash_threshold=0.3,
+            dsir_target=F.col("lang") == "en", dsir_keep_frac=0.0,
+        )
