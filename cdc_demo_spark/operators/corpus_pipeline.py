@@ -608,6 +608,7 @@ def corpus_stream_sink(
     text_col: str = "text",
     mixture_thresholds: dict[str, str] | None = None,
     mixture_stratum: str = "lang",
+    dsir_model: tuple[list[float], float] | None = None,
 ):
     """foreachBatch adapter for the corpus pipeline's INCREMENTAL
     stages (r13 VERDICT #8): each streaming epoch applies the SAME
@@ -637,6 +638,17 @@ def corpus_stream_sink(
     cannot change the kept set.  A stratum absent from the dict drops
     (see mixture_keep_expr).  Streaming == batch with the same frozen
     thresholds is pinned in tests.
+
+    ``dsir_model`` (late r15): a FROZEN ``(lam, threshold)`` pair —
+    ``lam`` the dense per-bucket log-ratio list from
+    ``operators/importance.freeze_dsir_ratios`` (derived once per
+    epoch from a corpus snapshot), ``threshold`` the race-key cutoff
+    standing in for the batch stage's top-k (which no stream can run).
+    The keep becomes ``dsir_keep_expr``: the whole score folds through
+    a λ array literal per row — zero joins, a pure function of
+    (id, text) — so batching and redelivery cannot change the kept
+    set.  Same freeze rationale as the mixture thresholds; streaming
+    == batch with the same frozen pair is pinned in tests.
     """
     rules = dict(DEFAULT_RULES if rules is None else rules)
 
@@ -650,6 +662,11 @@ def corpus_stream_sink(
             keep = keep & mixture_keep_expr(
                 mixture_stratum, mixture_thresholds, id_col
             )
+        if dsir_model is not None:
+            from cdc_demo_spark.operators.importance import dsir_keep_expr
+
+            lam, threshold = dsir_model
+            keep = keep & dsir_keep_expr(lam, threshold, text_col, id_col)
         kept = batch_df.filter(keep).persist()
         try:
             minhash_index.append_batch(

@@ -190,3 +190,116 @@ def dsir_resample(
         .orderBy(F.desc("_key"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def freeze_dsir_ratios(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_expr: Column | None = None,
+    n_buckets: int = 512,
+    salt: str = "dsir_v1",
+    target_ids: DataFrame | None = None,
+) -> list[float]:
+    """The per-bucket log-ratio model as a DENSE driver-side list
+    (index = bucket id) — the FROZEN form a streaming epoch ships:
+    derive once from a corpus snapshot, then score micro-batches with
+    ``dsir_score_expr`` (a pure expression, no join), the same
+    freeze-per-epoch rationale as the streaming mixture twin (a
+    per-batch model would make a doc's score depend on which batch
+    delivered it).  Buckets the snapshot never saw get the smoothed
+    unseen ratio ln((Tr+B)/(Tt+B)) — what the Laplace model assigns a
+    count-0 bucket — so a NEW n-gram arriving mid-epoch scores
+    consistently instead of 0.  Bounded collect: exactly the ≤B-row
+    ratio table plus the two totals."""
+    if (target_expr is None) == (target_ids is None):
+        raise ValueError(
+            "freeze_dsir_ratios: pass exactly one of target_expr / target_ids"
+        )
+    counts = hashed_ngram_counts(df, text_col, id_col, n_buckets, salt)
+    tgt_ids = (
+        df.filter(target_expr).select(id_col)
+        if target_ids is None
+        else target_ids.select(id_col)
+    )
+    lam_rows = dsir_log_ratios(counts, id_col, tgt_ids, n_buckets).collect()
+    tgt = counts.join(tgt_ids, id_col, "left_semi")
+    tr = float(counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    tt = float(tgt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    import math
+
+    # unseen bucket: ct=0, cr=0 -> ln(1/(tt+B)) - ln(1/(tr+B))
+    #              = ln(tr+B) - ln(tt+B)
+    unseen = math.log(tr + n_buckets) - math.log(tt + n_buckets)
+    out = [unseen] * n_buckets
+    for r in lam_rows:
+        out[int(r["b"])] = float(r["lam"])
+    return out
+
+
+def dsir_score_expr(
+    lam: list[float],
+    text_col: str,
+    id_col: str,
+    salt: str = "dsir_v1",
+    pick_salt: str = "dsir_pick",
+) -> Column:
+    """The Gumbel race key as ONE pure codegen expression over a
+    frozen model: fold the row's unigram+bigram stream through the
+    λ array literal (bucket = the same md5 hash, lookup =
+    try_element_at — zero joins, zero shuffles), round the weight, add
+    the md5-uniform Gumbel.  A pure function of (id, text): identical
+    on replay, on any batching, and in the batch twin — which is what
+    makes it safe inside a foreachBatch keep predicate.
+    ``len(lam)`` IS the bucket count (freeze_dsir_ratios emits dense
+    lists), so model and hash can't disagree about B."""
+    n_buckets = len(lam)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lam_arr = F.lit([float(x) for x in lam])
+    logw = F.aggregate(
+        F.concat(toks, bigrams),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.coalesce(
+            F.try_element_at(
+                lam_arr,
+                (
+                    md5_long(F.concat(F.lit(salt + ":"), g)) % n_buckets
+                ).cast("int")
+                + 1,
+            ),
+            F.lit(0.0),
+        ),
+    )
+    u = uniform_from_id(F.col(id_col), pick_salt)
+    return F.round(logw, 6) - F.log(-F.log(u))
+
+
+def dsir_keep_expr(
+    lam: list[float],
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    salt: str = "dsir_v1",
+    pick_salt: str = "dsir_pick",
+) -> Column:
+    """Streaming-shaped DSIR selection: keep iff the race key clears
+    ``threshold``.  Where the batch stage takes top-k (a global
+    operation no stream can run), an epoch freezes (model, threshold)
+    — e.g. the rank-k key from the snapshot the model was fit on —
+    and selection becomes this map-side predicate with the SAME
+    acceptance law; the kept set is then independent of delivery
+    batching and redelivery."""
+    return dsir_score_expr(lam, text_col, id_col, salt, pick_salt) >= F.lit(
+        float(threshold)
+    )

@@ -1108,3 +1108,97 @@ def test_dsir_stage_selects_target_like_and_conserves(spark, sf_dir):
             docs, rules=RULES, minhash_threshold=0.3,
             dsir_target=F.col("lang") == "en", dsir_keep_frac=0.0,
         )
+
+
+def test_streaming_dsir_twin_equals_batch(spark, sf_dir, tmp_path):
+    """Frozen-model DSIR in the streaming sink (late r15): two
+    availableNow waves with (lam, threshold) derived ONCE from the
+    full snapshot must leave exactly the state the batch path leaves
+    with the same frozen pair — the keep is a pure function of
+    (id, text) folded through a λ array literal, so wave boundaries
+    and redelivery cannot change the kept set."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import corpus_stream_sink
+    from cdc_demo_spark.operators.importance import (
+        dsir_keep_expr,
+        dsir_score_expr,
+        freeze_dsir_ratios,
+    )
+    from cdc_demo_spark.operators.incremental_dedup import MinHashIndex
+    from cdc_demo_spark.operators.incremental_tokens import TokenCountIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = docs.localCheckpoint(eager=True)
+    snapshot = docs.filter(quality_keep_expr("text", RULES))
+    lam = freeze_dsir_ratios(
+        snapshot, "text", "doc_id", F.col("lang") == "en", n_buckets=512
+    )
+    # threshold = the snapshot's median race key (the rank-k cutoff an
+    # epoch would freeze alongside the model)
+    keys = sorted(
+        r["k"]
+        for r in snapshot.select(
+            dsir_score_expr(lam, "text", "doc_id").alias("k")
+        ).collect()
+    )
+    threshold = keys[len(keys) // 2]
+
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    os.makedirs(land)
+    mh = MinHashIndex(spark, str(tmp_path / "mh"), k=3, threshold=0.12)
+    tk = TokenCountIndex(spark, str(tmp_path / "tk"))
+    sink = corpus_stream_sink(mh, tk, rules=RULES, dsir_model=(lam, threshold))
+
+    def run_wave(pred, prefix):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{prefix}")
+        )
+        for i, name in enumerate(
+            f for f in os.listdir(tmp_path / f"stage_{prefix}")
+            if f.endswith(".parquet")
+        ):
+            os.rename(
+                tmp_path / f"stage_{prefix}" / name, f"{land}/{prefix}-{i}.parquet"
+            )
+        finished = (
+            spark.readStream.schema(docs.schema)
+            .parquet(land)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+        assert finished, f"wave {prefix} did not terminate within 180s"
+
+    mid = 250
+    run_wave(F.col("doc_id") < mid, "w1")
+    run_wave(F.col("doc_id") >= mid, "w2")
+
+    kept = docs.filter(
+        quality_keep_expr("text", RULES)
+        & dsir_keep_expr(lam, threshold, "text", "doc_id")
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < snapshot.count()  # the threshold actually cuts
+    got_counts = {(r["token"], r["cnt"]) for r in tk.counts().collect()}
+    want_counts = {
+        (r["token"], r["cnt"])
+        for r in kept.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("token")
+        ).groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_counts == want_counts
+    from cdc_demo_spark.operators.dedup import minhash_near_duplicates
+
+    got_pairs = {(r["id_a"], r["id_b"]) for r in mh.stored_pairs().collect()}
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            kept, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.12
+        ).collect()
+    }
+    assert got_pairs == want_pairs

@@ -116,3 +116,64 @@ def test_dsir_log_ratios_smoothing_exact(spark):
         2: math.log((0 + 1) / (tt + B)) - math.log((4 + 1) / (tr + B)),
     }
     assert lam == pytest.approx(expect, abs=0.0)  # exact, not approx
+
+
+def test_frozen_score_expr_matches_join_weights(spark, sf_dir):
+    """dsir_score_expr (the zero-join frozen-model fold) must agree
+    with the join-path dsir_logweights on the deterministic part of
+    the key to within one rounding quantum (the fold sums per-gram in
+    stream order, the join path per-bucket — same terms, different
+    order), and unseen n-grams must score the smoothed unseen ratio,
+    not 0."""
+    import math
+
+    from cdc_demo_spark.operators.importance import (
+        dsir_score_expr,
+        freeze_dsir_ratios,
+    )
+    from cdc_demo_spark.operators.sampling import uniform_from_id
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint(eager=True)
+    B = 256
+    lam = freeze_dsir_ratios(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=B
+    )
+    assert len(lam) == B
+    key = dsir_score_expr(lam, "text", "doc_id")
+    gumbel = -F.log(-F.log(uniform_from_id(F.col("doc_id"), "dsir_pick")))
+    folded = {
+        r["doc_id"]: r["w"]
+        for r in docs.select("doc_id", (key - gumbel).alias("w")).collect()
+    }
+    joined = {
+        r["doc_id"]: round(r["logweight_raw"], 6)
+        for r in dsir_logweights(
+            docs, "text", "doc_id", F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert set(folded) == set(joined)
+    for did in folded:
+        assert abs(folded[did] - joined[did]) <= 1e-6, did
+
+    # unseen-gram scoring: against a SPARSE model (2 docs, 4096
+    # buckets — the probe's 3 grams land in never-populated buckets
+    # with probability ~(1 - 9/4096)^3), a doc of never-seen words
+    # folds to n_grams * ln((Tr+B)/(Tt+B)), not 0
+    tiny = spark.createDataFrame(
+        [(1, "aa bb cc", "en"), (2, "dd ee ff", "de")],
+        "doc_id long, text string, lang string",
+    )
+    B2 = 4096
+    lam2 = freeze_dsir_ratios(
+        tiny, "text", "doc_id", F.col("lang") == "en", n_buckets=B2
+    )
+    tr, tt = 10.0, 5.0  # 5 grams per doc; target = doc 1
+    unseen = math.log(tr + B2) - math.log(tt + B2)
+    probe = spark.createDataFrame(
+        [(999_999, "zzqx1 zzqx2")], "doc_id long, text string"
+    )
+    got = probe.select((dsir_score_expr(lam2, "text", "doc_id") + F.log(
+        -F.log(uniform_from_id(F.col("doc_id"), "dsir_pick"))
+    )).alias("w")).collect()[0]["w"]
+    # 3 grams (2 unigrams + 1 bigram), all in unseen buckets
+    assert abs(got - round(3 * unseen, 6)) <= 1e-6
