@@ -917,7 +917,12 @@ def time_dsir_200k_weights(spark) -> float:
     docs = _doc_corpus(spark)
     target = F.col("doc_id") % 50 == 0
     t0 = time.perf_counter()
-    lw = dsir_logweights(docs, "text", "doc_id", target, n_buckets=4096)
+    # scored frame computed once and pinned: the separation gate and
+    # the selection both read it (the operator's own counts pin covers
+    # the model fit; this covers the per-doc weight output)
+    lw = dsir_logweights(
+        docs, "text", "doc_id", target, n_buckets=4096
+    ).localCheckpoint(eager=True)
     sep = (
         lw.withColumn("is_t", F.col("doc_id") % 50 == 0)
         .groupBy("is_t")
@@ -925,7 +930,8 @@ def time_dsir_200k_weights(spark) -> float:
         .collect()
     )
     picked = dsir_resample(
-        docs, "text", "doc_id", target, k=10_000, n_buckets=4096
+        docs, "text", "doc_id", target, k=10_000, n_buckets=4096,
+        logweights=lw,
     ).select("doc_id").collect()
     dt = round(time.perf_counter() - t0, 3)
     by = {bool(r["is_t"]): r for r in sep}

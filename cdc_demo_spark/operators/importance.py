@@ -19,19 +19,21 @@ deterministic md5-uniform (operators/sampling.uniform_from_id) — so
 the selected subset is reproducible across runs, engines, and cluster
 sizes, exactly like every other sampler in this repo.
 
-Scale shape (100 TB): the only corpus-grain work is ONE explode to the
-hashed n-gram stream aggregated straight down to (doc, bucket) counts
-— map-side partial aggregation does most of it, and the shuffled grain
-is doc × min(doc_ngrams, n_buckets) rows, a bounded factor of the doc
-count.  Everything after is bucket-grain: the two bucket tables and
-the log-ratio table are at most ``n_buckets`` rows (broadcast), and
-the per-doc weight is one more aggregate of the (doc, bucket) counts.
-A production pipeline materializes the (doc, bucket) count table once
-(it is this module's explicit intermediate, not an internal) and
-derives the raw model, any number of target models, and the weights
-from that one artifact; the registered queries recompute it per branch,
-which at bench scale is three cheap scans.  Nothing here collects more
-than ``n_buckets`` rows or a scalar.
+Scale shape (100 TB): the corpus-grain work is TWO passes over the
+hashed n-gram stream, each ending in a BOUNDED hash aggregate — pass 1
+carries a per-doc target flag into the stream and counts both bucket
+models in one ≤``n_buckets``-key aggregate; pass 2 joins the broadcast
+≤``n_buckets``-row log-ratio table per gram and sums at DOC grain
+(#docs keys).  The doc × bucket cross grain is deliberately NEVER
+built in-query: its hash aggregate carries tens of millions of keys at
+the 200k bench fixture and was both the wall-clock and the memory hot
+spot of the first formulation (432 s, and pinning it OOMed the
+aggregate; the gram-grain form runs the same math in ~a quarter of
+that with flat memory).  ``hashed_ngram_counts`` still emits that
+grain as the ON-DISK artifact shape — write it once and any number of
+target models and weight sets derive from it via ``counts=`` without
+re-scanning the corpus.  Nothing here collects more than
+``n_buckets`` rows or a scalar.
 """
 
 from __future__ import annotations
@@ -43,21 +45,32 @@ from cdc_demo_spark.operators.sampling import uniform_from_id
 from cdc_demo_spark.operators.sketches import md5_long
 
 
-def hashed_ngram_counts(
+def _gram_stream(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n_buckets: int = 512,
-    salt: str = "dsir_v1",
+    n_buckets: int,
+    salt: str,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id_col, b, c): per-document hashed n-gram bucket counts — the
-    DSIR feature extraction, and the one corpus-grain pass.  N-grams
-    are the non-empty whitespace tokens (unigrams) plus the adjacent
-    token bigrams; bucket = md5_long(salt:gram) % n_buckets, the
-    engine-portable hash every sharding scheme here uses.  Documents
-    with no tokens contribute no rows (callers LEFT JOIN and coalesce).
-    """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    """(id_col, b[, extra_cols]): the hashed n-gram stream at GRAM
+    grain, un-aggregated — the shared corpus pass every consumer
+    shapes to its own grain (bucket tables aggregate it to ≤B keys,
+    weight sums to doc keys; nothing ever needs the doc × bucket cross
+    grain in memory — see dsir_logweights' scale note).
+
+    The token array is MATERIALIZED in a prior select before the
+    bigram lambda touches it — the r11 shingle rule
+    (operators/dedup.shingle_array_of_tokens): a lambda body
+    re-evaluates embedded expressions per element, so an inline
+    split() inside the bigram transform re-tokenizes per position,
+    O(tokens²) per doc (measured 52 s -> ~4 s for this pass at the
+    200k fixture)."""
+    base = df.select(
+        F.col(id_col), *(extra_cols or []),
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # guard n<2: F.sequence(1, 0) would generate a DESCENDING range
     bigrams = F.when(
@@ -69,14 +82,66 @@ def hashed_ngram_counts(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(
-        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("g")
+    ex = base.select(
+        F.col(id_col), *(extra_cols or []),
+        F.explode(F.concat(toks, bigrams)).alias("g"),
     )
     b = (md5_long(F.concat(F.lit(salt + ":"), F.col("g"))) % n_buckets).cast("long")
+    return ex.select(id_col, *(extra_cols or []), b.alias("b"))
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 512,
+    salt: str = "dsir_v1",
+) -> DataFrame:
+    """(id_col, b, c): per-document hashed n-gram bucket counts — the
+    materialized ARTIFACT form of the feature extraction (write it
+    once, fit any number of target models from it via
+    ``dsir_log_ratios`` / ``dsir_logweights(counts=...)``).  N-grams
+    are the non-empty whitespace tokens (unigrams) plus the adjacent
+    token bigrams; bucket = md5_long(salt:gram) % n_buckets, the
+    engine-portable hash every sharding scheme here uses.  Documents
+    with no tokens contribute no rows (callers LEFT JOIN and coalesce).
+
+    NOTE: this grain (doc × bucket) is the right shape for an on-disk
+    artifact, but the in-query operators do NOT route through it —
+    its hash aggregate carries tens of millions of keys at the 200k
+    bench fixture and that is exactly the memory/spill hot spot the
+    gram-grain formulation avoids."""
     return (
-        ex.select(id_col, b.alias("b"))
+        _gram_stream(df, text_col, id_col, n_buckets, salt)
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _bucket_models(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_ids: DataFrame,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """(b, cr, ct): BOTH bucket models from ONE corpus pass — each doc
+    carries its target-membership flag into the gram stream (slim
+    broadcast-able id join), and a single ≤B-key aggregate counts the
+    raw and target occurrences side by side.  Exact integers, so the
+    downstream ratio math is engine-identical.  The flag join is
+    doc-grain (AQE broadcasts a small target set; a huge one degrades
+    to a hash join, never a corpus re-scan)."""
+    flagged = df.select(F.col(id_col), F.col(text_col)).join(
+        target_ids.select(id_col).withColumn("_t", F.lit(1)),
+        id_col,
+        "left",
+    )
+    grams = _gram_stream(flagged, text_col, id_col, n_buckets, salt, ["_t"])
+    return grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("ct"),
     )
 
 
@@ -121,6 +186,7 @@ def dsir_logweights(
     n_buckets: int = 512,
     salt: str = "dsir_v1",
     target_ids: DataFrame | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_ngrams, logweight_raw): every document's DSIR
     importance log-weight toward the target domain.  The target is
@@ -131,25 +197,65 @@ def dsir_logweights(
     n-grams get weight ln(1) = 0.0 (every model assigns them
     probability 1 over the empty product — they are
     distribution-neutral).  ``logweight_raw`` is the unrounded
-    double; queries round for oracle comparison."""
+    double; queries round for oracle comparison.  ``counts`` lets a
+    caller supply an already-materialized (id, b, c) artifact (read
+    back from parquet) and routes the math through it instead of
+    re-scanning the corpus.
+
+    Scale shape (the 432 s lesson, late r15): the default path never
+    builds the doc × bucket grain — its hash aggregate carries tens of
+    millions of keys at the 200k fixture and was both the wall-clock
+    and the memory hot spot (pinning it OOMed the aggregate).
+    Instead, TWO gram-grain corpus passes with bounded aggregates:
+    pass 1 carries a per-doc target flag into the stream and counts
+    both models in one ≤B-key aggregate; pass 2 joins the broadcast λ
+    per gram and sums at DOC grain (#docs keys).  Gram rows are never
+    stored, only streamed through map-side partial aggregation."""
     if (target_expr is None) == (target_ids is None):
         raise ValueError(
             "dsir_logweights: pass exactly one of target_expr / target_ids"
         )
-    counts = hashed_ngram_counts(df, text_col, id_col, n_buckets, salt)
     if target_ids is None:
         target_ids = df.filter(target_expr).select(id_col)
     else:
         target_ids = target_ids.select(id_col)
-    lam = dsir_log_ratios(counts, id_col, target_ids, n_buckets)
-    per = (
-        counts.join(F.broadcast(lam), "b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").cast("long").alias("n_ngrams"),
-            F.sum(F.col("c") * F.col("lam")).alias("logweight_raw"),
+    B = F.lit(float(n_buckets))
+    if counts is not None:
+        # artifact path: bucket-grain math over the supplied table
+        lam = dsir_log_ratios(counts, id_col, target_ids, n_buckets)
+        per = (
+            counts.join(F.broadcast(lam), "b")
+            .groupBy(id_col)
+            .agg(
+                F.sum("c").cast("long").alias("n_ngrams"),
+                F.sum(F.col("c") * F.col("lam")).alias("logweight_raw"),
+            )
         )
-    )
+    else:
+        models = _bucket_models(df, text_col, id_col, target_ids, n_buckets, salt)
+        tot = models.agg(
+            F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr"),
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"),
+        )
+        lam = (
+            models.crossJoin(F.broadcast(tot))
+            .select(
+                "b",
+                (
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + B))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B))
+                ).alias("lam"),
+            )
+        )
+        grams = _gram_stream(df, text_col, id_col, n_buckets, salt)
+        per = (
+            grams.join(F.broadcast(lam), "b")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+                F.sum("lam").alias("logweight_raw"),
+            )
+        )
     return (
         df.select(id_col)
         .join(per, id_col, "left")
@@ -170,6 +276,7 @@ def dsir_resample(
     n_buckets: int = 512,
     salt: str = "dsir_v1",
     pick_salt: str = "dsir_pick",
+    logweights: DataFrame | None = None,
 ) -> DataFrame:
     """``k`` documents drawn without replacement with probability
     proportional to exp(logweight) — the DSIR selection step, as a
@@ -180,8 +287,14 @@ def dsir_resample(
     same accepted-margin argument as operators/sampling.weighted_sample
     (the registered query additionally measures its rank-k boundary
     gap in tests).  Plans as TakeOrderedAndProject: per-partition
-    top-k heaps, no global sort."""
-    lw = dsir_logweights(df, text_col, id_col, target_expr, n_buckets, salt)
+    top-k heaps, no global sort.  Pass ``logweights`` (a
+    dsir_logweights result already in hand) to reuse the scored frame
+    instead of re-running the whole feature/model/weight chain."""
+    lw = (
+        logweights
+        if logweights is not None
+        else dsir_logweights(df, text_col, id_col, target_expr, n_buckets, salt)
+    )
     u = uniform_from_id(F.col(id_col), pick_salt)
     key = F.round(F.col("logweight_raw"), 6) - F.log(-F.log(u))
     return (
@@ -210,30 +323,34 @@ def freeze_dsir_ratios(
     delivered it).  Buckets the snapshot never saw get the smoothed
     unseen ratio ln((Tr+B)/(Tt+B)) — what the Laplace model assigns a
     count-0 bucket — so a NEW n-gram arriving mid-epoch scores
-    consistently instead of 0.  Bounded collect: exactly the ≤B-row
-    ratio table plus the two totals."""
+    consistently instead of 0.  ONE corpus pass (the flagged
+    gram-grain aggregate — same scale shape as dsir_logweights), one
+    ≤B-row collect; ratios and totals derive driver-side from the
+    exact integer counts."""
     if (target_expr is None) == (target_ids is None):
         raise ValueError(
             "freeze_dsir_ratios: pass exactly one of target_expr / target_ids"
         )
-    counts = hashed_ngram_counts(df, text_col, id_col, n_buckets, salt)
     tgt_ids = (
         df.filter(target_expr).select(id_col)
         if target_ids is None
         else target_ids.select(id_col)
     )
-    lam_rows = dsir_log_ratios(counts, id_col, tgt_ids, n_buckets).collect()
-    tgt = counts.join(tgt_ids, id_col, "left_semi")
-    tr = float(counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
-    tt = float(tgt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    rows = _bucket_models(
+        df, text_col, id_col, tgt_ids, n_buckets, salt
+    ).collect()
+    tr = float(sum(int(r["cr"]) for r in rows))
+    tt = float(sum(int(r["ct"]) for r in rows))
     import math
 
     # unseen bucket: ct=0, cr=0 -> ln(1/(tt+B)) - ln(1/(tr+B))
     #              = ln(tr+B) - ln(tt+B)
     unseen = math.log(tr + n_buckets) - math.log(tt + n_buckets)
     out = [unseen] * n_buckets
-    for r in lam_rows:
-        out[int(r["b"])] = float(r["lam"])
+    for r in rows:
+        out[int(r["b"])] = math.log((int(r["ct"]) + 1) / (tt + n_buckets)) - math.log(
+            (int(r["cr"]) + 1) / (tr + n_buckets)
+        )
     return out
 
 
@@ -254,33 +371,44 @@ def dsir_score_expr(
     ``len(lam)`` IS the bucket count (freeze_dsir_ratios emits dense
     lists), so model and hash can't disagree about B."""
     n_buckets = len(lam)
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     lam_arr = F.lit([float(x) for x in lam])
-    logw = F.aggregate(
-        F.concat(toks, bigrams),
-        F.lit(0.0),
-        lambda acc, g: acc
-        + F.coalesce(
-            F.try_element_at(
-                lam_arr,
-                (
-                    md5_long(F.concat(F.lit(salt + ":"), g)) % n_buckets
-                ).cast("int")
-                + 1,
+
+    def score_of(toks: Column) -> Column:
+        # toks is a BOUND lambda variable here (see below) — the r11
+        # shingle rule: referencing an inline split() from the bigram
+        # lambda would re-tokenize per position, O(tokens²) per doc
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.aggregate(
+            F.concat(toks, bigrams),
             F.lit(0.0),
-        ),
-    )
+            lambda acc, g: acc
+            + F.coalesce(
+                F.try_element_at(
+                    lam_arr,
+                    (
+                        md5_long(F.concat(F.lit(salt + ":"), g)) % n_buckets
+                    ).cast("int")
+                    + 1,
+                ),
+                F.lit(0.0),
+            ),
+        )
+
+    # The expression must stay self-contained (callers use it inside a
+    # filter with no chance to pre-project), so bind the token array
+    # once via a single-element-array transform: the outer lambda's
+    # variable is evaluated exactly once per row.
+    toks_inline = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    logw = F.element_at(F.transform(F.array(toks_inline), score_of), 1)
     u = uniform_from_id(F.col(id_col), pick_salt)
     return F.round(logw, 6) - F.log(-F.log(u))
 

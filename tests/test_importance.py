@@ -177,3 +177,29 @@ def test_frozen_score_expr_matches_join_weights(spark, sf_dir):
     )).alias("w")).collect()[0]["w"]
     # 3 grams (2 unigrams + 1 bigram), all in unseen buckets
     assert abs(got - round(3 * unseen, 6)) <= 1e-6
+
+
+def test_counts_artifact_path_matches_default(spark, sf_dir):
+    """dsir_logweights(counts=<materialized artifact>) — the
+    bucket-grain on-disk flow — must agree with the default gram-grain
+    flow to within one rounding quantum (identical λ inputs; only the
+    float summation grouping differs), with n_ngrams exactly equal."""
+    docs = load_table(spark, sf_dir, "documents").limit(100).localCheckpoint(eager=True)
+    counts = hashed_ngram_counts(docs, "text", "doc_id", 256)
+    via_artifact = {
+        r["doc_id"]: (r["n_ngrams"], round(r["logweight_raw"], 6))
+        for r in dsir_logweights(
+            docs, "text", "doc_id", F.col("lang") == "en",
+            n_buckets=256, counts=counts,
+        ).collect()
+    }
+    default = {
+        r["doc_id"]: (r["n_ngrams"], round(r["logweight_raw"], 6))
+        for r in dsir_logweights(
+            docs, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert set(via_artifact) == set(default)
+    for did in default:
+        assert via_artifact[did][0] == default[did][0], did
+        assert abs(via_artifact[did][1] - default[did][1]) <= 1e-6, did

@@ -47,6 +47,7 @@ CWD_BOUND = {
 #   python tools/run_tests_split.py --durations 0  # then re-sum the logs
 DURATIONS = {
     "test_corpus_pipeline.py": 42,  # r13 census (7 tests, composed pipeline)
+    "test_importance.py": 75,  # late-r15 estimate (6 DSIR tests)
     "test_queries.py": 232,
     "test_index_compaction.py": 118,
     "test_incremental_countmin.py": 107,
