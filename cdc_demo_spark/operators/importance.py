@@ -339,19 +339,7 @@ def freeze_dsir_ratios(
     rows = _bucket_models(
         df, text_col, id_col, tgt_ids, n_buckets, salt
     ).collect()
-    tr = float(sum(int(r["cr"]) for r in rows))
-    tt = float(sum(int(r["ct"]) for r in rows))
-    import math
-
-    # unseen bucket: ct=0, cr=0 -> ln(1/(tt+B)) - ln(1/(tr+B))
-    #              = ln(tr+B) - ln(tt+B)
-    unseen = math.log(tr + n_buckets) - math.log(tt + n_buckets)
-    out = [unseen] * n_buckets
-    for r in rows:
-        out[int(r["b"])] = math.log((int(r["ct"]) + 1) / (tt + n_buckets)) - math.log(
-            (int(r["cr"]) + 1) / (tr + n_buckets)
-        )
-    return out
+    return _dense_ratios(rows, n_buckets)
 
 
 def dsir_score_expr(
@@ -431,3 +419,107 @@ def dsir_keep_expr(
     return dsir_score_expr(lam, text_col, id_col, salt, pick_salt) >= F.lit(
         float(threshold)
     )
+
+
+def _dense_ratios(rows, n_buckets: int) -> list[float]:
+    """Driver-side dense λ list from (b, cr, ct) rows — the shared
+    math of freeze_dsir_ratios (one-shot) and DsirModelIndex
+    (incremental): exact integer counts in, so two routes that agree
+    on the counts agree on the list BIT-EXACTLY."""
+    import math
+
+    tr = float(sum(int(r["cr"]) for r in rows))
+    tt = float(sum(int(r["ct"]) for r in rows))
+    unseen = math.log(tr + n_buckets) - math.log(tt + n_buckets)
+    out = [unseen] * n_buckets
+    for r in rows:
+        out[int(r["b"])] = math.log(
+            (int(r["ct"]) + 1) / (tt + n_buckets)
+        ) - math.log((int(r["cr"]) + 1) / (tr + n_buckets))
+    return out
+
+
+class DsirModelIndex:
+    """INCREMENTAL DSIR bucket models — the fourth member of the
+    AdditiveLedger family (after Count-Min, histogram, token counts):
+    state is the (b, cr, ct) bucket table, which merges by ADDITION
+    over any disjoint batch split of the corpus, so **incremental ==
+    one-shot EXACTLY** and the frozen λ list derived from the ledger
+    is bit-equal to ``freeze_dsir_ratios`` over the union
+    (tests/test_importance.py pins both).
+
+    This closes the streaming loop: epochs feed document batches via
+    ``append_batch`` (exactly-once per stream epoch — the base
+    protocol's marker claim), and the NEXT epoch freezes its
+    ``(lam, threshold)`` from ``freeze_ratios()`` — an O(delta)
+    model update instead of a full-corpus refit.  Each append costs
+    one gram-grain pass over the BATCH with a ≤n_buckets-key
+    aggregate; state on disk is ≤n_buckets rows per batch dir, folded
+    by the ledger's superseding compaction."""
+
+    _TABLE = "buckets"
+    _SCHEMA = "b long, cr long, ct long"
+    _KEYS = ("b",)
+    _VALUES = ("cr", "ct")
+
+    def __init__(self, spark, path, n_buckets: int = 512,
+                 salt: str = "dsir_v1", backend=None):
+        from cdc_demo_spark.operators.additive_ledger import AdditiveLedger
+        from cdc_demo_spark.storage import DEFAULT_BACKEND
+
+        class _Ledger(AdditiveLedger):
+            _TABLE = DsirModelIndex._TABLE
+            _SCHEMA = DsirModelIndex._SCHEMA
+            _KEYS = DsirModelIndex._KEYS
+            _VALUES = DsirModelIndex._VALUES
+
+        self.n_buckets = int(n_buckets)
+        self.salt = salt
+        self._ledger = _Ledger(spark, path, backend or DEFAULT_BACKEND)
+        self._ledger._freeze_meta({
+            "kind": "dsir_model", "v": 1,
+            "n_buckets": self.n_buckets, "salt": salt,
+        })
+
+    def append_batch(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        target_expr: Column | None = None,
+        target_ids: DataFrame | None = None,
+        batch_id: int | None = None,
+    ) -> bool:
+        """Admit one document batch's bucket counts (raw + target in
+        one flagged gram pass).  Same exactly-once epoch contract as
+        TokenCountIndex.append_batch; returns True iff THIS call
+        committed."""
+        if (target_expr is None) == (target_ids is None):
+            raise ValueError(
+                "DsirModelIndex.append_batch: pass exactly one of "
+                "target_expr / target_ids"
+            )
+        if not self._ledger._accepts(batch_id):
+            return False
+        tgt = (
+            df.filter(target_expr).select(id_col)
+            if target_ids is None
+            else target_ids.select(id_col)
+        )
+        state = _bucket_models(df, text_col, id_col, tgt, self.n_buckets, self.salt)
+        return self._ledger._append_state(state, batch_id)
+
+    def models(self) -> DataFrame:
+        """The merged (b, cr, ct) table — exactly the one-shot
+        _bucket_models over the union of admitted batches."""
+        return self._ledger.state()
+
+    def freeze_ratios(self) -> list[float]:
+        """The dense λ list from the CURRENT ledger state — what the
+        next epoch ships into dsir_score_expr / dsir_keep_expr."""
+        return _dense_ratios(self.models().collect(), self.n_buckets)
+
+    def compact(self):
+        """Fold committed batch dirs into one superseding checkpoint
+        (the base ledger's covered-set compaction)."""
+        return self._ledger.compact()

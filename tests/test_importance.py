@@ -203,3 +203,52 @@ def test_counts_artifact_path_matches_default(spark, sf_dir):
     for did in default:
         assert via_artifact[did][0] == default[did][0], did
         assert abs(via_artifact[did][1] - default[did][1]) <= 1e-6, did
+
+
+def test_dsir_model_ledger_incremental_equals_oneshot(spark, sf_dir, tmp_path):
+    """DsirModelIndex (late r15): bucket counts merge by ADDITION over
+    a disjoint batch split, so the ledger state — and the frozen λ
+    list derived from it — must equal the one-shot fit over the union
+    BIT-EXACTLY; a replayed epoch must skip; re-opening with different
+    frozen parameters must refuse."""
+    from cdc_demo_spark.operators.importance import (
+        DsirModelIndex,
+        freeze_dsir_ratios,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    idx = DsirModelIndex(spark, str(tmp_path / "dsir"), n_buckets=256)
+    assert idx.append_batch(
+        docs.filter(F.col("doc_id") < 250), "text", "doc_id",
+        target_expr=F.col("lang") == "en", batch_id=0,
+    )
+    assert idx.append_batch(
+        docs.filter(F.col("doc_id") >= 250), "text", "doc_id",
+        target_expr=F.col("lang") == "en", batch_id=1,
+    )
+    # epoch replay: same batch_id skips before any build
+    assert not idx.append_batch(
+        docs.limit(10), "text", "doc_id",
+        target_expr=F.col("lang") == "en", batch_id=1,
+    )
+    oneshot = freeze_dsir_ratios(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+    )
+    assert idx.freeze_ratios() == oneshot  # bit-exact, not approx
+    # merged state equals the one-shot bucket census
+    from cdc_demo_spark.operators.importance import _bucket_models
+
+    want = {
+        r["b"]: (r["cr"], r["ct"])
+        for r in _bucket_models(
+            docs, "text", "doc_id",
+            docs.filter(F.col("lang") == "en").select("doc_id"), 256, "dsir_v1",
+        ).collect()
+    }
+    got = {r["b"]: (r["cr"], r["ct"]) for r in idx.models().collect()}
+    assert got == want
+    # compaction preserves state; frozen-param mismatch refuses
+    idx.compact()
+    assert {r["b"]: (r["cr"], r["ct"]) for r in idx.models().collect()} == want
+    with pytest.raises(ValueError):
+        DsirModelIndex(spark, str(tmp_path / "dsir"), n_buckets=512)
