@@ -44,3 +44,15 @@ def test_cdc_pipeline_example_runs(spark, tmp_path, monkeypatch, capsys):
     cdc_pipeline.main()  # asserts time travel, warehouse parity, vacuum itself
     out = capsys.readouterr().out
     assert "relay drove 3 window(s)" in out and "== silver" in out
+
+
+def test_dsir_selection_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    from examples import dsir_selection
+
+    monkeypatch.setattr(
+        sys, "argv", ["dsir_selection.py", sf_dir, str(tmp_path / "work")]
+    )
+    dsir_selection.main()  # asserts enrichment + bit-exact ledger itself
+    out = capsys.readouterr().out
+    assert "incremental model == one-shot asserted" in out
+    assert "frozen-threshold keep:" in out
