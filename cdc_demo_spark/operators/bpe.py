@@ -679,8 +679,13 @@ def decode_corpus_ids(
         arr = F.lit([by_id[i] for i in range(len(rows))])
         ids = F.coalesce(F.col(ids_col), F.array().cast("array<int>"))
         # try_element_at: unknown ids (out of 0..V-1) must map to NULL
-        # and be counted, not raise under ANSI mode
-        mapped = F.transform(ids, lambda i: F.try_element_at(arr, i + 1))
+        # and be counted, not raise under ANSI mode.  The sign guard
+        # matters: try_element_at(-k) indexes from the END of the
+        # array, so a negative id would silently decode to a real
+        # token instead of counting as unknown.
+        mapped = F.transform(
+            ids, lambda i: F.when(i >= 0, F.try_element_at(arr, i + 1))
+        )
         return df.withColumn(
             out_col, F.concat_ws("", F.filter(mapped, lambda t: t.isNotNull()))
         ).withColumn(

@@ -776,19 +776,21 @@ def write_block_index(blocks: DataFrame, path: str) -> dict:
                 f"write_block_index needs segment columns (missing {c!r}); "
                 "run build_corpus/pack_chunks with emit_segments=True"
             )
+    import shutil as _shutil
+
     mpath = _os.path.join(path, "_manifest.json")
     with open(mpath) as f:
         manifest = _json.load(f)
     idx_root = _os.path.join(path, "_blocks")
-    laid = (
-        blocks.select(
-            "split", "shard", "block_id", "n_chunks", "total_tokens",
-            "seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets",
+    if _os.path.exists(idx_root):
+        raise ValueError(
+            f"write_block_index: {idx_root} already exists — erase or "
+            "re-pack before writing a new index"
         )
-        .repartition(F.col("split"), F.col("shard"))
-        .sortWithinPartitions("block_id")
-    )
-    laid.write.mode("error").partitionBy("split", "shard").parquet(idx_root)
+    # VALIDATE FIRST (the aggregate needs no written files): a block
+    # index that disagrees with the rows it indexes must fail BEFORE
+    # anything lands on disk, so a corrected re-run never trips over
+    # an orphaned _blocks dir from the failed attempt.
     rows = (
         blocks.groupBy("split", "shard")
         .agg(
@@ -807,6 +809,21 @@ def write_block_index(blocks: DataFrame, path: str) -> dict:
                 f"covers {int(r['chunks'])} chunks, shard holds {want}"
             )
         index[key] = {"blocks": int(r["blocks"]), "chunks": int(r["chunks"])}
+    laid = (
+        blocks.select(
+            "split", "shard", "block_id", "n_chunks", "total_tokens",
+            "seg_doc_ids", "seg_chunk_ids", "seg_tokens", "seg_offsets",
+        )
+        .repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("block_id")
+    )
+    # stage + single-rename swap: a crash mid-write leaves only the
+    # hidden staging dir (invisible to readers, removable on retry),
+    # never a half-written _blocks
+    staging = _os.path.join(path, "_blocks_staging")
+    _shutil.rmtree(staging, ignore_errors=True)
+    laid.write.mode("error").partitionBy("split", "shard").parquet(staging)
+    _os.rename(staging, idx_root)
     manifest["blocks"] = index
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
@@ -904,7 +921,19 @@ def append_token_shards(
     old docs under a FRESH batch_id would silently double them —
     ``validate_new=True`` buys insurance against that caller bug with
     one anti-join probe of only the touched dirs (pruned read, slim
-    columns) and raises listing sample offenders."""
+    columns) and raises listing sample offenders.
+
+    Crash-safety protocol (write-ahead, same spirit as the bronze
+    sink's staged-until-claimed AdditiveLedger): the delta lands first
+    in a HIDDEN staging dir (``_append_staging/<h(batch_id)>`` —
+    invisible to parquet readers), then ONE atomic manifest rewrite
+    records the merged censuses + batch_id + a ``pending_appends``
+    marker, and only then are the staged files moved into the live
+    shard dirs and the marker cleared.  A crash before the manifest
+    write leaves nothing visible (retry re-stages from scratch); a
+    crash after it leaves the batch recorded-but-staged, and the NEXT
+    call with the same batch_id finishes the per-file moves
+    idempotently instead of doubling rows."""
     import json as _json
     import os as _os
 
@@ -913,6 +942,12 @@ def append_token_shards(
         manifest = _json.load(f)
     applied = manifest.setdefault("applied_batches", [])
     if batch_id in applied:
+        pending = manifest.get("pending_appends", {})
+        if batch_id in pending:
+            # recorded but not fully moved in: finish the crashed move
+            moved = _finish_pending_append(path, manifest, batch_id)
+            return {"appended_chunks": 0, "dirs_touched": moved,
+                    "replayed": True, "recovered": True}
         return {"appended_chunks": 0, "dirs_touched": 0, "replayed": True}
     n_shards, salt = int(manifest["n_shards"]), manifest["shard_salt"]
 
@@ -937,12 +972,23 @@ def append_token_shards(
                 "appending would silently double them; erase first or fix "
                 "the delta"
             )
+    # 1) stage the delta to a HIDDEN dir — nothing reader-visible yet.
+    #    A leftover staging dir from a crash BEFORE the manifest write
+    #    (batch unrecorded) is simply discarded and re-staged.
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    staging_rel = _os.path.join(
+        "_append_staging", _hashlib.md5(batch_id.encode()).hexdigest()[:16]
+    )
+    staging = _os.path.join(path, staging_rel)
+    _shutil.rmtree(staging, ignore_errors=True)
     laid = (
         tokens.withColumn("shard", shard)
         .repartition(F.col("split"), F.col("shard"))
         .sortWithinPartitions("doc_id", "chunk_id")
     )
-    laid.write.mode("append").partitionBy("split", "shard").parquet(path)
+    laid.write.mode("error").partitionBy("split", "shard").parquet(staging)
     rows = (
         tokens.withColumn("shard", shard)
         .groupBy("split", "shard")
@@ -963,16 +1009,89 @@ def append_token_shards(
             "words": old["words"] + int(r["words"]),
             "bpe_tokens": old["bpe_tokens"] + int(r["bpe_tokens"]),
         }
+    # 2) ONE atomic manifest rewrite claims the batch: censuses merged,
+    #    batch recorded, pending marker pointing at the staged files
     applied.append(batch_id)
+    manifest.setdefault("pending_appends", {})[batch_id] = staging_rel
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         _json.dump(manifest, f, sort_keys=True, indent=1)
     _os.replace(tmp, mpath)
+    # 3) move staged files into the live shard dirs (atomic per file,
+    #    idempotent on retry) and clear the marker
+    _finish_pending_append(path, manifest, batch_id)
     return {
         "appended_chunks": sum(int(r["chunks"]) for r in rows),
         "dirs_touched": len(rows),
         "replayed": False,
     }
+
+
+def _finish_pending_append(path: str, manifest: dict, batch_id: str) -> int:
+    """Move a claimed batch's staged parquet files into the live shard
+    dirs and clear its ``pending_appends`` marker — the completion half
+    of append_token_shards' write-ahead protocol, also run on replay
+    after a crash between the manifest claim and the moves.  Each file
+    move is an atomic rename keeping the staged (task-UUID) file name,
+    so a re-run skips files already moved and a crash mid-loop just
+    shortens the remaining work.  Returns the number of dirs touched
+    by the moves it performed."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    staging = _os.path.join(path, manifest["pending_appends"][batch_id])
+    moved_dirs = 0
+    if _os.path.isdir(staging):
+        for split_dir in sorted(_os.listdir(staging)):
+            if not split_dir.startswith("split="):
+                continue
+            for shard_dir in sorted(_os.listdir(_os.path.join(staging, split_dir))):
+                if not shard_dir.startswith("shard="):
+                    continue
+                src_dir = _os.path.join(staging, split_dir, shard_dir)
+                dst_dir = _os.path.join(path, split_dir, shard_dir)
+                _os.makedirs(dst_dir, exist_ok=True)
+                n = 0
+                for fname in sorted(_os.listdir(src_dir)):
+                    if fname.endswith(".parquet"):
+                        _os.replace(
+                            _os.path.join(src_dir, fname),
+                            _os.path.join(dst_dir, fname),
+                        )
+                        n += 1
+                if n:
+                    moved_dirs += 1
+        _shutil.rmtree(staging, ignore_errors=True)
+    del manifest["pending_appends"][batch_id]
+    if not manifest["pending_appends"]:
+        del manifest["pending_appends"]
+    mpath = _os.path.join(path, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, sort_keys=True, indent=1)
+    _os.replace(tmp, mpath)
+    return moved_dirs
+
+
+def _swap_in_dir(staged: str, target: str) -> None:
+    """Crash-safe directory replacement for the compact/RTBF rewrites:
+    rename the live dir aside to a HIDDEN sibling (``_old_<name>`` —
+    underscore-prefixed dirs are invisible to parquet readers) BEFORE
+    moving the staged dir in, then drop the aside copy.  Every
+    intermediate state keeps the rows reachable under a recoverable
+    name: a crash between the two renames leaves the data in
+    ``_old_<name>`` (plus the staged copy), never stranded in staging
+    with no pointer the way a rmtree-then-replace sequence would."""
+    import os as _os
+    import shutil as _shutil
+
+    parent, name = _os.path.split(target.rstrip("/"))
+    aside = _os.path.join(parent, "_old_" + name)
+    _shutil.rmtree(aside, ignore_errors=True)  # leftover from a prior crash
+    _os.replace(target, aside)
+    _os.replace(staged, target)
+    _shutil.rmtree(aside)
 
 
 def compact_token_shards(spark, path: str, max_files: int = 4) -> dict:
@@ -1018,8 +1137,7 @@ def compact_token_shards(spark, path: str, max_files: int = 4) -> dict:
     removed = 0
     for s, sh, n in crowded:
         target = _os.path.join(path, f"split={s}", f"shard={sh}")
-        _shutil.rmtree(target)
-        _os.replace(_os.path.join(staging, f"split={s}", f"shard={sh}"), target)
+        _swap_in_dir(_os.path.join(staging, f"split={s}", f"shard={sh}"), target)
         removed += n - 1
     _shutil.rmtree(staging, ignore_errors=True)
     return {"dirs_compacted": len(crowded), "files_removed": removed}
@@ -1115,9 +1233,9 @@ def erase_docs_from_token_shards(
         # staging write runs; directory swaps happen only afterwards
         keep.write.mode("error").partitionBy("split", "shard").parquet(staging)
         for s, sh in rewrite_pairs:
-            target = _dir(s, sh)
-            _shutil.rmtree(target)
-            _os.replace(_os.path.join(staging, f"split={s}", f"shard={sh}"), target)
+            _swap_in_dir(
+                _os.path.join(staging, f"split={s}", f"shard={sh}"), _dir(s, sh)
+            )
         _shutil.rmtree(staging, ignore_errors=True)
     for s, sh in remove_pairs:
         _shutil.rmtree(_dir(s, sh))

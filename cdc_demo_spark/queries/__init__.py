@@ -40,91 +40,74 @@ from cdc_demo_spark.queries import sketchops  # noqa: F401,E402
 # signal regardless of position) go last.  tools/check_oracle.py still
 # verifies EVERY query locally.
 _DRIVER_WINDOW_FIRST = [
-    # Round-15 window head: exactly tools/window_staleness.py's
-    # suggestion at this HEAD (VERDICT r14 #3) — capacity math
+    # Round-16 window head: exactly tools/window_staleness.py's
+    # suggestion at this HEAD (VERDICT r15 #3) — capacity math
     # (50 slots):
-    #   6  NEW oracle queries (q_curriculum_buckets_scaled — the
-    #      scale-safe curriculum bucketing that closes r14's one
-    #      `weak` mark: broadcast quantile cutpoints + map-side
-    #      assignment, zero windows in the plan; q_mixture_temperature
-    #      — data-derived temperature mixture rates in engine-exact
-    #      integer math; q_packed_segments / q_packed_segments_nfd —
-    #      per-block segment layouts for block-diagonal attention, the
-    #      fold oracle list-agged at rn grain; q_mixture_epochs — the
-    #      with-replacement temperature schedule, both regimes
-    #      exercised on the skewed lang stratum; q_bpe_fertility —
-    #      per-source tokenizer-fit censuses): first-ever
-    #      hash-verified driver records;
-    #   16 ALL remaining r11-stale oracle queries (headed by
-    #      q_range_join / q_rank_parts / q_remove_duplicated_spans,
-    #      which yielded their r14 slots to that round's new
-    #      queries; after this capture no oracle record predates
-    #      r12);
-    #   28 stalest r12 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them; the r12 tail from
-    #      q_grouping_sets on heads the r16 queue — six r12 entries
-    #      total yield their slots to the six new queries).
-    # Rows-only queries were all refreshed in r12 (none predates
-    # r12 and none is staler than the r12 oracle tail), so none
-    # needs a slot this round.
-    # LATE-r15 revision: three more oracle queries landed after the
-    # true-final gate (q_bpe_decode — the token-id decode round trip;
-    # q_dsir_logweights / q_dsir_sample — DSIR importance resampling,
-    # Xie et al. NeurIPS 2023).  They are never-driver-checked, so
-    # they take the head's first three slots and the three LAST
-    # r12-refresh entries (q_fingerprint, q_forecast_revenue,
-    # q_fuzzy_name_pairs — alphabetical tail of equal staleness)
-    # yield, joining the r16 queue behind the q_grouping_sets tail.
-    "q_bpe_decode",
-    "q_dsir_logweights",
-    "q_dsir_sample",
-    "q_curriculum_buckets_scaled",
-    "q_mixture_temperature",
-    "q_packed_segments",
-    "q_packed_segments_nfd",
-    "q_mixture_epochs",
-    "q_bpe_fertility",
-    "q_range_join",
-    "q_rank_parts",
-    "q_remove_duplicated_spans",
-    "q_returned_items",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_running_sum",
-    "q_salted_skew_join",
-    "q_self_join",
-    "q_semantic_dedup_int8",
-    "q_semi_join",
-    "q_shipping_priority",
-    "q_string_functions",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_top_orders",
-    "q_allpairs_jaccard",
-    "q_array_functions",
-    "q_benchmark_contamination",
-    "q_bm25_topk",
-    "q_bpe_merge_candidates",
-    "q_bpe_token_count",
-    "q_containment_pairs",
-    "q_context_length_histogram",
-    "q_context_windows",
-    "q_corpus_token_budget",
-    "q_correlated_exists",
-    "q_cosine_topk_arrow",
-    "q_data_quality",
-    "q_day_partition_pruning",
-    "q_dedup_cluster_survivors",
-    "q_dedup_exact_keep",
-    "q_dedup_stats",
-    "q_disjunctive_filters",
-    "q_document_chunks",
-    "q_dormant_rich_customers",
-    "q_dup_ngram_fraction",
-    "q_embedding_quantize_int8",
-    "q_events_per_day_spine",
-    "q_except_all",
-    "q_excess_part_suppliers",
+    #   1  NEW oracle query (q_incremental_dsir — the DsirModelIndex
+    #      ledger made driver-visible: two-batch incremental bucket
+    #      models vs the oracle's one-shot fit, value-exact because
+    #      (b, cr, ct) SUM-merges over disjoint batches — VERDICT r15
+    #      #2): first-ever hash-verified driver record;
+    #   16 ALL remaining r12-stale oracle queries (q_fingerprint /
+    #      q_forecast_revenue / q_fuzzy_name_pairs, which yielded
+    #      their r15 slots to the three late-r15 queries, then the
+    #      q_grouping_sets tail VERDICT r15 #3 names; after this
+    #      capture no oracle record predates r13);
+    #   33 stalest r13 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; the r13 tail from
+    #      q_pricing_summary on heads the r17 queue).
+    # Rows-only queries were all refreshed in r12; the window-lint
+    # allowlist documents the r12 rows-only records as current.
+    "q_incremental_dsir",
+    "q_fingerprint",
+    "q_forecast_revenue",
+    "q_fuzzy_name_pairs",
+    "q_grouping_sets",
+    "q_hll_mergeable_rollup",
+    "q_important_supplier_value",
+    "q_incremental_histogram",
+    "q_incremental_moments",
+    "q_incremental_rollup",
+    "q_incremental_token_counts",
+    "q_intersect_all",
+    "q_lang_id",
+    "q_late_shipment_priority",
+    "q_latest_event_per_user",
+    "q_leakage_safe_split",
+    "q_simhash_signatures",
+    "q_anti_join",
+    "q_asof_join",
+    "q_audio_features",
+    "q_bigram_perplexity",
+    "q_bloom_decontamination",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_case_when",
+    "q_embedding_covariance",
+    "q_epoch_shuffle",
+    "q_hot_key_salted_join",
+    "q_large_volume_customers",
+    "q_line_status_priority",
+    "q_linear_quality_score",
+    "q_local_supplier_volume",
+    "q_mad_outliers",
+    "q_math_functions",
+    "q_media_features",
+    "q_media_pipeline",
+    "q_min_cost_supplier",
+    "q_minhash_near_dups_md5",
+    "q_minhash_signatures_md5",
+    "q_mixture_sample",
+    "q_nation_market_share",
+    "q_nation_volume_shipping",
+    "q_neardup_centrality",
+    "q_ngram_jaccard_pairs",
+    "q_null_functions",
+    "q_ohlc_bars",
+    "q_order_count_distribution",
+    "q_packed_blocks",
+    "q_percentiles",
+    "q_pii_mask",
 ]
 
 

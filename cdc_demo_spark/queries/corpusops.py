@@ -1314,3 +1314,80 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(
         docs, "text", "doc_id", F.col("lang") == "en", k=100
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_incremental_dsir",
+    # Reuses _DSIR_CHAIN's one-shot bucket tables as the oracle: the
+    # DsirModelIndex admits the corpus in TWO batches (doc_id parity)
+    # and its (b, cr, ct) state SUM-merges over the disjoint split, so
+    # the merged ledger is BIT-IDENTICAL to the one-shot count tables —
+    # the third AdditiveLedger member (after bloom's bit_or and
+    # countmin's SUM grid) whose incremental machinery gets a full
+    # value-exact oracle instead of the usual rows-only record.  The λ
+    # column re-derives the Laplace log-ratio from the exact integer
+    # counts in both engines (same accepted ln-ulp margin as
+    # q_dsir_logweights).
+    oracle=_DSIR_CHAIN + """
+SELECT r.b AS b,
+       CAST(r.cr AS BIGINT) AS cr,
+       CAST(coalesce(t.ct, 0) AS BIGINT) AS ct,
+       round(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (ttot.tt + 512))
+             - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 512)), 6) AS lam
+FROM rawb r LEFT JOIN tgtb t USING (b) CROSS JOIN tot CROSS JOIN ttot
+ORDER BY b
+""",
+)
+def q_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR bucket models grown INCREMENTALLY (operators/importance.
+    DsirModelIndex): the corpus lands in two appends split by doc_id
+    parity, each one flagged gram-grain pass ending in a ≤512-key
+    aggregate, and the persisted (b, cr, ct) ledger SUM-merges — so
+    the merged state, and the λ log-ratio table derived from it, are
+    bit-identical to a one-shot fit over the union (the invariant the
+    next epoch's frozen dsir_keep_expr model rides on).  The oracle
+    replays the ONE-SHOT fit from first principles; the hash gate
+    therefore covers the incremental state machinery end to end."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_demo_spark.operators.importance import DsirModelIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="dsir_index_")
+    try:
+        idx = DsirModelIndex(spark, os.path.join(tmp, "idx"), n_buckets=512)
+        for parity, bid in ((0, 1), (1, 2)):
+            idx.append_batch(
+                docs.filter(F.col("doc_id") % 2 == parity),
+                "text",
+                "doc_id",
+                target_expr=F.col("lang") == "en",
+                batch_id=bid,
+            )
+        models = idx.models()
+        tot = models.agg(
+            F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr"),
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"),
+        )
+        B = F.lit(512.0)
+        return (
+            models.crossJoin(F.broadcast(tot))
+            .select(
+                "b",
+                F.col("cr").cast("long").alias("cr"),
+                F.col("ct").cast("long").alias("ct"),
+                F.round(
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + B))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B)),
+                    6,
+                ).alias("lam"),
+            )
+            .orderBy("b")
+            # pinned: the temp index dir is deleted on return; the
+            # driver collects AFTER that
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -12,6 +12,14 @@ compliance path that mutates them surgically.
                                manifest with per-shard censuses
       3. read_token_shards     partition-pruned read of one worker's
                                shard — a trainer's actual access path
+      3b. assemble_training_blocks
+                               the worker zips its shard's block index
+                               with its token rows into ASSEMBLED
+                               batches and iterates them as a collator
+                               would: input_ids consumed in order,
+                               seg_id_lens consumed as the
+                               block-diagonal attention mask /
+                               position-id resets
       4. erase_docs_from_token_shards
                                RTBF: only the dirs the pure-function
                                shard key maps the targets to are
@@ -34,6 +42,7 @@ from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators.corpus_pipeline import (
     append_token_shards,
+    assemble_training_blocks,
     assert_corpus_invariants,
     build_corpus,
     compact_token_shards,
@@ -119,6 +128,39 @@ def main(work_dir: str) -> None:
     assert blocks0.count() == idx.get("train/00", {}).get("blocks", 0)
     print(f"worker read train/00: {want} chunks + {blocks0.count()} block layouts "
           "(both partition-pruned)")
+
+    # 3b. the worker ASSEMBLES its own shard into training batches —
+    #     block index + token rows, both pruned to the same dir, zero
+    #     cross-shard traffic — and iterates them exactly as a
+    #     collator would: input_ids consumed in order, seg_id_lens
+    #     turned into position-id resets (the block-diagonal attention
+    #     mask at segment boundaries)
+    assembled = assemble_training_blocks(
+        spark, shards_dir, split="train", shards=[0]
+    ).orderBy("block_id")
+    n_batches, n_ids_seen, n_segs_seen = 0, 0, 0
+    for b in assembled.toLocalIterator():  # the trainer's batch loop
+        lens = b["seg_id_lens"]
+        assert sum(lens) == b["n_ids"] == len(b["input_ids"])
+        assert len(lens) == b["n_chunks"]
+        # position ids reset at every segment boundary — what a
+        # collator derives from seg_id_lens
+        position_ids = [p for ln in lens for p in range(ln)]
+        assert len(position_ids) == b["n_ids"]
+        off = 0
+        for ln in lens:
+            assert position_ids[off] == 0  # fresh segment, fresh positions
+            off += ln
+        n_batches += 1
+        n_ids_seen += b["n_ids"]
+        n_segs_seen += len(lens)
+    assert n_batches == blocks0.count(), "worker iterated every block"
+    assert n_segs_seen == idx.get("train/00", {}).get("chunks", 0)
+    print(
+        f"worker assembled train/00: {n_batches} batches, {n_ids_seen} ids, "
+        f"{n_segs_seen} segments — seg_id_lens consumed as attention-mask "
+        "layout (position ids reset at every boundary)"
+    )
 
     # 4. RTBF: erase two documents; untouched dirs never rewritten
     victims = [

@@ -473,9 +473,12 @@ def test_decode_corpus_ids_literal_equals_join(spark, sf_dir):
 
 def test_decode_corpus_ids_unknowns_and_guards(spark):
     """Unknown ids decode to nothing but are COUNTED (both
-    strategies); empty/NULL arrays decode to ''; a gapped map is
-    rejected by the literal path; the join path enforces the same
-    reserved-name contract as the encoder."""
+    strategies) — including NEGATIVE ids, which the literal path must
+    not let try_element_at index from the END of the vocab array
+    (-2 -> 'ab' would silently decode an invalid id to a real token);
+    empty/NULL arrays decode to ''; a gapped map is rejected by the
+    literal path; the join path enforces the same reserved-name
+    contract as the encoder."""
     import pytest
 
     from cdc_demo_spark.operators.bpe import decode_corpus_ids
@@ -484,7 +487,7 @@ def test_decode_corpus_ids_unknowns_and_guards(spark):
         [("a", 0), ("b", 1), ("ab", 2)], "tok string, tok_id int"
     )
     df = spark.createDataFrame(
-        [(1, [2, 0, 99]), (2, []), (3, None)],
+        [(1, [2, 0, 99]), (2, []), (3, None), (4, [-2, 1, -1])],
         "doc_id long, token_ids array<int>",
     )
     for kwargs in ({"impl": "literal"}, {"impl": "join", "key_cols": ["doc_id"]}):
@@ -492,7 +495,9 @@ def test_decode_corpus_ids_unknowns_and_guards(spark):
             r["doc_id"]: (r["decoded"], r["n_unknown_ids"])
             for r in decode_corpus_ids(df, "token_ids", idmap, **kwargs).collect()
         }
-        assert got == {1: ("aba", 1), 2: ("", 0), 3: ("", 0)}, kwargs
+        assert got == {
+            1: ("aba", 1), 2: ("", 0), 3: ("", 0), 4: ("b", 2),
+        }, kwargs
 
     gapped = spark.createDataFrame(
         [("a", 0), ("b", 2)], "tok string, tok_id int"

@@ -1202,3 +1202,145 @@ def test_streaming_dsir_twin_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_pairs == want_pairs
+
+
+def test_append_crash_recovery_and_staging_invisibility(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Write-ahead append protocol (r16, ADVICE): a crash between the
+    manifest claim and the file moves must leave NOTHING reader-visible
+    (the delta is staged in a hidden dir), and replaying the SAME
+    batch_id must finish the moves instead of doubling rows; after
+    recovery reader == manifest.  Also: a leftover staging dir from a
+    pre-claim crash is discarded and re-staged, not double-counted."""
+    import json
+    import os
+
+    from cdc_demo_spark.operators import corpus_pipeline as cp
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(docs, rules=RULES, minhash_threshold=0.3, bpe_merges=5)
+    toks = res["tokens"]
+    ids = sorted(r["doc_id"] for r in toks.select("doc_id").distinct().collect())
+    base_ids, delta_ids = ids[: len(ids) // 2], ids[len(ids) // 2:]
+    base = toks.filter(F.col("doc_id").isin(base_ids))
+    delta = toks.filter(F.col("doc_id").isin(delta_ids))
+
+    out = str(tmp_path / "shards")
+    cp.write_token_shards(base, out, n_shards=4)
+    n_base = cp.read_token_shards(spark, out).count()
+    n_delta = delta.count()
+
+    # simulate a crash immediately after the manifest claim: the move
+    # half never runs
+    real_finish = cp._finish_pending_append
+
+    def _boom(path, manifest, batch_id):
+        raise RuntimeError("simulated crash before file moves")
+
+    monkeypatch.setattr(cp, "_finish_pending_append", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cp.append_token_shards(delta, out, batch_id="b1")
+    monkeypatch.setattr(cp, "_finish_pending_append", real_finish)
+
+    # crashed state: batch claimed + pending, rows NOT reader-visible
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["applied_batches"] == ["b1"]
+    assert "b1" in manifest["pending_appends"]
+    assert cp.read_token_shards(spark, out).count() == n_base
+
+    # replaying the same batch recovers: moves finish, marker clears,
+    # rows appear EXACTLY once, manifest == reader
+    rep = cp.append_token_shards(delta, out, batch_id="b1")
+    assert rep["replayed"] is True and rep.get("recovered") is True
+    after = cp.read_token_shards(spark, out)
+    assert after.count() == n_base + n_delta
+    m2 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert "pending_appends" not in m2
+    reader_census = {
+        f"{r['split']}/{int(r['shard']):02d}": int(r["c"])
+        for r in after.groupBy("split", "shard")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["chunks"] for k, v in m2["shards"].items()} == reader_census
+    # a further replay is a pure no-op
+    rep3 = cp.append_token_shards(delta, out, batch_id="b1")
+    assert rep3 == {"appended_chunks": 0, "dirs_touched": 0, "replayed": True}
+    assert cp.read_token_shards(spark, out).count() == n_base + n_delta
+
+    # pre-claim crash leftovers: a junk staging dir for a NEW batch id
+    # is discarded and re-staged — content lands exactly once
+    import hashlib
+
+    junk = os.path.join(
+        out, "_append_staging", hashlib.md5(b"b2").hexdigest()[:16]
+    )
+    os.makedirs(os.path.join(junk, "split=train", "shard=0"), exist_ok=True)
+    with open(os.path.join(junk, "split=train", "shard=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    fresh = toks.filter(F.col("doc_id").isin(base_ids))  # content irrelevant here
+    # re-sending base under a fresh id is the caller-bug vector; we only
+    # need the staging-reset path, so erase base rows first
+    cp.erase_docs_from_token_shards(spark, out, base_ids)
+    rep4 = cp.append_token_shards(fresh, out, batch_id="b2")
+    assert rep4["replayed"] is False and rep4["appended_chunks"] == fresh.count()
+    assert cp.read_token_shards(spark, out).count() == n_delta + fresh.count()
+
+
+def test_block_index_failed_write_leaves_no_orphan(spark, sf_dir, tmp_path):
+    """write_block_index (r16, ADVICE): validation runs BEFORE anything
+    lands on disk — a census mismatch raises with no _blocks dir (or
+    staging leftovers) created, and a corrected re-run succeeds instead
+    of tripping over an orphan."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        write_block_index,
+        write_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = build_corpus(
+        docs, rules=RULES, minhash_threshold=0.3,
+        emit_segments=True, bpe_merges=5,
+    )
+    out = str(tmp_path / "shards4")
+    write_token_shards(res["tokens"], out, n_shards=4)  # != blocks' key
+    with pytest.raises(ValueError, match="disagrees"):
+        write_block_index(res["blocks"], out)
+    assert not os.path.exists(os.path.join(out, "_blocks"))
+    assert not os.path.exists(os.path.join(out, "_blocks_staging"))
+
+    # corrected layout: same call now succeeds (no orphan in the way)
+    out2 = str(tmp_path / "shards_ok")
+    write_token_shards(res["tokens"], out2)
+    idx = write_block_index(res["blocks"], out2)
+    assert idx and os.path.isdir(os.path.join(out2, "_blocks"))
+    with pytest.raises(ValueError, match="already exists"):
+        write_block_index(res["blocks"], out2)
+
+
+def test_swap_in_dir_is_recoverable_and_cleans_leftovers(tmp_path):
+    """_swap_in_dir (r16, ADVICE): the live dir is renamed aside to a
+    HIDDEN sibling before the staged dir moves in (every intermediate
+    state keeps the rows reachable), and a leftover _old_ dir from a
+    prior crash is cleaned up on the next swap."""
+    import os
+
+    from cdc_demo_spark.operators.corpus_pipeline import _swap_in_dir
+
+    target = tmp_path / "shard=3"
+    staged = tmp_path / "staging" / "shard=3"
+    target.mkdir()
+    staged.mkdir(parents=True)
+    (target / "old.parquet").write_text("old")
+    (staged / "new.parquet").write_text("new")
+    # plant a leftover aside dir from a simulated prior crash
+    leftover = tmp_path / "_old_shard=3"
+    leftover.mkdir()
+    (leftover / "stale.parquet").write_text("stale")
+
+    _swap_in_dir(str(staged), str(target))
+    assert sorted(os.listdir(target)) == ["new.parquet"]
+    assert not leftover.exists()
+    assert not staged.exists()

@@ -56,3 +56,14 @@ def test_dsir_selection_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsy
     out = capsys.readouterr().out
     assert "incremental model == one-shot asserted" in out
     assert "frozen-threshold keep:" in out
+
+
+def test_trainer_artifacts_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    from examples import trainer_artifacts
+
+    monkeypatch.setattr(trainer_artifacts, "SF_DIR", sf_dir)
+    trainer_artifacts.main(str(tmp_path / "work"))
+    out = capsys.readouterr().out
+    assert "worker assembled train/00:" in out
+    assert "attention-mask" in out
+    assert "manifest == reader censuses after erase" in out
