@@ -267,6 +267,106 @@ def dsir_logweights(
     )
 
 
+def dsir_multi_logweights(
+    counts: DataFrame,
+    id_col: str,
+    targets: dict[str, DataFrame],
+    n_buckets: int = 512,
+    all_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Score MANY target domains from ONE materialized counts artifact
+    — the amortization ``hashed_ngram_counts`` exists for, made a
+    single operator: given the (id, b, c) table and a dict of
+    ``name -> target-id frame``, return one row per document with a
+    ``lw_<name>`` importance log-weight column per target (plus
+    ``n_ngrams``).  A DSIR deployment rarely wants ONE target — it
+    scores the pool against several domains (languages, quality
+    strata, eval-adjacent slices) and mixes; re-running the corpus
+    pass per target would cost T corpus scans, this costs O(1) in the
+    corpus regardless of T.
+
+    Scale shape: THREE scans of the artifact, none of the corpus —
+    (1) raw bucket totals (≤B keys); (2) per-target bucket totals in
+    ONE aggregate — the tagged membership union joins doc-grain and
+    aggregates to ≤B·T keys (a doc in several targets is correctly
+    counted once per tag because the tag is part of the join output,
+    and raw totals deliberately come from scan 1, unmultiplied);
+    (3) one doc-grain scoring aggregate against the broadcast wide λ
+    table (≤B rows, T+1 columns).  Laplace smoothing and ln() math
+    are bit-identical to ``dsir_logweights`` per target — pinned in
+    tests/test_importance.py.  ``all_ids`` (default: the ids present
+    in ``counts``) supplies the zero-n-gram documents, which score
+    0.0 toward every target (distribution-neutral), matching the
+    single-target operator."""
+    if not targets:
+        raise ValueError("dsir_multi_logweights: targets dict is empty")
+    for name in targets:
+        if not name.isidentifier():
+            raise ValueError(
+                f"dsir_multi_logweights: target name {name!r} must be a "
+                "valid identifier (it becomes the lw_<name> column)"
+            )
+    B = F.lit(float(n_buckets))
+
+    # scan 1: raw model (≤B keys) + its total
+    rawb = counts.groupBy("b").agg(F.sum("c").alias("cr"))
+    tot = rawb.agg(F.sum("cr").cast("double").alias("tr"))
+
+    # scan 2: every target's bucket model in ONE tagged aggregate
+    membership = None
+    for name, ids in targets.items():
+        tagged = ids.select(F.col(id_col)).distinct().withColumn("_t", F.lit(name))
+        membership = tagged if membership is None else membership.unionByName(tagged)
+    tgtb = (
+        counts.join(membership, id_col)
+        .groupBy("b", "_t")
+        .agg(F.sum("c").alias("ct"))
+    )
+    ttot = tgtb.groupBy("_t").agg(F.sum("ct").cast("double").alias("tt"))
+
+    # wide λ table: pivot the per-target counts to columns (≤B rows
+    # after), then derive every λ column in one projection against the
+    # broadcast raw total and the ≤T collected target totals
+    ct_wide = tgtb.groupBy("b").pivot("_t", list(targets)).agg(F.first("ct"))
+    tt_rows = {r["_t"]: float(r["tt"]) for r in ttot.collect()}  # ≤T rows
+    lam_wide = rawb.crossJoin(F.broadcast(tot)).join(ct_wide, "b", "left")
+    lam_cols = []
+    for name in targets:
+        tt = F.lit(tt_rows.get(name, 0.0))
+        lam_cols.append(
+            (
+                F.log(
+                    (F.coalesce(F.col(name), F.lit(0)) + 1).cast("double")
+                    / (tt + B)
+                )
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B))
+            ).alias(f"lam_{name}")
+        )
+    lam = lam_wide.select("b", *lam_cols)
+
+    # scan 3: one doc-grain aggregate against the broadcast wide λ
+    per = (
+        counts.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            *[
+                F.sum(F.col("c") * F.col(f"lam_{name}")).alias(f"lw_{name}")
+                for name in targets
+            ],
+        )
+    )
+    base = (all_ids if all_ids is not None else counts).select(id_col).distinct()
+    return base.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        *[
+            F.coalesce(F.col(f"lw_{name}"), F.lit(0.0)).alias(f"lw_{name}")
+            for name in targets
+        ],
+    )
+
+
 def dsir_resample(
     df: DataFrame,
     text_col: str,

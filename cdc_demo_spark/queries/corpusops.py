@@ -1201,7 +1201,11 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_CHAIN = """
+# the feature-extraction prefix (tokens -> unigram+bigram stream ->
+# hashed doc×bucket counts -> raw bucket model), shared by every DSIR
+# oracle — single- and multi-target chains diverge only at the
+# target-model CTEs
+_DSIR_DC = """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
@@ -1220,7 +1224,9 @@ dc AS (
          count(*) AS c
   FROM ng GROUP BY 1, 2
 ),
-rawb AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),
+rawb AS (SELECT b, sum(c) AS cr FROM dc GROUP BY b),"""
+
+_DSIR_CHAIN = _DSIR_DC + """
 tgtb AS (
   SELECT dc.b, sum(dc.c) AS ct
   FROM dc JOIN documents d USING (doc_id)
@@ -1391,3 +1397,81 @@ def q_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_dsir_multi_target",
+    oracle=_DSIR_DC + """
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tr FROM dc),
+t_en AS (
+  SELECT dc.b, sum(dc.c) AS ct
+  FROM dc JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY dc.b
+),
+t_zh AS (
+  SELECT dc.b, sum(dc.c) AS ct
+  FROM dc JOIN documents d USING (doc_id) WHERE d.lang = 'zh' GROUP BY dc.b
+),
+tt_en AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM t_en),
+tt_zh AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM t_zh),
+lam AS (
+  SELECT r.b,
+         ln(CAST(coalesce(e.ct, 0) + 1 AS DOUBLE) / (tt_en.tt + 512))
+         - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 512)) AS l_en,
+         ln(CAST(coalesce(z.ct, 0) + 1 AS DOUBLE) / (tt_zh.tt + 512))
+         - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 512)) AS l_zh
+  FROM rawb r LEFT JOIN t_en e USING (b) LEFT JOIN t_zh z USING (b)
+  CROSS JOIN tot CROSS JOIN tt_en CROSS JOIN tt_zh
+),
+lw AS (
+  SELECT dc.doc_id,
+         CAST(sum(dc.c) AS BIGINT) AS n_ngrams,
+         sum(dc.c * lam.l_en) AS lw_en,
+         sum(dc.c * lam.l_zh) AS lw_zh
+  FROM dc JOIN lam USING (b)
+  GROUP BY dc.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(lw.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       round(coalesce(lw.lw_en, 0.0), 6) AS lw_en,
+       round(coalesce(lw.lw_zh, 0.0), 6) AS lw_zh
+FROM documents d LEFT JOIN lw USING (doc_id)
+""",
+)
+def q_dsir_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TARGET DSIR from one counts artifact (operators/
+    importance.dsir_multi_logweights): every document scored toward
+    the English AND the Chinese target domains in one operator — the
+    amortization ``hashed_ngram_counts`` exists for (a deployment
+    scores the pool against several domains and mixes; re-running the
+    corpus pass per target would cost T corpus scans, this costs O(1)
+    in the corpus regardless of T).  Three artifact-grain scans: raw
+    bucket model, BOTH target models in one tagged aggregate, then one
+    doc-grain scoring pass against the broadcast wide λ table.  The
+    per-target math is bit-identical to dsir_logweights (pinned in
+    tests/test_importance.py); the oracle replays feature extraction,
+    all three models, and both weight sums from first principles.  The
+    localCheckpoint stands in for the on-disk parquet artifact (the
+    query's subject is the scoring flow, not re-derivation)."""
+    from cdc_demo_spark.operators.importance import (
+        dsir_multi_logweights,
+        hashed_ngram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = hashed_ngram_counts(docs, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    targets = {
+        "en": docs.filter(F.col("lang") == "en").select("doc_id"),
+        "zh": docs.filter(F.col("lang") == "zh").select("doc_id"),
+    }
+    multi = dsir_multi_logweights(
+        counts, "doc_id", targets, all_ids=docs.select("doc_id")
+    )
+    return multi.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_ngrams",
+        F.round("lw_en", 6).alias("lw_en"),
+        F.round("lw_zh", 6).alias("lw_zh"),
+    )

@@ -252,3 +252,51 @@ def test_dsir_model_ledger_incremental_equals_oneshot(spark, sf_dir, tmp_path):
     assert {r["b"]: (r["cr"], r["ct"]) for r in idx.models().collect()} == want
     with pytest.raises(ValueError):
         DsirModelIndex(spark, str(tmp_path / "dsir"), n_buckets=512)
+
+
+def test_multi_target_matches_single_target_bit_exact(spark, sf_dir):
+    """dsir_multi_logweights (r16): every lw_<name> column equals the
+    single-target dsir_logweights(counts=...) output BIT-EXACTLY per
+    target (same Laplace operands, same double math), n_ngrams
+    matches, zero-gram docs score 0.0 toward every target, and the
+    guards reject an empty dict and a non-identifier name."""
+    from cdc_demo_spark.operators.importance import (
+        dsir_logweights,
+        dsir_multi_logweights,
+        hashed_ngram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = hashed_ngram_counts(docs, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    targets = {
+        "en": docs.filter(F.col("lang") == "en").select("doc_id"),
+        "zh": docs.filter(F.col("lang") == "zh").select("doc_id"),
+        "big": docs.filter(F.col("n_chars") > 400).select("doc_id"),
+    }
+    multi = {
+        r["doc_id"]: r
+        for r in dsir_multi_logweights(
+            counts, "doc_id", targets, all_ids=docs.select("doc_id")
+        ).collect()
+    }
+    assert len(multi) == docs.count()
+    for name, ids in targets.items():
+        single = {
+            r["doc_id"]: r
+            for r in dsir_logweights(
+                docs, "text", "doc_id", target_ids=ids, counts=counts
+            ).collect()
+        }
+        assert set(single) == set(multi)
+        for d, s in single.items():
+            assert s["n_ngrams"] == multi[d]["n_ngrams"], (name, d)
+            assert s["logweight_raw"] == multi[d][f"lw_{name}"], (name, d)
+
+    with pytest.raises(ValueError, match="empty"):
+        dsir_multi_logweights(counts, "doc_id", {})
+    with pytest.raises(ValueError, match="identifier"):
+        dsir_multi_logweights(
+            counts, "doc_id", {"bad name": targets["en"]}
+        )
