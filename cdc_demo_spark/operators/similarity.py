@@ -599,3 +599,47 @@ def semantic_dedup(
             (F.col(id_col) == F.col("component")).alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    pool: DataFrame,
+    evalset: DataFrame,
+    threshold: float,
+    pool_id: str = "vec_id",
+    pool_vec: str = "embedding",
+    eval_id: str = "eval_id",
+    eval_vec: str = "eval_vec",
+) -> DataFrame:
+    """EMBEDDING-level eval decontamination: for every pool document,
+    the maximum cosine similarity against ANY held-out eval document,
+    its argmax eval id, and a ``contaminated`` flag at ``threshold`` —
+    the semantic complement of the exact-shingle
+    (q_benchmark_contamination) and Bloom (q_bloom_decontamination)
+    decontaminators: paraphrased or lightly-edited eval leakage that
+    shares no 3-gram still lands next to its source in embedding
+    space.
+
+    Scale shape: the eval set is BROADCAST (eval benchmarks are small
+    by definition — the same asymmetry brute_force_topk exploits for
+    queries); the pool is scanned once, the |pool|x|eval| expansion is
+    collapsed by a map-side partial max (each pool row's group lives
+    entirely inside its own task, so the exchange carries exactly one
+    row per pool doc), and nothing else moves.  Ties break toward the
+    SMALLEST eval id via the packed (cos, -id) struct max, so the
+    report is deterministic across engines and partitionings."""
+    scored = pool.crossJoin(F.broadcast(evalset)).select(
+        F.col(pool_id),
+        F.col(eval_id),
+        cosine(F.col(pool_vec), F.col(eval_vec)).alias("cos_sim"),
+    )
+    best = scored.groupBy(pool_id).agg(
+        F.max(
+            F.struct(F.col("cos_sim"), (-F.col(eval_id)).alias("_nid"))
+        ).alias("m")
+    )
+    return best.select(
+        pool_id,
+        F.col("m.cos_sim").alias("max_eval_sim"),
+        (-F.col("m._nid")).alias("nearest_eval_id"),
+        (F.col("m.cos_sim") >= F.lit(float(threshold))).alias("contaminated"),
+    )

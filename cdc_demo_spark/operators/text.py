@@ -173,3 +173,97 @@ def bigram_perplexity(
             F.exp(-F.sum(logp) / F.count(F.lit(1))).alias("ppl"),
         )
     )
+
+
+def kneser_ney_perplexity(
+    docs: DataFrame,
+    target_expr: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, n_bigrams, ppl) — per-document perplexity under an
+    interpolated Kneser-Ney bigram model FIT ON A TARGET SLICE and
+    scored over the whole pool: the actual CCNet filter shape (Wenzek
+    et al., LREC 2020 fit a KenLM on Wikipedia and kept the
+    low-perplexity tail of Common Crawl; ``bigram_perplexity`` is the
+    self-scored add-k sibling).  Kneser-Ney differs from add-k where
+    it matters for filtering: the backoff mass of a context is carried
+    by CONTINUATION counts (in how many distinct contexts does this
+    word appear) rather than raw frequency, so boilerplate tokens that
+    are frequent but context-locked score low under backoff.
+
+        P(b|a) = max(c(a,b) - D, 0)/ctx(a) + D·n_after(a)/ctx(a) · Pc(b)
+        Pc(b)  = (n_before(b) + 1) / (N + V)        [+1/V: unseen-word mass]
+        P(b|a) = Pc(b)                              [context a unseen]
+
+    with D = ``discount`` (0.75 — exactly representable, so both
+    engines compute identical operands), ctx(a) = Σ_b c(a,b),
+    n_after/n_before the distinct-successor/-predecessor counts, N the
+    distinct bigram types and V the target vocabulary.  Unseen events
+    are REACHABLE here by construction (the pool is scored against a
+    slice model), hence the +1-smoothed continuation floor: every
+    probability is positive without special-casing.
+
+    Scale shape: the model is three aggregates of the TARGET slice's
+    bigram stream (bigram grain, then two ≤vocab-grain rollups) plus
+    two scalars; scoring joins the pool's bigram stream against the
+    model tables at bigram-key grain — AQE broadcasts them while they
+    fit, the same plan runs hash-partitioned when the model outgrows
+    broadcast (no collect anywhere).  Documents with < 2 tokens have
+    no bigrams and drop out, as in bigram_perplexity."""
+    D = float(discount)
+    tok_docs = docs.select(
+        F.col(id_col).alias("id"),
+        target_expr.alias("_t"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    pair_idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = (
+        tok_docs.filter(F.size(toks) >= 2)
+        .select(
+            "id",
+            "_t",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda j: F.struct(
+                        F.element_at(toks, j).alias("a"),
+                        F.element_at(toks, j + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("id", "_t", "p.a", "p.b")
+    )
+    c2 = bg.filter(F.col("_t")).groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ctx = c2.groupBy("a").agg(
+        F.sum("c").alias("ctx"), F.count(F.lit(1)).alias("n_after")
+    )
+    cont = c2.groupBy("b").agg(F.count(F.lit(1)).alias("n_before"))
+    scal = c2.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).crossJoin(
+        tok_docs.filter(F.col("_t"))
+        .select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    pc = (F.coalesce(F.col("n_before"), F.lit(0)) + 1) / (F.col("n") + F.col("v"))
+    p = F.when(
+        F.col("ctx").isNotNull(),
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)).cast("double") - D, F.lit(0.0))
+        / F.col("ctx")
+        + (F.lit(D) * F.col("n_after") / F.col("ctx")) * pc,
+    ).otherwise(pc)
+    return (
+        bg.join(c2, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .join(cont, "b", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.exp(-F.sum(F.log(p)) / F.count(F.lit(1))).alias("ppl"),
+        )
+    )

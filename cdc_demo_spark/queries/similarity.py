@@ -362,3 +362,59 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = build_ivfpq(emb, n_centroids=16, nprobe=4, m=8, ksub=16)
     return ivfpq_topk_rerank(model, emb, _queries_df(emb), k=10, shortlist=50)
+
+
+@register(
+    "q_semantic_decontamination",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ev
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT p.vec_id, ev.eval_id,
+         list_sum(list_transform(list_zip(p.embedding, ev.ev),
+                                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+         / nullif(
+             sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ev.ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           0.0) AS cos_sim
+  FROM embeddings p CROSS JOIN ev
+  WHERE p.vec_id % 50 <> 0
+), best AS (
+  SELECT vec_id, cos_sim, eval_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, eval_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id,
+       round(cos_sim, 6) AS max_eval_sim,
+       eval_id AS nearest_eval_id,
+       cos_sim >= 0.35 AS contaminated
+FROM best WHERE rk = 1
+""",
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-level eval decontamination (operators/similarity.
+    semantic_decontaminate): every 50th vector stands in for a held-out
+    eval benchmark, and every pool document reports its maximum cosine
+    against ANY eval member, the argmax eval id, and a contaminated
+    flag at 0.35 — the semantic complement of the exact-shingle
+    (q_benchmark_contamination) and Bloom (q_bloom_decontamination)
+    decontaminators: paraphrased eval leakage that shares no 3-gram
+    still lands next to its source in embedding space.  Eval set
+    broadcast, pool scanned once, |pool|x|eval| expansion collapsed by
+    a map-side partial max — one row per pool doc crosses the wire.
+    Both engines fold the arrays left-to-right in double, so the max,
+    the argmax, and the threshold flag are bit-identical (the tie
+    breaks toward the smaller eval id via a packed struct max)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    pool = emb.filter(F.col("vec_id") % 50 != 0)
+    return S.semantic_decontaminate(pool, evalset, 0.35).select(
+        "vec_id",
+        F.round("max_eval_sim", 6).alias("max_eval_sim"),
+        "nearest_eval_id",
+        "contaminated",
+    )

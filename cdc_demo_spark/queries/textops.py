@@ -1022,3 +1022,74 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("ppl", 6).alias("ppl"),
     )
+
+
+@register(
+    "q_kneser_ney_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang, t[j] AS a, t[j+1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(j)
+  WHERE len(t) >= 2
+), c2 AS (
+  SELECT a, b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY a, b
+), ctx AS (
+  SELECT a, sum(c) AS ctx, count(*) AS n_after FROM c2 GROUP BY a
+), cont AS (
+  SELECT b, count(*) AS n_before FROM c2 GROUP BY b
+), scal AS (
+  SELECT CAST((SELECT count(*) FROM c2) AS DOUBLE) AS n,
+         CAST((SELECT count(DISTINCT u.w)
+               FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents WHERE lang = 'en') u) AS DOUBLE) AS v
+), probs AS (
+  SELECT bg.doc_id, bg.lang,
+         CASE WHEN ctx.ctx IS NOT NULL THEN
+           greatest(CAST(coalesce(c2.c, 0) AS DOUBLE) - 0.75, 0.0) / ctx.ctx
+           + (0.75 * ctx.n_after / ctx.ctx)
+             * ((coalesce(cont.n_before, 0) + 1) / (scal.n + scal.v))
+         ELSE (coalesce(cont.n_before, 0) + 1) / (scal.n + scal.v) END AS p
+  FROM bg
+  LEFT JOIN c2 USING (a, b)
+  LEFT JOIN ctx USING (a)
+  LEFT JOIN cont USING (b)
+  CROSS JOIN scal
+)
+SELECT doc_id, lang,
+       count(*) AS n_bigrams,
+       round(exp(-sum(ln(p)) / count(*)), 6) AS ppl
+FROM probs
+GROUP BY doc_id, lang
+""",
+)
+def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity, fit on the English slice
+    and scored over the WHOLE multilingual pool — the actual CCNet
+    filter shape (Wenzek et al., LREC 2020: KenLM fit on Wikipedia,
+    Common Crawl kept by perplexity band; q_bigram_perplexity is the
+    self-scored add-k sibling).  Backoff mass rides on CONTINUATION
+    counts, so context-locked boilerplate scores low even when
+    frequent; non-English documents hit the unseen-context backoff
+    and land in the high-perplexity tail the filter exists to cut
+    (operators/text.kneser_ney_perplexity carries the scale
+    argument: model = three target-slice aggregates, scoring = the
+    pool's bigram stream joined at bigram-key grain, broadcast while
+    it fits, hash-partitioned beyond)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.kneser_ney_perplexity(docs, F.col("lang") == "en")
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("id"), "lang"
+            ),
+            "id",
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "lang",
+            "n_bigrams",
+            F.round("ppl", 6).alias("ppl"),
+        )
+    )

@@ -264,3 +264,34 @@ def test_semantic_dedup_ann_exact_duplicates_always_found(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r.vec_id: r.cluster_id for r in semantic_dedup_ann(df, n_buckets=4).collect()}
     assert got.get(100) == got.get(101) is not None
+
+
+def test_semantic_decontaminate_planted_leak_and_ties(spark):
+    """semantic_decontaminate (r16): a pool vector that IS an eval
+    vector scores max_eval_sim == 1.0 and is flagged; an orthogonal
+    vector is not; when two eval members tie exactly, the argmax
+    breaks toward the SMALLER eval id (the packed struct max)."""
+    from cdc_demo_spark.operators.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [0.0, 1.0])],
+        "eval_id long, eval_vec array<float>",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # colinear with eval 10 AND 11 -> tie at 1.0
+            (2, [0.0, -3.0]),   # anti-colinear with 12, orthogonal to 10/11
+            (3, [1.0, 1.0]),    # 45 degrees from both axes
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(pool, ev, 0.9).collect()
+    }
+    assert got[1]["max_eval_sim"] == 1.0
+    assert got[1]["nearest_eval_id"] == 10  # tie -> smaller eval id
+    assert got[1]["contaminated"] is True
+    assert got[2]["max_eval_sim"] == 0.0 and got[2]["contaminated"] is False
+    assert abs(got[3]["max_eval_sim"] - 0.5 ** 0.5) < 1e-9
+    assert got[3]["contaminated"] is False

@@ -191,3 +191,76 @@ def test_packing_property_matches_sequential_fold(spark):
         )
         want = [(i, n, t) for i, (n, t) in enumerate(reference_fold(sizes, budget))]
         assert got == want, f"trial {trial}: budget={budget} sizes={sizes}"
+
+
+def test_kneser_ney_perplexity_model_and_separation(spark, sf_dir):
+    """kneser_ney_perplexity (r16): (1) on a hand-computable corpus
+    the per-bigram probabilities match an independent pure-Python
+    replay of the interpolated-KN formula exactly; (2) at fixture
+    scale, the English slice the model was fit on scores itself lower
+    (mean ppl) than the rest of the pool — the separation the CCNet
+    filter exists for; (3) sub-2-token docs drop out."""
+    import math
+
+    rows = [
+        (1, "a b a c", True),
+        (2, "a b b", True),
+        (3, "c a b", False),   # pool-only: unseen bigram (c,a) hits backoff
+        (4, "x", False),       # 1 token -> no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in T.kneser_ney_perplexity(df, F.col("is_t")).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    # pure-python replay of the model fit on docs 1-2
+    target = ["a b a c".split(), "a b b".split()]
+    c2: dict = {}
+    for t in target:
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    ctx = {}
+    n_after = {}
+    n_before = {}
+    for (x, y), c in c2.items():
+        ctx[x] = ctx.get(x, 0) + c
+        n_after[x] = n_after.get(x, 0) + 1
+        n_before[y] = n_before.get(y, 0) + 1
+    N = float(len(c2))
+    V = float(len({w for t in target for w in t}))
+    D = 0.75
+
+    def prob(x, y):
+        pc = (n_before.get(y, 0) + 1) / (N + V)
+        if x in ctx:
+            return (
+                max(c2.get((x, y), 0) - D, 0.0) / ctx[x]
+                + (D * n_after[x] / ctx[x]) * pc
+            )
+        return pc
+
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        if len(toks) < 2:
+            assert doc_id not in got
+            continue
+        ps = [prob(x, y) for x, y in zip(toks, toks[1:])]
+        want_ppl = math.exp(-sum(math.log(p) for p in ps) / len(ps))
+        n, ppl = got[doc_id]
+        assert n == len(ps)
+        assert abs(ppl - want_ppl) < 1e-9, (doc_id, ppl, want_ppl)
+
+    # fixture-scale separation: the slice the model is fit on scores
+    # itself lower than the pool
+    docs = load_table(spark, sf_dir, "documents")
+    sep = {
+        bool(r["is_en"]): r["m"]
+        for r in T.kneser_ney_perplexity(docs, F.col("lang") == "en")
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert sep[True] < sep[False], sep
