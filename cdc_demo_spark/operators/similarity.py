@@ -643,3 +643,47 @@ def semantic_decontaminate(
         (-F.col("m._nid")).alias("nearest_eval_id"),
         (F.col("m.cos_sim") >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def collect_eval_vectors(
+    evalset: DataFrame, eval_vec: str = "eval_vec", max_rows: int = 100_000
+) -> list[list[float]]:
+    """The eval set as a driver-side list for ``semantic_keep_expr`` —
+    the frozen-model idiom's collect step, bounded by contract (eval
+    benchmarks are small; ``max_rows`` guards against a caller passing
+    the corpus by mistake — the same documented-bounded class as the
+    decode vocabulary literal and frozen DSIR λ)."""
+    rows = evalset.select(eval_vec).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_eval_vectors: eval set exceeds max_rows={max_rows}; "
+            "an eval benchmark should be small — for corpus-vs-corpus "
+            "similarity use the bucketed semantic-dedup operators"
+        )
+    return [[float(x) for x in r[eval_vec]] for r in rows]
+
+
+def semantic_keep_expr(
+    eval_vecs: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+) -> "F.Column":
+    """STREAMING-shaped semantic decontamination: keep a row iff its
+    embedding's max cosine against the FROZEN eval set stays under
+    ``threshold`` — the batch operator's acceptance law as ONE pure
+    codegen expression (eval matrix ships as a plan literal, folded
+    per row: zero joins, zero shuffles, zero state), safe inside a
+    foreachBatch keep predicate exactly like dsir_keep_expr /
+    mixture_keep_expr: a pure function of the row, so the kept set is
+    independent of delivery batching and redelivery.  An epoch
+    freezes the eval set once (``collect_eval_vectors``); rows with
+    NULL/zero-norm embeddings keep (nothing to compare).  Equality
+    with the batch operator's flag is pinned in
+    tests/test_similarity.py."""
+    from cdc_demo_spark.functions.vector import cosine as _cos
+
+    mat = F.lit([[float(x) for x in v] for v in eval_vecs])
+    best = F.array_max(
+        F.transform(mat, lambda e: _cos(F.col(vec_col), e))
+    )
+    return F.coalesce(best < F.lit(float(threshold)), F.lit(True))

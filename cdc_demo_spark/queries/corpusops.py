@@ -1475,3 +1475,45 @@ def q_dsir_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lw_en", 6).alias("lw_en"),
         F.round("lw_zh", 6).alias("lw_zh"),
     )
+
+
+@register(
+    "q_domain_caps",
+    oracle="""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) t WHERE rk <= 15
+""",
+)
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN CAPS: keep at most 15 documents per source, best
+    first (n_chars as the quality proxy, doc_id the deterministic
+    tiebreak) — the anti-domination rule every web-scale corpus
+    applies so one crawler-friendly domain cannot swamp the mixture
+    (RefinedWeb/Gopher-style per-domain limits; the mixture ops
+    rebalance RATES, this hard-caps COUNT).
+
+    Scale shape: declared as a row_number window per source and a
+    rank filter — which Spark plans with WindowGroupLimit (pinned in
+    tests/test_plans.py): each map task keeps only its local top-15
+    per source BEFORE the exchange, so the shuffle carries at most
+    15 x sources x tasks rows and a skewed mega-domain never
+    materializes its full partition in one task's sort.  The
+    declarative form IS the scale-safe form here — Catalyst inserts
+    the two-phase partial top-k a hand-rolled implementation would
+    build."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )

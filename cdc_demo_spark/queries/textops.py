@@ -1093,3 +1093,62 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ppl", 6).alias("ppl"),
         )
     )
+
+
+_BLOCKLIST = ["slow", "dup", "corrupt", "spill"]
+_BLOCK_FRAC = 0.03
+
+
+@register(
+    "q_blocklist_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> list_contains({_BLOCKLIST!r}, x)))
+           AS n_blocked,
+         len(list_distinct(list_filter(t, x -> list_contains({_BLOCKLIST!r}, x))))
+           AS n_blocked_terms
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_blocked, n_blocked_terms,
+       round(n_blocked * 1.0 / nullif(n_tokens, 0), 6) AS blocked_frac,
+       coalesce(n_blocked * 1.0 / nullif(n_tokens, 0) > {_BLOCK_FRAC}, FALSE)
+         AS blocked
+FROM hits
+""",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM-BLOCKLIST filtering: every document reports how many of
+    its tokens hit a curated blocklist, how many DISTINCT blocked
+    terms appear, the blocked fraction, and a flag at 3% — the
+    wordlist-based content filter every production corpus applies
+    (C4's badwords list, RefinedWeb's URL/word filters) as a pure
+    map-side expression.  The blocklist ships as an array literal
+    folded per token (zero joins, zero shuffles — composes into any
+    scan); a list too large for a plan literal flips to a broadcast
+    semi-join at token grain, same output, one expression swap.
+    Deterministic integer counts; the only float is the final ratio,
+    rounded in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", toks.alias("__toks"))
+    bl = F.lit(_BLOCKLIST)
+    hit = F.filter(F.col("__toks"), lambda w: F.array_contains(bl, w))
+    return base.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(hit).cast("long").alias("n_blocked"),
+        F.size(F.array_distinct(hit)).cast("long").alias("n_blocked_terms"),
+        F.round(
+            F.size(hit) / F.nullif(F.size("__toks"), F.lit(0)), 6
+        ).alias("blocked_frac"),
+        F.coalesce(
+            F.size(hit) / F.nullif(F.size("__toks"), F.lit(0)) > _BLOCK_FRAC,
+            F.lit(False),
+        ).alias("blocked"),
+    )

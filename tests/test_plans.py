@@ -337,3 +337,14 @@ def test_curriculum_scaled_census_conserves(spark, sf_dir):
     )
     assert [r["bucket"] for r in scaled] == [1, 2, 3, 4]
     assert all(r["n_docs"] > 0 for r in scaled)
+
+
+def test_domain_caps_plans_window_group_limit(spark, sf_dir):
+    """q_domain_caps (r16): the rank<=k filter over the per-source
+    window must plan with WindowGroupLimit — Spark's two-phase partial
+    top-k (each map task keeps its local top-15 per source BEFORE the
+    exchange), which is what makes the declarative window form safe
+    against a skewed mega-domain at 100 TB."""
+    q = QUERIES["q_domain_caps"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

@@ -295,3 +295,44 @@ def test_semantic_decontaminate_planted_leak_and_ties(spark):
     assert got[2]["max_eval_sim"] == 0.0 and got[2]["contaminated"] is False
     assert abs(got[3]["max_eval_sim"] - 0.5 ** 0.5) < 1e-9
     assert got[3]["contaminated"] is False
+
+
+def test_semantic_keep_expr_equals_batch_operator(spark, sf_dir):
+    """semantic_keep_expr (r16): the frozen-eval-set expression keeps
+    EXACTLY the rows the batch operator leaves unflagged (keep ==
+    NOT contaminated) at fixture scale, independent of batching (a
+    two-slice evaluation agrees with the whole-pool one); the
+    bounded-collect guard refuses an oversized eval set."""
+    import pytest
+
+    from cdc_demo_spark.operators.similarity import (
+        collect_eval_vectors,
+        semantic_decontaminate,
+        semantic_keep_expr,
+    )
+    from cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    pool = emb.filter(F.col("vec_id") % 50 != 0)
+    want = {
+        r["vec_id"]: not r["contaminated"]
+        for r in semantic_decontaminate(pool, evalset, 0.35).collect()
+    }
+
+    vecs = collect_eval_vectors(evalset)
+    keep = semantic_keep_expr(vecs, 0.35)
+    got = {r["vec_id"]: r["k"] for r in pool.select("vec_id", keep.alias("k")).collect()}
+    assert got == want
+    # batching-independence: evaluating per slice changes nothing
+    half = {
+        r["vec_id"]: r["k"]
+        for cond in (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)
+        for r in pool.filter(cond).select("vec_id", keep.alias("k")).collect()
+    }
+    assert half == want
+
+    with pytest.raises(ValueError, match="max_rows"):
+        collect_eval_vectors(evalset, max_rows=3)
