@@ -343,6 +343,77 @@ def time_ann_semantic_dedup_1m(spark) -> float:
     return dt
 
 
+def time_ann_1m_decontam(spark) -> float:
+    """Embedding-level eval decontamination at the 1M-pool × 1k-eval
+    grain (the q_semantic_decontamination flow at bench scale): eval =
+    every 1000th planted-pair head (vec_id % 1000 == 998, 1000 rows,
+    frozen driver-side untimed — the per-epoch freeze), pool = the
+    other 999k vectors, scored by the GEMM map-side plan
+    (semantic_decontaminate_arrow: one (batch×64)@(64×1000) BLAS call
+    per Arrow batch, no join/shuffle/window).  Gates: every planted
+    twin (..999, cos ≈ 0.999 to its head) is flagged AND argmaxes to
+    exactly its own head; random vectors stay unflagged at 0.9
+    (64-dim random cosine ~N(0, 1/8)) — contamination count must
+    equal the twin count."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.similarity import semantic_decontaminate_arrow
+
+    corpus = _ann_corpus(spark)
+    eval_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in corpus.filter(F.col("vec_id") % 1000 == 998).collect()
+    ]
+    pool = corpus.filter(F.col("vec_id") % 1000 != 998)
+    _quiesce_self_load()
+    t0 = time.perf_counter()
+    out = semantic_decontaminate_arrow(pool, eval_rows, 0.9)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_flagged"),
+    ).collect()[0]
+    dt = round(time.perf_counter() - t0, 3)
+    n_eval = len(eval_rows)
+    assert agg["n"] == ANN_N - n_eval
+    twins = out.filter(F.col("vec_id") % 1000 == 999).collect()
+    assert len(twins) == n_eval
+    bad = [
+        r for r in twins
+        if not r["contaminated"] or r["nearest_eval_id"] != r["vec_id"] - 1
+    ]
+    assert not bad, f"{len(bad)} planted twins unflagged/mis-argmaxed: {bad[:3]}"
+    assert agg["n_flagged"] == len(twins), (agg["n_flagged"], len(twins))
+    return dt
+
+
+def time_kn_200k_ppl(spark) -> float:
+    """Kneser-Ney perplexity at the 200k-doc grain (the oracle query
+    runs on the 500-row fixture): model fit on the every-50th-doc
+    slice (4k docs — the CCNet fit-on-clean shape), all 200k docs
+    scored through the bigram-grain joins.  Timed span = fit + score +
+    the separation aggregate.  Gates: every doc scored exactly once,
+    and the slice the model was fit on scores itself lower (mean ppl)
+    than the rest — the separation the filter exists for."""
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.text import kneser_ney_perplexity
+
+    docs = _doc_corpus(spark)
+    t0 = time.perf_counter()
+    out = kneser_ney_perplexity(docs, F.col("doc_id") % 50 == 0)
+    sep = (
+        out.withColumn("is_t", F.col("id") % 50 == 0)
+        .groupBy("is_t")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("ppl").alias("m"))
+        .collect()
+    )
+    dt = round(time.perf_counter() - t0, 3)
+    by = {bool(r["is_t"]): r for r in sep}
+    assert by[True]["n"] + by[False]["n"] == DOC_N
+    assert by[True]["m"] < by[False]["m"], (by[True]["m"], by[False]["m"])
+    return dt
+
+
 def _semantic_index_path(spark, n: int = ANN_N, n_buckets: int = ANN_BUCKETS) -> str:
     from cdc_demo_spark.operators.ann_scale import train_centroids_sampled
     from cdc_demo_spark.operators.incremental_semantic import SemanticIndex
@@ -1524,6 +1595,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("ann_4m_index_append", lambda: time_ann_index_append_4m(spark)),
             ("ann_1m_pq_topk", lambda: time_ann_pq_topk_1m(spark)),
             ("ann_1m_ivfpq_topk", lambda: time_ann_ivfpq_topk_1m(spark)),
+            ("ann_1m_decontam", lambda: time_ann_1m_decontam(spark)),
         ]),
         # the two-round watch-listed entries (VERDICT r11 #8: ann_assign
         # read 1.37-1.9x "always under la1 > 20" — which was the 1M
@@ -1551,6 +1623,7 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
             ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
             ("dsir_200k_weights", lambda: time_dsir_200k_weights(spark)),
+            ("kn_200k_ppl", lambda: time_kn_200k_ppl(spark)),
         ]),
         # the DSIR artifact flow: single pass — its dominant cost is
         # the doc×bucket parquet write, which steady-state passes

@@ -64,18 +64,34 @@ DEFAULT_RULES = {
 
 def quality_keep_expr(text_col: str, rules: dict) -> F.Column:
     """The q_quality_filter keep-verdict as a reusable predicate:
-    token count, mean token length band, distinct-token ratio."""
+    token count, mean token length band, distinct-token ratio — plus,
+    when the rules carry a ``blocklist`` (list of terms) with
+    ``max_blocked_frac``, the q_blocklist_filter wordlist rule: a doc
+    survives only while its blocklisted-token fraction stays at or
+    under the cap (r16; the list folds as a plan literal, so the
+    whole verdict stays ONE pure map-side expression and the
+    streaming twin inherits it unchanged)."""
     toks = F.split(text_col, " ")
     n_tokens = F.size(toks).cast("long")
     lo, hi = rules["mean_token_len"]
     mtl = (F.length(text_col) - n_tokens + 1).cast("double") / n_tokens
     dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    return (
+    keep = (
         (n_tokens >= int(rules["min_tokens"]))
         & (mtl >= float(lo))
         & (mtl <= float(hi))
         & (dr >= float(rules["min_distinct_ratio"]))
     )
+    if rules.get("blocklist"):
+        bl = F.lit([str(t) for t in rules["blocklist"]])
+        n_blocked = F.size(
+            F.filter(toks, lambda w: F.array_contains(bl, w))
+        )
+        keep = keep & (
+            n_blocked.cast("double") / n_tokens
+            <= float(rules.get("max_blocked_frac", 0.0))
+        )
+    return keep
 
 
 def split_expr(component: F.Column) -> F.Column:

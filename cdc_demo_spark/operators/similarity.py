@@ -687,3 +687,61 @@ def semantic_keep_expr(
         F.transform(mat, lambda e: _cos(F.col(vec_col), e))
     )
     return F.coalesce(best < F.lit(float(threshold)), F.lit(True))
+
+
+def semantic_decontaminate_arrow(
+    pool: DataFrame,
+    eval_rows: list[tuple[int, list[float]]],
+    threshold: float,
+    pool_id: str = "vec_id",
+    pool_vec: str = "embedding",
+) -> DataFrame:
+    """The GEMM throughput path of ``semantic_decontaminate`` — same
+    output shape and acceptance law, built for the 1M-pool × 1k-eval
+    grain: the frozen eval matrix rides into the task closure
+    (normalized once, float64), and each Arrow batch computes ONE
+    (batch × dim) @ (dim × |eval|) BLAS call, a row-wise max, and an
+    argmax — a fully map-side plan (mapInPandas, no join, no shuffle,
+    no window; the JVM-HOF fold of the expression variant evaluates
+    per element and cannot amortize across eval vectors the way a
+    GEMM does).  Eval rows are sorted by id so numpy's
+    first-occurrence argmax matches the struct-max tie rule (toward
+    the SMALLER eval id) on exact ties; zero-norm pool vectors score
+    0.0 (uncontaminated), matching the NULL-safe expression variant's
+    keep-by-default.  Agreement with the expression operator is
+    pinned in tests/test_ann_scale.py at fixture scale."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(eval_rows, key=lambda r: r[0])
+    eids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    thr = float(threshold)
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            M = np.stack(b[pool_vec].map(lambda v: np.asarray(v, dtype=np.float64)))
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = np.inf
+            sims = (M / norms) @ En.T  # (batch, |eval|)
+            best_j = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(sims)), best_j]
+            yield pd.DataFrame(
+                {
+                    pool_id: b[pool_id].to_numpy(),
+                    "max_eval_sim": best,
+                    "nearest_eval_id": eids[best_j],
+                    "contaminated": best >= thr,
+                }
+            )
+
+    return pool.mapInPandas(
+        score,
+        schema=(
+            f"{pool_id} long, max_eval_sim double, "
+            "nearest_eval_id long, contaminated boolean"
+        ),
+    )

@@ -452,3 +452,43 @@ def test_blocked_topk_equals_naive_with_cross_block_ties():
     # the planted ties really resolved across blocks: the first-probe
     # winner for the aligned rows is the ORIGINAL (lowest) index
     assert np.array_equal(AS._topk_centroids(X, Cn, 1)[:40, 0], np.arange(40))
+
+
+def test_semantic_decontaminate_arrow_agrees_with_expression(spark, sf_dir):
+    """semantic_decontaminate_arrow (r16): the GEMM path agrees with
+    the JVM-expression operator on flag and argmax for every pool row
+    at fixture scale, and on max_eval_sim to within blocked-vs-
+    sequential float-sum tolerance; the planted twin of an eval head
+    must argmax to its own head under both."""
+    from cdc_demo_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_arrow,
+    )
+    from cdc_demo_spark.sources.synth_vectors import synth_embeddings
+
+    emb = synth_embeddings(spark, 3_000).localCheckpoint(eager=True)
+    evalset = emb.filter(F.col("vec_id") % 1000 == 998).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    pool = emb.filter(F.col("vec_id") % 1000 != 998)
+    want = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(pool, evalset, 0.9).collect()
+    }
+    eval_rows = [
+        (r["eval_id"], list(r["eval_vec"])) for r in evalset.collect()
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate_arrow(pool, eval_rows, 0.9).collect()
+    }
+    assert set(got) == set(want)
+    for vid, w in want.items():
+        g = got[vid]
+        assert g["contaminated"] == w["contaminated"], vid
+        assert g["nearest_eval_id"] == w["nearest_eval_id"], vid
+        assert abs(g["max_eval_sim"] - w["max_eval_sim"]) < 1e-9, vid
+    # planted twins flagged and argmaxed to their own head in both
+    for vid in (999, 1999, 2999):
+        assert want[vid]["contaminated"] and got[vid]["contaminated"]
+        assert want[vid]["nearest_eval_id"] == vid - 1

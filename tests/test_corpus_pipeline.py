@@ -1344,3 +1344,32 @@ def test_swap_in_dir_is_recoverable_and_cleans_leftovers(tmp_path):
     assert sorted(os.listdir(target)) == ["new.parquet"]
     assert not leftover.exists()
     assert not staged.exists()
+
+
+def test_blocklist_rule_in_quality_stage(spark, sf_dir):
+    """quality_keep_expr blocklist (r16): with a blocklist + cap in the
+    rules, the quality stage additionally drops docs whose blocked
+    fraction exceeds the cap; the predicate stays a pure expression so
+    build_corpus' ledger census equals a direct filter count; without
+    the keys, behavior is byte-identical to the old rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(quality_keep_expr("text", RULES))
+    bl_rules = {**RULES, "blocklist": ["slow", "dup"], "max_blocked_frac": 0.02}
+    kept = docs.filter(quality_keep_expr("text", bl_rules))
+    n_base, n_kept = base.count(), kept.count()
+    assert n_kept < n_base, "blocklist rule should cut something"
+    # every survivor honors the cap; every base-survivor over it is gone
+    # (raw split, matching the rule's own tokenization)
+    toks = F.split(F.col("text"), " ")
+    frac = (
+        F.size(F.filter(F.col("__toks"), lambda w: w.isin("slow", "dup")))
+        / F.size("__toks")
+    )
+    over = (
+        kept.select("doc_id", toks.alias("__toks"))
+        .filter(frac > 0.02).count()
+    )
+    assert over == 0
+    # composed: the pipeline's quality ledger matches the direct filter
+    res = build_corpus(docs, rules=bl_rules, minhash_threshold=0.3)
+    assert res["ledger"]["quality"]["docs"] == n_kept
