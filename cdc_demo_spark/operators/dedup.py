@@ -337,6 +337,107 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_cross_near_duplicates(
+    pool: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """CROSS-CORPUS MinHash-LSH: near-duplicate pairs BETWEEN two
+    frames — the fuzzy-decontamination shape (pool docs that are a
+    light edit of a held-out eval doc share most shingles but no exact
+    text, so the exact/Bloom decontaminators miss them and the
+    embedding one needs vectors; this catches them at the n-gram
+    level).  Same signature math, banding, and exact-Jaccard
+    verification as ``minhash_near_duplicates``, but the bucket join
+    pairs pool ids against eval ids only — no within-side pairs, no
+    id-order constraint, and the skew guard counts bucket occupancy
+    across BOTH sides (a viral-boilerplate bucket explodes the join
+    regardless of which side it came from).  Output one row per
+    verified (pool_id, eval_id) pair at ``threshold``.
+
+    Scale shape: both sides shingle/sign independently (map-side
+    partial mins, shuffles carry longs, never text); the candidate
+    join is bucket-keyed; verification joins the two hash-array caches
+    once per candidate.  The eval side is typically tiny — AQE
+    broadcasts its buckets and arrays, making the whole probe
+    pool-scan-shaped."""
+    rows = num_hashes // bands
+    sides = {}
+    for name, df in (("a", pool), ("b", evalset)):
+        arr = F.array_distinct(
+            F.transform(
+                shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
+            )
+        )
+        docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
+        sh = docs.select("id", F.explode("hs").alias("h64"))
+        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
+        band_entries = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows + 1, rows)
+                    ).alias("bucket"),
+                ),
+            )
+        )
+        buckets = sigs.select("id", band_entries.alias("e")).select(
+            "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+        )
+        sides[name] = (docs, buckets)
+    docs_a, buckets_a = sides["a"]
+    docs_b, buckets_b = sides["b"]
+    oversized = (
+        buckets_a.select("band", "bucket")
+        .unionAll(buckets_b.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band", "bucket")
+    )
+    buckets_a = buckets_a.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    buckets_b = buckets_b.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    cands = (
+        buckets_a.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            buckets_b.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            docs_a.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        )
+        .join(
+            docs_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("sz_a"),
+            F.size("hs_b").alias("sz_b"),
+        )
+    )
+    return (
+        verified.withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -807,6 +807,23 @@ def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     No skew guard in this twin (the xxhash64 production path keeps
     max_bucket; at 500 docs the guard never trips anyway)."""
     docs = load_table(spark, sf_dir, "documents")
+    sh_rows, bands = _md5_lsh_state(docs)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, sh_rows, "id_a", "id_b")
+
+
+def _md5_lsh_state(docs: DataFrame):
+    """(sh_rows, bands) — the shared md5-derandomized LSH construction
+    of q_minhash_near_dups_md5 and q_fuzzy_decontamination: distinct
+    3-token shingles, 64 md5 permutations, per-(doc, i) minhash, and
+    the 16×4 band buckets (md5 of the ordered minhash run)."""
     # single-space split, exact parity with the oracle's string_split —
     # PROJECTED before the lambda (inline split re-evaluates per
     # element: O(tokens^2), the r11 spans finding; SCALE.md)
@@ -860,30 +877,108 @@ def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
-    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return sh_rows, bands
+
+
+def _verify_jaccard_pairs(
+    cand: DataFrame, sh_rows: DataFrame, a_name: str, b_name: str
+) -> DataFrame:
+    """Exact-Jaccard verification at 0.5 over the candidate pair set —
+    the shared tail of the md5 LSH queries (shingle-intersection count
+    vs per-doc sizes), parameterized by the pair column names."""
     sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x = sh_rows.select(F.col("doc_id").alias("id_a"), "sh")
-    y = sh_rows.select(F.col("doc_id").alias("id_b"), "sh")
+    x = sh_rows.select(F.col("doc_id").alias(a_name), "sh")
+    y = sh_rows.select(F.col("doc_id").alias(b_name), "sh")
     inter = (
-        cand.join(x, "id_a").join(y, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        cand.join(x, a_name).join(y, [b_name, "sh"])
+        .groupBy(a_name, b_name)
         .agg(F.count(F.lit(1)).alias("n"))
     )
     jac = F.col("n").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return (
-        inter.join(sizes.selectExpr("doc_id AS id_a", "sz AS sz_a"), "id_a")
-        .join(sizes.selectExpr("doc_id AS id_b", "sz AS sz_b"), "id_b")
+        inter.join(sizes.selectExpr(f"doc_id AS {a_name}", "sz AS sz_a"), a_name)
+        .join(sizes.selectExpr(f"doc_id AS {b_name}", "sz AS sz_b"), b_name)
         .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+        .select(a_name, b_name, F.round(jac, 6).alias("jaccard"))
+        .orderBy(a_name, b_name)
     )
+
+
+@register(
+    "q_fuzzy_decontamination",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+hi AS (
+  SELECT doc_id, ii.i AS i,
+         CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':' || sh), 1, 15)
+              AS BIGINT) AS h
+  FROM s CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+),
+sig AS (
+  SELECT doc_id, i, MIN(h) AS min_h FROM hi GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(min_h AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS pool_id, b.doc_id AS eval_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.pool_id, c.eval_id, COUNT(*) AS n
+  FROM cand c
+  JOIN s x ON x.doc_id = c.pool_id
+  JOIN s y ON y.doc_id = c.eval_id AND y.sh = x.sh
+  GROUP BY c.pool_id, c.eval_id
+)
+SELECT i.pool_id, i.eval_id,
+       round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.pool_id
+JOIN sizes sb ON sb.doc_id = i.eval_id
+WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.5
+ORDER BY pool_id, eval_id
+""",
+)
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (near-duplicate) eval decontamination, value-exact: pool
+    documents that are a light edit of a held-out eval doc (every 50th)
+    share most 3-gram shingles but no exact text — the leak the exact
+    (q_benchmark_contamination) and Bloom decontaminators miss and the
+    embedding one (q_semantic_decontamination) needs vectors for.  The
+    md5-derandomized LSH (q_minhash_near_dups_md5's exact math, shared
+    via _md5_lsh_state) bands BOTH sides and pairs pool ids against
+    eval ids only, then exact-Jaccard verifies at 0.5 — every stage
+    reproduced bit-for-bit by the oracle.  The production xxhash64
+    operator is operators/dedup.minhash_cross_near_duplicates (skew
+    guard over both sides' buckets; pytest pins LSH ⊆ exact cross
+    Jaccard with planted-leak recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_rows, bands = _md5_lsh_state(docs)
+    cand = (
+        bands.filter(F.col("doc_id") % 50 != 0)
+        .select(F.col("doc_id").alias("pool_id"), "band", "bucket")
+        .join(
+            bands.filter(F.col("doc_id") % 50 == 0)
+            .select(F.col("doc_id").alias("eval_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("pool_id", "eval_id")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, sh_rows, "pool_id", "eval_id")
 
 
 @register(

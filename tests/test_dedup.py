@@ -664,3 +664,50 @@ def test_leakage_safe_split_no_pair_crosses_splits(spark, sf_dir):
     for p in pairs:
         assert split_of[p["id_a"]] == split_of[p["id_b"]], (
             p["id_a"], p["id_b"])
+
+
+def test_minhash_cross_near_duplicates_planted_leak(spark):
+    """minhash_cross_near_duplicates (r16): a pool doc that is a light
+    edit of an eval doc is found (planted-leak recall), every reported
+    pair is genuinely >= threshold by exact cross Jaccard (no false
+    positives — verification is exact), and within-side near-dups are
+    NEVER paired (cross only)."""
+    rng = random.Random(77)
+
+    def doc(n=80):
+        return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+    eval_texts = [doc() for _ in range(6)]
+    pool_texts = [doc() for _ in range(40)]
+    # planted leak: pool doc 0 = eval doc 0 with one token changed
+    leaked = eval_texts[0].split()
+    leaked[10] = "zzz_edit"
+    pool_texts[0] = " ".join(leaked)
+    # within-pool near-dup pair (must NOT appear in the cross output)
+    pool_texts[1] = pool_texts[2]
+
+    pool = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pool_texts)], "doc_id long, text string"
+    )
+    evalset = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)],
+        "doc_id long, text string",
+    )
+    got = D.minhash_cross_near_duplicates(
+        pool, evalset, "doc_id", "text", threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1000) in pairs, pairs  # planted leak found
+    assert all(1000 <= b < 2000 and a < 1000 for a, b in pairs), pairs
+    # exact verification: every reported jaccard matches a brute-force
+    # recompute over distinct 3-shingles
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    for r in got:
+        sa = shingles(pool_texts[r["id_a"]])
+        sb = shingles(eval_texts[r["id_b"] - 1000])
+        j = len(sa & sb) / len(sa | sb)
+        assert abs(r["jaccard"] - j) < 1e-6
+        assert j >= 0.5
