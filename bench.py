@@ -1551,6 +1551,86 @@ def time_corpus_e2e_200k_tokens_write(spark) -> float:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _trainer_shards_path(spark) -> str:
+    """Build-once cache of the 200k corpus as trainer artifacts: token
+    shards + block index under one dir (the corpus_e2e_200k_tokens
+    chain with emit_segments, then write_token_shards +
+    write_block_index)."""
+    from cdc_demo_spark.operators.corpus_pipeline import (
+        build_corpus,
+        write_block_index,
+        write_token_shards,
+    )
+
+    def build(stage: str) -> None:
+        docs = _doc_corpus(spark)
+        rules = {
+            "min_tokens": 60,
+            "mean_token_len": (5.70, 5.85),
+            "min_distinct_ratio": 0.9,
+        }
+        res = build_corpus(
+            docs, rules=rules, minhash_threshold=0.5, span_hashed=True,
+            bpe_merges=30, emit_segments=True,
+        )
+        out = os.path.join(stage, "shards")
+        write_token_shards(res["tokens"], out)
+        write_block_index(res["blocks"], out)
+
+    return os.path.join(_ensure_built("trainer_shards_v1_200k", build), "shards")
+
+
+def time_trainer_assemble_200k(spark) -> float:
+    """The trainer's READ side priced (closes the artifact loop the
+    r15/r16 write entries opened): one worker assembles its OWN shard
+    — block index + token rows, both partition-pruned to the same
+    (split, shard) dir — into input_ids + seg_id_lens batches
+    (operators/corpus_pipeline.assemble_training_blocks), for every
+    train shard in sequence (16 workers' worth of work, run serially
+    so the number is per-epoch assembly cost at suite grain).  The
+    shard fixture builds once and caches (untimed).  Gates: per shard,
+    assembled block count == the block index census and the id total
+    == sum of segment id lengths (exact cover at id grain)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cdc_demo_spark.operators.corpus_pipeline import assemble_training_blocks
+
+    path = _trainer_shards_path(spark)
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    blocks_census = {
+        k: v["blocks"] for k, v in manifest["blocks"].items()
+        if k.startswith("train/")
+    }
+    _quiesce_self_load()
+    t0 = time.perf_counter()
+    total_blocks, total_ids = 0, 0
+    for key in sorted(blocks_census):
+        shard = int(key.split("/")[1])
+        agg = (
+            assemble_training_blocks(spark, path, split="train", shards=[shard])
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("n_ids"), F.lit(0)).alias("ids"),
+                F.coalesce(
+                    F.sum(F.aggregate("seg_id_lens", F.lit(0).cast("long"),
+                                      lambda a, x: a + x)),
+                    F.lit(0),
+                ).alias("seg_ids"),
+            )
+            .collect()[0]
+        )
+        assert agg["b"] == blocks_census[key], (key, agg["b"], blocks_census[key])
+        assert agg["ids"] == agg["seg_ids"], key  # exact cover at id grain
+        total_blocks += agg["b"]
+        total_ids += int(agg["ids"])
+    dt = round(time.perf_counter() - t0, 3)
+    assert total_blocks == sum(blocks_census.values()) and total_ids > 0
+    return dt
+
+
 def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, object]]]]:
     """Every non-headline bench entry as (block, passes, entries),
     grouped into the quiesce-gated blocks main() runs them in.
@@ -1657,6 +1737,10 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("corpus_e2e_200k_tokens", lambda: time_corpus_e2e_200k_tokens(spark)),
             ("corpus_e2e_200k_tokens_write",
              lambda: time_corpus_e2e_200k_tokens_write(spark)),
+            # the READ side: per-worker shard assembly over a cached
+            # shard fixture (fixture build untimed)
+            ("trainer_assemble_200k",
+             lambda: time_trainer_assemble_200k(spark)),
         ]),
     ]
 
