@@ -970,7 +970,7 @@ def time_bloom_200k_decontam(spark) -> float:
     return dt
 
 
-def time_dsir_200k_weights(spark) -> float:
+def time_dsir_200k_weights(spark, hash_impl: str = "md5") -> float:
     """DSIR importance weighting + selection at the 200k-doc grain
     (the oracle queries run on the 500-row fixture): hashed
     unigram+bigram bags into 4096 buckets, target = the every-50th-doc
@@ -980,7 +980,14 @@ def time_dsir_200k_weights(spark) -> float:
     and the target slice's mean log-weight exceeds the rest's — KL
     non-negativity: the target's own empirical bucket distribution
     must score itself above the pool model, so a sign flip means the
-    ratio model is wired backwards, not noise."""
+    ratio model is wired backwards, not noise.
+
+    ``hash_impl='xx'`` is the r16 PRODUCTION-hash twin
+    (dsir_200k_weights_xx): identical plan, xxhash64 buckets instead
+    of the oracle-portable md5 — what a deployment that doesn't need
+    DuckDB replay would run; the delta vs this entry prices md5's
+    engine-portability tax (~2.3x per gram pass measured in
+    isolation)."""
     from pyspark.sql import functions as F
 
     from cdc_demo_spark.operators.importance import dsir_logweights, dsir_resample
@@ -992,7 +999,7 @@ def time_dsir_200k_weights(spark) -> float:
     # the selection both read it (the operator's own counts pin covers
     # the model fit; this covers the per-doc weight output)
     lw = dsir_logweights(
-        docs, "text", "doc_id", target, n_buckets=4096
+        docs, "text", "doc_id", target, n_buckets=4096, hash_impl=hash_impl
     ).localCheckpoint(eager=True)
     sep = (
         lw.withColumn("is_t", F.col("doc_id") % 50 == 0)
@@ -1703,6 +1710,8 @@ def suite_blocks(spark, sf_dir: str) -> list[tuple[str, int, list[tuple[str, obj
             ("spans_200k_detect", lambda: time_span_dedup_200k(spark)),
             ("bloom_200k_decontam", lambda: time_bloom_200k_decontam(spark)),
             ("dsir_200k_weights", lambda: time_dsir_200k_weights(spark)),
+            ("dsir_200k_weights_xx",
+             lambda: time_dsir_200k_weights(spark, hash_impl="xx")),
             ("kn_200k_ppl", lambda: time_kn_200k_ppl(spark)),
         ]),
         # the DSIR artifact flow: single pass — its dominant cost is

@@ -300,3 +300,64 @@ def test_multi_target_matches_single_target_bit_exact(spark, sf_dir):
         dsir_multi_logweights(
             counts, "doc_id", {"bad name": targets["en"]}
         )
+
+
+def test_hash_impl_xx_production_path(spark, sf_dir):
+    """hash_impl='xx' (r16): the xxhash64 production bucket family is
+    deterministic, preserves the hash-independent invariants (per-doc
+    n_ngrams identical to md5 — the gram stream is the same, only the
+    bucket label changes; model total cr equals the gram total), still
+    separates the target from the pool, and rejects unknown names."""
+    from cdc_demo_spark.operators.importance import (
+        _bucket_models,
+        dsir_logweights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "en"
+    md5_lw = {
+        r["doc_id"]: r
+        for r in dsir_logweights(docs, "text", "doc_id", tgt).collect()
+    }
+    xx_lw = {
+        r["doc_id"]: r
+        for r in dsir_logweights(
+            docs, "text", "doc_id", tgt, hash_impl="xx"
+        ).collect()
+    }
+    assert set(md5_lw) == set(xx_lw)
+    for d in md5_lw:
+        assert md5_lw[d]["n_ngrams"] == xx_lw[d]["n_ngrams"], d
+    # determinism
+    xx_again = {
+        r["doc_id"]: r["logweight_raw"]
+        for r in dsir_logweights(
+            docs, "text", "doc_id", tgt, hash_impl="xx"
+        ).collect()
+    }
+    assert xx_again == {d: r["logweight_raw"] for d, r in xx_lw.items()}
+    # model mass conservation: total raw count == total gram count,
+    # independent of the hash family
+    tgt_ids = docs.filter(tgt).select("doc_id")
+    tot = {
+        impl: _bucket_models(docs, "text", "doc_id", tgt_ids, 512, "dsir_v1",
+                             hash_impl=impl)
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct")).collect()[0]
+        for impl in ("md5", "xx")
+    }
+    assert tot["md5"]["cr"] == tot["xx"]["cr"] > 0
+    assert tot["md5"]["ct"] == tot["xx"]["ct"] > 0
+    # separation holds under xx too
+    sep = {
+        bool(r["is_t"]): r["m"]
+        for r in dsir_logweights(docs, "text", "doc_id", tgt, hash_impl="xx")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_t"))
+        .agg(F.avg("logweight_raw").alias("m"))
+        .collect()
+    }
+    assert sep[True] > sep[False]
+    with pytest.raises(ValueError, match="hash_impl"):
+        dsir_logweights(
+            docs, "text", "doc_id", tgt, hash_impl="sha9"
+        ).collect()
