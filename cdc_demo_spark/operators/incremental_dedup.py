@@ -490,6 +490,129 @@ class MinHashIndex:
             new_buckets.unpersist()
         return pairs
 
+    def probe_only(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """READ-ONLY cross probe — the incremental-decontamination
+        shape (r16): verified near-dup pairs between ``docs`` and the
+        STORED corpus at the index threshold, WITHOUT admitting
+        anything.  Where ``append_batch`` answers "what does this
+        batch duplicate (and remember it)", this answers "is this
+        batch contaminated by what the index holds" — e.g. an eval-
+        benchmark index grown one benchmark release at a time, probed
+        by every training batch; read-only means a foreachBatch caller
+        needs no exactly-once machinery at all (same inputs, same
+        output, no state mutated).  Returns (probe_id, stored_id,
+        jaccard), cross pairs only — probe-vs-probe duplicates are
+        append_batch's business.  Probe ids must not collide with
+        stored ids (the index's id-uniqueness contract applies: ids
+        are the identity the shingle-size tables key on).
+
+        Scale shape mirrors the append probe: the stored side is
+        semi-join-restricted to the batch's buckets FIRST, the skew
+        cap gates combined occupancy, and verification reads only the
+        candidates' shingle shards (pruned)."""
+        docs = self.suppression.filter_batch(docs, id_col)
+        sh_new = hashed_shingles(docs, id_col, text_col, self.k).cache()
+        sigs = minhash_signatures(
+            docs, id_col, text_col, self.k, self.num_hashes, shingles_df=sh_new
+        )
+        try:
+            new_buckets = self._band_buckets(sigs).cache()
+            try:
+                return self._probe_cross_pairs(sh_new, new_buckets)
+            finally:
+                new_buckets.unpersist()
+        finally:
+            sh_new.unpersist()
+
+    def _probe_cross_pairs(
+        self, sh_new: DataFrame, new_buckets: DataFrame
+    ) -> DataFrame:
+        """probe_only's body: bucket-restricted candidate join against
+        the stored side only, exact-Jaccard verification over pruned
+        shingle reads.  Materializes the result before returning (the
+        caches it reads are released by the caller)."""
+        old_buckets = self._read("buckets", "id long, band int, bucket long")
+        probe_keys = new_buckets.select("band", "bucket").distinct()
+        if new_buckets.count() <= 4_000_000:
+            probe_keys = F.broadcast(probe_keys)
+        relevant_old = old_buckets.join(
+            probe_keys, ["band", "bucket"], "left_semi"
+        ).localCheckpoint(eager=True)
+        oversized = (
+            relevant_old.unionByName(new_buckets)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > self.max_bucket)
+            .select("band", "bucket")
+        )
+        probe = new_buckets.join(
+            F.broadcast(oversized), ["band", "bucket"], "left_anti"
+        )
+        build = relevant_old.join(
+            F.broadcast(oversized), ["band", "bucket"], "left_anti"
+        )
+        cands = (
+            probe.alias("a")
+            .join(
+                build.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.id").alias("probe_id"), F.col("b.id").alias("stored_id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stored_ids_rows = (
+            cands.select("stored_id").distinct().limit(_CAND_ID_CAP + 1).collect()
+        )
+        stored_ids = [r["stored_id"] for r in stored_ids_rows]
+        if not stored_ids:
+            return self.spark.createDataFrame(
+                [], "probe_id long, stored_id long, jaccard double"
+            )
+        if len(stored_ids) > _CAND_ID_CAP:
+            sh_old = self.stored_shingles().join(
+                cands.select(F.col("stored_id").alias("id")).distinct(), "id"
+            )
+        else:
+            sh_old = self.stored_shingles(stored_ids)
+        sh_old = sh_old.localCheckpoint(eager=True)
+        sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        sz_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            cands.join(sh_new.alias("a"), cands.probe_id == F.col("a.id"))
+            .join(
+                sh_old.alias("b"),
+                (cands.stored_id == F.col("b.id"))
+                & (F.col("a.h64") == F.col("b.h64")),
+            )
+            .groupBy("probe_id", "stored_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(
+                sz_new.withColumnRenamed("id", "probe_id")
+                .withColumnRenamed("sz", "sz_a"),
+                "probe_id",
+            )
+            .join(
+                sz_old.withColumnRenamed("id", "stored_id")
+                .withColumnRenamed("sz", "sz_b"),
+                "stored_id",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("probe_id", "stored_id", F.round("jaccard", 6).alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+
     # -- maintenance ---------------------------------------------------
 
     def compact(self) -> None:

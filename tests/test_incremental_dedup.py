@@ -145,3 +145,55 @@ def test_sharded_append_equals_one_shot(spark, sf_dir, tmp_path, monkeypatch):
     p2 = idx.append_batch(b)
     assert idx._nshards_of(idx._committed_batches("shingles")[0]) > 1
     assert _pairs(p1) | _pairs(p2) == _pairs(one_shot)
+
+
+def test_probe_only_cross_decontamination(spark, sf_dir, tmp_path):
+    """probe_only (r16): a read-only cross probe against the stored
+    corpus finds exactly the cross pairs the cross-LSH operator finds
+    on the same frames (same signature family), mutates NOTHING (state
+    dirs, stored_pairs, and a re-probe are all unchanged), and reports
+    no probe-vs-probe pairs."""
+    from cdc_demo_spark.operators.dedup import minhash_cross_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 50 == 0)       # "benchmark" index
+    probe = docs.filter(F.col("doc_id") % 50 != 0)
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3, threshold=0.5)
+    idx.append_batch(stored)
+    dirs_before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "idx"))
+        for f in fs
+    )
+    stored_pairs_before = _pairs(idx.stored_pairs())
+
+    got = {
+        (r["probe_id"], r["stored_id"], r["jaccard"])
+        for r in idx.probe_only(probe).collect()
+    }
+    # reference: the one-shot cross operator on the same two frames
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_cross_near_duplicates(
+            probe, stored, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+    # cross only, correct orientation
+    assert all(p % 50 != 0 and s % 50 == 0 for p, s, _ in got)
+
+    # read-only: nothing on disk changed, stored pairs unchanged,
+    # re-probe returns the same result
+    dirs_after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "idx"))
+        for f in fs
+    )
+    assert dirs_after == dirs_before
+    assert _pairs(idx.stored_pairs()) == stored_pairs_before
+    again = {
+        (r["probe_id"], r["stored_id"], r["jaccard"])
+        for r in idx.probe_only(probe).collect()
+    }
+    assert again == got
