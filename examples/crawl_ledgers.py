@@ -78,6 +78,17 @@ def main() -> None:
         docs.filter(F.col("doc_id") % 2 == 1),
     ]
 
+    # eval-benchmark decontamination ledger (r16): the benchmark set
+    # lives in its OWN MinHash index — grown release by release in a
+    # real deployment — and every crawl batch is probed READ-ONLY
+    # (probe_only) before entering the corpus: contaminated docs are
+    # reported without the index learning anything, so the probe needs
+    # no exactly-once machinery at all
+    evalidx = MinHashIndex(
+        spark, os.path.join(state, "evalbench"), k=3, threshold=0.5
+    )
+    evalidx.append_batch(docs.filter(F.col("doc_id") % 50 == 0))
+
     bloom = BloomIndex(spark, os.path.join(state, "bloom"), 1 << 16, 4)
     cms = CountMinIndex(spark, os.path.join(state, "cms"), 4, 1024)
     hist = HistogramIndex(spark, os.path.join(state, "hist"), 0.0, 2000.0, 64)
@@ -86,7 +97,14 @@ def main() -> None:
     near = MinHashIndex(spark, os.path.join(state, "minhash"), k=3, threshold=0.12)
 
     all_pairs = set()
+    all_leaks = set()
     for n, crawl in enumerate(crawls):
+        # fuzzy decontamination BEFORE anything else: which of this
+        # crawl's (non-benchmark) docs near-duplicate a held-out eval
+        # doc?  Read-only — re-running it changes nothing.
+        leaks = evalidx.probe_only(crawl.filter(F.col("doc_id") % 50 != 0))
+        crawl_leaks = {(r["probe_id"], r["stored_id"]) for r in leaks.collect()}
+        all_leaks |= crawl_leaks
         sh = shingles(crawl).localCheckpoint(eager=True)
         # quarantine check BEFORE admitting: fraction of this crawl's
         # shingles any EARLIER crawl already contains
@@ -119,7 +137,8 @@ def main() -> None:
             ledger.gc()
         print(
             f"crawl {n}: {crawl.count()} docs, prior-crawl shingle overlap "
-            f"{frac:.3f}, near-dup pairs vs history {pairs.count()}"
+            f"{frac:.3f}, near-dup pairs vs history {pairs.count()}, "
+            f"eval-benchmark leaks {len(crawl_leaks)}"
         )
 
     # the family contract, asserted over the union of both crawls
@@ -152,6 +171,22 @@ def main() -> None:
         ).collect()
     }
     assert all_pairs == one_pairs, "incremental near-dup pairs != one-shot"
+
+    # decontamination contract: the per-crawl read-only probes union to
+    # exactly the one-shot cross-LSH over the whole pool
+    from cdc_demo_spark.operators.dedup import minhash_cross_near_duplicates
+
+    one_leaks = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_cross_near_duplicates(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            "doc_id", "text", k=3, threshold=0.5,
+        ).collect()
+    }
+    assert all_leaks == one_leaks, "incremental leak probes != one-shot"
+    print(f"eval decontamination: {len(all_leaks)} leak pair(s), "
+          "incremental probes == one-shot cross-LSH asserted")
 
     # ---- vector-side maintenance: the drift alarm -> immutable
     # rebuild loop (VERDICT r9 #7: the alarm existed, the remedy
