@@ -1190,3 +1190,90 @@ def q_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_eval_containment",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id,
+         toks[u.j + 1] || ' ' || toks[u.j + 2] || ' ' || toks[u.j + 3] AS sh
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(j)
+),
+keep AS (
+  SELECT sh FROM s GROUP BY sh HAVING COUNT(*) <= 50
+),
+f AS (SELECT s.doc_id, s.sh FROM s JOIN keep USING (sh)),
+ev AS (SELECT doc_id, sh FROM f WHERE doc_id % 50 = 0),
+pool AS (SELECT doc_id, sh FROM f WHERE doc_id % 50 <> 0),
+ev_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ev GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS pool_id, e.doc_id AS eval_id, COUNT(*) AS n
+  FROM pool p JOIN ev e ON p.sh = e.sh
+  GROUP BY p.doc_id, e.doc_id
+)
+SELECT i.pool_id, i.eval_id,
+       CAST(i.n AS BIGINT) AS n_shared,
+       CAST(se.sz AS BIGINT) AS eval_sz,
+       round(CAST(i.n AS DOUBLE) / se.sz, 6) AS containment
+FROM inter i JOIN ev_sizes se ON se.doc_id = i.eval_id
+WHERE CAST(i.n AS DOUBLE) / se.sz >= 0.6
+ORDER BY pool_id, eval_id
+""",
+)
+def q_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-LEVEL eval containment: which held-out eval item (every
+    50th doc) is >= 60% shingle-contained in which pool document —
+    the embedded-benchmark leak (a benchmark question pasted into a
+    longer page has low Jaccard to it but near-total containment of
+    the EVAL side).  q_benchmark_contamination reports the pooled
+    per-doc fraction; this names the specific leaked item per pair,
+    which is what a takedown/quarantine actually needs.  Same scale
+    shape as q_containment_pairs: df<=50 posting cap bounds the
+    shingle-key join; the eval side is small by definition, so the
+    candidate set is eval-anchored; containment is measured against
+    the EVAL doc's capped shingle size (asymmetric by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    toks = F.col("__toks")
+    s = tok_docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    ).distinct()
+    keep = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 50)
+    f = s.join(keep.select("sh"), "sh")
+    ev = f.filter(F.col("doc_id") % 50 == 0)
+    pool = f.filter(F.col("doc_id") % 50 != 0)
+    ev_sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pool.select(F.col("doc_id").alias("pool_id"), "sh")
+        .join(ev.select(F.col("doc_id").alias("eval_id"), "sh"), "sh")
+        .groupBy("pool_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cont = F.col("n").cast("double") / F.col("eval_sz")
+    return (
+        inter.join(
+            ev_sizes.selectExpr("doc_id AS eval_id", "sz AS eval_sz"), "eval_id"
+        )
+        .filter(cont >= 0.6)
+        .select(
+            "pool_id",
+            "eval_id",
+            F.col("n").cast("long").alias("n_shared"),
+            F.col("eval_sz").cast("long").alias("eval_sz"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("pool_id", "eval_id")
+    )
