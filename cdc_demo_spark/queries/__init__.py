@@ -43,22 +43,37 @@ _DRIVER_WINDOW_FIRST = [
     # Round-16 window head: exactly tools/window_staleness.py's
     # suggestion at this HEAD (VERDICT r15 #3) — capacity math
     # (50 slots):
-    #   1  NEW oracle query (q_incremental_dsir — the DsirModelIndex
-    #      ledger made driver-visible: two-batch incremental bucket
-    #      models vs the oracle's one-shot fit, value-exact because
-    #      (b, cr, ct) SUM-merges over disjoint batches — VERDICT r15
-    #      #2): first-ever hash-verified driver record;
+    #   8  NEW oracle queries, all first-ever hash-verified driver
+    #      records: q_incremental_dsir (the DsirModelIndex ledger
+    #      driver-visible — VERDICT r15 #2); q_dsir_multi_target
+    #      (N targets from one counts artifact); q_kneser_ney_
+    #      perplexity (CCNet fit-on-slice/score-pool KN filter);
+    #      q_semantic_decontamination (embedding-level eval leak
+    #      flagging); q_fuzzy_decontamination (cross-corpus LSH
+    #      near-dup leakage, md5-exact); q_eval_containment
+    #      (pair-level embedded-benchmark leak); q_domain_caps
+    #      (WindowGroupLimit per-source caps); q_blocklist_filter
+    #      (wordlist content filter);
     #   16 ALL remaining r12-stale oracle queries (q_fingerprint /
     #      q_forecast_revenue / q_fuzzy_name_pairs, which yielded
     #      their r15 slots to the three late-r15 queries, then the
     #      q_grouping_sets tail VERDICT r15 #3 names; after this
     #      capture no oracle record predates r13);
-    #   33 stalest r13 oracle queries (alphabetical within equal
-    #      staleness, as the tool prints them; the r13 tail from
-    #      q_pricing_summary on heads the r17 queue).
+    #   26 stalest r13 oracle queries (alphabetical within equal
+    #      staleness, as the tool prints them; q_ngram_jaccard_pairs
+    #      through the r13 tail heads the r17 queue — seven r13
+    #      entries yield their slots to the seven post-rotation new
+    #      queries).
     # Rows-only queries were all refreshed in r12; the window-lint
     # allowlist documents the r12 rows-only records as current.
+    "q_blocklist_filter",
+    "q_domain_caps",
+    "q_dsir_multi_target",
+    "q_eval_containment",
+    "q_fuzzy_decontamination",
     "q_incremental_dsir",
+    "q_kneser_ney_perplexity",
+    "q_semantic_decontamination",
     "q_fingerprint",
     "q_forecast_revenue",
     "q_fuzzy_name_pairs",
@@ -101,13 +116,6 @@ _DRIVER_WINDOW_FIRST = [
     "q_nation_market_share",
     "q_nation_volume_shipping",
     "q_neardup_centrality",
-    "q_ngram_jaccard_pairs",
-    "q_null_functions",
-    "q_ohlc_bars",
-    "q_order_count_distribution",
-    "q_packed_blocks",
-    "q_percentiles",
-    "q_pii_mask",
 ]
 
 
