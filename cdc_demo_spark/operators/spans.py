@@ -354,48 +354,54 @@ def remove_duplicated_spans(
     order.  Returns (id, clean_text, n_tokens, n_removed).  See the
     module docstring for the overlapping-passages caveat.
 
-    The covered-index set is built by exploding each removable
-    position into its n token indices — O(n · removable sites) rows,
-    output-bound; the rebuild is one per-doc aggregate (array_sort on
-    (idx, token) structs, so order restoration never relies on
-    collect_list's nondeterministic ordering)."""
+    Rebuild shape (r16 optimization round): the covered-index set is
+    aggregated to ONE sorted array per CUT document (collect_set over
+    the O(n · removable sites) explode — output-bound, duplicated-span
+    docs only), then attached to the corpus in a single join and the
+    text rebuilt per row in pure codegen: kept indices =
+    array_except(sequence(1, n_tokens), cuts), tokens re-joined via
+    element_at.  Documents with no covered positions — the vast
+    majority of any real corpus — take the no-op branch (clean_text =
+    their own token array re-joined, zero array surgery).  The
+    previous shape posexploded EVERY token of EVERY document into
+    (id, idx, tok) rows, left-joined the covered set at token grain,
+    and re-assembled all documents through a corpus-wide
+    collect_list(struct) aggregate — two full-corpus shuffles (the
+    explode join's exchange + the regroup) and one extra corpus scan
+    (the n_tokens count aggregate) that this shape does not have
+    (measured at the 200k bench fixture, isolated steady-state A/B of
+    this operator: 23.1 s → 15.3 s; plan: 3 corpus scans → 2, the
+    36M-row ObjectHashAggregate regroup + token-grain join gone —
+    see plans/r16/q_remove_duplicated_spans_{before,after}.txt).
+    Equality with the old shape is pinned by the unchanged DuckDB
+    oracle (q_remove_duplicated_spans replays cover-and-cut from
+    first principles) and the spans pytest/hypothesis suites."""
     removable = duplicated_positions(
         df, id_col, text_col, n, keep_first=True, hashed=hashed, plan=plan,
         hot_occ=hot_occ, probe_fraction=probe_fraction,
     )
-    covered = (
+    cuts = (
         removable.select(
             "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx")
         )
-        .distinct()
-        .withColumn("cut", F.lit(True))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("idx")).alias("__cuts"))
     )
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("idx0", "tok"),
-    ).select("id", (F.col("idx0") + 1).alias("idx"), "tok")
-    kept = toks.join(covered, ["id", "idx"], "left").filter(F.col("cut").isNull())
-    return (
-        toks.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
-        .join(
-            kept.groupBy("id").agg(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                ).alias("clean_text"),
-                F.count(F.lit(1)).alias("n_kept"),
-            ),
-            "id",
-            "left",
-        )
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        )
+    # NULL text never reaches the output (split(NULL) posexploded to no
+    # rows in the previous shape) — keep that contract explicitly.
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    toks, cut = F.col("__toks"), F.col("__cuts")
+    kept_idx = F.array_except(F.sequence(F.lit(1), F.size(toks)), cut)
+    clean = F.when(cut.isNull(), F.concat_ws(" ", toks)).otherwise(
+        F.concat_ws(" ", F.transform(kept_idx, lambda i: F.element_at(toks, i)))
+    )
+    return base.join(cuts, "id", "left").select(
+        "id",
+        clean.alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        # covered indices are distinct and always within [1, n_tokens]
+        # (pos <= n_tokens - n + 1), so their count IS the removed count
+        F.coalesce(F.size(cut), F.lit(0)).cast("long").alias("n_removed"),
     )
