@@ -152,13 +152,25 @@ def probe_max_occ(
 
 def _window_marked(g: DataFrame, keep_first: bool) -> DataFrame:
     """The gram-partitioned window body shared by the window plan, the
-    auto plan's cold route, and the hybrid plan's cold side."""
-    w = Window.partitionBy("gram")
+    auto plan's cold route, and the hybrid plan's cold side.
+
+    Both window functions ride ONE ordered spec (r16 optimization
+    round): count() over the explicit unbounded-both frame of the
+    ordered window is the full partition count — identical to the
+    order-less count — but now both expressions share a single Window
+    node, so the plan sorts the gram table ONCE instead of twice
+    (the order-less count window sorted by gram alone, then the
+    row_number window re-sorted by (gram, id, pos) — two full sorts
+    of the O(total tokens) gram stream for one pass's worth of
+    information)."""
+    w = Window.partitionBy("gram").orderBy("id", "pos")
     marked = g.select(
         "id",
         "pos",
-        F.count(F.lit(1)).over(w).alias("occ"),
-        F.row_number().over(w.orderBy("id", "pos")).alias("rn"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("occ"),
+        F.row_number().over(w).alias("rn"),
     ).filter(F.col("occ") >= 2)
     if keep_first:
         marked = marked.filter(F.col("rn") > 1)
