@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_demo_spark.operators.text import tokens
+from cdc_demo_spark.operators.text import gram_at, tokens
 
 
 # --------------------------------------------------------------------------
@@ -69,7 +69,10 @@ def shingle_array_of_tokens(toks: F.Column, k: int = 3) -> F.Column:
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    # gram_at, not concat_ws(slice(...)): inside this interpreted
+    # transform lambda the slice allocates a k-array per shingle —
+    # measured 8x slower at the 200k fixture (see text.gram_at)
+    sh = F.transform(idx, lambda i: gram_at(toks, i + 1, k))
     return F.array_distinct(sh)
 
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdc_demo_spark.operators.text import gram_at
+
 
 def ngram_positions(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, hashed: bool = False
@@ -69,7 +71,10 @@ def ngram_positions(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda j: F.struct(j.alias("pos"), F.concat_ws(" ", F.slice(toks, j, n)).alias("gram")),
+            # gram_at, not concat_ws(slice(...)): an interpreted slice
+            # allocates an n-array per gram site — 8x measured on the
+            # 35M-site pass (see text.gram_at, r16 optimization round)
+            lambda j: F.struct(j.alias("pos"), gram_at(toks, j, n).alias("gram")),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
     e = F.explode(grams).alias("g")

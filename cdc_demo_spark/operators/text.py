@@ -27,6 +27,26 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, r"\s+")
 
 
+def gram_at(toks: Column, j: Column, k: int) -> Column:
+    """The k-token gram of ``toks`` starting at 1-based position ``j``
+    as one space-joined string — value-identical to
+    ``concat_ws(" ", slice(toks, j, k))`` whenever ``j + k - 1 <=
+    size(toks)`` (every caller's index range guarantees that, and
+    split() never produces NULL elements), but built from ``k``
+    positional ``element_at`` reads instead of a ``slice``.
+
+    Why it exists (r16 optimization round): gram/shingle builders run
+    INSIDE ``transform`` lambdas, which Spark evaluates interpreted
+    per element — and an interpreted ``slice`` allocates a fresh
+    k-element array per evaluation.  Replacing it with k direct reads
+    measured 11.1 s → 1.4 s for the 35M-shingle string pass at the
+    200k bench fixture (the single hottest expression in the MinHash
+    and span-detection pipelines).  Callers with LARGE k (the 64-token
+    chunk builders) keep ``slice``: one array copy amortized over 64
+    elements beats 64 chained concat arguments there."""
+    return F.concat_ws(" ", *[F.element_at(toks, j + i) for i in range(k)])
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators import dedup as D
+from cdc_demo_spark.operators.text import gram_at
 from cdc_demo_spark.queries.registry import register
 from cdc_demo_spark.sources.tables import load_table
 
@@ -715,7 +716,7 @@ def q_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(toks) >= 3,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                    lambda j: gram_at(toks, j, 3),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("sh"),
@@ -836,7 +837,7 @@ def _md5_lsh_state(docs: DataFrame):
                 F.size(toks) >= 3,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                    lambda j: gram_at(toks, j, 3),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("sh"),
@@ -1034,7 +1035,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(toks) >= 3,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                    lambda j: gram_at(toks, j, 3),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("sh"),
@@ -1246,7 +1247,7 @@ def q_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(toks) >= 3,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+                    lambda j: gram_at(toks, j, 3),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("sh"),

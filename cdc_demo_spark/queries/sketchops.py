@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_demo_spark.operators import sketches as SK
+from cdc_demo_spark.operators.text import gram_at
 from cdc_demo_spark.queries.registry import register
 from cdc_demo_spark.sources.tables import load_table
 
@@ -52,7 +53,7 @@ def _string_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     idx = F.when(F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    arr = F.array_distinct(F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k))))
+    arr = F.array_distinct(F.transform(idx, lambda j: gram_at(toks, j, k)))
     return base.select("doc_id", F.explode(arr).alias("sh"))
 
 

@@ -797,7 +797,7 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(toks) >= 5,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - 4),
-                    lambda j: F.concat_ws(" ", F.slice(toks, j, 5)),
+                    lambda j: T.gram_at(toks, j, 5),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
