@@ -125,6 +125,7 @@ def connected_components_star(
     dst_col: str = "id_b",
     max_iter: int = 25,
     round_stats: list | None = None,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -151,7 +152,23 @@ def connected_components_star(
     convergence check's jobs (no extra action), are logged at INFO, and
     are pinned by the dense-clique test in tests/test_dedup.py: a
     clique collapses to its star in one round, so a quadratic edge set
-    must drop to (n-1) spokes immediately and never grow again."""
+    must drop to (n-1) spokes immediately and never grow again.
+
+    ``driver_edge_cap`` (r16 optimization round): a deduped edge list
+    at or under the cap is solved with a DRIVER-SIDE min-label
+    union-find instead of the distributed rounds — the same answer
+    (component = min reachable id; union-by-min == least/greatest star
+    convergence, for any orderable id type) from ONE bounded collect
+    (≤ cap slim (u, v) pairs — the count that gates it is the count
+    the distributed path already ran first).  Rationale: each star
+    round is ~6 shuffle stages + an eager checkpoint + two action
+    jobs, so on the near-dup graphs this operator actually sees
+    (pairs ≈ thousands after LSH verification) the scheduler overhead
+    of 2-3 rounds dominated the composite's component stage — measured
+    13.5 s → ~1 s at the 200k bench fixture (3.5k edges).  Above the
+    cap — the genuinely-distributed regime — nothing changes.  When
+    ``round_stats`` is requested the distributed rounds always run
+    (the hook observes THEM)."""
     import logging
 
     log = logging.getLogger(__name__)
@@ -162,6 +179,38 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_n = cur.count()
+    if round_stats is None and prev_n <= driver_edge_cap:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in cur.collect():
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        memb = [(x, find(x)) for x in list(parent)]
+        utype = cur.schema["u"].dataType
+        membership = cur.sparkSession.createDataFrame(
+            memb,
+            StructType([StructField("u", utype), StructField("component", utype)]),
+        )
+        return (
+            nodes.select(F.col(id_col).alias("u"))
+            .join(F.broadcast(membership), "u", "left")
+            .select(
+                F.col("u").alias(id_col),
+                F.coalesce("component", "u").alias("component"),
+            )
+        )
     for rnd in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         n = nxt.count()
