@@ -35,10 +35,19 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 64,
     stride: int = 48,
+    with_text: bool = True,
 ) -> DataFrame:
     """(id, chunk_id, chunk_text, n_tokens) — windows of `chunk_tokens`
     tokens every `stride` (overlap = chunk_tokens - stride). The final
     partial window is kept (last chunk may be short but never empty).
+
+    ``with_text=False`` omits the ``chunk_text`` column AND the work of
+    building it (r16 optimization round): Catalyst does not prune
+    struct fields built inside a Generate's transform lambda, so a
+    caller that drops chunk_text after the fact — the pack stage needs
+    only (id, chunk_id, n_tokens) — still paid one concat_ws(slice)
+    string build per chunk.  Same rows, same values for the columns
+    that remain.
 
     The token array materializes in its own projection before the
     chunk lambda slices it — an inlined split would re-tokenize the
@@ -58,19 +67,18 @@ def chunk_documents(
     toks = F.col("__toks")
     n = F.size(toks)
     starts = chunk_starts(n, chunk_tokens, stride)
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("long").alias("chunk_id"),
-            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
-            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
-        ),
-    )
+
+    def fields(s):
+        out = [(s / stride).cast("long").alias("chunk_id")]
+        if with_text:
+            out.append(
+                F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text")
+            )
+        out.append(F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"))
+        return out
+
+    chunks = F.transform(starts, lambda s: F.struct(*fields(s)))
+    cols = ["chunk_id"] + (["chunk_text"] if with_text else []) + ["n_tokens"]
     return base.select(
         F.col(id_col), F.explode(chunks).alias("c")
-    ).select(
-        id_col,
-        F.col("c.chunk_id").alias("chunk_id"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.n_tokens").alias("n_tokens"),
-    )
+    ).select(id_col, *[F.col(f"c.{c}").alias(c) for c in cols])

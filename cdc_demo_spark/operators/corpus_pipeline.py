@@ -149,6 +149,10 @@ def mixture_keep_expr(
 
 
 def _docs_tokens(df: DataFrame, text_col: str) -> tuple[int, int]:
+    """(docs, tokens) census by re-tokenizing ``text_col`` — the
+    reference census expression.  build_corpus now carries the value
+    as a __ntok column instead of re-running this per stage (r16
+    optimization round); kept for callers with no carried column."""
     row = df.agg(
         F.count(F.lit(1)).alias("d"),
         F.coalesce(F.sum(F.size(F.split(text_col, " "))), F.lit(0)).alias("t"),
@@ -269,19 +273,47 @@ def build_corpus(
         dt, t_mark = now - t_mark, now
         return round(dt, 3)
 
-    d, t = _docs_tokens(docs, text_col)
+    # Token census carried as a column (r16 optimization round): the
+    # per-stage (docs, tokens) ledger used to re-split the TEXT of the
+    # whole checkpointed frame at every stage boundary — 4+ full
+    # tokenize passes per run for numbers that don't change while the
+    # text doesn't.  __ntok = size(split(text)) is computed ONCE on the
+    # input (the exact census expression _docs_tokens used), rides the
+    # stage checkpoints (one long per row), and each census is a plain
+    # sum.  After span removal the cleaned token count is derived from
+    # the removal's own (n_tokens - n_removed) — equal by construction
+    # to size(split(clean_text)) for every surviving doc (the rebuild
+    # joins kept tokens with single spaces and keeps empty tokens), the
+    # identity the conservation invariant already rests on.
+    if "__ntok" in docs.columns:
+        raise ValueError(
+            "build_corpus: input must not carry a '__ntok' column "
+            "(internal census name); drop or rename it first"
+        )
+    docs = docs.withColumn(
+        "__ntok", F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+
+    def _census(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(F.sum("__ntok"), F.lit(0)).alias("t"),
+        ).collect()[0]
+        return int(row["d"]), int(row["t"])
+
+    d, t = _census(docs)
     ledger["input"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
 
     # 1. quality gate — pure codegen projection, zero shuffle
     quality = docs.filter(quality_keep_expr(text_col, rules)).localCheckpoint(
         eager=True
     )
-    d, t = _docs_tokens(quality, text_col)
+    d, t = _census(quality)
     ledger["quality"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
 
     # 2. exact dedup — md5-digest shuffle (16-byte keys, never text)
     exact = exact_dedup(quality, [text_col], id_col).localCheckpoint(eager=True)
-    d, t = _docs_tokens(exact, text_col)
+    d, t = _census(exact)
     ledger["exact_dedup"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
 
     # 3. near-dup pairs (banded LSH, exact-Jaccard verified) ->
@@ -322,7 +354,7 @@ def build_corpus(
             f"unknown survivor {survivor!r}; expected 'min_id' or 'longest'"
         )
     survivors = exact.join(surv_ids, id_col, "left_semi").localCheckpoint(eager=True)
-    d, t = _docs_tokens(survivors, text_col)
+    d, t = _census(survivors)
     ledger["neardup_dedup"] = {"docs": d, "tokens": t, "secs": _stage_secs()}
 
     # 4. duplicated-span removal (keep-one) — docs emptied by the cut
@@ -336,11 +368,17 @@ def build_corpus(
     )
     final_docs = (
         cleaned.filter(F.length("clean_text") > 0)
-        .select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("clean_text").alias(text_col),
+            # == size(split(clean_text)) for every surviving doc (see
+            # the __ntok note above) — no re-tokenize pass needed
+            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias("__ntok"),
+        )
         .join(splits.select(id_col, "split"), id_col)
         .localCheckpoint(eager=True)
     )
-    d, t = _docs_tokens(final_docs, text_col)
+    d, t = _census(final_docs)
     ledger["span_removal"] = {
         "docs": d, "tokens": t, "tokens_cut": spans_cut, "secs": _stage_secs()
     }
@@ -372,10 +410,10 @@ def build_corpus(
         thr = temperature_thresholds(counts, mixture_alpha, mixture_target_frac)
         final_docs = (
             strata.filter(mixture_keep_expr(mixture_stratum, thr, id_col))
-            .select(id_col, text_col, "split")
+            .select(id_col, text_col, "split", "__ntok")
             .localCheckpoint(eager=True)
         )
-        d, t = _docs_tokens(final_docs, text_col)
+        d, t = _census(final_docs)
         ledger["mixture"] = {
             "docs": d, "tokens": t, "alpha": mixture_alpha,
             "target_frac": mixture_target_frac, "secs": _stage_secs(),
@@ -415,10 +453,10 @@ def build_corpus(
             final_docs.join(lw, id_col)
             .orderBy(F.desc(key), F.asc(id_col))
             .limit(k)
-            .select(id_col, text_col, "split")
+            .select(id_col, text_col, "split", "__ntok")
             .localCheckpoint(eager=True)
         )
-        d, t = _docs_tokens(final_docs, text_col)
+        d, t = _census(final_docs)
         ledger["dsir"] = {
             "docs": d, "tokens": t, "keep_frac": dsir_keep_frac,
             "buckets": dsir_buckets, "secs": _stage_secs(),
@@ -441,10 +479,12 @@ def build_corpus(
     # pack_chunks only reads (doc_id, chunk_id, n_tokens, group) — drop
     # chunk_text BEFORE the (split, shard) groupBy so the pipeline's
     # largest shuffle moves slim count rows, not the corpus text
-    # (r13 review finding #6)
+    # (r13 review finding #6); with_text=False also skips BUILDING the
+    # chunk strings (Catalyst can't prune struct fields inside the
+    # Generate's lambda — r16 optimization round)
     chunks = chunk_documents(
         final_docs, id_col=id_col, text_col=text_col,
-        chunk_tokens=chunk_tokens, stride=stride,
+        chunk_tokens=chunk_tokens, stride=stride, with_text=False,
     ).join(
         final_docs.select(
             id_col, F.format_string("%s/%02d", F.col("split"), shard).alias("group")
@@ -544,7 +584,9 @@ def build_corpus(
         "blocks": blocks,
         "pairs": pairs,
         "splits": splits,
-        "final_docs": final_docs,
+        # public frame keeps its documented shape; __ntok is an
+        # internal census column (reads the pinned frame, no recompute)
+        "final_docs": final_docs.select(id_col, text_col, "split"),
         "tokens": tokens_df,
         "bpe_merges": merges,
         "ledger": ledger,
