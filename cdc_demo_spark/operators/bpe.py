@@ -150,6 +150,7 @@ def train_bpe(
     docs: DataFrame, text_col: str = "text", n_merges: int = 20,
     vocab_partitions: int | str | None = "auto",
     driver_vocab_cap: int = 500_000,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge table (rank, left, right, merged, cnt) — the
@@ -157,6 +158,12 @@ def train_bpe(
     out of pairs.  Symbols start as single characters (no end-of-word
     marker — merges apply within whitespace-delimited words; the
     marker variant is a trivial symbolization change).
+
+    ``word_freqs`` lets a caller that already aggregated the corpus's
+    (word, freq) table share it (r16 optimization round: build_corpus'
+    token stage feeds the same table to training AND to the encoder's
+    vocabulary, one corpus scan instead of three); must be exactly
+    word_frequencies' output shape.
 
     ``vocab_partitions``: the word table is VOCABULARY-grain (~50k
     rows at the bench corpus), but it inherits the corpus aggregate's
@@ -175,9 +182,8 @@ def train_bpe(
     checkpointed table is a narrow read-side fan-in, and the merge
     loop's re-checkpoints inherit the layout."""
     spark = docs.sparkSession
-    words = word_frequencies(docs, text_col).select(
-        "word", "freq", F.split("word", "").alias("toks")
-    )
+    wf = word_frequencies(docs, text_col) if word_freqs is None else word_freqs
+    words = wf.select("word", "freq", F.split("word", "").alias("toks"))
     words = words.localCheckpoint(eager=True)
     n_vocab = words.count()
     # Driver path (r16 optimization round, same size-gated idiom as
@@ -601,6 +607,7 @@ def encode_chunked_corpus_ids(
     chunk_tokens: int,
     stride: int | None = None,
     impl: str = "auto",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Token ids for every CHUNK of every document — the corpus
     pipeline's scale path (operators/corpus_pipeline.build_corpus with
@@ -636,11 +643,19 @@ def encode_chunked_corpus_ids(
     occ = df.select(
         F.col(id_col), F.posexplode(slots).alias("_pos", "word")
     )
-    vocab = (
-        df.select(F.explode(slots).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
-    )
+    if vocab is None:
+        vocab = (
+            df.select(F.explode(slots).alias("word"))
+            .filter(F.col("word") != "")
+            .distinct()
+        )
+    else:
+        # caller-supplied vocabulary (r16 optimization round): a
+        # word-frequency table the token stage already aggregated —
+        # MUST cover exactly the corpus's distinct non-empty words
+        # (build_corpus passes word_frequencies of the same frame);
+        # skips this function's own corpus explode→distinct scan
+        vocab = vocab.select("word")
     word_ids = _word_id_arrays(vocab, merges, impl)
     # left join: empty slots (and only those — token_id_map covers
     # every emittable token) miss and carry an empty id array

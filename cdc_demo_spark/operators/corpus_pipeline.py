@@ -545,15 +545,23 @@ def build_corpus(
         from cdc_demo_spark.operators.bpe import (
             encode_chunked_corpus_ids,
             train_bpe,
+            word_frequencies,
         )
 
+        # ONE (word, freq) aggregate feeds BOTH the trainer and the
+        # encoder's vocabulary (r16 optimization round): train_bpe and
+        # encode_chunked_corpus_ids each derived their own
+        # corpus-explode→distinct — the same table, scanned twice.
+        wf = word_frequencies(final_docs, text_col).localCheckpoint(eager=True)
         if isinstance(bpe_merges, int):
             # the realistic order: the tokenizer trains on the same
             # surviving corpus the model will see; collect is bounded
             # (n_merges rows — the artifact a tokenizer ships)
             merges = [
                 (r["lhs"], r["rhs"])
-                for r in train_bpe(final_docs, text_col, n_merges=bpe_merges).collect()
+                for r in train_bpe(
+                    final_docs, text_col, n_merges=bpe_merges, word_freqs=wf
+                ).collect()
             ]
         else:
             merges = [(str(a), str(b)) for a, b in bpe_merges]
@@ -561,6 +569,7 @@ def build_corpus(
             encode_chunked_corpus_ids(
                 final_docs, text_col, merges, id_col,
                 chunk_tokens=chunk_tokens, stride=stride,
+                vocab=wf.select("word"),
             )
             .join(final_docs.select(id_col, "split"), id_col)
             .localCheckpoint(eager=True)
