@@ -256,7 +256,15 @@ def lsh_candidate_pairs(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
-                F.xxhash64(F.slice(F.col("signature"), b * rows + 1, rows)).alias("bucket"),
+                # element_at reads, not slice: inside this interpreted
+                # lambda a slice allocates a rows-array per band;
+                # xxhash64(e1..ek) == xxhash64(slice) exactly (the hash
+                # folds args the way it folds array elements — pinned
+                # in tests/test_dedup.py)
+                F.xxhash64(
+                    *[F.element_at(F.col("signature"), b * rows + 1 + i)
+                      for i in range(rows)]
+                ).alias("bucket"),
             ),
         )
     )
@@ -387,7 +395,8 @@ def minhash_cross_near_duplicates(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.slice(F.col("signature"), b * rows + 1, rows)
+                        *[F.element_at(F.col("signature"), b * rows + 1 + i)
+                          for i in range(rows)]
                     ).alias("bucket"),
                 ),
             )

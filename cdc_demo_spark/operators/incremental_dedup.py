@@ -217,8 +217,12 @@ class MinHashIndex:
                 F.sequence(F.lit(0), F.lit(self.bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
+                    # xxhash64(e1..ek) == xxhash64(slice) exactly; see
+                    # dedup.lsh_candidate_pairs (stored buckets keep
+                    # their values — appends stay compatible)
                     F.xxhash64(
-                        F.slice(F.col("signature"), b * self.rows + 1, self.rows)
+                        *[F.element_at(F.col("signature"), b * self.rows + 1 + i)
+                          for i in range(self.rows)]
                     ).alias("bucket"),
                 ),
             )

@@ -711,3 +711,21 @@ def test_minhash_cross_near_duplicates_planted_leak(spark):
         j = len(sa & sb) / len(sa | sb)
         assert abs(r["jaccard"] - j) < 1e-6
         assert j >= 0.5
+
+
+def test_xxhash64_of_elements_equals_xxhash64_of_slice(spark):
+    """The LSH band bucket is xxhash64 over a signature slice; the r16
+    optimization replaced the interpreted slice with unrolled
+    element_at args.  This pins the identity the rewrite rests on:
+    xxhash64 folds its arguments exactly the way it folds an array
+    argument's elements, so the bucket VALUES (and every stored
+    incremental index) are unchanged."""
+    df = spark.range(500).select(
+        F.array(*[F.xxhash64(F.col("id") + i) for i in range(8)]).alias("sig")
+    )
+    for off, width in ((1, 4), (5, 4), (3, 2)):
+        a = [r["h"] for r in df.select(F.xxhash64(F.slice("sig", off, width)).alias("h")).collect()]
+        b = [r["h"] for r in df.select(
+            F.xxhash64(*[F.element_at("sig", off + i) for i in range(width)]).alias("h")
+        ).collect()]
+        assert a == b
