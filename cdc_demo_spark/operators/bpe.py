@@ -659,16 +659,50 @@ def encode_chunked_corpus_ids(
     word_ids = _word_id_arrays(vocab, merges, impl)
     # left join: empty slots (and only those — token_id_map covers
     # every emittable token) miss and carry an empty id array
-    per_doc = (
-        occ.join(word_ids, "word", "left")
-        .select(
-            id_col,
-            F.struct(
-                F.col("_pos"),
-                F.coalesce(F.col("_ids"), F.array().cast("array<int>")).alias("_ids"),
-                (F.col("word") != "").alias("_ne"),
-            ).alias("s"),
+    slot = occ.join(word_ids, "word", "left").select(
+        id_col,
+        F.col("_pos"),
+        F.struct(
+            F.col("_pos"),
+            F.coalesce(F.col("_ids"), F.array().cast("array<int>")).alias("_ids"),
+            (F.col("word") != "").alias("_ne"),
+        ).alias("s"),
+    )
+    if stride == chunk_tokens:
+        # Non-overlapping windows partition the slot sequence, so the
+        # regroup can key directly on (id, chunk_id) — same shuffled
+        # rows, but groups are chunk-sized (≤ chunk_tokens structs to
+        # sort) instead of document-sized, and the per-doc chunk
+        # re-slice transform disappears (r16 optimization round:
+        # 9.8 → 7.6 s steady at the 200k fixture, output
+        # row/value-identical — every doc has ≥ 1 slot, so chunk 0
+        # always exists and slot counts reproduce chunk_starts'
+        # n_tokens exactly).  Overlapping strides keep the doc-grain
+        # slice path below (a slot belongs to several chunks there).
+        per_chunk = (
+            slot.select(
+                id_col,
+                (F.col("_pos") / chunk_tokens).cast("long").alias("chunk_id"),
+                "s",
+            )
+            .groupBy(id_col, "chunk_id")
+            .agg(F.array_sort(F.collect_list("s")).alias("_arr"))
         )
+        carr = F.col("_arr")
+        ids_flat = F.flatten(F.transform(carr, lambda x: x["_ids"]))
+        return per_chunk.select(
+            id_col,
+            "chunk_id",
+            F.size(carr).cast("long").alias("n_tokens"),
+            F.aggregate(
+                carr, F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_ne"].cast("long"),
+            ).alias("n_words"),
+            F.size(ids_flat).cast("long").alias("n_bpe_tokens"),
+            ids_flat.alias("token_ids"),
+        )
+    per_doc = (
+        slot.select(id_col, "s")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("s")).alias("_arr"))
     )
