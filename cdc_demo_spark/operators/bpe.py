@@ -194,10 +194,22 @@ def train_bpe(
     # 11.0 s distributed vs ~3 s collected).  The replica's semantics
     # are bit-identical (see _train_bpe_driver); equality is pinned by
     # the existing oracle-backed BPE queries, the independent max-pair
-    # gate in bench.time_bpe_train_200k, and tests/test_bpe.py.  Above
-    # the cap (web-scale vocabularies) the distributed loop runs
-    # unchanged — the gating count is the count the auto-partition
-    # sizing already ran.
+    # gate in bench.time_bpe_train_200k, and the forced-distributed
+    # equality test in tests/test_bpe.py (r16 ADVICE).  Above the cap
+    # (web-scale vocabularies) the distributed loop runs unchanged —
+    # the gating count is the count the auto-partition sizing already
+    # ran.
+    #
+    # TUNABLE, with its cost model stated (r16 ADVICE): the driver
+    # replica is O(n_merges x total symbol occurrences) pure Python
+    # and holds the collected word table (~30 MB at the 500k default —
+    # words are short).  The default cap is sized for short merge
+    # lists (the repo's fixtures: <= 30 merges, where the replica wins
+    # by >3x); at production merge counts (10k+) the Python loop's CPU
+    # would dominate — lower driver_vocab_cap (or pass 0 to force the
+    # distributed loop) when n_merges x vocabulary is large.  The cap
+    # gates on the vocabulary count only because that is the number
+    # already computed; callers own the n_merges dimension.
     if n_vocab <= int(driver_vocab_cap):
         merges = _train_bpe_driver(
             ((r["word"], r["freq"]) for r in words.select("word", "freq").collect()),

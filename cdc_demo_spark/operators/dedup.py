@@ -245,6 +245,15 @@ def lsh_candidate_pairs(
 
     Bucket key = (band index, md5 of the band slice). ``max_bucket``
     drops degenerate buckets (skew guard) before the quadratic pairing.
+
+    PRECONDITION (r16 ADVICE): ``size(signature) >= bands * rows`` for
+    every row — the unrolled ``element_at`` reads below index positions
+    1..bands*rows directly.  Every in-repo producer satisfies it
+    (minhash_signatures emits exactly ``num_hashes = bands*rows``
+    elements); an external caller with a SHORTER signature would get
+    NULL elements folded into the bucket hash (silently different
+    buckets than a slice-based hash) or an INVALID_ARRAY_INDEX error
+    under ANSI mode — pass full-length signatures.
     """
     # Bucket = xxhash64 of the band's signature slice (a single hash of
     # an array<long>; equal slices always collide, unequal ones at

@@ -168,7 +168,17 @@ def connected_components_star(
     13.5 s → ~1 s at the 200k bench fixture (3.5k edges).  Above the
     cap — the genuinely-distributed regime — nothing changes.  When
     ``round_stats`` is requested the distributed rounds always run
-    (the hook observes THEM)."""
+    (the hook observes THEM).
+
+    TUNABLE, with its cost model stated (r16 ADVICE): the collect at
+    the 1M default is ~1M slim Row objects — roughly 100-200 MB of
+    transient driver heap (Rows are heavier than their payload), well
+    inside the repo's 8g driver but a real bet on small drivers; the
+    union-find itself is near-linear (path-halving).  Size
+    driver_edge_cap to the driver heap you actually run with, or pass
+    0 to force the distributed rounds (equality between the two paths
+    is pinned by tests/test_dedup.py::
+    test_cc_star_distributed_path_equals_driver)."""
     import logging
 
     log = logging.getLogger(__name__)

@@ -178,6 +178,28 @@ def test_train_bpe_auto_matches_pinned(spark, sf_dir):
     assert len(auto) == 10
 
 
+def test_train_bpe_distributed_path_equals_driver(spark, sf_dir):
+    """r16 ADVICE (medium): driver_vocab_cap=500k routes every fixture
+    to the driver replica, leaving the distributed merge loop — the
+    production path above the cap — untested.  Force it with
+    driver_vocab_cap=0 and pin merge-table equality with the driver
+    path so future edits to either side can't silently diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def merge_list(cap):
+        return [
+            (r["rank"], r["lhs"], r["rhs"], r["merged"], r["cnt"])
+            for r in train_bpe(
+                docs, n_merges=8, driver_vocab_cap=cap
+            ).collect()
+        ]
+
+    distributed = merge_list(0)
+    driver = merge_list(500_000)
+    assert distributed == driver
+    assert len(driver) == 8
+
+
 def test_word_cache_tokenize_equals_inline(spark, sf_dir):
     """The r13 vocabulary-grain encode path (distinct words -> join
     back -> positional reassembly) must equal the per-occurrence fold

@@ -318,6 +318,35 @@ def test_cc_both_algorithms_match_union_find(spark):
     check()
 
 
+def test_cc_star_distributed_path_equals_driver(spark):
+    """r16 ADVICE (medium): driver_edge_cap=1M routes every fixture to
+    the driver union-find, leaving the distributed star rounds — the
+    production path above the cap — reachable only via round_stats.
+    Force the star rounds with driver_edge_cap=0 and pin membership
+    equality with the driver path on a graph that needs >1 round
+    (a long chain), plus cliques/singletons."""
+    from cdc_demo_spark.operators.graph import connected_components_star
+
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]          # 31-node chain
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(200, 201), (201, 200), (202, 202)]       # dup/reversed/self
+    )
+    node_ids = sorted({u for e in edges for u in e} | {999})  # + singleton
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    driver = {r["id"]: r["component"]
+              for r in connected_components_star(nodes, edf).collect()}
+    distributed = {
+        r["id"]: r["component"]
+        for r in connected_components_star(
+            nodes, edf, driver_edge_cap=0
+        ).collect()
+    }
+    assert distributed == driver
+    assert driver[999] == 999 and driver[30] == 0 and driver[104] == 100
+
+
 def test_allpairs_prefix_filtering_is_lossless_under_boilerplate(spark):
     """Adversarial corpus: every doc shares one boilerplate phrase
     (a universal shingle). df_cap handles this by DELETING the shingle
