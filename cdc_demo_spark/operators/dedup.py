@@ -228,8 +228,16 @@ def minhash_signatures(
         F.col("h64") if "h64" in sh.columns else F.xxhash64("shingle")
     )
     hashed = sh.select("id", F.pmod(base, F.lit(_MERSENNE)).alias("h"))
+    # % (Remainder), not pmod, for the permutation mixes: h, a, b are all
+    # non-negative (h < p after the pmod above), so h*a+b >= 0 and the two
+    # are value-identical — but pmod evaluates TWO integer mods per element
+    # (((x % p) + p) % p) where Remainder evaluates one, and this expression
+    # runs num_hashes times per hash row (the hottest arithmetic in the
+    # signature aggregate: 64 x ~30M evaluations at the 200k fixture).
+    # r17 optimization round; signature values (and therefore every stored
+    # incremental-index byte) are unchanged.
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = hashed.groupBy("id").agg(*mins)
@@ -277,9 +285,17 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    # Lazy local checkpoint (r17 optimization round): the bucket table has
+    # THREE consumers below (the skew-guard aggregate and both sides of the
+    # pairing self-join), and without the pin each one recomputes the whole
+    # upstream SIGNATURE AGGREGATE plus the band hashing — the single most
+    # expensive subtree of the near-dup pipeline, measured running ~3x in
+    # the cold composite (same idiom and same O(corpus)-temp-storage trade
+    # as the spans hybrid plan's gram checkpoint).  Materialized once at
+    # the first action; rows are slim (id, band, bucket) longs.
     buckets = signatures.select("id", band_entries.alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
     # Skew guard via groupBy+join (map-side partial count) rather than a
     # count-over-window, which would shuffle AND sort every bucket row.
     oversized = (
@@ -410,9 +426,12 @@ def minhash_cross_near_duplicates(
                 ),
             )
         )
+        # same lazy pin as lsh_candidate_pairs (r17): each side's bucket
+        # table feeds the occupancy union AND the candidate join — unpinned,
+        # both recompute the side's signature aggregate
         buckets = sigs.select("id", band_entries.alias("e")).select(
             "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
-        )
+        ).localCheckpoint(eager=False)
         sides[name] = (docs, buckets)
     docs_a, buckets_a = sides["a"]
     docs_b, buckets_b = sides["b"]

@@ -30,7 +30,11 @@ def main() -> int:
     if rest[0] == "--sf":
         sf_dir = rest[1]
         rest = rest[2:]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r17"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
