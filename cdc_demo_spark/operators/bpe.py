@@ -272,6 +272,64 @@ def _priority_hazard(merges: list[tuple[str, str]]) -> bool:
     return False
 
 
+def _priority_encoder(merges: list[tuple[str, str]]):
+    """The per-word priority (lowest-rank-present) encode as a pure
+    Python callable — shared by the Arrow rank encoder (encode_words
+    impl='rank') and the driver-side word→ids replica
+    (_word_id_rows_driver), so the two can never diverge.
+
+    FIRST-occurrence-wins rank per pair (r13 ADVICE): a merge list
+    may contain a duplicate pair, and in the fold reference the
+    duplicate is a no-op for non-hazard lists — after the first
+    (a,b) pass no new (a,b) adjacency can form unless some later
+    merge BIRTHS an 'a' or 'b' token, which is exactly the operand
+    shape _priority_hazard routes to the sequential replay.  A
+    last-wins dict gave the duplicate's LATER rank priority and made
+    e.g. [(a,b),(b,c),(a,b)] encode 'abc' to ['a','bc'] vs the
+    fold's ['ab','c']."""
+    ranks: dict[tuple[str, str], int] = {}
+    for r, pair in enumerate(merges):
+        ranks.setdefault(tuple(pair), r)
+    merge_list = list(merges)
+    hazard = _priority_hazard(merges)
+
+    def _greedy_pass(toks: list[str], pair: tuple[str, str]) -> list[str]:
+        out, j = [], 0
+        while j < len(toks):  # merge ALL occurrences, greedy L2R
+            if j < len(toks) - 1 and (toks[j], toks[j + 1]) == pair:
+                out.append(toks[j] + toks[j + 1])
+                j += 2
+            else:
+                out.append(toks[j])
+                j += 1
+        return out
+
+    def _encode(word: str) -> list[str]:
+        toks = list(word)
+        if hazard:
+            # the one shape where priority order can diverge from the
+            # fold reference (_priority_hazard docstring): replay the
+            # merge list sequentially per word — O(n_merges · len),
+            # paid only for hazard-bearing lists
+            for pair in merge_list:
+                if len(toks) < 2:
+                    break
+                toks = _greedy_pass(toks, pair)
+            return toks
+        while len(toks) > 1:
+            best_rank, best = None, None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, (toks[i], toks[i + 1])
+            if best is None:
+                break
+            toks = _greedy_pass(toks, best)
+        return toks
+
+    return _encode
+
+
 def encode_words(
     vocab: DataFrame,
     merges: list[tuple[str, str]],
@@ -325,54 +383,7 @@ def encode_words(
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    # FIRST-occurrence-wins rank per pair (r13 ADVICE): a merge list
-    # may contain a duplicate pair, and in the fold reference the
-    # duplicate is a no-op for non-hazard lists — after the first
-    # (a,b) pass no new (a,b) adjacency can form unless some later
-    # merge BIRTHS an 'a' or 'b' token, which is exactly the operand
-    # shape _priority_hazard routes to the sequential replay.  A
-    # last-wins dict gave the duplicate's LATER rank priority and made
-    # e.g. [(a,b),(b,c),(a,b)] encode 'abc' to ['a','bc'] vs the
-    # fold's ['ab','c'].
-    ranks: dict[tuple[str, str], int] = {}
-    for r, pair in enumerate(merges):
-        ranks.setdefault(tuple(pair), r)
-    merge_list = list(merges)
-    hazard = _priority_hazard(merges)
-
-    def _greedy_pass(toks: list[str], pair: tuple[str, str]) -> list[str]:
-        out, j = [], 0
-        while j < len(toks):  # merge ALL occurrences, greedy L2R
-            if j < len(toks) - 1 and (toks[j], toks[j + 1]) == pair:
-                out.append(toks[j] + toks[j + 1])
-                j += 2
-            else:
-                out.append(toks[j])
-                j += 1
-        return out
-
-    def _encode(word: str) -> list[str]:
-        toks = list(word)
-        if hazard:
-            # the one shape where priority order can diverge from the
-            # fold reference (_priority_hazard docstring): replay the
-            # merge list sequentially per word — O(n_merges · len),
-            # paid only for hazard-bearing lists
-            for pair in merge_list:
-                if len(toks) < 2:
-                    break
-                toks = _greedy_pass(toks, pair)
-            return toks
-        while len(toks) > 1:
-            best_rank, best = None, None
-            for i in range(len(toks) - 1):
-                r = ranks.get((toks[i], toks[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best = r, (toks[i], toks[i + 1])
-            if best is None:
-                break
-            toks = _greedy_pass(toks, best)
-        return toks
+    _encode = _priority_encoder(merges)
 
     # no type hints: the module's `from __future__ import annotations`
     # stringifies them and pandas_udf cannot resolve the local pd alias
@@ -611,6 +622,166 @@ def encode_corpus_ids(
     ).withColumn("n_bpe_tokens", F.size(out_col).cast("long"))
 
 
+def _word_id_rows_driver(
+    words: list[str], merges: list[tuple[str, str]]
+) -> list[tuple[str, list[int]]]:
+    """(word, ids) for a collected vocabulary, built entirely on the
+    driver — bit-identical to ``_word_id_arrays``: the same per-word
+    priority encode (``_priority_encoder``, fold-equal via the hazard
+    routing) and the same ``token_id_map`` id scheme (distinct
+    characters sorted — Python code-point order == Spark UTF8 binary
+    order, the ``_train_bpe_driver`` argument — then one id per
+    distinct merged string in first-occurrence merge order).  Exists
+    because deriving the ≤vocab-grain table distributed and collecting
+    it costs a multi-job Spark chain (~6 s at the 200k fixture) where
+    this is one vocabulary collect plus sub-second Python."""
+    encode = _priority_encoder(merges)
+    chars = sorted({c for w in words for c in w})
+    tok_id = {c: i for i, c in enumerate(chars)}
+    n_chars = len(tok_id)
+    merged_first: dict[str, int] = {}
+    for left, right in merges:
+        merged_first.setdefault(left + right, len(merged_first))
+    for tok, idx in merged_first.items():
+        # merged strings are >= 2 codepoints so they never collide with
+        # the single-codepoint base rows (token_id_map's argument)
+        tok_id.setdefault(tok, n_chars + idx)
+    return [(w, [tok_id[t] for t in encode(w)]) for w in words]
+
+
+def _encode_chunked_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    word_rows: list,
+) -> DataFrame:
+    """Arrow regroup for the non-overlapping chunked encode (r17
+    optimization round; guide §4.2/§8): the JVM path's slot posexplode
+    → word→ids join → (id, chunk_id) collect_list exchange moves every
+    slot struct through a full shuffle just to reassemble rows that
+    were already doc-local.  Here the collected vocabulary-grain
+    word→ids table (bounded: ``driver_vocab_cap`` gated by the caller,
+    the same documented collect class as decode's literal map and the
+    BPE driver trainer) is broadcast, and ONE mapInArrow pass computes
+    every chunk row of a doc from the doc's own text — zero shuffle,
+    zero joins, all per-batch work vectorized (pyarrow split/hash
+    lookup + numpy offset arithmetic; no per-row Python).  Value
+    parity with the JVM regroup — including empty slots, empty docs,
+    out-of-vocabulary words (empty ids, still counted in n_words) and
+    NULL text (no output rows) — is pinned by
+    tests/test_bpe.py::test_encode_chunked_arrow_equals_jvm."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    spark = df.sparkSession
+    id_field = df.schema[id_col]
+    words = [w for w, _ in word_rows]
+    offs = np.zeros(len(words) + 1, dtype=np.int64)
+    for i, (_, ids) in enumerate(word_rows):
+        offs[i + 1] = offs[i] + len(ids)
+    flat = np.empty(int(offs[-1]), dtype=np.int32)
+    for i, (_, ids) in enumerate(word_rows):
+        flat[offs[i]:offs[i + 1]] = ids
+    bc = spark.sparkContext.broadcast((words, offs, flat))
+    C = int(chunk_tokens)
+
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("chunk_id", LongType(), False),
+            StructField("n_tokens", LongType(), False),
+            StructField("n_words", LongType(), False),
+            StructField("n_bpe_tokens", LongType(), False),
+            StructField("token_ids", ArrayType(IntegerType(), True), False),
+        ]
+    )
+
+    def encode_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        words, offs, flat = bc.value
+        vocab_arr = pa.array(words, type=pa.string())
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1)
+            if texts.null_count:
+                # split(NULL) posexplodes to no rows on the JVM path:
+                # NULL-text docs produce no output rows
+                keep = pc.is_valid(texts)
+                batch = batch.filter(keep)
+                if batch.num_rows == 0:
+                    continue
+                texts = batch.column(1)
+            lst = pc.split_pattern(texts, " ")
+            slot_off = lst.offsets.to_numpy().astype(np.int64)
+            slot_off = slot_off - slot_off[0]
+            slots = lst.flatten()
+            n_docs = batch.num_rows
+            n_slots = np.diff(slot_off)              # >= 1 per doc
+            total_slots = int(slot_off[-1])
+            idx = pc.index_in(slots, value_set=vocab_arr).fill_null(-1)
+            idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = idx >= 0
+            nonempty = pc.not_equal(slots, "").to_numpy(zero_copy_only=False)
+            cnt = np.where(hit, offs[idx + 1] - offs[idx], 0)
+            csum = np.concatenate(([0], np.cumsum(cnt)))
+            # gather the flat id stream in slot order
+            src_start = np.where(hit, offs[idx], 0)
+            total_ids = int(csum[-1])
+            gidx = (
+                np.repeat(src_start - csum[:-1], cnt)
+                + np.arange(total_ids, dtype=np.int64)
+            )
+            tok_flat = flat[gidx]
+            # chunk tiling: chunk j of doc d covers slots
+            # [doc_start + j*C, min(doc_start + (j+1)*C, doc_end))
+            n_chunks = (n_slots + C - 1) // C         # n_slots >= 1
+            total_chunks = int(n_chunks.sum())
+            chunk_doc = np.repeat(np.arange(n_docs), n_chunks)
+            chunk_off = np.concatenate(([0], np.cumsum(n_chunks)))
+            chunk_id = (
+                np.arange(total_chunks, dtype=np.int64)
+                - np.repeat(chunk_off[:-1], n_chunks)
+            )
+            starts = slot_off[chunk_doc] + chunk_id * C
+            ends = np.minimum(starts + C, slot_off[chunk_doc + 1])
+            n_tokens = ends - starts
+            # chunks tile the slot array in order, so per-chunk sums
+            # are reduceat segments at the chunk starts
+            n_words = np.add.reduceat(nonempty.astype(np.int64), starts)
+            n_bpe = np.add.reduceat(cnt, starts) if total_ids else np.zeros(
+                total_chunks, dtype=np.int64
+            )
+            list_off = csum[np.concatenate((starts, [total_slots]))]
+            ids_arr = pa.ListArray.from_arrays(
+                pa.array(list_off, type=pa.int32()),
+                pa.array(tok_flat, type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(batch.column(0), pa.array(chunk_doc)),
+                    pa.array(chunk_id, type=pa.int64()),
+                    pa.array(n_tokens, type=pa.int64()),
+                    pa.array(n_words, type=pa.int64()),
+                    pa.array(n_bpe, type=pa.int64()),
+                    ids_arr,
+                ],
+                names=[
+                    id_col, "chunk_id", "n_tokens", "n_words",
+                    "n_bpe_tokens", "token_ids",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(encode_batches, schema)
+
+
 def encode_chunked_corpus_ids(
     df: DataFrame,
     text_col: str,
@@ -620,6 +791,8 @@ def encode_chunked_corpus_ids(
     stride: int | None = None,
     impl: str = "auto",
     vocab: DataFrame | None = None,
+    regroup: str = "auto",
+    driver_vocab_cap: int = 500_000,
 ) -> DataFrame:
     """Token ids for every CHUNK of every document — the corpus
     pipeline's scale path (operators/corpus_pipeline.build_corpus with
@@ -646,15 +819,33 @@ def encode_chunked_corpus_ids(
     EMPTY slots (runs of separators) are kept through the regroup with
     empty id arrays so chunk boundaries and the slot census (n_tokens)
     match chunk_documents on any input; n_words counts the non-empty
-    slots actually encoded."""
+    slots actually encoded.
+
+    ``regroup`` (r17 optimization round) picks the physical regroup for
+    the non-overlapping case: ``'auto'`` (default) runs the zero-shuffle
+    broadcast-dict Arrow pass (``_encode_chunked_arrow``) whenever
+    stride == chunk_tokens AND the vocabulary fits
+    ``driver_vocab_cap`` (the documented bounded-collect class; same
+    default as train_bpe's driver gate), else the JVM join+regroup;
+    ``'jvm'`` forces the join+regroup; ``'arrow'`` forces the Arrow
+    pass (raises above the cap or with overlapping strides — a slot
+    belongs to several chunks there, which only the JVM doc-grain
+    slice path handles).  Both regroups are value-identical
+    (tests/test_bpe.py::test_encode_chunked_arrow_equals_jvm)."""
     if stride is None:
         stride = chunk_tokens
+    if regroup not in ("auto", "arrow", "jvm"):
+        raise ValueError(
+            f"unknown regroup {regroup!r}; expected 'auto', 'arrow', 'jvm'"
+        )
+    if regroup == "arrow" and stride != chunk_tokens:
+        raise ValueError(
+            "regroup='arrow' requires stride == chunk_tokens (overlapping "
+            "windows share slots across chunks; use the JVM path)"
+        )
     from cdc_demo_spark.operators.chunking import chunk_starts
 
     slots = F.split(F.col(text_col), " ")
-    occ = df.select(
-        F.col(id_col), F.posexplode(slots).alias("_pos", "word")
-    )
     if vocab is None:
         vocab = (
             df.select(F.explode(slots).alias("word"))
@@ -668,6 +859,31 @@ def encode_chunked_corpus_ids(
         # (build_corpus passes word_frequencies of the same frame);
         # skips this function's own corpus explode→distinct scan
         vocab = vocab.select("word")
+    # Arrow regroup (r17 optimization round): with non-overlapping
+    # windows and a vocabulary that fits the driver (the documented
+    # bounded-collect class — same cap default as train_bpe's driver
+    # gate), the whole encode is one broadcast-dict mapInArrow pass
+    # over the corpus: zero shuffle, zero joins (see
+    # _encode_chunked_arrow).  Above the cap, or with overlapping
+    # strides, the JVM join+regroup below runs unchanged.
+    if regroup != "jvm" and stride == chunk_tokens:
+        vocab = vocab.localCheckpoint(eager=True)
+        n_vocab = vocab.count()
+        if n_vocab <= int(driver_vocab_cap):
+            word_rows = _word_id_rows_driver(
+                [r["word"] for r in vocab.collect()], merges
+            )
+            return _encode_chunked_arrow(
+                df, text_col, id_col, chunk_tokens, word_rows
+            )
+        if regroup == "arrow":
+            raise ValueError(
+                f"regroup='arrow': vocabulary has {n_vocab} words > "
+                f"driver_vocab_cap={driver_vocab_cap}; use regroup='jvm'"
+            )
+    occ = df.select(
+        F.col(id_col), F.posexplode(slots).alias("_pos", "word")
+    )
     word_ids = _word_id_arrays(vocab, merges, impl)
     # left join: empty slots (and only those — token_id_map covers
     # every emittable token) miss and carry an empty id array

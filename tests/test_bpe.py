@@ -456,6 +456,88 @@ def test_encode_chunked_equals_chunk_then_encode(spark):
         assert fast == ref, (ct, st)
 
 
+def test_encode_chunked_arrow_equals_jvm(spark):
+    """r17: the zero-shuffle Arrow regroup must equal the JVM
+    join+regroup row-for-row — including empty slots, trailing
+    separators, empty/whitespace-only docs, NULL text (no rows),
+    out-of-vocabulary words (empty ids, still counted in n_words),
+    and exact chunk-boundary tiling."""
+    from cdc_demo_spark.operators.bpe import encode_chunked_corpus_ids
+
+    rows = []
+    for i in range(40):
+        words = [f"w{j % 7}ab" for j in range(1 + (i * 5) % 29)]
+        if i % 4 == 0:
+            words[0] = ""           # leading empty slot
+        if i % 9 == 0:
+            words.append("")        # trailing separator
+        if i % 11 == 0:
+            words.insert(min(2, len(words)), "zzunknownzz")  # OOV word
+        rows.append((i, " ".join(words)))
+    rows += [(97, ""), (98, "   "), (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("a", "b"), ("w", "1"), ("w1", "ab")]
+    # vocabulary WITHOUT the OOV word: the arrow dict and the JVM left
+    # join must both give it empty ids while counting it as a word
+    vocab = (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.col("word") != "zzunknownzz"))
+        .distinct()
+    )
+
+    def snap(out):
+        return {
+            (r["doc_id"], r["chunk_id"]): (
+                r["n_tokens"], r["n_words"], r["n_bpe_tokens"], r["token_ids"]
+            )
+            for r in out.collect()
+        }
+
+    for ct in (4, 7, 64):
+        jvm = snap(encode_chunked_corpus_ids(
+            df, "text", merges, "doc_id", chunk_tokens=ct, regroup="jvm",
+            vocab=vocab,
+        ))
+        arrow = snap(encode_chunked_corpus_ids(
+            df, "text", merges, "doc_id", chunk_tokens=ct, regroup="arrow",
+            vocab=vocab,
+        ))
+        assert arrow == jvm, ct
+        assert not any(d == 99 for d, _ in arrow)  # NULL text: no rows
+    # arrow plan is python-batched but shuffle-free: no Exchange at all
+    out = encode_chunked_corpus_ids(
+        df, "text", merges, "doc_id", chunk_tokens=8, regroup="arrow",
+        vocab=vocab,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the driver word->ids replica must equal the distributed table —
+    # non-hazard AND hazard-bearing merge lists
+    from cdc_demo_spark.operators.bpe import _word_id_arrays, _word_id_rows_driver
+
+    for ml in (merges, [("a", "bc"), ("b", "c")]):  # second list is a hazard
+        dist = {
+            r["word"]: list(r["_ids"])
+            for r in _word_id_arrays(vocab, ml, "auto").collect()
+        }
+        drv = dict(_word_id_rows_driver(sorted(dist), ml))
+        assert drv == dist, ml
+
+    # guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="stride == chunk_tokens"):
+        encode_chunked_corpus_ids(
+            df, "text", merges, "doc_id", chunk_tokens=8, stride=4,
+            regroup="arrow",
+        )
+    with pytest.raises(ValueError, match="driver_vocab_cap"):
+        encode_chunked_corpus_ids(
+            df, "text", merges, "doc_id", chunk_tokens=8, regroup="arrow",
+            vocab=vocab, driver_vocab_cap=1,
+        )
+
+
 def test_decode_corpus_ids_literal_equals_join(spark, sf_dir):
     """decode_corpus_ids (r15): the literal strategy (V-row map as one
     plan literal, zero shuffle) and the join strategy (broadcast join
