@@ -349,13 +349,27 @@ def minhash_near_duplicates(
     docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
     sh = docs.select("id", F.explode("hs").alias("h64"))
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
-    cands = lsh_candidate_pairs(sigs, bands, rows)
+    # candidate pairs pinned (lazy): three consumers below — the id
+    # union and both verify joins (r17)
+    cands = lsh_candidate_pairs(sigs, bands, rows).localCheckpoint(eager=False)
+    # Verify against the CANDIDATE docs only (r17): the two hash-array
+    # attach joins each probe-scanned the full docs cache; semi-joining
+    # docs to the candidate id set once (AQE broadcasts a small id set
+    # at runtime — no hint, a huge candidate set degrades to a hash
+    # join, never a second corpus pass) makes both attaches read a
+    # candidate-sized frame instead.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionAll(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs_c = docs.join(cand_ids, "id", "left_semi").localCheckpoint(eager=False)
     # No broadcast hint on cands: forcing it serializes the whole LSH
     # stage before verification can start (measured slower); AQE converts
     # to broadcast at runtime when the pair set is actually small.
     verified = (
-        cands.join(docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
-        .join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        cands.join(docs_c.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(docs_c.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .select(
             "id_a",
             "id_b",
