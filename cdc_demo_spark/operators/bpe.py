@@ -112,22 +112,39 @@ def _train_bpe_driver(rows, n_merges: int) -> list[tuple[int, str, str, str, int
     semantics), the argmax tie-breaks (cnt desc, left asc, right asc)
     with Python's code-point string order == Spark's UTF8 binary order,
     and each merge applies greedy left-to-right NON-overlapping
-    (_merge_fold's fold).  Early-stops when no pair remains."""
+    (_merge_fold's fold).  Early-stops when no pair remains.
+
+    Pair counts are maintained INCREMENTALLY (r17 optimization round):
+    the first cut re-counted every adjacency of every word per merge —
+    O(n_merges x total symbol occurrences), the cost model the cap
+    docstring warns about.  Each merge now touches only the words that
+    CONTAIN the merged pair (tracked via a pair -> word-index posting
+    map): their old adjacencies are subtracted, the merge applied, the
+    new adjacencies added — exact integer bookkeeping, so every count
+    (and therefore every argmax and tie-break) is identical to the
+    full recount; zero-count pairs are dropped so the no-pair
+    early-stop fires exactly as before.  Equality with the distributed
+    loop stays pinned by test_train_bpe_distributed_path_equals_driver
+    and the pure-Python reference test."""
     words = [(list(w), int(f)) for w, f in rows]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for w_i, (toks, f) in enumerate(words):
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(w_i)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for toks, f in words:
-            for i in range(len(toks) - 1):
-                p = (toks[i], toks[i + 1])
-                counts[p] = counts.get(p, 0) + f
         if not counts:
             break
         (left, right), cnt = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         merges.append((rank, left, right, left + right, cnt))
-        for w_i, (toks, f) in enumerate(words):
+        pair = (left, right)
+        for w_i in sorted(where.get(pair, ())):
+            toks, f = words[w_i]
             out, j, changed = [], 0, False
             while j < len(toks):
                 if (
@@ -141,8 +158,24 @@ def _train_bpe_driver(rows, n_merges: int) -> list[tuple[int, str, str, str, int
                 else:
                     out.append(toks[j])
                     j += 1
-            if changed:
-                words[w_i] = (out, f)
+            if not changed:
+                # stale posting (an earlier merge of THIS round's loop
+                # already rewrote the adjacency away)
+                continue
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                c = counts[p] - f
+                if c:
+                    counts[p] = c
+                else:
+                    del counts[p]
+                    where.pop(p, None)
+            words[w_i] = (out, f)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] = counts.get(p, 0) + f
+                where.setdefault(p, set()).add(w_i)
+        where.pop(pair, None)
     return merges
 
 
