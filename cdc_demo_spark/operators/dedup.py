@@ -673,14 +673,24 @@ def allpairs_jaccard(
     sh = docs.select("id", F.explode("hs").alias("h64"))
     dfreq = sh.groupBy("h64").agg(F.count(F.lit(1)).alias("sh_df"))
     w_rank = Window.partitionBy("id").orderBy("sh_df", "h64")
-    w_n = Window.partitionBy("id")
+    # count() rides the SAME ordered spec with an explicit
+    # unbounded-both frame (r16 span-detection lesson, applied here
+    # r17): the order-less count window sorted the joined shingle
+    # stream a second time for a value the ordered partition already
+    # holds — one Window node, one sort.
     prefix = (
         sh.join(dfreq, "h64")
         .select(
             "id",
             "h64",
             F.row_number().over(w_rank).alias("rn"),
-            F.count(F.lit(1)).over(w_n).alias("n"),
+            F.count(F.lit(1))
+            .over(
+                w_rank.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
         )
         .filter(
             F.col("rn")
