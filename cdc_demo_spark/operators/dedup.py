@@ -52,6 +52,19 @@ def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _shingle_positions(toks: F.Column, k: int) -> F.Column:
+    """0-based shingle start positions for a token array — empty for
+    docs shorter than k tokens (shared index expression of the string
+    and hashed shingle builders)."""
+    n = F.size(toks)
+    # Docs shorter than k tokens emit NO shingles (not one truncated
+    # shingle): two short docs sharing a partial shingle would otherwise
+    # pair at jaccard 1.0 while the oracles exclude sub-k docs outright.
+    return F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingle_array_of_tokens(toks: F.Column, k: int = 3) -> F.Column:
     """Distinct k-token shingles from an already-MATERIALIZED token
     array column (per-row, pure codegen — no explode, no shuffle).
@@ -62,17 +75,28 @@ def shingle_array_of_tokens(toks: F.Column, k: int = 3) -> F.Column:
     common-subexpression elimination inside higher-order functions),
     which turns shingling O(tokens²) per document — the r11 spans
     finding, 34× measured on long docs (SCALE.md)."""
-    n = F.size(toks)
-    # Docs shorter than k tokens emit NO shingles (not one truncated
-    # shingle): two short docs sharing a partial shingle would otherwise
-    # pair at jaccard 1.0 while the oracles exclude sub-k docs outright.
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
     # gram_at, not concat_ws(slice(...)): inside this interpreted
     # transform lambda the slice allocates a k-array per shingle —
     # measured 8x slower at the 200k fixture (see text.gram_at)
-    sh = F.transform(idx, lambda i: gram_at(toks, i + 1, k))
+    sh = F.transform(_shingle_positions(toks, k), lambda i: gram_at(toks, i + 1, k))
+    return F.array_distinct(sh)
+
+
+def hashed_shingle_array(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct xxhash64 k-shingle hashes from a materialized token
+    array — ONE transform (gram string + hash per position) and ONE
+    distinct over longs (r17 optimization round).  The previous idiom,
+    ``array_distinct(transform(shingle_array_of_tokens(toks), xxhash64))``,
+    deduplicated the shingle STRINGS first and the hashes second — two
+    interpreted array passes, an intermediate string array, and a
+    string-keyed hash set, for a result that is the same long set
+    (distinct-of-hash(all positions) == distinct-of-hash(distinct
+    strings); a cross-shingle hash collision inside a doc collapses
+    identically in both).  Same contract as shingle_array_of_tokens:
+    ``toks`` must be a bound attribute."""
+    sh = F.transform(
+        _shingle_positions(toks, k), lambda i: F.xxhash64(gram_at(toks, i + 1, k))
+    )
     return F.array_distinct(sh)
 
 
@@ -119,10 +143,9 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     (a collision would surface as a hash-mismatch row).  Use
     ``shingles`` (strings) only where the shingle TEXT itself is the
     output (e.g. BPE merge candidates, contamination reporting)."""
-    arr = shingle_array_of_tokens(F.col("__toks"), k)
     return _with_tokens(df, id_col, text_col).select(
         "id",
-        F.explode(F.transform(arr, lambda s: F.xxhash64(s))).alias("h64"),
+        F.explode(hashed_shingle_array(F.col("__toks"), k)).alias("h64"),
     )
 
 
@@ -341,11 +364,7 @@ def minhash_near_duplicates(
     # carries the per-doc hash arrays (array_distinct kills the rare
     # cross-shingle hash collision inside a doc), sh explodes it for the
     # signature min-aggregate. Every shuffle carries longs, never text.
-    arr = F.array_distinct(
-        F.transform(
-            shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
-        )
-    )
+    arr = hashed_shingle_array(F.col("__toks"), k)
     docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
     sh = docs.select("id", F.explode("hs").alias("h64"))
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
@@ -420,11 +439,7 @@ def minhash_cross_near_duplicates(
     rows = num_hashes // bands
     sides = {}
     for name, df in (("a", pool), ("b", evalset)):
-        arr = F.array_distinct(
-            F.transform(
-                shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
-            )
-        )
+        arr = hashed_shingle_array(F.col("__toks"), k)
         docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
         sh = docs.select("id", F.explode("hs").alias("h64"))
         sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles_df=sh)
@@ -664,11 +679,7 @@ def allpairs_jaccard(
     """
     from pyspark.sql import Window
 
-    arr = F.array_distinct(
-        F.transform(
-            shingle_array_of_tokens(F.col("__toks"), k), lambda s: F.xxhash64(s)
-        )
-    )
+    arr = hashed_shingle_array(F.col("__toks"), k)
     docs = _with_tokens(df, id_col, text_col).select("id", arr.alias("hs")).cache()
     sh = docs.select("id", F.explode("hs").alias("h64"))
     dfreq = sh.groupBy("h64").agg(F.count(F.lit(1)).alias("sh_df"))
