@@ -182,45 +182,58 @@ def connected_components_star(
     import logging
 
     log = logging.getLogger(__name__)
-    cur = (
+    slim = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev_n = cur.count()
-    if round_stats is None and prev_n <= driver_edge_cap:
-        from pyspark.sql.types import StructField, StructType
+    if round_stats is None:
+        # Cap gate and fetch in ONE action (r17 optimization round):
+        # the previous shape ran checkpoint + count + collect — three
+        # jobs — before the driver union-find even started, pure
+        # scheduler latency on the few-thousand-edge graphs this path
+        # exists for.  limit(cap+1) bounds the collect to the same
+        # driver-memory bet the cap documents; cap+1 rows means the
+        # graph is over the cap and the distributed rounds run (the
+        # wasted sample is one bounded fetch, paid only by over-cap
+        # graphs, which then do the full distributed work anyway).
+        sample = slim.limit(int(driver_edge_cap) + 1).collect()
+        if len(sample) <= driver_edge_cap:
+            from pyspark.sql.types import StructField, StructType
 
-        parent: dict = {}
+            parent: dict = {}
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
 
-        for r in cur.collect():
-            ra, rb = find(r["u"]), find(r["v"])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        memb = [(x, find(x)) for x in list(parent)]
-        utype = cur.schema["u"].dataType
-        membership = cur.sparkSession.createDataFrame(
-            memb,
-            StructType([StructField("u", utype), StructField("component", utype)]),
-        )
-        return (
-            nodes.select(F.col(id_col).alias("u"))
-            .join(F.broadcast(membership), "u", "left")
-            .select(
-                F.col("u").alias(id_col),
-                F.coalesce("component", "u").alias("component"),
+            for r in sample:
+                ra, rb = find(r["u"]), find(r["v"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            memb = [(x, find(x)) for x in list(parent)]
+            utype = slim.schema["u"].dataType
+            membership = slim.sparkSession.createDataFrame(
+                memb,
+                StructType(
+                    [StructField("u", utype), StructField("component", utype)]
+                ),
             )
-        )
+            return (
+                nodes.select(F.col(id_col).alias("u"))
+                .join(F.broadcast(membership), "u", "left")
+                .select(
+                    F.col("u").alias(id_col),
+                    F.coalesce("component", "u").alias("component"),
+                )
+            )
+    cur = slim.localCheckpoint(eager=True)
+    prev_n = cur.count()
     for rnd in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         n = nxt.count()
